@@ -1,13 +1,85 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import graft.oracle.OracleSql
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory.
+  * Every entry here pairs a Spark-native operator pipeline with a DuckDB
+  * oracle (OracleSql) over the same parquet tables.
+  */
 object SparkEntry {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+  private def pp(s: SparkSession, dir: String): DataFrame =
+    Concepts.postProcess(Concepts.recognize(docs(s, dir)))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Cooccurrence.metrics(pp(spark, "/root/testdata/sf0.001"), Seq("doc_id"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A. ingest & prep
+    "tokens" -> ((s, d) => TextOps.tokens(docs(s, d))),
+    "sentences" -> ((s, d) => TextOps.sentences(docs(s, d))),
+    "doc_filter" -> ((s, d) => TextOps.filterUnactionable(docs(s, d))),
+    "collection_assign" -> ((s, d) => TextOps.collectionAssign(docs(s, d))),
+    "doc_augment" -> ((s, d) => TextOps.augment(docs(s, d))),
+    "chunk_content" -> ((s, d) => TextOps.chunkContent(docs(s, d))),
+    // B. NLP core
+    "concepts" -> ((s, d) => Concepts.recognize(docs(s, d))),
+    "concepts_pp" -> ((s, d) => pp(s, d)),
+    "crf_overlap" -> ((s, d) => Concepts.filterViaCrf(pp(s, d), Concepts.crfAnnots(docs(s, d)))),
+    "conllu_tokens" -> ((s, d) => Conllu.roundTrip(docs(s, d))),
+    "abbrev" -> ((s, d) => Abbreviations.partAbbreviations(Tables.part(s, d))),
+    // C. cooccurrence & corpus stats
+    "cooccur_counts_doc" -> ((s, d) =>
+      Cooccurrence.pairCounts(Cooccurrence.unitConcepts(pp(s, d), Seq("doc_id")), Seq("doc_id"))
+        .select(col("concept1"), col("concept2"), col("pair_count"))),
+    "cooccur_counts_sent" -> ((s, d) => {
+      val annots = pp(s, d).withColumn("sent_id", expr(s"(ord - 1) div ${TextOps.SentWindow}"))
+      Cooccurrence.pairCounts(Cooccurrence.unitConcepts(annots, Seq("doc_id", "sent_id")), Seq("doc_id", "sent_id"))
+        .select(col("concept1"), col("concept2"), col("pair_count"))
+    }),
+    "cooccur_metrics_doc" -> ((s, d) => Cooccurrence.metrics(pp(s, d), Seq("doc_id"))),
+    "concept_idf" -> ((s, d) => Cooccurrence.idf(pp(s, d))),
+    "concept_count_dist" -> ((s, d) => Cooccurrence.countDistribution(pp(s, d))),
+    "tfidf" -> ((s, d) => Cooccurrence.tfidf(pp(s, d))),
+    // D. sentence pairs
+    "sentence_pairs" -> ((s, d) => SentencePairs.extractWithBlinded(docs(s, d), pp(s, d))),
+    "classified_sentences" -> ((s, d) => SentencePairs.classified(pp(s, d))),
+    // E. exports
+    "bionlp_export" -> ((s, d) => Exports.bionlp(pp(s, d))),
+    "text_export" -> ((s, d) => Exports.textExport(docs(s, d))),
+    "es_docs" -> ((s, d) => Exports.esDocs(docs(s, d), pp(s, d))),
+    "export_flat" -> ((s, d) => Exports.flat(docs(s, d), pp(s, d))),
+    // F. relational / events
+    "q1_pricing" -> ((s, d) => Relational.q1Pricing(Tables.lineitem(s, d))),
+    "q3_top_orders" -> ((s, d) =>
+      Relational.q3TopOrders(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q5_region_revenue" -> ((s, d) =>
+      Relational.q5RegionRevenue(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.nation(s, d), Tables.region(s, d))),
+    "events_hourly" -> ((s, d) => Relational.eventsHourly(Tables.events(s, d))),
+    "events_sessions" -> ((s, d) => Relational.eventsSessions(Tables.events(s, d))),
+    // G. LLM-data ops
+    "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
+    "dedup_norm" -> ((s, d) => Dedup.normalized(docs(s, d))),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(docs(s, d))),
+    "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
+    "doc_fingerprint" -> ((s, d) => Dedup.rollingFingerprint(docs(s, d))),
+    "emb_topk" -> ((s, d) => Embeddings.cosineTopK(Tables.embeddings(s, d))),
+    "emb_lsh" -> ((s, d) => Embeddings.lshBuckets(Tables.embeddings(s, d))),
+    "emb_dup_pairs" -> ((s, d) => Embeddings.dupPairs(Tables.embeddings(s, d))),
+    "lang_id" -> ((s, d) => TextStats.langId(docs(s, d))),
+    "quality_score" -> ((s, d) => TextStats.quality(docs(s, d))),
+    "multimodal_meta" -> ((s, d) => TextStats.multimodalMeta(docs(s, d))))
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables ("abbrev" is intentionally absent → rows-only). */
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The concept dictionary + ontology ancestor map.
+  *
+  * Stands in for the OGER ontology dictionaries
+  * (reference: src/main/java/edu/cuanschutz/ccp/tm_provider/oger/dict,
+  * util/OntologyClassAncestorMapFactory.java). The reference ships ontology
+  * class → label dictionaries and a class → ancestor-set map used to expand
+  * concept sets before cooccurrence counting
+  * (reference: etl/ConceptIdfPipeline.java:120-140).
+  *
+  * Single source of truth: these Scala structures generate BOTH the broadcast
+  * DataFrames used by the engine AND the inline `VALUES` fragments used in the
+  * DuckDB oracle SQL, so engine and oracle can never drift.
+  */
+object ConceptDict {
+
+  /** prefix (semantic group, analog of CHEBI/MONDO/PR/...) -> member tokens */
+  val groups: Seq[(String, Seq[String])] = Seq(
+    "OP" -> Seq("join", "sort", "merge", "scan", "filter", "agg", "group", "hash", "window", "query"),
+    "DS" -> Seq("table", "row", "column", "key", "value", "data", "vector", "batch", "stream", "line"),
+    "SZ" -> Seq("big", "small", "fast", "slow"),
+    "ENT" -> Seq("customer", "part", "order", "spark"))
+
+  /** (token, concept_id) — deterministic order */
+  val entries: Seq[(String, String)] =
+    for ((p, ts) <- groups; t <- ts.sorted) yield (t, s"$p:$t")
+
+  /** (concept_id, ancestor_id): every concept has its group ROOT ancestor;
+    * join/merge additionally roll up to OP:JOINLIKE (multi-ancestor case). */
+  val ancestors: Seq[(String, String)] =
+    entries.map { case (_, c) => (c, c.takeWhile(_ != ':') + ":ROOT") } ++
+      Seq("OP:join" -> "OP:JOINLIKE", "OP:merge" -> "OP:JOINLIKE")
+
+  val stopwords: Seq[String] = Seq("a", "the")
+
+  def dictDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    entries.toDF("tok", "concept_id")
+  }
+
+  def ancestorsDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ancestors.toDF("concept_id", "ancestor_id")
+  }
+
+  // ---- oracle SQL fragments (inline VALUES; same data as above) ----
+
+  def dictValuesSql: String =
+    entries.map { case (t, c) => s"('$t','$c')" }
+      .mkString("(VALUES ", ", ", ") AS dict(tok, concept_id)")
+
+  def ancestorsValuesSql: String =
+    ancestors.map { case (c, a) => s"('$c','$a')" }
+      .mkString("(VALUES ", ", ", ") AS anc(concept_id, ancestor_id)")
+
+  def stopwordsInSql: String = stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+}

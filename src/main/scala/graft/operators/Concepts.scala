@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.functions.ConceptDict
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dictionary concept recognition + post-processing.
+  *
+  * Re-expresses, Spark-first:
+  *  - OGER dictionary matching (reference: etl/OgerPipeline.java, oger/dict)
+  *    as a broadcast hash join of the token stream against the dictionary —
+  *    no per-document service calls, one codegen'd join.
+  *  - OGER post-processing filters (reference: etl/fn/OgerPostProcessingFn.java:199
+  *    isDigitsAndPunctOnly, length/case checks) as codegen'd predicates.
+  *  - concept post-processing (reference: etl/fn/ConceptPostProcessingFn.java:299
+  *    removeNestedConceptAnnotations; :939 matchConceptsToAbbreviations) —
+  *    span dedup + nested-annotation removal via a doc-partitioned
+  *    containment anti-join.
+  *  - CRF confirmation (reference: etl/CrfNerPipeline.java + PipelineMain
+  *    filterViaCrf): a second, pattern-based annotation channel; concepts are
+  *    kept only when their span overlaps a CRF span (semi-join).
+  */
+object Concepts {
+
+  /** doc_id, concept_id, ord, tok, char_start, char_end */
+  def recognize(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(docs)
+    val dict = broadcast(ConceptDict.dictDF(docs.sparkSession))
+    toks
+      .where(length(col("tok")) > 1)                       // OgerPostProcessingFn length filter
+      .where(!col("tok").rlike("^[0-9\\p{Punct}]+$"))      // isDigitsAndPunctOnly
+      .join(dict, "tok")
+      .select(col("doc_id"), col("concept_id"), col("ord"), col("tok"), col("char_start"), col("char_end"))
+  }
+
+  /** Dedup identical (doc, concept, span) annots, then drop annotations whose
+    * span is strictly contained in a longer annotation's span (nested-annot
+    * removal). The anti-join is equi on doc_id — per-doc work only. */
+  def postProcess(annots: DataFrame): DataFrame = {
+    val deduped = annots.dropDuplicates("doc_id", "concept_id", "char_start", "char_end")
+    val covering = deduped.select(col("doc_id").as("c_doc_id"),
+      col("char_start").as("c_start"), col("char_end").as("c_end"))
+    deduped.join(covering,
+      col("doc_id") === col("c_doc_id") &&
+        col("c_start") <= col("char_start") && col("char_end") <= col("c_end") &&
+        (col("c_end") - col("c_start")) > (col("char_end") - col("char_start")),
+      "left_anti")
+  }
+
+  /** The simulated CRF channel: pattern-based entity spans (reference calls a
+    * hosted CRF service; here a deterministic regex NER plays that role). */
+  def crfAnnots(docs: DataFrame): DataFrame =
+    TextOps.tokens(docs)
+      .where(col("tok").rlike("^(customer|part|order|line|spark)"))
+      .select(col("doc_id"), col("ord"), col("char_start"), col("char_end"))
+
+  /** Keep concept annots whose span overlaps some CRF span in the same doc. */
+  def filterViaCrf(concepts: DataFrame, crf: DataFrame): DataFrame = {
+    val c = crf.select(col("doc_id").as("k_doc_id"), col("char_start").as("k_start"), col("char_end").as("k_end"))
+    concepts.join(c,
+      col("doc_id") === col("k_doc_id") &&
+        col("char_start") < col("k_end") && col("k_start") < col("char_end"),
+      "left_semi")
+  }
+
+  /** Expand (unit_col, concept_id) sets with ancestor ids (broadcast map),
+    * mirroring ConceptIdfPipeline.java:120-140 addAncestorConceptIds. */
+  def withAncestors(unitConcepts: DataFrame, unitCols: Seq[String]): DataFrame = {
+    val spark = unitConcepts.sparkSession
+    val anc = broadcast(ConceptDict.ancestorsDF(spark))
+    val base = unitConcepts.select(unitCols.map(col) :+ col("concept_id"): _*)
+    val expanded = base.join(anc, "concept_id")
+      .select(unitCols.map(col) :+ col("ancestor_id").as("concept_id"): _*)
+    base.unionByName(expanded).distinct()
+  }
+}

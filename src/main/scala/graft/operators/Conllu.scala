@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.functions.ConceptDict
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CoNLL-U build / parse round-trip.
+  *
+  * The reference imports Turku dependency-parser CoNLL-U output and converts
+  * it to sentence / CoNLL03 views (reference:
+  * etl/DependencyParseStoragePipeline.java,
+  * etl/fn/DependencyParseConlluToSentenceFn.java,
+  * etl/fn/DependencyParseConlluToConll03Fn.java). Here: a builder that
+  * serializes the token stream to CoNLL-U text per document, and a parser
+  * that turns a conllu text column back into token rows — both declarative
+  * (split/explode), no UDFs.
+  */
+object Conllu {
+
+  private def uposFor(tokCol: String): org.apache.spark.sql.Column = {
+    val dict = ConceptDict.entries.toMap
+    ConceptDict.groups.foldLeft(lit("X")) { case (acc, (prefix, toks)) =>
+      when(col(tokCol).isin(toks: _*), lit(prefix)).otherwise(acc)
+    }
+  }
+
+  /** doc_id, conllu — one CoNLL-U block per document; sentences follow the
+    * fixed-window segmentation, token ids restart per sentence. */
+  def build(docs: DataFrame): DataFrame =
+    TextOps.tokens(docs)
+      .withColumn("sent_id", expr(s"(ord - 1) div ${TextOps.SentWindow}"))
+      .withColumn("tok_id", ((col("ord") - 1) % TextOps.SentWindow + 1).cast("long"))
+      .withColumn("line", concat_ws("\t",
+        col("tok_id"), col("tok"), lower(col("tok")), uposFor("tok")))
+      .groupBy("doc_id", "sent_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("tok_id"), col("line")))), s => s("line")), "\n")
+        .as("sent_block"))
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("sent_id"), col("sent_block")))), s => s("sent_block")), "\n\n")
+        .as("conllu"))
+
+  /** Parse a conllu text column → doc_id, sent_id, tok_id, form, lemma, upos. */
+  def parse(conllu: DataFrame): DataFrame =
+    conllu
+      .select(col("doc_id"), posexplode(split(col("conllu"), "\n\n")).as(Seq("sent_id", "block")))
+      .select(col("doc_id"), col("sent_id").cast("long"), explode(split(col("block"), "\n")).as("line"))
+      .where(length(col("line")) > 0 && !col("line").startsWith("#"))
+      .withColumn("f", split(col("line"), "\t"))
+      .select(col("doc_id"), col("sent_id"),
+        element_at(col("f"), 1).cast("long").as("tok_id"),
+        element_at(col("f"), 2).as("form"),
+        element_at(col("f"), 3).as("lemma"),
+        element_at(col("f"), 4).as("upos"))
+
+  /** Round-trip query: build then parse (proves both directions). */
+  def roundTrip(docs: DataFrame): DataFrame = parse(build(docs))
+}

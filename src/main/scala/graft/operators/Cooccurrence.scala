@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Concept cooccurrence counts + metrics, IDF, count distribution, TF-IDF.
+  *
+  * Re-expresses, Spark-first:
+  *  - ConceptCooccurrenceCountsPipeline + etl/fn/ConceptCooccurrenceCountsFn.java
+  *    (levels DOCUMENT/SENTENCE): distinct concept set per text unit →
+  *    within-unit pair join (c1 < c2) → count. The pair join is equi on the
+  *    unit id, so work is bounded by concepts-per-unit, never corpus².
+  *  - ConceptCooccurrenceMetricsPipeline.java:772-860: NGD/PMI/NPMI/NPMIM/MD/
+  *    LFMD per util/ConceptCooccurrenceMetrics.java:5-71, computed per-row
+  *    from integer counts (singleton counts broadcast onto the pair table) —
+  *    deterministic float math, rounded to 6dp.
+  *  - ConceptIdfPipeline.java:185-205: idf = ln(N/df), rounded.
+  *  - ConceptCountDistributionPipeline: docs-per-concept-count histogram.
+  *  - TF-IDF doc vectors as the corpus-stats generalization.
+  */
+object Cooccurrence {
+
+  /** distinct (unit, concept) pairs, optionally ancestor-expanded.
+    * unitCols e.g. Seq("doc_id") or Seq("doc_id","sent_id"). */
+  def unitConcepts(annots: DataFrame, unitCols: Seq[String], addAncestors: Boolean = true): DataFrame = {
+    val base = annots.select(unitCols.map(col) :+ col("concept_id"): _*).distinct()
+    if (addAncestors) Concepts.withAncestors(base, unitCols) else base
+  }
+
+  /** concept1, concept2, pair_count over units. */
+  def pairCounts(units: DataFrame, unitCols: Seq[String]): DataFrame = {
+    val l = units.select(unitCols.map(col) :+ col("concept_id").as("concept1"): _*)
+    val r = units.select(unitCols.map(col) :+ col("concept_id").as("concept2"): _*)
+    l.join(r, unitCols)
+      .where(col("concept1") < col("concept2"))
+      .groupBy("concept1", "concept2")
+      .agg(count(lit(1)).as("pair_count"))
+  }
+
+  /** concept_id, unit_count (number of units containing the concept). */
+  def singletonCounts(units: DataFrame): DataFrame =
+    units.groupBy("concept_id").agg(count(lit(1)).as("unit_count"))
+
+  /** Full metrics table. Column math mirrors ConceptCooccurrenceMetrics.java:
+    * ngd uses log10, the rest natural log; 1e-9 offsets as in the reference;
+    * all rounded to 6dp. Pairs whose NGD denominator is 0 (a concept present
+    * in every unit) are excluded — the reference would emit NaN/Inf there. */
+  def metrics(annots: DataFrame, unitCols: Seq[String]): DataFrame = {
+    // reused 4× below (pair l/r, singletons, total) — materialize once
+    val units = unitConcepts(annots, unitCols).persist()
+    val pairs = pairCounts(units, unitCols)
+    val singles = singletonCounts(units)
+    val total = units.select(unitCols.map(col): _*).distinct().count()
+
+    val fx = col("concept1_count").cast("double")
+    val fy = col("concept2_count").cast("double")
+    val fxy = col("pair_count").cast("double")
+    val n = lit(total.toDouble)
+    val px = fx / n
+    val py = fy / n
+    val pxy = fxy / n
+    val pmi = log(pxy / (px * py))
+    val md = log(pow(pxy, 2.0) / (px * py))
+
+    pairs
+      .join(broadcast(singles.select(col("concept_id").as("concept1"), col("unit_count").as("concept1_count"))), "concept1")
+      .join(broadcast(singles.select(col("concept_id").as("concept2"), col("unit_count").as("concept2_count"))), "concept2")
+      .where(log10(n) - least(log10(fx), log10(fy)) =!= 0.0)
+      .select(
+        col("concept1"), col("concept2"),
+        col("pair_count").cast("long").as("pair_count"),
+        col("concept1_count").cast("long").as("concept1_count"),
+        col("concept2_count").cast("long").as("concept2_count"),
+        round((greatest(log10(fx), log10(fy)) - log10(fxy)) / (log10(n) - least(log10(fx), log10(fy))), 6).as("ngd"),
+        round(pmi, 6).as("pmi"),
+        round(pmi / (-lit(1.0) * log(pxy + 1e-9)), 6).as("npmi"),
+        round(pmi / (-lit(1.0) * log(greatest(px, py) + 1e-9)), 6).as("npmim"),
+        round(md, 6).as("md"),
+        round(md + log(pxy), 6).as("lfmd"))
+  }
+
+  /** concept_id, df, idf = round(ln(N/df), 6) at document level. */
+  def idf(annots: DataFrame): DataFrame = {
+    val units = unitConcepts(annots, Seq("doc_id"))
+    val total = units.select("doc_id").distinct().count()
+    singletonCounts(units)
+      .select(col("concept_id"), col("unit_count").as("df"),
+        round(log(lit(total.toDouble) / col("unit_count").cast("double")), 6).as("idf"))
+  }
+
+  /** concept_count (distinct concepts in doc), num_docs histogram. */
+  def countDistribution(annots: DataFrame): DataFrame =
+    annots.select("doc_id", "concept_id").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("concept_count"))
+      .groupBy("concept_count").agg(count(lit(1)).as("num_docs"))
+
+  /** doc_id, concept_id, tf (annotation occurrences), idf, tfidf round6.
+    * idf table is tiny → broadcast; single shuffle for tf. */
+  def tfidf(annots: DataFrame): DataFrame = {
+    val idfDF = idf(annots)
+    annots.groupBy("doc_id", "concept_id").agg(count(lit(1)).as("tf"))
+      .join(broadcast(idfDF.select("concept_id", "idf")), "concept_id")
+      .select(col("doc_id"), col("concept_id"), col("tf"),
+        col("idf"), round(col("tf").cast("double") * col("idf"), 6).as("tfidf"))
+  }
+}

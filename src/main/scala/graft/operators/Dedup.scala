@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for large-scale training-data pipelines.
+  *
+  * Exact dedup, normalized-form dedup, MinHash+LSH near-dup candidates,
+  * shingle-set Jaccard verification on candidates, SimHash fingerprints, and
+  * a rolling-hash document fingerprint. Everything is declarative and
+  * all-pairs-free: candidate pairs come from LSH band buckets (or exact key
+  * groups), never a corpus cross join.
+  *
+  * ORACLE-PARITY NOTE / SCALE PATH: shingle & token ids are lexicographic
+  * ranks over the distinct vocabulary (a global row_number window). That rank
+  * assignment is a single-partition sort over the *vocabulary* (small here,
+  * and orders of magnitude smaller than the corpus in general), chosen so the
+  * DuckDB oracle can reproduce ids exactly. At 100 TB swap `rankIds` for
+  * `xxhash64(shingle)` — no global sort, same downstream plan; nothing else
+  * changes.
+  */
+object Dedup {
+
+  // MinHash parameters — shared with the oracle SQL (OracleSql.minhashParamsSql)
+  val MinhashP: Long = 2147483647L
+  val NumHashes = 12
+  val RowsPerBand = 3
+  val minhashParams: Seq[(Int, Long, Long)] =
+    (0 until NumHashes).map(j => (j, (j * 2654435761L) % (MinhashP - 1) + 1, (j * 1013904223L + 12345L) % MinhashP))
+
+  val SimhashBits = 16
+  val SimhashMult = 2654435761L
+  val RollB = 131L
+  val RollP = 1000000007L
+
+  /** doc_id, canonical_id, is_dup — exact text dedup via content hash. */
+  def exact(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val canon = hashed.groupBy("h").agg(min("doc_id").as("canonical_id"))
+    hashed.join(canon, "h")
+      .select(col("doc_id"), col("canonical_id"), (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+  }
+
+  /** Normalized-form dedup: sorted token multiset with the near-dup marker
+    * token removed; emits members of groups with >1 doc. */
+  def normalized(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      array_join(array_sort(filter(split(col("text"), " "), t => t =!= "dup")), " ").as("norm_key"))
+    val groups = keyed.groupBy("norm_key")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("group_size"))
+      .where(col("group_size") > 1)
+    keyed.join(groups, "norm_key")
+      .select(col("doc_id"), col("canonical_id"), col("group_size"))
+  }
+
+  /** doc_id, shingle — 3-token shingles (order-preserving). */
+  def shingles(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("ord")
+    TextOps.tokens(docs)
+      .withColumn("t2", lead("tok", 1).over(w))
+      .withColumn("t3", lead("tok", 2).over(w))
+      .where(col("t3").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("shingle"))
+  }
+
+  /** Assign dense lexicographic rank ids to a distinct key column.
+    * See scale-path note in the object doc. */
+  private def rankIds(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.select(keyCol).distinct()
+      .withColumn(idCol, row_number().over(Window.orderBy(keyCol)).cast("long"))
+
+  /** doc_id, sid — distinct shingle-id set per document. */
+  def shingleSets(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+    sh.join(rankIds(sh, "shingle", "sid"), "shingle")
+      .select("doc_id", "sid").distinct()
+  }
+
+  /** doc_id, band, band_key — LSH band buckets from MinHash signatures. */
+  def minhashBands(shingleSets: DataFrame): DataFrame = {
+    val spark = shingleSets.sparkSession
+    import spark.implicits._
+    val params = broadcast(minhashParams.toDF("j", "a", "b"))
+    shingleSets
+      .crossJoin(params)
+      .withColumn("h", (col("a") * col("sid") + col("b")) % MinhashP)
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min("h").as("mh"))
+      .withColumn("band", (col("j") / RowsPerBand).cast("long"))
+      .groupBy("doc_id", "band")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("mh")))), s => s("mh").cast("string")), ",")
+        .as("band_key"))
+  }
+
+  /** doc_a, doc_b, shared_bands — near-dup candidate pairs from shared LSH
+    * buckets. Join is equi on (band, band_key): bounded by bucket sizes. */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val bands = minhashBands(shingleSets(docs)).persist()
+    val l = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+    val r = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
+    l.join(r, Seq("band", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_bands"))
+  }
+
+  /** doc_a, doc_b, jaccard — exact shingle-set Jaccard, evaluated ONLY on LSH
+    * candidate pairs (integer counts → deterministic division, round 6). */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val sets = shingleSets(docs).persist()
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cands = minhashCandidates(docs).select("doc_a", "doc_b")
+    val inter = cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("sid")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sid").as("sid_b")), "doc_b")
+      .where(col("sid") === col("sid_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard", round(col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"), 6))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** doc_id, simhash — 16-bit SimHash over token hashes (with multiplicity). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(docs)
+    val ids = rankIds(toks, "tok", "tid")
+    val hashed = toks.join(broadcast(ids), "tok")
+      .withColumn("hh", (col("tid") * SimhashMult) % 65536)
+    val bitSums = (0 until SimhashBits).map(k =>
+      sum(when(shiftright(col("hh"), k) % 2 === 1, 1L).otherwise(-1L)).as(s"b$k"))
+    val fingerprint = (0 until SimhashBits)
+      .map(k => when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L))
+      .reduce((a: Column, b: Column) => a + b)
+    hashed.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fingerprint.as("simhash"))
+  }
+
+  /** doc_id, fingerprint — min over rolling 5-gram polynomial hashes of token
+    * ids (Karp–Rabin style); docs shorter than 5 tokens are skipped. */
+  def rollingFingerprint(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("ord")
+    val toks = TextOps.tokens(docs)
+    val ids = rankIds(toks, "tok", "tid")
+    toks.join(broadcast(ids), "tok")
+      .select(col("doc_id"), col("ord"), col("tid"))
+      .withColumn("t2", lead("tid", 1).over(w))
+      .withColumn("t3", lead("tid", 2).over(w))
+      .withColumn("t4", lead("tid", 3).over(w))
+      .withColumn("t5", lead("tid", 4).over(w))
+      .where(col("t5").isNotNull)
+      .withColumn("wh",
+        ((((col("tid") * RollB + col("t2")) * RollB + col("t3")) * RollB + col("t4")) * RollB + col("t5")) % RollP)
+      .groupBy("doc_id")
+      .agg(min("wh").as("fingerprint"))
+  }
+}

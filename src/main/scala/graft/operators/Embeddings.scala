@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Brute-force cosine top-k as the correctness baseline (query side broadcast,
+  * neighbor side streamed — the classic small-Q × big-N shape), and
+  * random-hyperplane LSH bucketing as the scale path: at 100 TB the bucket id
+  * becomes the shuffle/partition key and candidate generation is per-bucket.
+  *
+  * Floats are cast to double before any arithmetic: float×float is exact in
+  * double, so dot products are order-robust to well below the 6dp rounding
+  * used on output.
+  */
+object Embeddings {
+
+  val NumPlanes = 8
+  val EmbDim = 64
+
+  /** Deterministic pseudo-random hyperplanes, identical in the oracle:
+    * w(plane, dim) = ((plane*73856093 + dim*19349663) mod 2003) / 1001.5 - 1. */
+  val hyperplanes: Seq[(Int, Int, Double)] =
+    for (p <- 0 until NumPlanes; d <- 0 until EmbDim)
+      yield (p, d, ((p * 73856093L + d * 19349663L) % 2003L).toDouble / 1001.5 - 1.0)
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** query_id, rank, neighbor_id, cosine — brute-force top-k per query vector.
+    * Ordering is on the ROUNDED cosine with id tie-break, so ranks are
+    * deterministic across engines even for equal-cosine neighbors. */
+  def cosineTopK(embeddings: DataFrame, numQueries: Int = 8, k: Int = 5): DataFrame = {
+    val q = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+    val n = embeddings.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("ne"))
+    val scored = broadcast(q).crossJoin(n)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qe"), col("ne")) / (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ne"), col("ne")))), 6)
+          .as("cosine"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** vec_id, bucket — sign-bit bucket over the hyperplane projections. */
+  def lshBuckets(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val planes = broadcast(hyperplanes.toDF("plane", "dim", "w"))
+    embeddings
+      .select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("dim", "e")))
+      .join(planes, "dim")
+      .groupBy("vec_id", "plane")
+      .agg(sum(col("e") * col("w")).as("dotp"))
+      .groupBy("vec_id")
+      .agg(sum(when(col("dotp") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(plane AS INT))")).otherwise(0L)).as("bucket"))
+  }
+
+  /** vec_a, vec_b, cosine — near-duplicate embedding pairs, candidate-limited
+    * to shared LSH buckets (never all-pairs). */
+  def dupPairs(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {
+    val buckets = lshBuckets(embeddings).persist()
+    val vecs = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("ve"))
+    val pairs = buckets.select(col("bucket"), col("vec_id").as("vec_a"))
+      .join(buckets.select(col("bucket"), col("vec_id").as("vec_b")), "bucket")
+      .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    pairs
+      .join(vecs.select(col("vec_id").as("vec_a"), col("ve").as("ea")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("ve").as("eb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("ea"), col("eb")) / (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))), 6)
+          .as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Serialization / export surfaces.
+  *
+  * Re-expresses, Spark-first:
+  *  - BioNLP annotation export (reference: etl/ConceptAnnotationExportPipeline.java,
+  *    file/conversion/bionlp): one `T{n}\t{TYPE} {start} {end}\t{text}` line
+  *    per annotation, numbered per document in span order.
+  *  - Document text export (reference: etl/TextExtractionPipeline.java,
+  *    rrun-z-document-text-export-batch.sh): order-preserving reconstruction.
+  *  - Elasticsearch document assembly (reference:
+  *    etl/fn/ElasticsearchDocumentCreatorFn.java): doc + sentence count +
+  *    sorted distinct concept ids.
+  *  - BigQuery flatten (reference: etl/fn/BigQueryExportFileBuilderFn.java,
+  *    doc/bigquery): annotations joined to document metadata, star-flattened.
+  */
+object Exports {
+
+  /** doc_id, line — BioNLP serialization of concept annots. */
+  def bionlp(annots: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("char_start"), col("concept_id"))
+    annots
+      .withColumn("t_num", row_number().over(w).cast("long"))
+      .select(col("doc_id"),
+        concat(lit("T"), col("t_num"), lit("\t"),
+          substring_index(col("concept_id"), ":", 1), lit(" "),
+          col("char_start"), lit(" "), col("char_end"),
+          lit("\t"), col("tok")).as("line"))
+  }
+
+  /** doc_id, rebuilt_text, matches — reconstruct doc text from sentences and
+    * prove span discipline (the reference validates spans the same way). */
+  def textExport(docs: DataFrame): DataFrame =
+    TextOps.sentences(docs)
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("sent_id"), col("sent_text")))), s => s("sent_text")), " ")
+        .as("rebuilt_text"))
+      .join(docs.select("doc_id", "text"), "doc_id")
+      .select(col("doc_id"), col("rebuilt_text"), (col("rebuilt_text") === col("text")).as("matches"))
+
+  /** doc_id, lang, source, n_sentences, n_concepts, concept_ids ('|'-joined,
+    * sorted distinct) — the Elasticsearch document shape. */
+  def esDocs(docs: DataFrame, annots: DataFrame): DataFrame = {
+    val sentCounts = TextOps.sentences(docs).groupBy("doc_id").agg(count(lit(1)).as("n_sentences"))
+    val conceptAgg = annots.select("doc_id", "concept_id").distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_concepts"),
+        array_join(array_sort(collect_list(col("concept_id"))), "|").as("concept_ids"))
+    docs.select("doc_id", "lang", "source")
+      .join(sentCounts, Seq("doc_id"), "left")
+      .join(conceptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("n_sentences"), lit(0L)).as("n_sentences"),
+        coalesce(col("n_concepts"), lit(0L)).as("n_concepts"),
+        coalesce(col("concept_ids"), lit("")).as("concept_ids"))
+  }
+
+  /** Star flatten: annotation rows with document metadata attached. */
+  def flat(docs: DataFrame, annots: DataFrame): DataFrame =
+    annots.join(docs.select("doc_id", "lang", "source"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("concept_id"),
+        col("char_start"), col("char_end"))
+}

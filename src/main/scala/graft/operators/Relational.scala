@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics + event-time analytics (bench headliners).
+  *
+  * The reference's downstream analytic layer is BigQuery SQL over exported
+  * tables (reference: doc/bigquery, scripts/sql); these are the same
+  * shapes run natively: grouped aggregation with map-side partial aggregation,
+  * broadcast star joins, tumbling-window event aggregation and gap-based
+  * sessionization (lag + running sum — the classic Spark formulation).
+  *
+  * Event timestamps are nanosecond longs end-to-end (see Tables.events), so
+  * all window/session math is exact integer arithmetic.
+  */
+object Relational {
+
+  private val UsPerHour = 3600L * 1000 * 1000
+  private val SessionGapUs = 30L * 60 * 1000 * 1000
+
+  /** TPC-H Q1-shaped pricing summary; predicate pushed to the scan. */
+  def q1Pricing(lineitem: DataFrame): DataFrame =
+    lineitem
+      .where(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-shaped: top orders by revenue for one segment; dims broadcast. */
+  def q3TopOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.where(col("c_mktsegment") === "BUILDING").select("c_custkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** TPC-H Q5-shaped: revenue by customer nation; all dims broadcast, one
+    * shuffle on the fact. */
+  def q5RegionRevenue(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                      nation: DataFrame, region: DataFrame): DataFrame =
+    lineitem
+      .join(orders.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select("r_regionkey", "r_name")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Tumbling 1h windows per event type: hour_bucket (ns-epoch / 3600e9). */
+  def eventsHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(expr(s"(ts div 1000) div $UsPerHour").as("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+
+  /** Gap-based sessionization (30 min): lag + running sum of session starts,
+    * then per-session aggregation. One shuffle on user_id. Timestamps are
+    * reduced to microseconds (the finest precision every engine preserves). */
+  def eventsSessions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    events
+      .withColumn("tus", expr("ts div 1000"))
+      .withColumn("prev_ts", lag(col("tus"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || (col("tus") - col("prev_ts")) > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tus")).as("start_us"),
+        max(col("tus")).as("end_us"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relation-candidate sentence extraction + classified-sentence storage.
+  *
+  * Re-expresses, Spark-first:
+  *  - SentenceExtractionPipeline + etl/fn/SentenceExtractionFn.java:131-341:
+  *    sentences containing a concept with prefix-set X and a concept with
+  *    prefix-set Y (the reference runs chem–dis / chem–gene / gene–gene);
+  *    here the X=OP, Y=DS prefix pair plays that role. Pairing is an equi-join
+  *    on the sentence unit — never corpus-wide.
+  *  - SentenceTsvBuilderFn / ExtractedSentence: the "blinded" sentence with
+  *    the two concept mentions replaced by placeholders (reference emits
+  *    @CHEMICAL$ / @DISEASE$-style TSV rows for BERT classification).
+  *  - ClassifiedSentenceStoragePipeline + ClassifiedSentenceStorageSqlValuesFn:
+  *    attach a classification score and keep those above threshold (the
+  *    BERT scorer is external to the reference too — here a deterministic
+  *    surrogate score keeps the join/filter/store shape real and testable).
+  */
+object SentencePairs {
+
+  /** annots must carry doc_id, concept_id, ord; sentence unit = fixed window. */
+  private def withSent(annots: DataFrame): DataFrame =
+    annots.withColumn("sent_id", expr(s"(ord - 1) div ${TextOps.SentWindow}"))
+
+  /** doc_id, sent_id, concept_x, concept_y, x_ord, y_ord (first mention each). */
+  def extract(annots: DataFrame, xPrefix: String = "OP", yPrefix: String = "DS"): DataFrame = {
+    val s = withSent(annots)
+    val xs = s.where(col("concept_id").startsWith(xPrefix + ":"))
+      .groupBy("doc_id", "sent_id", "concept_id").agg(min("ord").as("x_ord"))
+      .withColumnRenamed("concept_id", "concept_x")
+    val ys = s.where(col("concept_id").startsWith(yPrefix + ":"))
+      .groupBy("doc_id", "sent_id", "concept_id").agg(min("ord").as("y_ord"))
+      .withColumnRenamed("concept_id", "concept_y")
+    xs.join(ys, Seq("doc_id", "sent_id"))
+  }
+
+  /** extract() + blinded sentence text (placeholders at the mention ords). */
+  def extractWithBlinded(docs: DataFrame, annots: DataFrame,
+                         xPrefix: String = "OP", yPrefix: String = "DS"): DataFrame = {
+    val pairs = extract(annots, xPrefix, yPrefix)
+    val toks = TextOps.tokens(docs)
+      .withColumn("sent_id", expr(s"(ord - 1) div ${TextOps.SentWindow}"))
+      .select("doc_id", "sent_id", "ord", "tok")
+    pairs.join(toks, Seq("doc_id", "sent_id"))
+      .withColumn("btok",
+        when(col("ord") === col("x_ord"), lit("@CONCEPT_X$"))
+          .when(col("ord") === col("y_ord"), lit("@CONCEPT_Y$"))
+          .otherwise(col("tok")))
+      .groupBy("doc_id", "sent_id", "concept_x", "concept_y", "x_ord", "y_ord")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("ord"), col("btok")))), s => s("btok")), " ")
+        .as("blinded_sentence"))
+  }
+
+  /** Deterministic surrogate classification score in [0,1): integer math only,
+    * so engine and oracle agree bit-for-bit. */
+  private def score = pmod(col("doc_id") * 31 + col("sent_id") * 17 + col("x_ord") * 7 + col("y_ord"), lit(1000L)).cast("double") / 1000.0
+
+  /** Scored pairs above threshold — the "store classified sentences" shape. */
+  def classified(annots: DataFrame, threshold: Double = 0.5): DataFrame =
+    extract(annots)
+      .withColumn("score", round(score, 6))
+      .where(col("score") >= threshold)
+}

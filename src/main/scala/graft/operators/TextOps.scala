@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document preparation + token/sentence structure.
+  *
+  * Re-expresses, Spark-first:
+  *  - tokenization with validated char spans (implicit in every reference
+  *    `Fn`; span discipline per reference's SpanValidator usage in
+  *    etl/fn/OpenNLPSentenceSegmentFn.java:110-121)
+  *  - sentence segmentation (reference: etl/fn/OpenNLPSentenceSegmentFn.java)
+  *    — model-free deterministic variant: sentence boundaries on punctuation /
+  *    line breaks, plus a fixed token-window split for overlong spans. The
+  *    corpus here has no punctuation, so the window mode is the active one and
+  *    the one under oracle test; punctuation mode is unit-tested.
+  *  - unactionable-text filtering (reference: etl/fn/FilterUnactionableTextFn.java)
+  *  - collection assignment (reference: etl/CollectionAssignmentPipeline.java)
+  *  - doc text augmentation (reference: etl/fn/DocumentTextAugmentationFn.java)
+  *  - content chunking (reference: etl/PipelineMain.chunkContent)
+  *
+  * All plans are narrow until the one unavoidable per-doc window (partitioned
+  * by doc_id — embarrassingly parallel at any scale).
+  */
+object TextOps {
+
+  /** tokens per sentence-window; the corpus' analog of a segmented sentence */
+  val SentWindow = 10
+  /** chunk size (chars) for chunkContent — reference chunks by Datastore limit */
+  val ChunkChars = 100
+
+  /** doc_id, ord (1-based), tok, char_start, char_end — spans index into text
+    * with single-space separators, validated in tests à la SpanValidator. */
+  def tokens(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("ord")
+    docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("ord", (col("pos") + 1).cast("long")).drop("pos")
+      .withColumn("char_end", sum(length(col("tok")) + 1).over(w).cast("long") - 1)
+      .withColumn("char_start", col("char_end") - length(col("tok")))
+      .select(col("doc_id"), col("ord"), col("tok"), col("char_start").cast("long"), col("char_end"))
+  }
+
+  /** Fixed-window segmentation: sentence = SentWindow consecutive tokens.
+    * doc_id, sent_id (0-based), sent_text, n_tokens, char_start, char_end. */
+  def sentences(docs: DataFrame): DataFrame =
+    tokens(docs)
+      .withColumn("sent_id", expr(s"(ord - 1) div $SentWindow"))
+      .groupBy("doc_id", "sent_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("ord"), col("tok")))), s => s("tok")), " ").as("sent_text"),
+        count(lit(1)).as("n_tokens"),
+        min("char_start").as("char_start"),
+        max("char_end").as("char_end"))
+
+  /** Punctuation-aware segmentation used when real sentence boundaries exist;
+    * splits on [.!?] followed by whitespace and on line breaks. Unit-tested;
+    * not under oracle (the synthetic corpus has no punctuation). */
+  def sentencesByPunct(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(split(col("text"), "(?<=[.!?])\\s+|\\n")).as(Seq("sent_id", "sent_text")))
+      .where(length(trim(col("sent_text"))) > 0)
+      .select(col("doc_id"), col("sent_id").cast("long"), col("sent_text"))
+
+  /** Filter unactionable documents and strip the trailing unactionable marker
+    * section ('dup' marker plays the role of the reference's REF/SUPPL/ACK
+    * trailing sections). */
+  def filterUnactionable(docs: DataFrame): DataFrame =
+    docs
+      .where(col("lang").isin("en", "es", "de", "fr") && col("n_chars") >= 50)
+      .withColumn("had_unactionable", col("text").endsWith(" dup"))
+      .withColumn("actionable_text",
+        when(col("had_unactionable"), expr(s"substring(text, 1, length(text) - 4)")).otherwise(col("text")))
+      .select(col("doc_id"), col("actionable_text"), length(col("actionable_text")).cast("long").as("n_chars_actionable"),
+        col("had_unactionable"))
+
+  /** Deterministic collection assignment: source + id bucket; redo-collection
+    * flag for the reference's rrun-*-assign-redo-collection stages. */
+  def collectionAssign(docs: DataFrame, buckets: Int = 10): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      concat(col("source"), lit("-"), pmod(col("doc_id"), lit(buckets)).cast("long")).as("collection"),
+      (pmod(col("doc_id"), lit(97)) === 0).as("redo"))
+
+  /** Augmented document text: appended augmentation block + offset of the
+    * original/augmented boundary (reference keeps both texts aligned). */
+  def augment(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"), lit("\n\n@@AUG@@")).as("aug_text"),
+      (length(col("text")) + 2).cast("long").as("aug_offset"))
+
+  /** Split serialized content into fixed-size chunks (order-preserving);
+    * single scan, no join. */
+  def chunkContent(docs: DataFrame, chunkChars: Int = ChunkChars): DataFrame =
+    docs
+      .withColumn("n_chunks", ceil(length(col("text")) / lit(chunkChars.toDouble)).cast("long"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        expr(s"substring(text, CAST(chunk_id * $chunkChars + 1 AS INT), $chunkChars)").as("chunk"))
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.functions.ConceptDict
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text analysis + multimodal-column plumbing for training-data pipelines.
+  *
+  * Language-ID (stopword-profile heuristic), quality scoring
+  * (length/stopword/type-token features), token counting, and the multimodal
+  * binary-column path: payloads as opaque binary with typed metadata. The
+  * decode step is STUBBED deterministically (no image/audio libs in this
+  * environment) — the Spark-side schema, batching and partitioning are real.
+  */
+object TextStats {
+
+  private def stopCount = ConceptDict.stopwords
+    .map(s => size(filter(split(col("text"), " "), t => t === s)))
+    .reduce(_ + _)
+
+  /** doc_id, n_tokens, n_stopwords, stop_ratio, predicted_lang.
+    * The heuristic scores against an English stopword profile. */
+  def langId(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_stopwords", stopCount.cast("long"))
+      .withColumn("stop_ratio", round(col("n_stopwords").cast("double") / col("n_tokens").cast("double"), 6))
+      .select(col("doc_id"), col("n_tokens"), col("n_stopwords"), col("stop_ratio"),
+        when(col("stop_ratio") >= 0.05, "en").otherwise("und").as("predicted_lang"))
+
+  /** Per-doc quality features + a composite score (all integer-derived →
+    * deterministic): n_chars, n_tokens, n_distinct_tokens, approx_bpe_tokens,
+    * avg_token_len, stop_ratio, type_token_ratio, quality. */
+  def quality(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_stop", stopCount.cast("long"))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        col("n_tokens"),
+        col("n_distinct").as("n_distinct_tokens"),
+        ceil(col("n_chars") / lit(4.0)).cast("long").as("approx_bpe_tokens"),
+        round((col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens").cast("double"), 6).as("avg_token_len"),
+        round(col("n_stop").cast("double") / col("n_tokens").cast("double"), 6).as("stop_ratio"),
+        round(col("n_distinct").cast("double") / col("n_tokens").cast("double"), 6).as("type_token_ratio"),
+        round(
+          least(lit(1.0), col("n_tokens").cast("double") / 100.0)
+            * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens").cast("double"))
+            * (col("n_distinct").cast("double") / col("n_tokens").cast("double")), 6).as("quality"))
+
+  /** Multimodal metadata: payload as binary + typed metadata + stubbed decode.
+    * doc_id, byte_len, head_hex, fake_width, fake_height, fake_n_frames. */
+  def multimodalMeta(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("byte_len", length(col("payload")).cast("long"))
+      .select(
+        col("doc_id"),
+        col("byte_len"),
+        hex(expr("substring(payload, 1, 8)")).as("head_hex"),
+        (pmod(col("byte_len"), lit(64L)) + 1).as("fake_width"),
+        (pmod(floor(col("byte_len") / 64).cast("long"), lit(64L)) + 1).as("fake_height"),
+        (pmod(col("byte_len"), lit(7L)) + 1).as("fake_n_frames"))
+
+  /** The per-partition batch-decode shape used for real multimodal decode at
+    * scale: binary payloads processed in partition-local batches. The decode
+    * itself is a deterministic stub; the mapPartitions plumbing is real. */
+  def decodeBatched(payloads: DataFrame): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          // STUB decode: real impl would hand `batch` to a native decoder.
+          batch.map { case (id, bytes) => (id, bytes.length, if (bytes.isEmpty) 0 else bytes(0).toInt) }
+        }
+      }
+      .toDF("doc_id", "byte_len", "first_byte")
+  }
+}

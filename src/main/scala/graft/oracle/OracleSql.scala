@@ -1,0 +1,530 @@
+package graft.oracle
+
+import graft.functions.ConceptDict
+import graft.operators.{Dedup, Embeddings, TextOps}
+
+/** DuckDB oracle SQL for every oracle-checked query in SparkEntry.queries.
+  *
+  * Each statement mirrors the corresponding Spark plan's semantics — and,
+  * for float outputs, its expression STRUCTURE (same operation order), so
+  * IEEE math agrees to well below the 6dp rounding applied on both sides.
+  * Dictionary/ancestor/hash-parameter literals are generated from the same
+  * Scala constants the engine uses (single source of truth).
+  */
+object OracleSql {
+
+  private val W = TextOps.SentWindow
+
+  // ---------- shared CTE fragments ----------
+
+  /** token stream with 1-based ordinals and char spans */
+  private val tokCte =
+    s"""tok0 AS (
+       |  SELECT doc_id,
+       |         unnest(string_split(text, ' ')) AS tok,
+       |         CAST(unnest(range(1, len(string_split(text, ' ')) + 1)) AS BIGINT) AS ord
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, ord, tok,
+       |    CAST(sum(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY ord) - 1 - length(tok) AS BIGINT) AS char_start,
+       |    CAST(sum(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS BIGINT) AS char_end
+       |  FROM tok0)""".stripMargin
+
+  /** dictionary-recognized concepts (post OGER-style filters) */
+  private val conCte =
+    s"""con AS (
+       |  SELECT t.doc_id, dict.concept_id, t.ord, t.tok, t.char_start, t.char_end
+       |  FROM tok t JOIN ${ConceptDict.dictValuesSql} ON t.tok = dict.tok
+       |  WHERE length(t.tok) > 1 AND NOT regexp_matches(t.tok, '^[0-9[:punct:]]+$$'))""".stripMargin
+
+  /** post-processed concepts: span dedup + nested-annotation removal */
+  private val ppCte =
+    s"""ppd AS (SELECT DISTINCT doc_id, concept_id, ord, tok, char_start, char_end FROM con),
+       |pp AS (
+       |  SELECT a.* FROM ppd a WHERE NOT EXISTS (
+       |    SELECT 1 FROM ppd b WHERE b.doc_id = a.doc_id AND b.char_start <= a.char_start
+       |      AND a.char_end <= b.char_end
+       |      AND (b.char_end - b.char_start) > (a.char_end - a.char_start)))""".stripMargin
+
+  /** document-level distinct concept sets, ancestor-expanded */
+  private val unitsDocCte =
+    s"""base_doc AS (SELECT DISTINCT doc_id, concept_id FROM pp),
+       |units_doc AS (
+       |  SELECT doc_id, concept_id FROM base_doc
+       |  UNION
+       |  SELECT b.doc_id, anc.ancestor_id AS concept_id
+       |  FROM base_doc b JOIN ${ConceptDict.ancestorsValuesSql} ON b.concept_id = anc.concept_id)""".stripMargin
+
+  private val unitsSentCte =
+    s"""base_sent AS (SELECT DISTINCT doc_id, (ord - 1) // $W AS sent_id, concept_id FROM pp),
+       |units_sent AS (
+       |  SELECT doc_id, sent_id, concept_id FROM base_sent
+       |  UNION
+       |  SELECT b.doc_id, b.sent_id, anc.ancestor_id AS concept_id
+       |  FROM base_sent b JOIN ${ConceptDict.ancestorsValuesSql} ON b.concept_id = anc.concept_id)""".stripMargin
+
+  private def docPipeline(extra: String*): String =
+    (Seq(tokCte, conCte, ppCte) ++ extra).mkString("WITH ", ",\n", "\n")
+
+  // ---------- A. ingest & prep ----------
+
+  val tokens: String =
+    s"WITH $tokCte\nSELECT doc_id, ord, tok, char_start, char_end FROM tok"
+
+  val sentences: String =
+    s"""WITH $tokCte
+       |SELECT doc_id, (ord - 1) // $W AS sent_id,
+       |  string_agg(tok, ' ' ORDER BY ord) AS sent_text,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  min(char_start) AS char_start, max(char_end) AS char_end
+       |FROM tok GROUP BY doc_id, (ord - 1) // $W""".stripMargin
+
+  val docFilter: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN text LIKE '% dup' THEN substr(text, 1, length(text) - 4) ELSE text END AS actionable_text,
+       |  CAST(length(CASE WHEN text LIKE '% dup' THEN substr(text, 1, length(text) - 4) ELSE text END) AS BIGINT) AS n_chars_actionable,
+       |  (text LIKE '% dup') AS had_unactionable
+       |FROM documents WHERE lang IN ('en', 'es', 'de', 'fr') AND n_chars >= 50""".stripMargin
+
+  val collectionAssign: String =
+    s"""SELECT doc_id, source,
+       |  source || '-' || CAST(doc_id % 10 AS BIGINT) AS collection,
+       |  (doc_id % 97 = 0) AS redo
+       |FROM documents""".stripMargin
+
+  val docAugment: String =
+    s"""SELECT doc_id, text || chr(10) || chr(10) || '@@AUG@@' AS aug_text,
+       |  CAST(length(text) + 2 AS BIGINT) AS aug_offset
+       |FROM documents""".stripMargin
+
+  val chunkContent: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, CAST(ceil(length(text) / ${TextOps.ChunkChars}.0) AS BIGINT) AS n_chunks
+       |  FROM documents)
+       |SELECT doc_id, CAST(u.chunk_id AS BIGINT) AS chunk_id,
+       |  substr(text, CAST(u.chunk_id * ${TextOps.ChunkChars} + 1 AS INT), ${TextOps.ChunkChars}) AS chunk
+       |FROM base, unnest(generate_series(0, n_chunks - 1)) AS u(chunk_id)""".stripMargin
+
+  // ---------- B. NLP core ----------
+
+  val concepts: String =
+    s"WITH $tokCte,\n$conCte\nSELECT doc_id, concept_id, ord, tok, char_start, char_end FROM con"
+
+  val conceptsPp: String =
+    docPipeline() + "SELECT doc_id, concept_id, ord, tok, char_start, char_end FROM pp"
+
+  val crfOverlap: String =
+    docPipeline(
+      """crf AS (SELECT doc_id, char_start, char_end FROM tok
+        |  WHERE regexp_matches(tok, '^(customer|part|order|line|spark)'))""".stripMargin) +
+      s"""SELECT a.doc_id, a.concept_id, a.ord, a.tok, a.char_start, a.char_end FROM pp a
+         |WHERE EXISTS (SELECT 1 FROM crf k WHERE k.doc_id = a.doc_id
+         |  AND a.char_start < k.char_end AND k.char_start < a.char_end)""".stripMargin
+
+  val conlluTokens: String =
+    s"""WITH $tokCte
+       |SELECT doc_id, (ord - 1) // $W AS sent_id,
+       |  CAST((ord - 1) % $W + 1 AS BIGINT) AS tok_id,
+       |  tok AS form, lower(tok) AS lemma,
+       |  ${uposCaseSql("tok")} AS upos
+       |FROM tok""".stripMargin
+
+  private def uposCaseSql(c: String): String = {
+    val whens = ConceptDict.groups.map { case (p, ts) =>
+      s"WHEN $c IN ${ts.map(t => s"'$t'").mkString("(", ", ", ")")} THEN '$p'"
+    }.mkString(" ")
+    s"(CASE $whens ELSE 'X' END)"
+  }
+
+  // ---------- C. cooccurrence & corpus stats ----------
+
+  private def pairCountsSql(units: String, unitKeys: Seq[String]): String = {
+    val joinKeys = unitKeys.map(k => s"a.$k = b.$k").mkString(" AND ")
+    s"""pairs AS (
+       |  SELECT a.concept_id AS concept1, b.concept_id AS concept2, CAST(count(*) AS BIGINT) AS pair_count
+       |  FROM $units a JOIN $units b ON $joinKeys AND a.concept_id < b.concept_id
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  val cooccurCountsDoc: String =
+    docPipeline(unitsDocCte, pairCountsSql("units_doc", Seq("doc_id"))) +
+      "SELECT concept1, concept2, pair_count FROM pairs"
+
+  val cooccurCountsSent: String =
+    docPipeline(unitsSentCte, pairCountsSql("units_sent", Seq("doc_id", "sent_id"))) +
+      "SELECT concept1, concept2, pair_count FROM pairs"
+
+  val cooccurMetricsDoc: String =
+    docPipeline(unitsDocCte, pairCountsSql("units_doc", Seq("doc_id")),
+      """singles AS (SELECT concept_id, CAST(count(*) AS BIGINT) AS unit_count FROM units_doc GROUP BY 1),
+        |tot AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM units_doc),
+        |m AS (
+        |  SELECT p.concept1, p.concept2, p.pair_count,
+        |    s1.unit_count AS concept1_count, s2.unit_count AS concept2_count,
+        |    CAST(s1.unit_count AS DOUBLE) AS fx, CAST(s2.unit_count AS DOUBLE) AS fy,
+        |    CAST(p.pair_count AS DOUBLE) AS fxy, t.n AS n
+        |  FROM pairs p
+        |  JOIN singles s1 ON p.concept1 = s1.concept_id
+        |  JOIN singles s2 ON p.concept2 = s2.concept_id
+        |  CROSS JOIN tot t)""".stripMargin) +
+      """SELECT concept1, concept2, pair_count, concept1_count, concept2_count,
+        |  round((greatest(log10(fx), log10(fy)) - log10(fxy)) / (log10(n) - least(log10(fx), log10(fy))), 6) AS ngd,
+        |  round(ln((fxy / n) / ((fx / n) * (fy / n))), 6) AS pmi,
+        |  round(ln((fxy / n) / ((fx / n) * (fy / n))) / (-1.0 * ln((fxy / n) + 0.000000001)), 6) AS npmi,
+        |  round(ln((fxy / n) / ((fx / n) * (fy / n))) / (-1.0 * ln(greatest(fx / n, fy / n) + 0.000000001)), 6) AS npmim,
+        |  round(ln(pow(fxy / n, 2.0) / ((fx / n) * (fy / n))), 6) AS md,
+        |  round(ln(pow(fxy / n, 2.0) / ((fx / n) * (fy / n))) + ln(fxy / n), 6) AS lfmd
+        |FROM m
+        |WHERE log10(n) - least(log10(fx), log10(fy)) <> 0""".stripMargin
+
+  val conceptIdf: String =
+    docPipeline(unitsDocCte,
+      "tot AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM units_doc)") +
+      """SELECT concept_id, CAST(count(*) AS BIGINT) AS df,
+        |  round(ln(t.n / CAST(count(*) AS DOUBLE)), 6) AS idf
+        |FROM units_doc CROSS JOIN tot t GROUP BY concept_id, t.n""".stripMargin
+
+  val conceptCountDist: String =
+    docPipeline() +
+      """SELECT concept_count, CAST(count(*) AS BIGINT) AS num_docs FROM (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS concept_count
+        |  FROM (SELECT DISTINCT doc_id, concept_id FROM pp) GROUP BY doc_id)
+        |GROUP BY concept_count""".stripMargin
+
+  val tfidf: String =
+    docPipeline(unitsDocCte,
+      """tot AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM units_doc),
+        |idf AS (
+        |  SELECT concept_id, round(ln(t.n / CAST(count(*) AS DOUBLE)), 6) AS idf
+        |  FROM units_doc CROSS JOIN tot t GROUP BY concept_id, t.n),
+        |tf AS (SELECT doc_id, concept_id, CAST(count(*) AS BIGINT) AS tf FROM pp GROUP BY 1, 2)""".stripMargin) +
+      """SELECT tf.doc_id, tf.concept_id, tf.tf, idf.idf,
+        |  round(CAST(tf.tf AS DOUBLE) * idf.idf, 6) AS tfidf
+        |FROM tf JOIN idf ON tf.concept_id = idf.concept_id""".stripMargin
+
+  // ---------- D. sentence pairs ----------
+
+  private val pairsCte =
+    s"""xs AS (SELECT doc_id, (ord - 1) // $W AS sent_id, concept_id AS concept_x, min(ord) AS x_ord
+       |  FROM pp WHERE concept_id LIKE 'OP:%' GROUP BY 1, 2, 3),
+       |ys AS (SELECT doc_id, (ord - 1) // $W AS sent_id, concept_id AS concept_y, min(ord) AS y_ord
+       |  FROM pp WHERE concept_id LIKE 'DS:%' GROUP BY 1, 2, 3),
+       |prs AS (
+       |  SELECT xs.doc_id, xs.sent_id, xs.concept_x, ys.concept_y, xs.x_ord, ys.y_ord
+       |  FROM xs JOIN ys ON xs.doc_id = ys.doc_id AND xs.sent_id = ys.sent_id)""".stripMargin
+
+  val sentencePairs: String =
+    docPipeline(pairsCte) +
+      s"""SELECT p.doc_id, p.sent_id, p.concept_x, p.concept_y, p.x_ord, p.y_ord,
+         |  string_agg(CASE WHEN t.ord = p.x_ord THEN '@CONCEPT_X$$'
+         |                  WHEN t.ord = p.y_ord THEN '@CONCEPT_Y$$'
+         |                  ELSE t.tok END, ' ' ORDER BY t.ord) AS blinded_sentence
+         |FROM prs p JOIN tok t ON t.doc_id = p.doc_id AND (t.ord - 1) // $W = p.sent_id
+         |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+
+  val classifiedSentences: String =
+    docPipeline(pairsCte) +
+      """SELECT * FROM (
+        |  SELECT doc_id, sent_id, concept_x, concept_y, x_ord, y_ord,
+        |    round(CAST((doc_id * 31 + sent_id * 17 + x_ord * 7 + y_ord) % 1000 AS DOUBLE) / 1000.0, 6) AS score
+        |  FROM prs)
+        |WHERE score >= 0.5""".stripMargin
+
+  // ---------- E. exports ----------
+
+  val bionlpExport: String =
+    docPipeline() +
+      """SELECT doc_id,
+        |  'T' || CAST(row_number() OVER (PARTITION BY doc_id ORDER BY char_start, concept_id) AS BIGINT)
+        |    || chr(9) || split_part(concept_id, ':', 1) || ' ' || char_start || ' ' || char_end
+        |    || chr(9) || tok AS line
+        |FROM pp""".stripMargin
+
+  val textExport: String =
+    s"""WITH $tokCte,
+       |sent AS (SELECT doc_id, (ord - 1) // $W AS sent_id, string_agg(tok, ' ' ORDER BY ord) AS sent_text
+       |  FROM tok GROUP BY 1, 2),
+       |r AS (SELECT doc_id, string_agg(sent_text, ' ' ORDER BY sent_id) AS rebuilt_text FROM sent GROUP BY 1)
+       |SELECT r.doc_id, r.rebuilt_text, r.rebuilt_text = d.text AS matches
+       |FROM r JOIN documents d USING (doc_id)""".stripMargin
+
+  val esDocs: String =
+    docPipeline(
+      s"""sc AS (SELECT doc_id, CAST(count(DISTINCT (ord - 1) // $W) AS BIGINT) AS n_sentences FROM tok GROUP BY 1),
+         |ca AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_concepts,
+         |    string_agg(concept_id, '|' ORDER BY concept_id) AS concept_ids
+         |  FROM (SELECT DISTINCT doc_id, concept_id FROM pp) GROUP BY 1)""".stripMargin) +
+      """SELECT d.doc_id, d.lang, d.source,
+        |  coalesce(sc.n_sentences, 0) AS n_sentences,
+        |  coalesce(ca.n_concepts, 0) AS n_concepts,
+        |  coalesce(ca.concept_ids, '') AS concept_ids
+        |FROM documents d LEFT JOIN sc USING (doc_id) LEFT JOIN ca USING (doc_id)""".stripMargin
+
+  val exportFlat: String =
+    docPipeline() +
+      """SELECT p.doc_id, d.lang, d.source, p.concept_id, p.char_start, p.char_end
+        |FROM pp p JOIN documents d USING (doc_id)""".stripMargin
+
+  // ---------- F. relational / events ----------
+
+  val q1Pricing: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 6) AS avg_qty,
+      |  CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  val q3TopOrders: String =
+    """SELECT o_orderkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  val q5RegionRevenue: String =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  val eventsHourly: String =
+    """SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket, event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  val eventsSessions: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+      |l AS (SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM e),
+      |s AS (SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
+      |c AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS BIGINT) AS session_id FROM s)
+      |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  min(tus) AS start_us, max(tus) AS end_us, round(sum(value), 2) AS sum_value
+      |FROM c GROUP BY user_id, session_id""".stripMargin
+
+  // ---------- G. LLM-data ops ----------
+
+  val dedupExact: String =
+    """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |c AS (SELECT h, min(doc_id) AS canonical_id FROM h GROUP BY h)
+      |SELECT h.doc_id, c.canonical_id, h.doc_id <> c.canonical_id AS is_dup
+      |FROM h JOIN c USING (h)""".stripMargin
+
+  val dedupNorm: String =
+    """WITH k AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_sort(list_filter(string_split(text, ' '), t -> t <> 'dup')), ' ') AS norm_key
+      |  FROM documents),
+      |g AS (SELECT norm_key, min(doc_id) AS canonical_id, CAST(count(*) AS BIGINT) AS group_size
+      |  FROM k GROUP BY 1 HAVING count(*) > 1)
+      |SELECT k.doc_id, g.canonical_id, g.group_size FROM k JOIN g USING (norm_key)""".stripMargin
+
+  private val minhashParamsSql: String =
+    Dedup.minhashParams.map { case (j, a, b) => s"($j, $a, $b)" }
+      .mkString("(VALUES ", ", ", ") AS par(j, a, b)")
+
+  /** shingle sets + minhash bands, shared by minhash + jaccard oracles */
+  private val minhashCtes =
+    s"""sh0 AS (SELECT doc_id, ord, tok,
+       |    lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS t2,
+       |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS t3
+       |  FROM tok),
+       |sh AS (SELECT doc_id, tok || ' ' || t2 || ' ' || t3 AS shingle FROM sh0 WHERE t3 IS NOT NULL),
+       |vocab AS (SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
+       |  FROM (SELECT DISTINCT shingle FROM sh)),
+       |ss AS (SELECT DISTINCT doc_id, sid FROM sh JOIN vocab USING (shingle)),
+       |mh AS (SELECT doc_id, par.j, min((par.a * sid + par.b) % ${Dedup.MinhashP}) AS mh
+       |  FROM ss CROSS JOIN $minhashParamsSql GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, CAST(j // ${Dedup.RowsPerBand} AS BIGINT) AS band,
+       |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS band_key
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared_bands
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+
+  val dedupMinhash: String =
+    s"WITH $tokCte,\n$minhashCtes\nSELECT doc_a, doc_b, shared_bands FROM cand"
+
+  val ngramJaccard: String =
+    s"""WITH $tokCte,
+       |$minhashCtes,
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+       |  FROM cand c
+       |  JOIN ss sa ON sa.doc_id = c.doc_a
+       |  JOIN ss sb ON sb.doc_id = c.doc_b AND sa.sid = sb.sid
+       |  GROUP BY 1, 2)
+       |SELECT * FROM (
+       |  SELECT i.doc_a, i.doc_b,
+       |    round(CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE), 6) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes na ON na.doc_id = i.doc_a
+       |  JOIN sizes nb ON nb.doc_id = i.doc_b)
+       |WHERE jaccard >= 0.6""".stripMargin
+
+  val dedupSimhash: String = {
+    val bitSums = (0 until Dedup.SimhashBits)
+      .map(k => s"sum(CASE WHEN ((hh >> $k) & 1) = 1 THEN 1 ELSE -1 END) AS b$k").mkString(",\n    ")
+    val fp = (0 until Dedup.SimhashBits)
+      .map(k => s"(CASE WHEN b$k > 0 THEN ${1L << k} ELSE 0 END)").mkString(" + ")
+    s"""WITH $tokCte,
+       |tv AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid
+       |  FROM (SELECT DISTINCT tok FROM tok)),
+       |h AS (SELECT doc_id, (tid * ${Dedup.SimhashMult}) % 65536 AS hh FROM tok JOIN tv USING (tok)),
+       |b AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM b""".stripMargin
+  }
+
+  val docFingerprint: String =
+    s"""WITH $tokCte,
+       |tv AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid
+       |  FROM (SELECT DISTINCT tok FROM tok)),
+       |ti AS (SELECT doc_id, ord, tid FROM tok JOIN tv USING (tok)),
+       |g AS (SELECT doc_id, tid,
+       |    lead(tid, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS t2,
+       |    lead(tid, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS t3,
+       |    lead(tid, 3) OVER (PARTITION BY doc_id ORDER BY ord) AS t4,
+       |    lead(tid, 4) OVER (PARTITION BY doc_id ORDER BY ord) AS t5
+       |  FROM ti)
+       |SELECT doc_id,
+       |  min(((((tid * ${Dedup.RollB} + t2) * ${Dedup.RollB} + t3) * ${Dedup.RollB} + t4) * ${Dedup.RollB} + t5) % ${Dedup.RollP}) AS fingerprint
+       |FROM g WHERE t5 IS NOT NULL GROUP BY doc_id""".stripMargin
+
+  val embTopK: String =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 8),
+      |nb AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings),
+      |s AS (
+      |  SELECT query_id, neighbor_id,
+      |    round(list_dot_product(qe, ne) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ne, ne))), 6) AS cosine
+      |  FROM q CROSS JOIN nb WHERE neighbor_id <> query_id),
+      |r AS (SELECT query_id, neighbor_id, cosine,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+      |  FROM s)
+      |SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""".stripMargin
+
+  private val hyperplanesSql: String =
+    Embeddings.hyperplanes.map { case (p, d, w) => s"($p, $d, $w)" }
+      .mkString("(VALUES ", ", ", ") AS hp(plane, dim, w)")
+
+  private val bucketsCte =
+    s"""ex AS (SELECT vec_id,
+       |    CAST(unnest(range(0, len(embedding))) AS BIGINT) AS dim,
+       |    unnest(CAST(embedding AS DOUBLE[])) AS e
+       |  FROM embeddings),
+       |d AS (SELECT vec_id, hp.plane, sum(e * hp.w) AS dotp
+       |  FROM ex JOIN $hyperplanesSql ON ex.dim = hp.dim GROUP BY 1, 2),
+       |bk AS (SELECT vec_id,
+       |    CAST(sum(CASE WHEN dotp > 0 THEN 1 << plane ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM d GROUP BY 1)""".stripMargin
+
+  val embLsh: String =
+    s"WITH $bucketsCte\nSELECT vec_id, bucket FROM bk"
+
+  val embDupPairs: String =
+    s"""WITH $bucketsCte,
+       |prs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+       |SELECT * FROM (
+       |  SELECT p.vec_a, p.vec_b,
+       |    round(list_dot_product(x.ve, y.ve) / (sqrt(list_dot_product(x.ve, x.ve)) * sqrt(list_dot_product(y.ve, y.ve))), 6) AS cosine
+       |  FROM prs p JOIN v x ON p.vec_a = x.vec_id JOIN v y ON p.vec_b = y.vec_id)
+       |WHERE cosine >= 0.35""".stripMargin
+
+  private def stopCountSql: String =
+    ConceptDict.stopwords.map(s => s"len(list_filter(string_split(text, ' '), t -> t = '$s'))").mkString(" + ")
+
+  val langId: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST($stopCountSql AS BIGINT) AS n_stopwords
+       |  FROM documents)
+       |SELECT doc_id, n_tokens, n_stopwords,
+       |  round(CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+       |  CASE WHEN round(CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) >= 0.05 THEN 'en' ELSE 'und' END AS predicted_lang
+       |FROM f""".stripMargin
+
+  val qualityScore: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       |    CAST($stopCountSql AS BIGINT) AS n_stop
+       |  FROM documents)
+       |SELECT doc_id, n_chars, n_tokens, n_distinct AS n_distinct_tokens,
+       |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS approx_bpe_tokens,
+       |  round(CAST(n_chars - n_tokens + 1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len,
+       |  round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+       |  round(CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS type_token_ratio,
+       |  round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+       |    * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |    * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6) AS quality
+       |FROM f""".stripMargin
+
+  val multimodalMeta: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS byte_len,
+      |  hex(substr(text, 1, 8)) AS head_hex,
+      |  CAST(length(text) % 64 + 1 AS BIGINT) AS fake_width,
+      |  CAST((length(text) // 64) % 64 + 1 AS BIGINT) AS fake_height,
+      |  CAST(length(text) % 7 + 1 AS BIGINT) AS fake_n_frames
+      |FROM documents""".stripMargin
+
+  /** name → oracle SQL for the driver's DuckDB compare */
+  val all: Map[String, String] = Map(
+    "tokens" -> tokens,
+    "sentences" -> sentences,
+    "doc_filter" -> docFilter,
+    "collection_assign" -> collectionAssign,
+    "doc_augment" -> docAugment,
+    "chunk_content" -> chunkContent,
+    "concepts" -> concepts,
+    "concepts_pp" -> conceptsPp,
+    "crf_overlap" -> crfOverlap,
+    "conllu_tokens" -> conlluTokens,
+    "cooccur_counts_doc" -> cooccurCountsDoc,
+    "cooccur_counts_sent" -> cooccurCountsSent,
+    "cooccur_metrics_doc" -> cooccurMetricsDoc,
+    "concept_idf" -> conceptIdf,
+    "concept_count_dist" -> conceptCountDist,
+    "tfidf" -> tfidf,
+    "sentence_pairs" -> sentencePairs,
+    "classified_sentences" -> classifiedSentences,
+    "bionlp_export" -> bionlpExport,
+    "text_export" -> textExport,
+    "es_docs" -> esDocs,
+    "export_flat" -> exportFlat,
+    "q1_pricing" -> q1Pricing,
+    "q3_top_orders" -> q3TopOrders,
+    "q5_region_revenue" -> q5RegionRevenue,
+    "events_hourly" -> eventsHourly,
+    "events_sessions" -> eventsSessions,
+    "dedup_exact" -> dedupExact,
+    "dedup_norm" -> dedupNorm,
+    "dedup_minhash" -> dedupMinhash,
+    "ngram_jaccard" -> ngramJaccard,
+    "dedup_simhash" -> dedupSimhash,
+    "doc_fingerprint" -> docFingerprint,
+    "emb_topk" -> embTopK,
+    "emb_lsh" -> embLsh,
+    "emb_dup_pairs" -> embDupPairs,
+    "lang_id" -> langId,
+    "quality_score" -> qualityScore,
+    "multimodal_meta" -> multimodalMeta)
+}
