@@ -24,11 +24,14 @@ object Cooccurrence {
     * unitCols e.g. Seq("doc_id") or Seq("doc_id","sent_id"). */
   def unitConcepts(annots: DataFrame, unitCols: Seq[String], addAncestors: Boolean = true): DataFrame = {
     val base = annots.select(unitCols.map(col) :+ col("concept_id"): _*).distinct()
-    if (addAncestors) Concepts.withAncestors(base, unitCols) else base
+    // persist: counts/metrics/idf/tfidf all build on the same unit sets — the
+    // CacheManager shares one materialization across those queries
+    (if (addAncestors) Concepts.withAncestors(base, unitCols) else base).persist()
   }
 
   /** concept1, concept2, pair_count over units. */
-  def pairCounts(units: DataFrame, unitCols: Seq[String]): DataFrame = {
+  def pairCounts(unitsIn: DataFrame, unitCols: Seq[String]): DataFrame = {
+    val units = unitsIn.persist() // scanned twice (both sides of the pair join)
     val l = units.select(unitCols.map(col) :+ col("concept_id").as("concept1"): _*)
     val r = units.select(unitCols.map(col) :+ col("concept_id").as("concept2"): _*)
     l.join(r, unitCols)

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surfaces (SURVEY.md §2 H1–H3).
+  *
+  * The reference is batch-only (Beam batch pipelines over Datastore); these
+  * are the streaming duals of the event analytics in operators/Relational:
+  * the same windowed/sessionized semantics, expressed with watermarks and
+  * keyed state so they run incrementally on unbounded input.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts per event type with a watermark; streaming dual
+    * of Relational.eventsHourly. Input needs (ts: timestamp, event_type). */
+  def windowedCounts(events: DataFrame,
+                     windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Streaming dedup within a watermark (exact-dedup dual): drops re-deliveries
+    * of the same event_id arriving inside the watermark horizon. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class Event(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionUpdate(user_id: Long, session_start_ms: Long, session_end_ms: Long,
+                           n_events: Long, sum_value: Double)
+  case class SessionState(startMs: Long, endMs: Long, n: Long, sum: Double)
+
+  /** Gap-based sessionization with custom keyed state (streaming dual of
+    * Relational.eventsSessions): a session closes when a later event for the
+    * same key arrives past the gap. (A production deployment would add an
+    * event-time timeout on the watermark to flush sessions of quiescent keys;
+    * the state-machine logic is identical.) */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var closed = List.empty[SessionUpdate]
+          var cur = state.getOption
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.endMs <= gapMs =>
+                cur = Some(SessionState(s.startMs, math.max(s.endMs, t), s.n + 1, s.sum + e.value))
+              case Some(s) =>
+                closed ::= SessionUpdate(userId, s.startMs, s.endMs, s.n, s.sum)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.reverseIterator
+      }
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.{Concepts, Cooccurrence, TextOps}
+
+/** Metric formulas vs hand computation, mirroring the reference's own
+  * ConceptCooccurrenceMetricsTest (util/ConceptCooccurrenceMetrics.java). */
+class CooccurrenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 docs: join appears in 3, merge in 2, together in 2
+  private val docs = Seq(
+    (0L, "join merge", "en", "s", 10L),
+    (1L, "join merge", "en", "s", 10L),
+    (2L, "join scan", "en", "s", 9L),
+    (3L, "scan table", "en", "s", 10L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private lazy val annots = Concepts.postProcess(Concepts.recognize(docs))
+
+  test("pair counts: distinct per unit, ordered pair keys") {
+    val units = Cooccurrence.unitConcepts(annots, Seq("doc_id"), addAncestors = false)
+    val pairs = Cooccurrence.pairCounts(units, Seq("doc_id")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(pairs(("OP:join", "OP:merge")) == 2L)
+    assert(pairs(("OP:join", "OP:scan")) == 1L)
+    assert(pairs(("DS:table", "OP:scan")) == 1L)
+  }
+
+  test("metrics match hand-computed reference formulas") {
+    val m = Cooccurrence.metrics(annots, Seq("doc_id"))
+      .where($"concept1" === "OP:join" && $"concept2" === "OP:merge").collect().head
+    val fx = 3.0; val fy = 2.0; val fxy = 2.0; val n = 4.0
+    val ngd = (math.max(math.log10(fx), math.log10(fy)) - math.log10(fxy)) /
+      (math.log10(n) - math.min(math.log10(fx), math.log10(fy)))
+    val pmi = math.log((fxy / n) / ((fx / n) * (fy / n)))
+    val npmi = pmi / (-1.0 * math.log(fxy / n + 1e-9))
+    assert(m.getAs[Long]("pair_count") == 2L)
+    assert(m.getAs[Long]("concept1_count") == 3L)
+    assert(m.getAs[Long]("concept2_count") == 2L)
+    assert(math.abs(m.getAs[Double]("ngd") - ngd) < 1e-6)
+    assert(math.abs(m.getAs[Double]("pmi") - pmi) < 1e-6)
+    assert(math.abs(m.getAs[Double]("npmi") - npmi) < 1e-6)
+  }
+
+  test("pairs whose smaller concept count equals N are excluded (NGD guard)") {
+    val all = Seq((0L, "join merge", "en", "s", 10L), (1L, "join merge", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = Concepts.postProcess(Concepts.recognize(all))
+    val m = Cooccurrence.metrics(a, Seq("doc_id")).collect()
+    // every concept appears in both docs → min(fx,fy)=N for all pairs → all excluded
+    assert(m.isEmpty)
+  }
+
+  test("idf = ln(N/df) with ancestor expansion") {
+    val idf = Cooccurrence.idf(annots).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(idf("OP:join")._1 == 3L)
+    assert(math.abs(idf("OP:join")._2 - math.log(4.0 / 3.0)) < 1e-6)
+    // ancestor OP:ROOT is in every doc
+    assert(idf("OP:ROOT")._1 == 4L)
+    assert(idf("OP:ROOT")._2 == 0.0)
+  }
+
+  test("ancestor expansion adds JOINLIKE + ROOT for join/merge") {
+    val units = Cooccurrence.unitConcepts(annots, Seq("doc_id"))
+    val c0 = units.where($"doc_id" === 0).select("concept_id").as[String].collect().toSet
+    assert(c0 == Set("OP:join", "OP:merge", "OP:JOINLIKE", "OP:ROOT"))
+  }
+}

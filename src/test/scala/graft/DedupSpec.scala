@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private val base = "the quick fox jumps over a lazy dog near the old red barn today"
+
+  test("exact dedup groups identical texts under the min doc_id") {
+    val r = Dedup.exact(docs(base, base, "something else entirely here"))
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getAs[Long]("canonical_id")).toSeq == Seq(0L, 0L, 2L))
+    assert(r.map(_.getAs[Boolean]("is_dup")).toSeq == Seq(false, true, false))
+  }
+
+  test("normalized dedup catches token-shuffled near-dups with the marker") {
+    val shuffled = base.split(" ").reverse.mkString(" ") + " dup"
+    val r = Dedup.normalized(docs(base, shuffled, "unrelated words only")).collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSet == Set(0L, 1L))
+    assert(r.forall(_.getAs[Long]("canonical_id") == 0L))
+  }
+
+  test("identical docs share all minhash bands; unrelated docs share none") {
+    val other = "completely different content with many other tokens in this string ok"
+    val cands = Dedup.minhashCandidates(docs(base, base, other)).collect()
+    assert(cands.length == 1)
+    assert(cands.head.getAs[Long]("doc_a") == 0L && cands.head.getAs[Long]("doc_b") == 1L)
+    assert(cands.head.getAs[Long]("shared_bands") == (Dedup.NumHashes / Dedup.RowsPerBand).toLong)
+  }
+
+  test("near-dup (one token changed) shares at least one band and has high jaccard") {
+    val nearDup = base.replace("today", "tonight")
+    val j = Dedup.ngramJaccard(docs(base, nearDup), threshold = 0.5).collect()
+    assert(j.length == 1)
+    val jac = j.head.getAs[Double]("jaccard")
+    assert(jac > 0.5 && jac < 1.0)
+  }
+
+  test("identical docs get identical simhash; different docs differ") {
+    val r = Dedup.simhash(docs(base, base, "other words entirely unrelated zebra"))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("simhash")).toMap
+    assert(r(0L) == r(1L))
+    assert(r(0L) != r(2L))
+  }
+
+  test("rolling fingerprint is stable and order-sensitive") {
+    val r = Dedup.rollingFingerprint(docs(base, base)).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("fingerprint")).toMap
+    assert(r(0L) == r(1L))
+    val r2 = Dedup.rollingFingerprint(docs("a b c d e f", "f e d c b a")).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("fingerprint")).toMap
+    assert(r2(0L) != r2(1L))
+  }
+}

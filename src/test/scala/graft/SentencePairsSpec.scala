@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.{Concepts, SentencePairs}
+
+class SentencePairsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("extracts OP×DS pairs only within the same sentence window") {
+    // sentence 1 (tokens 1-10) has join+table; sentence 2 (tokens 11+) has only merge
+    val text = "join aa table bb cc dd ee ff gg hh merge xx yy zz qq ww rr tt uu vv"
+    val annots = Concepts.postProcess(Concepts.recognize(docs(text)))
+    val pairs = SentencePairs.extract(annots).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getAs[String]("concept_x") == "OP:join")
+    assert(p.getAs[String]("concept_y") == "DS:table")
+    assert(p.getAs[Long]("sent_id") == 0L)
+  }
+
+  test("blinded sentence replaces both mentions with placeholders") {
+    val text = "join aa table bb cc dd ee ff gg hh"
+    val d = docs(text)
+    val annots = Concepts.postProcess(Concepts.recognize(d))
+    val r = SentencePairs.extractWithBlinded(d, annots).collect().head
+    assert(r.getAs[String]("blinded_sentence") ==
+      "@CONCEPT_X$ aa @CONCEPT_Y$ bb cc dd ee ff gg hh")
+  }
+
+  test("classified sentences carry a deterministic in-range score") {
+    val text = "join aa table bb cc dd ee ff gg hh"
+    val annots = Concepts.postProcess(Concepts.recognize(docs(text)))
+    val scored = SentencePairs.classified(annots, threshold = 0.0).collect()
+    assert(scored.nonEmpty)
+    scored.foreach { r =>
+      val s = r.getAs[Double]("score")
+      assert(s >= 0.0 && s < 1.0)
+    }
+  }
+}

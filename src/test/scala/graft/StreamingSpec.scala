@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  test("windowed counts aggregate per tumbling window under a watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF.toDF("ts", "event_type", "value")
+    val q = EventStreams.windowedCounts(df, windowLen = "10 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    mem.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0), (ts(11), "view", 3.0))
+    q.processAllAvailable()
+    val rows = spark.table("wc").collect()
+    q.stop()
+    val byType = rows.map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_events")).toMap
+    assert(byType("click") == 2L && byType("view") == 1L)
+  }
+
+  test("dropDuplicatesWithinWatermark removes re-delivered event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val df = mem.toDF.toDF("event_id", "ts")
+    val q = EventStreams.dedupWithinWatermark(df, watermark = "1 hour")
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    mem.addData((1L, ts(1)), (1L, ts(2)), (2L, ts(3)))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dd").select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(mem.toDS(), gapMs = 10 * 60 * 1000)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    // two bursts 40 min apart -> first session closes when second burst arrives
+    mem.addData(EventStreams.Event(7L, ts(1), 1.0), EventStreams.Event(7L, ts(5), 2.0))
+    q.processAllAvailable()
+    mem.addData(EventStreams.Event(7L, ts(45), 4.0))
+    q.processAllAvailable()
+    val sessions = spark.table("sess").as[EventStreams.SessionUpdate].collect()
+    q.stop()
+    assert(sessions.length == 1)
+    assert(sessions.head.n_events == 2L && sessions.head.sum_value == 3.0)
+  }
+}
