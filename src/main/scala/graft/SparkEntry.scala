@@ -49,6 +49,15 @@ object SparkEntry {
       Cooccurrence.pairCounts(Cooccurrence.unitConcepts(annots, Seq("doc_id", "sent_id")), Seq("doc_id", "sent_id"))
         .select(col("concept1"), col("concept2"), col("pair_count"))
     }),
+    "cooccur_counts_title" -> ((s, d) =>
+      Cooccurrence.pairCounts(
+        Cooccurrence.unitConcepts(Cooccurrence.levelAnnots(pp(s, d), "title"), Seq("doc_id")), Seq("doc_id"))
+        .select(col("concept1"), col("concept2"), col("pair_count"))),
+    "cooccur_counts_abstract" -> ((s, d) =>
+      Cooccurrence.pairCounts(
+        Cooccurrence.unitConcepts(Cooccurrence.levelAnnots(pp(s, d), "abstract"), Seq("doc_id")), Seq("doc_id"))
+        .select(col("concept1"), col("concept2"), col("pair_count"))),
+    "xml_roundtrip" -> ((s, d) => XmlIngest.roundTrip(docs(s, d))),
     "cooccur_metrics_doc" -> ((s, d) => Cooccurrence.metrics(pp(s, d), Seq("doc_id"))),
     "concept_idf" -> ((s, d) => Cooccurrence.idf(pp(s, d))),
     "concept_count_dist" -> ((s, d) => Cooccurrence.countDistribution(pp(s, d))),

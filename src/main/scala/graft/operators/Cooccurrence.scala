@@ -82,6 +82,22 @@ object Cooccurrence {
         round(md + log(pxy), 6).as("lfmd"))
   }
 
+  /** The reference counts cooccurrence at DOCUMENT/SENTENCE/TITLE/ABSTRACT
+    * levels (ConceptCooccurrenceCountsFn.CooccurLevel). The corpus has no
+    * markup, so structural convention stands in: TITLE = the first sentence
+    * window, ABSTRACT = the next two. Returns annots restricted to the level
+    * with a unit id column attached. */
+  def levelAnnots(annots: DataFrame, level: String): DataFrame = {
+    val withSent = annots.withColumn("sent_id", expr(s"(ord - 1) div ${TextOps.SentWindow}"))
+    level match {
+      case "document" => annots
+      case "sentence" => withSent
+      case "title"    => withSent.where(col("sent_id") === 0).drop("sent_id")
+      case "abstract" => withSent.where(col("sent_id") === 1 || col("sent_id") === 2).drop("sent_id")
+      case other      => throw new IllegalArgumentException(s"unknown cooccur level: $other")
+    }
+  }
+
   /** concept_id, df, idf = round(ln(N/df), 6) at document level. */
   def idf(annots: DataFrame): DataFrame = {
     val units = unitConcepts(annots, Seq("doc_id"))

@@ -26,8 +26,11 @@ object Embeddings {
     for (p <- 0 until NumPlanes; d <- 0 until EmbDim)
       yield (p, d, ((p * 73856093L + d * 19349663L) % 2003L).toDouble / 1001.5 - 1.0)
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd native expression (graft.functions.CosineSimilarity); the
+    * equivalent HOF formulation aggregate(zip_with(a,b,_*_),0.0,_+_)/norms
+    * stays available for reference but is interpreted, not codegen'd. */
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosineSim(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -41,8 +44,7 @@ object Embeddings {
     val scored = broadcast(q).crossJoin(n)
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("qe"), col("ne")) / (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ne"), col("ne")))), 6)
-          .as("cosine"))
+        round(cosine(col("qe"), col("ne")), 6).as("cosine"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
@@ -77,8 +79,7 @@ object Embeddings {
       .join(vecs.select(col("vec_id").as("vec_a"), col("ve").as("ea")), "vec_a")
       .join(vecs.select(col("vec_id").as("vec_b"), col("ve").as("eb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
-        round(dot(col("ea"), col("eb")) / (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))), 6)
-          .as("cosine"))
+        round(cosine(col("ea"), col("eb")), 6).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }

@@ -129,6 +129,16 @@ object OracleSql {
        |  ${uposCaseSql("tok")} AS upos
        |FROM tok""".stripMargin
 
+  val xmlRoundtrip: String =
+    s"""WITH $tokCte,
+       |sent AS (SELECT doc_id, (ord - 1) // $W AS sent_id, string_agg(tok, ' ' ORDER BY ord) AS sent_text
+       |  FROM tok GROUP BY 1, 2),
+       |t AS (SELECT doc_id, sent_text AS title FROM sent WHERE sent_id = 0),
+       |b AS (SELECT doc_id, string_agg(sent_text, ' ' ORDER BY sent_id) AS body FROM sent WHERE sent_id > 0 GROUP BY 1)
+       |SELECT t.doc_id, t.title, coalesce(b.body, '') AS body,
+       |  CAST(len(string_split(t.title, ' ')) AS BIGINT) AS title_n_tokens
+       |FROM t LEFT JOIN b USING (doc_id)""".stripMargin
+
   private def uposCaseSql(c: String): String = {
     val whens = ConceptDict.groups.map { case (p, ts) =>
       s"WHEN $c IN ${ts.map(t => s"'$t'").mkString("(", ", ", ")")} THEN '$p'"
@@ -152,6 +162,25 @@ object OracleSql {
 
   val cooccurCountsSent: String =
     docPipeline(unitsSentCte, pairCountsSql("units_sent", Seq("doc_id", "sent_id"))) +
+      "SELECT concept1, concept2, pair_count FROM pairs"
+
+  /** TITLE level = first sentence window; ABSTRACT = windows 1-2. */
+  private def unitsLevelCte(name: String, cond: String): String =
+    s"""base_$name AS (SELECT DISTINCT doc_id, concept_id FROM pp WHERE $cond),
+       |units_$name AS (
+       |  SELECT doc_id, concept_id FROM base_$name
+       |  UNION
+       |  SELECT b.doc_id, anc.ancestor_id AS concept_id
+       |  FROM base_$name b JOIN ${ConceptDict.ancestorsValuesSql} ON b.concept_id = anc.concept_id)""".stripMargin
+
+  val cooccurCountsTitle: String =
+    docPipeline(unitsLevelCte("title", s"(ord - 1) // $W = 0"),
+      pairCountsSql("units_title", Seq("doc_id"))) +
+      "SELECT concept1, concept2, pair_count FROM pairs"
+
+  val cooccurCountsAbstract: String =
+    docPipeline(unitsLevelCte("abstr", s"(ord - 1) // $W IN (1, 2)"),
+      pairCountsSql("units_abstr", Seq("doc_id"))) +
       "SELECT concept1, concept2, pair_count FROM pairs"
 
   val cooccurMetricsDoc: String =
@@ -500,6 +529,9 @@ object OracleSql {
     "conllu_tokens" -> conlluTokens,
     "cooccur_counts_doc" -> cooccurCountsDoc,
     "cooccur_counts_sent" -> cooccurCountsSent,
+    "cooccur_counts_title" -> cooccurCountsTitle,
+    "cooccur_counts_abstract" -> cooccurCountsAbstract,
+    "xml_roundtrip" -> xmlRoundtrip,
     "cooccur_metrics_doc" -> cooccurMetricsDoc,
     "concept_idf" -> conceptIdf,
     "concept_count_dist" -> conceptCountDist,

@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Output sinks. The reference writes TSV/text exports to GCS buckets
+  * (TextIO in ConceptAnnotationExportPipeline, SentenceTsvBuilderFn output,
+  * BigQuery load files); Spark-first those become columnar parquet (the
+  * default interchange), partitioned layouts for partition-pruned reads at
+  * scale, and TSV/JSONL for the reference's text-shaped consumers.
+  */
+object Sinks {
+
+  /** Columnar parquet, optionally hash-partitioned by columns — the layout
+    * that makes downstream scans partition-prunable at 100 TB. */
+  def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** TSV (header, tab-delimited) — the reference's export interchange shape. */
+  def tsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("sep", "\t").option("header", "true").csv(path)
+
+  /** JSON Lines — the Elasticsearch bulk-load shape
+    * (ElasticsearchLoadPipeline's document stream). */
+  def jsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Bucketed managed table: co-locates join keys so repeated joins on
+    * `bucketBy` columns skip the shuffle entirely (the 100 TB path for the
+    * cooccurrence self-join family). Requires a warehouse-backed catalog. */
+  def bucketedTable(df: DataFrame, table: String, bucketCol: String, buckets: Int = 32): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
+}

@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.infra.Etl
+import graft.operators.XmlIngest
+import graft.sources.Sinks
+import org.apache.spark.sql.functions._
+
+class InfraSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("xml round-trip recovers title and body") {
+    val text = (1 to 14).map(i => s"w$i").mkString(" ")
+    val r = XmlIngest.roundTrip(docs(text)).collect().head
+    assert(r.getAs[String]("title") == (1 to 10).map(i => s"w$i").mkString(" "))
+    assert(r.getAs[String]("body") == (11 to 14).map(i => s"w$i").mkString(" "))
+    assert(r.getAs[Long]("title_n_tokens") == 10L)
+  }
+
+  test("failure channel splits successes and failures without aborting") {
+    val input = spark.createDataset(Seq(1L, 2L, 3L, 4L))
+    val (ok, failed) = Etl.withFailureChannel(input, "stage-x", identity[Long]) { i =>
+      if (i % 2 == 0) throw new RuntimeException(s"boom $i") else i * 10
+    }
+    assert(ok.collect().sorted.toSeq == Seq(10L, 30L))
+    val f = failed.collect()
+    assert(f.map(_.id).sorted.toSeq == Seq(2L, 4L))
+    assert(f.forall(_.stage == "stage-x"))
+  }
+
+  test("status ledger marks stages done and reports pending") {
+    val d = docs("a b", "c d", "e f")
+    val status = Etl.initStatus(d, Seq("segmented", "recognized"))
+    val done = Seq(0L, 2L).toDF("doc_id")
+    val updated = Etl.markDone(status, done, "segmented")
+    assert(Etl.pending(updated, "segmented").as[Long].collect().toSeq == Seq(1L))
+    assert(Etl.pending(updated, "recognized").count() == 3L)
+  }
+
+  test("sinks write parquet (partitioned), tsv and jsonl that read back") {
+    val dir = Files.createTempDirectory("graft-sinks").toString
+    val df = Seq((1L, "en", "x"), (2L, "de", "y")).toDF("id", "lang", "v")
+    Sinks.parquet(df, s"$dir/p", partitionBy = Seq("lang"))
+    assert(spark.read.parquet(s"$dir/p").count() == 2L)
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/p/lang=en")))
+    Sinks.tsv(df, s"$dir/t")
+    val t = spark.read.option("sep", "\t").option("header", "true").csv(s"$dir/t")
+    assert(t.count() == 2L && t.columns.toSeq == Seq("id", "lang", "v"))
+    Sinks.jsonl(df, s"$dir/j")
+    assert(spark.read.json(s"$dir/j").count() == 2L)
+  }
+}
