@@ -39,6 +39,8 @@ object SparkEntry {
     "concepts_pp" -> ((s, d) => pp(s, d)),
     "crf_overlap" -> ((s, d) => Concepts.filterViaCrf(pp(s, d), Concepts.crfAnnots(docs(s, d)))),
     "conllu_tokens" -> ((s, d) => Conllu.roundTrip(docs(s, d))),
+    "conll03_export" -> ((s, d) => Conllu.conll03(docs(s, d))),
+    "dict_export" -> ((s, _) => graft.functions.ConceptDict.dictExport(s)),
     "abbrev" -> ((s, d) => Abbreviations.partAbbreviations(Tables.part(s, d))),
     // C. cooccurrence & corpus stats
     "cooccur_counts_doc" -> ((s, d) =>

@@ -41,6 +41,17 @@ object ConceptDict {
     entries.toDF("tok", "concept_id")
   }
 
+  /** Dictionary-file export (reference: oger/dict OgerDictFileFactory family
+    * builds normalized label→class dictionaries from ontologies). Emits the
+    * normalized dictionary as rows: concept_id, label, label_norm, group. */
+  def dictExport(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    entries.toDF("label", "concept_id")
+      .select(col("concept_id"), col("label"), lower(col("label")).as("label_norm"),
+        substring_index(col("concept_id"), ":", 1).as("group"))
+  }
+
   def ancestorsDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
     ancestors.toDF("concept_id", "ancestor_id")

@@ -54,4 +54,20 @@ object Conllu {
 
   /** Round-trip query: build then parse (proves both directions). */
   def roundTrip(docs: DataFrame): DataFrame = parse(build(docs))
+
+  /** CoNLL03 training-row export (reference:
+    * etl/DependencyParseToConll03Pipeline.java + DependencyParseConlluToConll03Fn:
+    * `token POS chunk NER-tag` lines for BERT NER training). NER tags come
+    * from the concept dictionary (B-<group> on dictionary hits, O otherwise).
+    */
+  def conll03(docs: DataFrame): DataFrame = {
+    val bio = ConceptDict.groups.foldLeft(lit("O")) { case (acc, (prefix, toks)) =>
+      when(col("tok").isin(toks: _*), lit("B-" + prefix)).otherwise(acc)
+    }
+    TextOps.tokens(docs)
+      .withColumn("sent_id", expr(s"(ord - 1) div ${TextOps.SentWindow}"))
+      .withColumn("tok_id", ((col("ord") - 1) % TextOps.SentWindow + 1).cast("long"))
+      .select(col("doc_id"), col("sent_id"), col("tok_id"),
+        concat_ws(" ", col("tok"), uposFor("tok"), lit("O"), bio).as("line"))
+  }
 }

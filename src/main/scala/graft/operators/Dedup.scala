@@ -93,10 +93,25 @@ object Dedup {
         .as("band_key"))
   }
 
+  /** Scale-path shingle ids: xxhash64 reduced mod P — no global sort, no
+    * vocabulary build; drop-in for rankIds-based sets at 100 TB. (Not under
+    * oracle: DuckDB has no xxhash64; behavior covered by DedupSpec.) */
+  def shingleSetsHashed(docs: DataFrame): DataFrame =
+    shingles(docs)
+      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(MinhashP)).as("sid"))
+      .distinct()
+
   /** doc_a, doc_b, shared_bands — near-dup candidate pairs from shared LSH
     * buckets. Join is equi on (band, band_key): bounded by bucket sizes. */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
-    val bands = minhashBands(shingleSets(docs)).persist()
+  def minhashCandidates(docs: DataFrame): DataFrame =
+    minhashCandidatesFrom(shingleSets(docs))
+
+  /** Same pipeline over hashed ids (the 100 TB path). */
+  def minhashCandidatesHashed(docs: DataFrame): DataFrame =
+    minhashCandidatesFrom(shingleSetsHashed(docs))
+
+  def minhashCandidatesFrom(sets: DataFrame): DataFrame = {
+    val bands = minhashBands(sets).persist()
     val l = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
     val r = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
     l.join(r, Seq("band", "band_key"))

@@ -146,6 +146,25 @@ object OracleSql {
     s"(CASE $whens ELSE 'X' END)"
   }
 
+  private def bioCaseSql(c: String): String = {
+    val whens = ConceptDict.groups.map { case (p, ts) =>
+      s"WHEN $c IN ${ts.map(t => s"'$t'").mkString("(", ", ", ")")} THEN 'B-$p'"
+    }.mkString(" ")
+    s"(CASE $whens ELSE 'O' END)"
+  }
+
+  val conll03Export: String =
+    s"""WITH $tokCte
+       |SELECT doc_id, (ord - 1) // $W AS sent_id,
+       |  CAST((ord - 1) % $W + 1 AS BIGINT) AS tok_id,
+       |  tok || ' ' || ${uposCaseSql("tok")} || ' ' || 'O' || ' ' || ${bioCaseSql("tok")} AS line
+       |FROM tok""".stripMargin
+
+  val dictExport: String =
+    s"""SELECT dict.concept_id, dict.tok AS label, lower(dict.tok) AS label_norm,
+       |  split_part(dict.concept_id, ':', 1) AS "group"
+       |FROM ${ConceptDict.dictValuesSql}""".stripMargin
+
   // ---------- C. cooccurrence & corpus stats ----------
 
   private def pairCountsSql(units: String, unitKeys: Seq[String]): String = {
@@ -532,6 +551,8 @@ object OracleSql {
     "cooccur_counts_title" -> cooccurCountsTitle,
     "cooccur_counts_abstract" -> cooccurCountsAbstract,
     "xml_roundtrip" -> xmlRoundtrip,
+    "conll03_export" -> conll03Export,
+    "dict_export" -> dictExport,
     "cooccur_metrics_doc" -> cooccurMetricsDoc,
     "concept_idf" -> conceptIdf,
     "concept_count_dist" -> conceptCountDist,
