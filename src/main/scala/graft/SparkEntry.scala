@@ -81,6 +81,10 @@ object SparkEntry {
         Tables.nation(s, d), Tables.region(s, d))),
     "events_hourly" -> ((s, d) => Relational.eventsHourly(Tables.events(s, d))),
     "events_sessions" -> ((s, d) => Relational.eventsSessions(Tables.events(s, d))),
+    "events_quantiles" -> ((s, d) => Relational.eventsQuantiles(Tables.events(s, d))),
+    "top_parts_per_brand" -> ((s, d) => Relational.topPartsPerBrand(Tables.part(s, d))),
+    "kg_nodes" -> ((s, _) => KnowledgeGraph.nodes(s)),
+    "kg_edges" -> ((s, d) => KnowledgeGraph.edges(pp(s, d))),
     // G. LLM-data ops
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
     "dedup_norm" -> ((s, d) => Dedup.normalized(docs(s, d))),

@@ -62,6 +62,27 @@ object Relational {
       .groupBy(expr(s"(ts div 1000) div $UsPerHour").as("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
 
+  /** Exact interpolated quantiles of event value per type (p50/p90/p99).
+    * Exact (sort-based) rather than sketch-based so the DuckDB oracle agrees
+    * bit-for-bit; the sketch path (approx_percentile) is the 100 TB option
+    * when exactness isn't contractual. */
+  def eventsQuantiles(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"),
+        count(lit(1)).as("n"))
+
+  /** Top-3 parts per brand by retail price — the generic windowed top-N per
+    * group shape (rank inside partition, no global sort). */
+  def topPartsPerBrand(part: DataFrame, k: Int = 3): DataFrame =
+    part
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey"))).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("p_brand"), col("rk"), col("p_partkey"), col("p_name"), col("p_retailprice"))
+
   /** Gap-based sessionization (30 min): lag + running sum of session starts,
     * then per-session aggregation. One shuffle on user_id. Timestamps are
     * reduced to microseconds (the finest precision every engine preserves). */

@@ -534,6 +534,38 @@ object OracleSql {
       |  CAST(length(text) % 7 + 1 AS BIGINT) AS fake_n_frames
       |FROM documents""".stripMargin
 
+  import graft.operators.KnowledgeGraph
+
+  val kgNodes: String =
+    s"""SELECT dict.concept_id, dict.tok AS name,
+       |  ${KnowledgeGraph.categoryCaseSql("dict.concept_id")} AS category
+       |FROM ${ConceptDict.dictValuesSql}""".stripMargin
+
+  val kgEdges: String =
+    s"""SELECT concept1 AS subject, concept2 AS object,
+       |  'graft:related_to' AS predicate,
+       |  ${KnowledgeGraph.categoryCaseSql("concept1")} AS subject_category,
+       |  ${KnowledgeGraph.categoryCaseSql("concept2")} AS object_category,
+       |  pair_count, ngd, npmi
+       |FROM (
+       |$cooccurMetricsDoc
+       |)""".stripMargin
+
+  val eventsQuantiles: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.9), 6) AS p90,
+      |  round(quantile_cont(value, 0.99), 6) AS p99,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
+  val topPartsPerBrand: String =
+    """SELECT p_brand, rk, p_partkey, p_name, p_retailprice FROM (
+      |  SELECT p_brand, p_partkey, p_name, p_retailprice,
+      |    CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rk
+      |  FROM part)
+      |WHERE rk <= 3""".stripMargin
+
   /** name → oracle SQL for the driver's DuckDB compare */
   val all: Map[String, String] = Map(
     "tokens" -> tokens,
@@ -553,6 +585,10 @@ object OracleSql {
     "xml_roundtrip" -> xmlRoundtrip,
     "conll03_export" -> conll03Export,
     "dict_export" -> dictExport,
+    "kg_nodes" -> kgNodes,
+    "kg_edges" -> kgEdges,
+    "events_quantiles" -> eventsQuantiles,
+    "top_parts_per_brand" -> topPartsPerBrand,
     "cooccur_metrics_doc" -> cooccurMetricsDoc,
     "concept_idf" -> conceptIdf,
     "concept_count_dist" -> conceptCountDist,
