@@ -95,6 +95,16 @@ object SparkEntry {
     "emb_topk" -> ((s, d) => Embeddings.cosineTopK(Tables.embeddings(s, d))),
     "emb_lsh" -> ((s, d) => Embeddings.lshBuckets(Tables.embeddings(s, d))),
     "emb_dup_pairs" -> ((s, d) => Embeddings.dupPairs(Tables.embeddings(s, d))),
+    "concepts_promoted" -> ((s, d) => Concepts.promote(pp(s, d))),
+    "text_redact" -> ((s, d) =>
+      TextStats.redact(Tables.events(s, d).select(col("event_id"), col("props")), "props")),
+    "events_props" -> ((s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_value"))),
+    "vocab_stats" -> ((s, d) => TextStats.vocabStats(docs(s, d))),
+    "ngram_counts" -> ((s, d) => TextStats.ngramCounts(docs(s, d))),
+    "doc_sample" -> ((s, d) => TextStats.sampleDocs(docs(s, d))),
+    "token_packing" -> ((s, d) => TextStats.tokenPacking(docs(s, d))),
     "lang_id" -> ((s, d) => TextStats.langId(docs(s, d))),
     "quality_score" -> ((s, d) => TextStats.quality(docs(s, d))),
     "multimodal_meta" -> ((s, d) => TextStats.multimodalMeta(docs(s, d))))

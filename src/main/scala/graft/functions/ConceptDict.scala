@@ -36,6 +36,22 @@ object ConceptDict {
 
   val stopwords: Seq[String] = Seq("a", "the")
 
+  /** Concept promotion map (reference: util/NcbiTaxonPromotionMapFactory,
+    * MondoToHpEquivalenceMapFileFactory — canonicalize specific ids before
+    * counting). */
+  val promotions: Seq[(String, String)] = Seq(
+    "ENT:spark" -> "ENT:engine",
+    "SZ:big" -> "SZ:large")
+
+  def promotionsDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    promotions.toDF("concept_id", "promoted_id")
+  }
+
+  def promotionsValuesSql: String =
+    promotions.map { case (c, p) => s"('$c','$p')" }
+      .mkString("(VALUES ", ", ", ") AS promo(concept_id, promoted_id)")
+
   def dictDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
     entries.toDF("tok", "concept_id")

@@ -63,6 +63,43 @@ object Concepts {
       "left_semi")
   }
 
+  /** Canonicalize concept ids through the promotion map (reference:
+    * NcbiTaxonPromotionMapFactory / Mondo-HP equivalence: specific ids are
+    * replaced by their canonical targets before counting). Broadcast map,
+    * identity for unmapped ids. */
+  def promote(annots: DataFrame): DataFrame = {
+    val promo = broadcast(ConceptDict.promotionsDF(annots.sparkSession))
+    annots.join(promo, Seq("concept_id"), "left")
+      .withColumn("concept_id", coalesce(col("promoted_id"), col("concept_id")))
+      .drop("promoted_id")
+  }
+
+  /** Same-span group-priority resolution (reference:
+    * ConceptPostProcessingFn.resolveHpMondoOverlaps — when two ontologies
+    * annotate the identical span, keep the preferred one). */
+  def resolveGroupOverlaps(annots: DataFrame, preferred: String, over: String): DataFrame = {
+    val pref = annots.where(col("concept_id").startsWith(preferred + ":"))
+      .select(col("doc_id").as("p_doc"), col("char_start").as("p_start"), col("char_end").as("p_end"))
+    annots.join(pref,
+      col("doc_id") === col("p_doc") && col("char_start") === col("p_start") &&
+        col("char_end") === col("p_end") && col("concept_id").startsWith(over + ":"),
+      "left_anti")
+  }
+
+  /** Abbreviation-based propagation (reference:
+    * ConceptPostProcessingFn.propagateShortAnnot:1037 — a concept annotated
+    * on a long form is propagated onto occurrences of its short form).
+    * `abbrevSpans` carries (doc_id, lf_start, lf_end, sf_start, sf_end). */
+  def propagateViaAbbreviations(annots: DataFrame, abbrevSpans: DataFrame): DataFrame = {
+    val onLongForm = annots.join(abbrevSpans,
+      annots("doc_id") === abbrevSpans("doc_id") &&
+        col("char_start") >= col("lf_start") && col("char_end") <= col("lf_end"))
+      .select(annots("doc_id"), col("concept_id"),
+        lit(-1L).as("ord"), lit("@SF").as("tok"),
+        col("sf_start").as("char_start"), col("sf_end").as("char_end"))
+    annots.unionByName(onLongForm).dropDuplicates("doc_id", "concept_id", "char_start", "char_end")
+  }
+
   /** Expand (unit_col, concept_id) sets with ancestor ids (broadcast map),
     * mirroring ConceptIdfPipeline.java:120-140 addAncestorConceptIds. */
   def withAncestors(unitConcepts: DataFrame, unitCols: Seq[String]): DataFrame = {

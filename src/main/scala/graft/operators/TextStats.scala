@@ -51,6 +51,49 @@ object TextStats {
             * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens").cast("double"))
             * (col("n_distinct").cast("double") / col("n_tokens").cast("double")), 6).as("quality"))
 
+  /** PII/noise redaction (training-data scrubbing): digit runs → <NUM>.
+    * Pattern kept dialect-neutral (Java regex ≡ RE2 here). */
+  def redact(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(s"${textCol}_redacted", regexp_replace(col(textCol), "[0-9]+", "<NUM>"))
+
+  /** Corpus vocabulary statistics: token, n_occurrences, doc_freq. */
+  def vocabStats(docs: DataFrame): DataFrame =
+    TextOps.tokens(docs)
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct("doc_id").as("doc_freq"))
+
+  /** Top-k bigram counts (language-model n-gram table shape). */
+  def ngramCounts(docs: DataFrame, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("ord")
+    TextOps.tokens(docs)
+      .withColumn("t2", lead("tok", 1).over(w))
+      .where(col("t2").isNotNull)
+      .select(concat(col("tok"), lit(" "), col("t2")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+  }
+
+  /** Deterministic reproducible sampling: keep docs whose multiplicative
+    * hash falls in the lowest `permille` buckets — stable across runs and
+    * engines (pure integer math), the sampling discipline a training-data
+    * pipeline needs for audits. */
+  def sampleDocs(docs: DataFrame, permille: Int = 100): DataFrame =
+    docs.where(pmod(col("doc_id") * 2654435761L, lit(1000L)) < permille)
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  /** Sequence packing (token-budget chunking): assign each sentence window
+    * to a pack so every pack holds ~`budget` tokens of consecutive text.
+    * doc_id, sent_id, n_tokens, pack_id. */
+  def tokenPacking(docs: DataFrame, budget: Int = 64): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("sent_id")
+    TextOps.sentences(docs)
+      .select(col("doc_id"), col("sent_id"), col("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div $budget"))
+      .drop("cum")
+  }
+
   /** Multimodal metadata: payload as binary + typed metadata + stubbed decode.
     * doc_id, byte_len, head_hex, fake_width, fake_height, fake_n_frames. */
   def multimodalMeta(docs: DataFrame): DataFrame =

@@ -566,6 +566,47 @@ object OracleSql {
       |  FROM part)
       |WHERE rk <= 3""".stripMargin
 
+  val conceptsPromoted: String =
+    docPipeline() +
+      s"""SELECT p.doc_id, coalesce(promo.promoted_id, p.concept_id) AS concept_id,
+         |  p.ord, p.tok, p.char_start, p.char_end
+         |FROM pp p LEFT JOIN ${ConceptDict.promotionsValuesSql} ON p.concept_id = promo.concept_id""".stripMargin
+
+  val textRedact: String =
+    """SELECT event_id, props,
+      |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_redacted
+      |FROM events""".stripMargin
+
+  val eventsProps: String =
+    """SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_value
+      |FROM events""".stripMargin
+
+  val vocabStats: String =
+    s"""WITH $tokCte
+       |SELECT tok, CAST(count(*) AS BIGINT) AS n_occurrences,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+       |FROM tok GROUP BY tok""".stripMargin
+
+  val ngramCounts: String =
+    s"""WITH $tokCte,
+       |bg AS (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS bigram FROM tok)
+       |SELECT bigram, CAST(count(*) AS BIGINT) AS n
+       |FROM bg WHERE bigram IS NOT NULL
+       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+
+  val docSample: String =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE (doc_id * 2654435761) % 1000 < 100""".stripMargin
+
+  val tokenPacking: String =
+    s"""WITH $tokCte,
+       |sent AS (SELECT doc_id, (ord - 1) // $W AS sent_id, CAST(count(*) AS BIGINT) AS n_tokens
+       |  FROM tok GROUP BY 1, 2),
+       |c AS (SELECT doc_id, sent_id, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY doc_id ORDER BY sent_id) AS BIGINT) AS cum
+       |  FROM sent)
+       |SELECT doc_id, sent_id, n_tokens, (cum - n_tokens) // 64 AS pack_id FROM c""".stripMargin
+
   /** name → oracle SQL for the driver's DuckDB compare */
   val all: Map[String, String] = Map(
     "tokens" -> tokens,
@@ -587,6 +628,13 @@ object OracleSql {
     "dict_export" -> dictExport,
     "kg_nodes" -> kgNodes,
     "kg_edges" -> kgEdges,
+    "concepts_promoted" -> conceptsPromoted,
+    "text_redact" -> textRedact,
+    "events_props" -> eventsProps,
+    "vocab_stats" -> vocabStats,
+    "ngram_counts" -> ngramCounts,
+    "doc_sample" -> docSample,
+    "token_packing" -> tokenPacking,
     "events_quantiles" -> eventsQuantiles,
     "top_parts_per_brand" -> topPartsPerBrand,
     "cooccur_metrics_doc" -> cooccurMetricsDoc,

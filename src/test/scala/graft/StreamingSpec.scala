@@ -37,6 +37,23 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dd").select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("stream-stream interval join pairs events within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val views = MemoryStream[(Long, Timestamp)]
+    val c = clicks.toDF.toDF("user_id", "click_ts").withWatermark("click_ts", "1 hour")
+    val v = views.toDF.toDF("v_user_id", "view_ts").withWatermark("view_ts", "1 hour")
+    val joined = c.join(v,
+      expr("user_id = v_user_id AND view_ts BETWEEN click_ts AND click_ts + interval 10 minutes"))
+    val q = joined.writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    clicks.addData((1L, ts(0)), (2L, ts(0)))
+    views.addData((1L, ts(5)), (2L, ts(30)))   // user 1 within bound, user 2 outside
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj").select("user_id").as[Long].collect()
+    assert(got.toSeq == Seq(1L))
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Event]
