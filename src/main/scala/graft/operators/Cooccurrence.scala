@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.Num
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -74,12 +75,12 @@ object Cooccurrence {
         col("pair_count").cast("long").as("pair_count"),
         col("concept1_count").cast("long").as("concept1_count"),
         col("concept2_count").cast("long").as("concept2_count"),
-        round((greatest(log10(fx), log10(fy)) - log10(fxy)) / (log10(n) - least(log10(fx), log10(fy))), 6).as("ngd"),
-        round(pmi, 6).as("pmi"),
-        round(pmi / (-lit(1.0) * log(pxy + 1e-9)), 6).as("npmi"),
-        round(pmi / (-lit(1.0) * log(greatest(px, py) + 1e-9)), 6).as("npmim"),
-        round(md, 6).as("md"),
-        round(md + log(pxy), 6).as("lfmd"))
+        Num.r6((greatest(log10(fx), log10(fy)) - log10(fxy)) / (log10(n) - least(log10(fx), log10(fy)))).as("ngd"),
+        Num.r6(pmi).as("pmi"),
+        Num.r6(pmi / (-lit(1.0) * log(pxy + 1e-9))).as("npmi"),
+        Num.r6(pmi / (-lit(1.0) * log(greatest(px, py) + 1e-9))).as("npmim"),
+        Num.r6(md).as("md"),
+        Num.r6(md + log(pxy)).as("lfmd"))
   }
 
   /** The reference counts cooccurrence at DOCUMENT/SENTENCE/TITLE/ABSTRACT
@@ -98,13 +99,13 @@ object Cooccurrence {
     }
   }
 
-  /** concept_id, df, idf = round(ln(N/df), 6) at document level. */
+  /** concept_id, df, idf = Num.r6(ln(N/df)) at document level. */
   def idf(annots: DataFrame): DataFrame = {
     val units = unitConcepts(annots, Seq("doc_id"))
     val total = units.select("doc_id").distinct().count()
     singletonCounts(units)
       .select(col("concept_id"), col("unit_count").as("df"),
-        round(log(lit(total.toDouble) / col("unit_count").cast("double")), 6).as("idf"))
+        Num.r6(log(lit(total.toDouble) / col("unit_count").cast("double"))).as("idf"))
   }
 
   /** concept_count (distinct concepts in doc), num_docs histogram. */
@@ -120,6 +121,6 @@ object Cooccurrence {
     annots.groupBy("doc_id", "concept_id").agg(count(lit(1)).as("tf"))
       .join(broadcast(idfDF.select("concept_id", "idf")), "concept_id")
       .select(col("doc_id"), col("concept_id"), col("tf"),
-        col("idf"), round(col("tf").cast("double") * col("idf"), 6).as("tfidf"))
+        col("idf"), Num.r6(col("tf").cast("double") * col("idf")).as("tfidf"))
   }
 }

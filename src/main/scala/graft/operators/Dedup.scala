@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.Num
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -135,7 +136,7 @@ object Dedup {
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("jaccard", round(col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"), 6))
+      .withColumn("jaccard", Num.r6(col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.Num
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -44,7 +45,7 @@ object Embeddings {
     val scored = broadcast(q).crossJoin(n)
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qe"), col("ne")), 6).as("cosine"))
+        Num.r6(cosine(col("qe"), col("ne"))).as("cosine"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
@@ -79,7 +80,7 @@ object Embeddings {
       .join(vecs.select(col("vec_id").as("vec_a"), col("ve").as("ea")), "vec_a")
       .join(vecs.select(col("vec_id").as("vec_b"), col("ve").as("eb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
-        round(cosine(col("ea"), col("eb")), 6).as("cosine"))
+        Num.r6(cosine(col("ea"), col("eb"))).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }

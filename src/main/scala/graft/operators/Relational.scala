@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.Num
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -27,9 +28,9 @@ object Relational {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        Num.r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+        Num.r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+        Num.r6(avg(col("l_quantity"))).as("avg_qty"),
         count(lit(1)).as("count_order"))
 
   /** TPC-H Q3-shaped: top orders by revenue for one segment; dims broadcast. */
@@ -39,7 +40,7 @@ object Relational {
       .join(broadcast(customer.where(col("c_mktsegment") === "BUILDING").select("c_custkey")),
         col("o_custkey") === col("c_custkey"))
       .groupBy("o_orderkey")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(Num.r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
 
@@ -53,14 +54,14 @@ object Relational {
       .join(broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region.select("r_regionkey", "r_name")), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+      .agg(Num.r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
         count(lit(1)).as("n_items"))
 
   /** Tumbling 1h windows per event type: hour_bucket (ns-epoch / 3600e9). */
   def eventsHourly(events: DataFrame): DataFrame =
     events
       .groupBy(expr(s"(ts div 1000) div $UsPerHour").as("hour_bucket"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), Num.r2(sum(col("value"))).as("sum_value"))
 
   /** Exact interpolated quantiles of event value per type (p50/p90/p99).
     * Exact (sort-based) rather than sketch-based so the DuckDB oracle agrees
@@ -69,9 +70,9 @@ object Relational {
   def eventsQuantiles(events: DataFrame): DataFrame =
     events.groupBy("event_type")
       .agg(
-        round(expr("percentile(value, 0.5)"), 6).as("p50"),
-        round(expr("percentile(value, 0.9)"), 6).as("p90"),
-        round(expr("percentile(value, 0.99)"), 6).as("p99"),
+        Num.r6(expr("percentile(value, 0.5)")).as("p50"),
+        Num.r6(expr("percentile(value, 0.9)")).as("p90"),
+        Num.r6(expr("percentile(value, 0.99)")).as("p99"),
         count(lit(1)).as("n"))
 
   /** Top-3 parts per brand by retail price — the generic windowed top-N per
@@ -98,6 +99,6 @@ object Relational {
       .agg(count(lit(1)).as("n_events"),
         min(col("tus")).as("start_us"),
         max(col("tus")).as("end_us"),
-        round(sum(col("value")), 2).as("sum_value"))
+        Num.r2(sum(col("value"))).as("sum_value"))
   }
 }

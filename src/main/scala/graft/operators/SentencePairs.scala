@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.Num
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -62,6 +63,6 @@ object SentencePairs {
   /** Scored pairs above threshold — the "store classified sentences" shape. */
   def classified(annots: DataFrame, threshold: Double = 0.5): DataFrame =
     extract(annots)
-      .withColumn("score", round(score, 6))
+      .withColumn("score", Num.r6(score))
       .where(col("score") >= threshold)
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.Num
 import graft.functions.ConceptDict
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -24,7 +25,7 @@ object TextStats {
     docs
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
       .withColumn("n_stopwords", stopCount.cast("long"))
-      .withColumn("stop_ratio", round(col("n_stopwords").cast("double") / col("n_tokens").cast("double"), 6))
+      .withColumn("stop_ratio", Num.r6(col("n_stopwords").cast("double") / col("n_tokens").cast("double")))
       .select(col("doc_id"), col("n_tokens"), col("n_stopwords"), col("stop_ratio"),
         when(col("stop_ratio") >= 0.05, "en").otherwise("und").as("predicted_lang"))
 
@@ -43,13 +44,13 @@ object TextStats {
         col("n_tokens"),
         col("n_distinct").as("n_distinct_tokens"),
         ceil(col("n_chars") / lit(4.0)).cast("long").as("approx_bpe_tokens"),
-        round((col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens").cast("double"), 6).as("avg_token_len"),
-        round(col("n_stop").cast("double") / col("n_tokens").cast("double"), 6).as("stop_ratio"),
-        round(col("n_distinct").cast("double") / col("n_tokens").cast("double"), 6).as("type_token_ratio"),
-        round(
+        Num.r6((col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens").cast("double")).as("avg_token_len"),
+        Num.r6(col("n_stop").cast("double") / col("n_tokens").cast("double")).as("stop_ratio"),
+        Num.r6(col("n_distinct").cast("double") / col("n_tokens").cast("double")).as("type_token_ratio"),
+        Num.r6(
           least(lit(1.0), col("n_tokens").cast("double") / 100.0)
             * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens").cast("double"))
-            * (col("n_distinct").cast("double") / col("n_tokens").cast("double")), 6).as("quality"))
+            * (col("n_distinct").cast("double") / col("n_tokens").cast("double"))).as("quality"))
 
   /** PII/noise redaction (training-data scrubbing): digit runs → <NUM>.
     * Pattern kept dialect-neutral (Java regex ≡ RE2 here). */

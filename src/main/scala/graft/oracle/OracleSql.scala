@@ -216,12 +216,12 @@ object OracleSql {
         |  JOIN singles s2 ON p.concept2 = s2.concept_id
         |  CROSS JOIN tot t)""".stripMargin) +
       """SELECT concept1, concept2, pair_count, concept1_count, concept2_count,
-        |  round((greatest(log10(fx), log10(fy)) - log10(fxy)) / (log10(n) - least(log10(fx), log10(fy))), 6) AS ngd,
-        |  round(ln((fxy / n) / ((fx / n) * (fy / n))), 6) AS pmi,
-        |  round(ln((fxy / n) / ((fx / n) * (fy / n))) / (-1.0 * ln((fxy / n) + 0.000000001)), 6) AS npmi,
-        |  round(ln((fxy / n) / ((fx / n) * (fy / n))) / (-1.0 * ln(greatest(fx / n, fy / n) + 0.000000001)), 6) AS npmim,
-        |  round(ln(pow(fxy / n, 2.0) / ((fx / n) * (fy / n))), 6) AS md,
-        |  round(ln(pow(fxy / n, 2.0) / ((fx / n) * (fy / n))) + ln(fxy / n), 6) AS lfmd
+        |  floor(((greatest(log10(fx), log10(fy)) - log10(fxy)) / (log10(n) - least(log10(fx), log10(fy)))) * 1000000 + 0.5) / 1000000 AS ngd,
+        |  floor((ln((fxy / n) / ((fx / n) * (fy / n)))) * 1000000 + 0.5) / 1000000 AS pmi,
+        |  floor((ln((fxy / n) / ((fx / n) * (fy / n))) / (-1.0 * ln((fxy / n) + 0.000000001))) * 1000000 + 0.5) / 1000000 AS npmi,
+        |  floor((ln((fxy / n) / ((fx / n) * (fy / n))) / (-1.0 * ln(greatest(fx / n, fy / n) + 0.000000001))) * 1000000 + 0.5) / 1000000 AS npmim,
+        |  floor((ln(pow(fxy / n, 2.0) / ((fx / n) * (fy / n)))) * 1000000 + 0.5) / 1000000 AS md,
+        |  floor((ln(pow(fxy / n, 2.0) / ((fx / n) * (fy / n))) + ln(fxy / n)) * 1000000 + 0.5) / 1000000 AS lfmd
         |FROM m
         |WHERE log10(n) - least(log10(fx), log10(fy)) <> 0""".stripMargin
 
@@ -229,7 +229,7 @@ object OracleSql {
     docPipeline(unitsDocCte,
       "tot AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM units_doc)") +
       """SELECT concept_id, CAST(count(*) AS BIGINT) AS df,
-        |  round(ln(t.n / CAST(count(*) AS DOUBLE)), 6) AS idf
+        |  floor((ln(t.n / CAST(count(*) AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS idf
         |FROM units_doc CROSS JOIN tot t GROUP BY concept_id, t.n""".stripMargin
 
   val conceptCountDist: String =
@@ -243,11 +243,11 @@ object OracleSql {
     docPipeline(unitsDocCte,
       """tot AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM units_doc),
         |idf AS (
-        |  SELECT concept_id, round(ln(t.n / CAST(count(*) AS DOUBLE)), 6) AS idf
+        |  SELECT concept_id, floor((ln(t.n / CAST(count(*) AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS idf
         |  FROM units_doc CROSS JOIN tot t GROUP BY concept_id, t.n),
         |tf AS (SELECT doc_id, concept_id, CAST(count(*) AS BIGINT) AS tf FROM pp GROUP BY 1, 2)""".stripMargin) +
       """SELECT tf.doc_id, tf.concept_id, tf.tf, idf.idf,
-        |  round(CAST(tf.tf AS DOUBLE) * idf.idf, 6) AS tfidf
+        |  floor((CAST(tf.tf AS DOUBLE) * idf.idf) * 1000000 + 0.5) / 1000000 AS tfidf
         |FROM tf JOIN idf ON tf.concept_id = idf.concept_id""".stripMargin
 
   // ---------- D. sentence pairs ----------
@@ -274,7 +274,7 @@ object OracleSql {
     docPipeline(pairsCte) +
       """SELECT * FROM (
         |  SELECT doc_id, sent_id, concept_x, concept_y, x_ord, y_ord,
-        |    round(CAST((doc_id * 31 + sent_id * 17 + x_ord * 7 + y_ord) % 1000 AS DOUBLE) / 1000.0, 6) AS score
+        |    floor((CAST((doc_id * 31 + sent_id * 17 + x_ord * 7 + y_ord) % 1000 AS DOUBLE) / 1000.0) * 1000000 + 0.5) / 1000000 AS score
         |  FROM prs)
         |WHERE score >= 0.5""".stripMargin
 
@@ -318,16 +318,16 @@ object OracleSql {
   val q1Pricing: String =
     """SELECT l_returnflag, l_linestatus,
       |  sum(l_quantity) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-      |  round(avg(l_quantity), 6) AS avg_qty,
+      |  floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
+      |  floor((sum(l_extendedprice * (1.0 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
+      |  floor((avg(l_quantity)) * 1000000 + 0.5) / 1000000 AS avg_qty,
       |  CAST(count(*) AS BIGINT) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
   val q3TopOrders: String =
-    """SELECT o_orderkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+    """SELECT o_orderkey, floor((sum(l_extendedprice * (1.0 - l_discount))) * 100 + 0.5) / 100 AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -338,7 +338,7 @@ object OracleSql {
 
   val q5RegionRevenue: String =
     """SELECT r_name, n_name,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  floor((sum(l_extendedprice * (1.0 - l_discount))) * 100 + 0.5) / 100 AS revenue,
       |  CAST(count(*) AS BIGINT) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -349,7 +349,7 @@ object OracleSql {
 
   val eventsHourly: String =
     """SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket, event_type,
-      |  CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS sum_value
+      |  CAST(count(*) AS BIGINT) AS n_events, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
   val eventsSessions: String =
@@ -358,7 +358,7 @@ object OracleSql {
       |s AS (SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
       |c AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS BIGINT) AS session_id FROM s)
       |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
-      |  min(tus) AS start_us, max(tus) AS end_us, round(sum(value), 2) AS sum_value
+      |  min(tus) AS start_us, max(tus) AS end_us, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
       |FROM c GROUP BY user_id, session_id""".stripMargin
 
   // ---------- G. LLM-data ops ----------
@@ -417,7 +417,7 @@ object OracleSql {
        |  GROUP BY 1, 2)
        |SELECT * FROM (
        |  SELECT i.doc_a, i.doc_b,
-       |    round(CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE), 6) AS jaccard
+       |    floor((CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS jaccard
        |  FROM inter i
        |  JOIN sizes na ON na.doc_id = i.doc_a
        |  JOIN sizes nb ON nb.doc_id = i.doc_b)
@@ -458,7 +458,7 @@ object OracleSql {
       |nb AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings),
       |s AS (
       |  SELECT query_id, neighbor_id,
-      |    round(list_dot_product(qe, ne) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ne, ne))), 6) AS cosine
+      |    floor((list_dot_product(qe, ne) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ne, ne)))) * 1000000 + 0.5) / 1000000 AS cosine
       |  FROM q CROSS JOIN nb WHERE neighbor_id <> query_id),
       |r AS (SELECT query_id, neighbor_id, cosine,
       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
@@ -490,7 +490,7 @@ object OracleSql {
        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
        |SELECT * FROM (
        |  SELECT p.vec_a, p.vec_b,
-       |    round(list_dot_product(x.ve, y.ve) / (sqrt(list_dot_product(x.ve, x.ve)) * sqrt(list_dot_product(y.ve, y.ve))), 6) AS cosine
+       |    floor((list_dot_product(x.ve, y.ve) / (sqrt(list_dot_product(x.ve, x.ve)) * sqrt(list_dot_product(y.ve, y.ve)))) * 1000000 + 0.5) / 1000000 AS cosine
        |  FROM prs p JOIN v x ON p.vec_a = x.vec_id JOIN v y ON p.vec_b = y.vec_id)
        |WHERE cosine >= 0.35""".stripMargin
 
@@ -504,8 +504,8 @@ object OracleSql {
        |    CAST($stopCountSql AS BIGINT) AS n_stopwords
        |  FROM documents)
        |SELECT doc_id, n_tokens, n_stopwords,
-       |  round(CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
-       |  CASE WHEN round(CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) >= 0.05 THEN 'en' ELSE 'und' END AS predicted_lang
+       |  floor((CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS stop_ratio,
+       |  CASE WHEN floor((CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) / 1000000 >= 0.05 THEN 'en' ELSE 'und' END AS predicted_lang
        |FROM f""".stripMargin
 
   val qualityScore: String =
@@ -517,12 +517,12 @@ object OracleSql {
        |  FROM documents)
        |SELECT doc_id, n_chars, n_tokens, n_distinct AS n_distinct_tokens,
        |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS approx_bpe_tokens,
-       |  round(CAST(n_chars - n_tokens + 1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len,
-       |  round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
-       |  round(CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS type_token_ratio,
-       |  round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+       |  floor((CAST(n_chars - n_tokens + 1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS avg_token_len,
+       |  floor((CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS stop_ratio,
+       |  floor((CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS type_token_ratio,
+       |  floor((least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
        |    * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-       |    * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6) AS quality
+       |    * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS quality
        |FROM f""".stripMargin
 
   val multimodalMeta: String =
@@ -553,9 +553,9 @@ object OracleSql {
 
   val eventsQuantiles: String =
     """SELECT event_type,
-      |  round(quantile_cont(value, 0.5), 6) AS p50,
-      |  round(quantile_cont(value, 0.9), 6) AS p90,
-      |  round(quantile_cont(value, 0.99), 6) AS p99,
+      |  floor((quantile_cont(value, 0.5)) * 1000000 + 0.5) / 1000000 AS p50,
+      |  floor((quantile_cont(value, 0.9)) * 1000000 + 0.5) / 1000000 AS p90,
+      |  floor((quantile_cont(value, 0.99)) * 1000000 + 0.5) / 1000000 AS p99,
       |  CAST(count(*) AS BIGINT) AS n
       |FROM events GROUP BY event_type""".stripMargin
 
