@@ -67,6 +67,13 @@ object SparkEntry {
     // D. sentence pairs
     "sentence_pairs" -> ((s, d) => SentencePairs.extractWithBlinded(docs(s, d), pp(s, d))),
     "classified_sentences" -> ((s, d) => SentencePairs.classified(pp(s, d))),
+    "relation_paths" -> ((s, d) => SentencePairs.relationPaths(docs(s, d), pp(s, d))),
+    "doc_upsert" -> ((s, d) => {
+      val base = docs(s, d)
+      val updates = base.where(pmod(col("doc_id") * 2654435761L, lit(1000L)) < 100)
+        .withColumn("lang", lit("xx")).withColumn("source", lit("updated"))
+      graft.infra.Etl.upsert(base, updates, "doc_id")
+    }),
     // E. exports
     "bionlp_export" -> ((s, d) => Exports.bionlp(pp(s, d))),
     "text_export" -> ((s, d) => Exports.textExport(docs(s, d))),

@@ -49,4 +49,10 @@ object Etl {
   /** Ids still lacking a stage — drives the reference's redo collections. */
   def pending(status: DataFrame, stage: String): DataFrame =
     status.where(!col(stage)).select("doc_id")
+
+  /** Keyed upsert (reference: update/UpdateMedlineEntitiesPipeline — new
+    * Medline baselines overwrite matching documents, keep the rest). Updates
+    * win on key collision; pure anti-join + union, no MERGE dependency. */
+  def upsert(current: DataFrame, updates: DataFrame, key: String): DataFrame =
+    current.join(updates.select(key), Seq(key), "left_anti").unionByName(updates)
 }

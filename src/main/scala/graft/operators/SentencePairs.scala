@@ -65,4 +65,26 @@ object SentencePairs {
     extract(annots)
       .withColumn("score", Num.r6(score))
       .where(col("score") >= threshold)
+
+  /** Relation-path patterns (reference: relation_extraction/bicluster —
+    * Percha–Altman dependency-path biclustering groups concept pairs by the
+    * lexical path between the two mentions). Here the path is the token
+    * sequence strictly between the two mention ordinals; output is the
+    * pattern → support table biclustering starts from. */
+  def relationPaths(docs: DataFrame, annots: DataFrame,
+                    xPrefix: String = "OP", yPrefix: String = "DS"): DataFrame = {
+    val pairs = extract(annots, xPrefix, yPrefix)
+      .withColumn("lo", least(col("x_ord"), col("y_ord")))
+      .withColumn("hi", greatest(col("x_ord"), col("y_ord")))
+    val toks = TextOps.tokens(docs).select("doc_id", "ord", "tok")
+    pairs.join(toks, Seq("doc_id"))
+      .where(col("ord") > col("lo") && col("ord") < col("hi"))
+      .groupBy("doc_id", "sent_id", "concept_x", "concept_y", "lo", "hi")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("ord"), col("tok")))), s => s("tok")), " ")
+        .as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("support"),
+        countDistinct(concat_ws("|", col("concept_x"), col("concept_y"))).as("n_distinct_pairs"))
+      .where(col("support") >= 2)
+  }
 }

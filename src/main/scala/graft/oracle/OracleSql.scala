@@ -278,6 +278,28 @@ object OracleSql {
         |  FROM prs)
         |WHERE score >= 0.5""".stripMargin
 
+  val relationPaths: String =
+    docPipeline(pairsCte) +
+      """SELECT path, CAST(count(*) AS BIGINT) AS support,
+        |  CAST(count(DISTINCT concept_x || '|' || concept_y) AS BIGINT) AS n_distinct_pairs
+        |FROM (
+        |  SELECT p.doc_id, p.sent_id, p.concept_x, p.concept_y,
+        |    least(p.x_ord, p.y_ord) AS lo, greatest(p.x_ord, p.y_ord) AS hi,
+        |    string_agg(t.tok, ' ' ORDER BY t.ord) AS path
+        |  FROM prs p JOIN tok t ON t.doc_id = p.doc_id
+        |    AND t.ord > least(p.x_ord, p.y_ord) AND t.ord < greatest(p.x_ord, p.y_ord)
+        |  GROUP BY 1, 2, 3, 4, 5, 6)
+        |GROUP BY path HAVING count(*) >= 2""".stripMargin
+
+  val docUpsert: String =
+    """WITH upd AS (
+      |  SELECT doc_id, text, 'xx' AS lang, 'updated' AS source, n_chars
+      |  FROM documents WHERE (doc_id * 2654435761) % 1000 < 100)
+      |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM documents d
+      |WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.doc_id = d.doc_id)
+      |UNION ALL
+      |SELECT doc_id, text, lang, source, n_chars FROM upd""".stripMargin
+
   // ---------- E. exports ----------
 
   val bionlpExport: String =
@@ -643,6 +665,8 @@ object OracleSql {
     "tfidf" -> tfidf,
     "sentence_pairs" -> sentencePairs,
     "classified_sentences" -> classifiedSentences,
+    "relation_paths" -> relationPaths,
+    "doc_upsert" -> docUpsert,
     "bionlp_export" -> bionlpExport,
     "text_export" -> textExport,
     "es_docs" -> esDocs,

@@ -42,6 +42,14 @@ class InfraSpec extends SparkSpec {
     assert(Etl.pending(updated, "recognized").count() == 3L)
   }
 
+  test("upsert: updates win on key collision, rest unchanged") {
+    val current = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "v")
+    val updates = Seq((2L, "B!"), (4L, "d")).toDF("doc_id", "v")
+    val r = graft.infra.Etl.upsert(current, updates, "doc_id")
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(r.toSeq == Seq((1L, "a"), (2L, "B!"), (3L, "c"), (4L, "d")))
+  }
+
   test("sinks write parquet (partitioned), tsv and jsonl that read back") {
     val dir = Files.createTempDirectory("graft-sinks").toString
     val df = Seq((1L, "en", "x"), (2L, "de", "y")).toDF("id", "lang", "v")

@@ -30,6 +30,18 @@ class SentencePairsSpec extends SparkSpec {
       "@CONCEPT_X$ aa @CONCEPT_Y$ bb cc dd ee ff gg hh")
   }
 
+  test("relation paths group pairs by the between-mentions token sequence") {
+    // two docs, same 'join ... of ... table' context → one path with support 2
+    val d = docs("join speed of table bb cc dd ee ff gg",
+                 "join speed of table xx yy zz qq ww rr")
+    val annots = Concepts.postProcess(Concepts.recognize(d))
+    val r = SentencePairs.relationPaths(d, annots).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[String]("path") == "speed of")
+    assert(r.head.getAs[Long]("support") == 2L)
+    assert(r.head.getAs[Long]("n_distinct_pairs") == 1L)
+  }
+
   test("classified sentences carry a deterministic in-range score") {
     val text = "join aa table bb cc dd ee ff gg hh"
     val annots = Concepts.postProcess(Concepts.recognize(docs(text)))
