@@ -100,6 +100,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
     "doc_fingerprint" -> ((s, d) => Dedup.rollingFingerprint(docs(s, d))),
     "emb_topk" -> ((s, d) => Embeddings.cosineTopK(Tables.embeddings(s, d))),
+    "emb_topk_native" -> ((s, d) => Embeddings.cosineTopKNative(Tables.embeddings(s, d))),
     "emb_lsh" -> ((s, d) => Embeddings.lshBuckets(Tables.embeddings(s, d))),
     "emb_dup_pairs" -> ((s, d) => Embeddings.dupPairs(Tables.embeddings(s, d))),
     "concepts_promoted" -> ((s, d) => Concepts.promote(pp(s, d))),

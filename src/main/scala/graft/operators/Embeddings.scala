@@ -53,6 +53,24 @@ object Embeddings {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Same result as cosineTopK, executed through the custom physical
+    * operator (graft.plans.PartialCosineTopK): one heap-pruning pass over the
+    * neighbor side emits ≤ Q·k·partitions partials, and the exact top-k is a
+    * window over that tiny set — no Q×N row materialization, no big sort.
+    * This is the plan shape that survives 10⁹ neighbors. */
+  def cosineTopKNative(embeddings: DataFrame, numQueries: Int = 8, k: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    val q = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id").cast("long").as("query_id"), asDouble(col("embedding")).as("qe"))
+    val n = embeddings
+      .select(col("vec_id").cast("long").as("neighbor_id"), asDouble(col("embedding")).as("ne"))
+    graft.plans.CosineTopKPlan.partials(spark, q, n, k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** vec_id, bucket — sign-bit bucket over the hyperplane projections. */
   def lshBuckets(embeddings: DataFrame): DataFrame = {
     val spark = embeddings.sparkSession

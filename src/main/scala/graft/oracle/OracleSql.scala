@@ -683,6 +683,7 @@ object OracleSql {
     "dedup_simhash" -> dedupSimhash,
     "doc_fingerprint" -> docFingerprint,
     "emb_topk" -> embTopK,
+    "emb_topk_native" -> embTopK,
     "emb_lsh" -> embLsh,
     "emb_dup_pairs" -> embDupPairs,
     "lang_id" -> langId,

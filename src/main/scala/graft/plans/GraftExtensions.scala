@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity(children.head, children(1))
       }))
     ext.injectOptimizerRule(_ => FoldSelfCosine)
+    ext.injectPlannerStrategy(_ => GraftStrategy)
   }
 }
 

@@ -1,14 +1,17 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset, ExpressionUtils, SparkSession => ClassicSession}
 
-/** Bridge into `private[sql]` Column↔Expression conversion — the standard
-  * pattern for third-party Catalyst expressions (same access trick every
-  * public Spark extension library uses). Nothing else from the internal
-  * API is touched. */
+/** Bridge into `private[sql]` Column↔Expression/Dataset construction — the
+  * standard pattern for third-party Catalyst extensions (same access trick
+  * every public Spark extension library uses). Nothing else from the
+  * internal API is touched. */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
 }
