@@ -112,6 +112,13 @@ object SparkEntry {
     "vocab_stats" -> ((s, d) => TextStats.vocabStats(docs(s, d))),
     "ngram_counts" -> ((s, d) => TextStats.ngramCounts(docs(s, d))),
     "doc_sample" -> ((s, d) => TextStats.sampleDocs(docs(s, d))),
+    "decontaminate" -> ((s, d) => {
+      val base = docs(s, d)
+      val eval = TextOps.sentences(base)
+        .where(col("sent_id") === 0 && pmod(col("doc_id"), lit(50L)) === 0)
+        .select(col("doc_id").as("eval_id"), col("sent_text"))
+      TextStats.decontaminate(base, eval, "eval_id", "sent_text")
+    }),
     "token_packing" -> ((s, d) => TextStats.tokenPacking(docs(s, d))),
     "lang_id" -> ((s, d) => TextStats.langId(docs(s, d))),
     "quality_score" -> ((s, d) => TextStats.quality(docs(s, d))),

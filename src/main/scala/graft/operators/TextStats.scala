@@ -95,6 +95,29 @@ object TextStats {
       .drop("cum")
   }
 
+  /** Training-data decontamination: flag documents whose bigrams overlap an
+    * eval set's bigrams (the standard n-gram–overlap contamination check).
+    * The eval side is tiny → broadcast; the corpus is scanned once. */
+  def decontaminate(docs: DataFrame, evalTexts: DataFrame,
+                    evalIdCol: String, evalTextCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("ord")
+    val docBigrams = TextOps.tokens(docs)
+      .withColumn("t2", lead("tok", 1).over(w))
+      .where(col("t2").isNotNull)
+      .select(col("doc_id"), concat(col("tok"), lit(" "), col("t2")).as("bigram"))
+      .distinct()
+    val we = org.apache.spark.sql.expressions.Window.partitionBy(evalIdCol).orderBy("pos")
+    val evalBigrams = evalTexts
+      .select(col(evalIdCol), posexplode(split(col(evalTextCol), " ")).as(Seq("pos", "tok")))
+      .withColumn("t2", lead("tok", 1).over(we))
+      .where(col("t2").isNotNull)
+      .select(concat(col("tok"), lit(" "), col("t2")).as("bigram"))
+      .distinct()
+    docBigrams.join(broadcast(evalBigrams), "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlapping_bigrams"))
+  }
+
   /** Multimodal metadata: payload as binary + typed metadata + stubbed decode.
     * doc_id, byte_len, head_hex, fake_width, fake_height, fake_n_frames. */
   def multimodalMeta(docs: DataFrame): DataFrame =

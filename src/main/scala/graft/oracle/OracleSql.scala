@@ -620,6 +620,21 @@ object OracleSql {
     """SELECT doc_id, lang, source FROM documents
       |WHERE (doc_id * 2654435761) % 1000 < 100""".stripMargin
 
+  val decontaminate: String =
+    s"""WITH $tokCte,
+       |db0 AS (SELECT doc_id, tok, lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS t2 FROM tok),
+       |db AS (SELECT DISTINCT doc_id, tok || ' ' || t2 AS bigram FROM db0 WHERE t2 IS NOT NULL),
+       |ev AS (SELECT doc_id AS eval_id, string_agg(tok, ' ' ORDER BY ord) AS sent_text
+       |  FROM tok WHERE (ord - 1) // $W = 0 AND doc_id % 50 = 0 GROUP BY doc_id),
+       |et AS (SELECT eval_id,
+       |    unnest(string_split(sent_text, ' ')) AS tok,
+       |    CAST(unnest(range(1, len(string_split(sent_text, ' ')) + 1)) AS BIGINT) AS pos
+       |  FROM ev),
+       |eb0 AS (SELECT eval_id, tok, lead(tok, 1) OVER (PARTITION BY eval_id ORDER BY pos) AS t2 FROM et),
+       |eb AS (SELECT DISTINCT tok || ' ' || t2 AS bigram FROM eb0 WHERE t2 IS NOT NULL)
+       |SELECT db.doc_id, CAST(count(*) AS BIGINT) AS n_overlapping_bigrams
+       |FROM db JOIN eb USING (bigram) GROUP BY 1""".stripMargin
+
   val tokenPacking: String =
     s"""WITH $tokCte,
        |sent AS (SELECT doc_id, (ord - 1) // $W AS sent_id, CAST(count(*) AS BIGINT) AS n_tokens
@@ -656,6 +671,7 @@ object OracleSql {
     "vocab_stats" -> vocabStats,
     "ngram_counts" -> ngramCounts,
     "doc_sample" -> docSample,
+    "decontaminate" -> decontaminate,
     "token_packing" -> tokenPacking,
     "events_quantiles" -> eventsQuantiles,
     "top_parts_per_brand" -> topPartsPerBrand,

@@ -54,6 +54,26 @@ class PostProcessSpec extends SparkSpec {
     assert(s1.size > 50 && s1.size < 200)
   }
 
+  test("decontaminate flags docs sharing eval bigrams") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta", "en", "s", 22L),
+      (1L, "omega psi chi phi", "en", "s", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val eval = Seq((100L, "beta gamma epsilon")).toDF("eval_id", "sent_text")
+    val r = TextStats.decontaminate(docs, eval, "eval_id", "sent_text").collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("doc_id") == 0L)
+    assert(r.head.getAs[Long]("n_overlapping_bigrams") == 1L) // "beta gamma"
+  }
+
+  test("decodeBatched processes binary payloads in partition batches") {
+    val payloads = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
+      .selectExpr("doc_id", "CAST(text AS BINARY) AS payload")
+    val r = TextStats.decodeBatched(payloads).orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("byte_len") == 5 && r(0).getAs[Int]("first_byte") == 'h'.toInt)
+    assert(r(1).getAs[Int]("byte_len") == 0 && r(1).getAs[Int]("first_byte") == 0)
+  }
+
   test("token packing keeps packs within budget for full sentences") {
     val text = (1 to 200).map(i => s"w$i").mkString(" ") // 20 sentence windows
     val docs = Seq((0L, text, "en", "s", text.length.toLong))
