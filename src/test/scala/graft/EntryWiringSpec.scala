@@ -1,0 +1,30 @@
+package graft
+
+/** Contract guards for the driver interface: every query analyzes against the
+  * smallest corpus, and the queries↔oracle maps stay in sync. */
+class EntryWiringSpec extends SparkSpec {
+
+  private val rowsOnly = Set("abbrev") // intentionally oracle-less (SURVEY §2 B3)
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("every query except the declared rows-only set has an oracle") {
+    val missing = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet).diff(rowsOnly)
+    assert(missing.isEmpty, s"query without oracle: $missing")
+  }
+
+  test("every query plan analyzes against sf0.001 (no wiring/typo failures)") {
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, "/root/testdata/sf0.001").schema; None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(80)}") }
+    }
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("entry() targets sf0.001 and is analyzable") {
+    assert(SparkEntry.entry(spark).schema.fieldNames.contains("ngd"))
+  }
+}
