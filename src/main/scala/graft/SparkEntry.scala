@@ -68,6 +68,7 @@ object SparkEntry {
     "sentence_pairs" -> ((s, d) => SentencePairs.extractWithBlinded(docs(s, d), pp(s, d))),
     "classified_sentences" -> ((s, d) => SentencePairs.classified(pp(s, d))),
     "relation_paths" -> ((s, d) => SentencePairs.relationPaths(docs(s, d), pp(s, d))),
+    "distant_supervision" -> ((s, d) => SentencePairs.distantSupervision(pp(s, d))),
     "doc_upsert" -> ((s, d) => {
       val base = docs(s, d)
       val updates = base.where(pmod(col("doc_id") * 2654435761L, lit(1000L)) < 100)

@@ -56,6 +56,27 @@ object SentencePairs {
         .as("blinded_sentence"))
   }
 
+  /** Distant supervision (reference: relation_extraction/distant_supervision):
+    * sentence-level pair mentions are silver-labeled positive when the pair is
+    * a high-confidence knowledge-base edge — here the top cooccurrence edges
+    * by NPMI stand in for the curated KB. Output: labeled training instances.
+    * The KB side is small → broadcast; mentions stream through one join. */
+  def distantSupervision(annots: DataFrame, minNpmi: Double = 0.1): DataFrame = {
+    val kb = Cooccurrence.metrics(annots, Seq("doc_id"))
+      .where(col("npmi") >= minNpmi)
+      .select(col("concept1"), col("concept2"), col("npmi").as("kb_npmi"))
+    val mentions = extract(annots)
+    // pair keys in the KB are ordered concept1 < concept2; mention pairs are
+    // (OP-prefix, DS-prefix) — normalize to the ordered form before joining
+    val normalized = mentions
+      .withColumn("concept1", least(col("concept_x"), col("concept_y")))
+      .withColumn("concept2", greatest(col("concept_x"), col("concept_y")))
+    normalized.join(broadcast(kb), Seq("concept1", "concept2"), "left")
+      .select(col("doc_id"), col("sent_id"), col("concept_x"), col("concept_y"),
+        col("kb_npmi").isNotNull.as("silver_positive"),
+        coalesce(col("kb_npmi"), lit(0.0)).as("kb_npmi"))
+  }
+
   /** Deterministic surrogate classification score in [0,1): integer math only,
     * so engine and oracle agree bit-for-bit. */
   private def score = pmod(col("doc_id") * 31 + col("sent_id") * 17 + col("x_ord") * 7 + col("y_ord"), lit(1000L)).cast("double") / 1000.0

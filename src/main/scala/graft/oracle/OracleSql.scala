@@ -291,6 +291,31 @@ object OracleSql {
         |  GROUP BY 1, 2, 3, 4, 5, 6)
         |GROUP BY path HAVING count(*) >= 2""".stripMargin
 
+  val distantSupervision: String =
+    docPipeline(unitsDocCte, pairCountsSql("units_doc", Seq("doc_id")),
+      """singles AS (SELECT concept_id, CAST(count(*) AS BIGINT) AS unit_count FROM units_doc GROUP BY 1),
+        |tot AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM units_doc),
+        |m AS (
+        |  SELECT p.concept1, p.concept2,
+        |    CAST(s1.unit_count AS DOUBLE) AS fx, CAST(s2.unit_count AS DOUBLE) AS fy,
+        |    CAST(p.pair_count AS DOUBLE) AS fxy, t.n AS n
+        |  FROM pairs p
+        |  JOIN singles s1 ON p.concept1 = s1.concept_id
+        |  JOIN singles s2 ON p.concept2 = s2.concept_id
+        |  CROSS JOIN tot t),
+        |kb AS (
+        |  SELECT concept1, concept2, npmi AS kb_npmi FROM (
+        |    SELECT concept1, concept2,
+        |      floor((ln((fxy / n) / ((fx / n) * (fy / n))) / (-1.0 * ln((fxy / n) + 0.000000001))) * 1000000 + 0.5) / 1000000 AS npmi
+        |    FROM m WHERE log10(n) - least(log10(fx), log10(fy)) <> 0)
+        |  WHERE npmi >= 0.1)""".stripMargin + ",\n" + pairsCte) +
+      """SELECT p.doc_id, p.sent_id, p.concept_x, p.concept_y,
+        |  kb.kb_npmi IS NOT NULL AS silver_positive,
+        |  coalesce(kb.kb_npmi, 0.0) AS kb_npmi
+        |FROM prs p
+        |LEFT JOIN kb ON least(p.concept_x, p.concept_y) = kb.concept1
+        |  AND greatest(p.concept_x, p.concept_y) = kb.concept2""".stripMargin
+
   val docUpsert: String =
     """WITH upd AS (
       |  SELECT doc_id, text, 'xx' AS lang, 'updated' AS source, n_chars
@@ -683,6 +708,7 @@ object OracleSql {
     "classified_sentences" -> classifiedSentences,
     "relation_paths" -> relationPaths,
     "doc_upsert" -> docUpsert,
+    "distant_supervision" -> distantSupervision,
     "bionlp_export" -> bionlpExport,
     "text_export" -> textExport,
     "es_docs" -> esDocs,
