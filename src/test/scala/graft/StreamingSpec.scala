@@ -54,6 +54,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L))
   }
 
+  test("file-source streaming: readStream over the real events parquet → windowed counts") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file stream source needs a directory — stage the real file into one
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"), col("value"))
+    val q = EventStreams.windowedCounts(stream, windowLen = "1 day", watermark = "2 days")
+      .writeStream.format("memory").queryName("filewc").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val total = spark.table("filewc").agg(sum("n_events")).collect().head.getLong(0)
+    assert(total > 0)
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Event]
