@@ -81,6 +81,7 @@ object Cooccurrence {
         Num.r6(pmi / (-lit(1.0) * log(greatest(px, py) + 1e-9))).as("npmim"),
         Num.r6(md).as("md"),
         Num.r6(md + log(pxy)).as("lfmd"))
+      .persist() // shared by cooccur_metrics_doc, kg_edges, distant_supervision
   }
 
   /** The reference counts cooccurrence at DOCUMENT/SENTENCE/TITLE/ABSTRACT
