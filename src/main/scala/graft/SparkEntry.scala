@@ -77,6 +77,8 @@ object SparkEntry {
     }),
     // E. exports
     "bionlp_export" -> ((s, d) => Exports.bionlp(pp(s, d))),
+    "pubannotation_export" -> ((s, d) => Exports.pubannotation(pp(s, d))),
+    "q6_forecast" -> ((s, d) => Relational.q6Forecast(Tables.lineitem(s, d))),
     "text_export" -> ((s, d) => Exports.textExport(docs(s, d))),
     "es_docs" -> ((s, d) => Exports.esDocs(docs(s, d), pp(s, d))),
     "export_flat" -> ((s, d) => Exports.flat(docs(s, d), pp(s, d))),

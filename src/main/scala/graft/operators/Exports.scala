@@ -32,6 +32,26 @@ object Exports {
           lit("\t"), col("tok")).as("line"))
   }
 
+  /** doc_id, pubannotation — PubAnnotation JSON export (reference:
+    * etl/deprecated/PubAnnotationExportPipeline.java,
+    * file/conversion/pubannotation): one JSON document per doc with a
+    * denotations array. JSON is assembled with deterministic concatenation
+    * (not to_json) so field order is byte-stable for the oracle. */
+  def pubannotation(annots: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("char_start"), col("concept_id"))
+    annots
+      .withColumn("t_num", row_number().over(w).cast("long"))
+      .withColumn("denotation",
+        concat(lit("{\"id\":\"T"), col("t_num"),
+          lit("\",\"span\":{\"begin\":"), col("char_start"),
+          lit(",\"end\":"), col("char_end"),
+          lit("},\"obj\":\""), col("concept_id"), lit("\"}")))
+      .groupBy("doc_id")
+      .agg(concat(lit("{\"target\":\"doc:"), col("doc_id"), lit("\",\"denotations\":["),
+        array_join(transform(array_sort(collect_list(struct(col("t_num"), col("denotation")))), s => s("denotation")), ","),
+        lit("]}")).as("pubannotation"))
+  }
+
   /** doc_id, rebuilt_text, matches — reconstruct doc text from sentences and
     * prove span discipline (the reference validates spans the same way). */
   def textExport(docs: DataFrame): DataFrame =

@@ -63,6 +63,18 @@ object Relational {
       .groupBy(expr(s"(ts div 1000) div $UsPerHour").as("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), Num.r2(sum(col("value"))).as("sum_value"))
 
+  /** TPC-H Q6-shaped revenue forecast: pure filter+agg — every predicate
+    * reaches the parquet scan (PushedFilters), no join, one partial-agg
+    * shuffle of a single row per partition. */
+  def q6Forecast(lineitem: DataFrame): DataFrame =
+    lineitem
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+        col("l_quantity") < 24)
+      .agg(Num.r2(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+
   /** Exact interpolated quantiles of event value per type (p50/p90/p99).
     * Exact (sort-based) rather than sketch-based so the DuckDB oracle agrees
     * bit-for-bit; the sketch path (approx_percentile) is the 100 TB option

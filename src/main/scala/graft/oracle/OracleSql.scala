@@ -335,6 +335,26 @@ object OracleSql {
         |    || chr(9) || tok AS line
         |FROM pp""".stripMargin
 
+  val pubannotationExport: String =
+    docPipeline() +
+      """SELECT doc_id, '{"target":"doc:' || doc_id || '","denotations":[' ||
+        |  string_agg('{"id":"T' || t_num || '","span":{"begin":' || char_start || ',"end":' || char_end
+        |    || '},"obj":"' || concept_id || '"}', ',' ORDER BY t_num) || ']}' AS pubannotation
+        |FROM (
+        |  SELECT doc_id, concept_id, char_start, char_end,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY char_start, concept_id) AS BIGINT) AS t_num
+        |  FROM pp)
+        |GROUP BY doc_id""".stripMargin
+
+  val q6Forecast: String =
+    """SELECT floor((sum(l_extendedprice * l_discount)) * 100 + 0.5) / 100 AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.02 AND l_discount <= 0.04
+      |  AND l_quantity < 24""".stripMargin
+
   val textExport: String =
     s"""WITH $tokCte,
        |sent AS (SELECT doc_id, (ord - 1) // $W AS sent_id, string_agg(tok, ' ' ORDER BY ord) AS sent_text
@@ -710,6 +730,8 @@ object OracleSql {
     "doc_upsert" -> docUpsert,
     "distant_supervision" -> distantSupervision,
     "bionlp_export" -> bionlpExport,
+    "pubannotation_export" -> pubannotationExport,
+    "q6_forecast" -> q6Forecast,
     "text_export" -> textExport,
     "es_docs" -> esDocs,
     "export_flat" -> exportFlat,
