@@ -94,6 +94,7 @@ object SparkEntry {
     "events_quantiles" -> ((s, d) => Relational.eventsQuantiles(Tables.events(s, d))),
     "top_parts_per_brand" -> ((s, d) => Relational.topPartsPerBrand(Tables.part(s, d))),
     "kg_nodes" -> ((s, _) => KnowledgeGraph.nodes(s)),
+    "ontology_closure" -> ((s, _) => KnowledgeGraph.ontologyClosure(s)),
     "kg_edges" -> ((s, d) => KnowledgeGraph.edges(pp(s, d))),
     // G. LLM-data ops
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),

@@ -34,6 +34,20 @@ object ConceptDict {
     entries.map { case (_, c) => (c, c.takeWhile(_ != ':') + ":ROOT") } ++
       Seq("OP:join" -> "OP:JOINLIKE", "OP:merge" -> "OP:JOINLIKE")
 
+  /** DIRECT subclass edges (child, parent) — the raw hierarchy the reference
+    * derives closures from (util/CreateUmlsSubclassOntology,
+    * OntologyClassAncestorMapFactory builds the flat `ancestors` map by
+    * walking these). join/merge go through the JOINLIKE mid-level. */
+  val directEdges: Seq[(String, String)] =
+    entries.map { case (_, c) =>
+      if (c == "OP:join" || c == "OP:merge") (c, "OP:JOINLIKE")
+      else (c, c.takeWhile(_ != ':') + ":ROOT")
+    } :+ ("OP:JOINLIKE" -> "OP:ROOT")
+
+  def directEdgesValuesSql(alias: String = "edges"): String =
+    directEdges.map { case (c, p) => s"('$c','$p')" }
+      .mkString("(VALUES ", ", ", s") AS $alias(child, parent)")
+
   val stopwords: Seq[String] = Seq("a", "the")
 
   /** Concept promotion map (reference: util/NcbiTaxonPromotionMapFactory,

@@ -35,6 +35,38 @@ object KnowledgeGraph {
     s"(CASE $whens ELSE 'graft:NamedThing' END)"
   }
 
+  /** Transitive closure of a (child, parent) edge set by iterative
+    * self-join to fixpoint (reference: corpora/semmed/CreateUmlsSubclassOntology
+    * + util/OntologyClassAncestorMapFactory derive ancestor closures from
+    * direct subclass edges). Spark has no recursive CTE; the idiomatic
+    * formulation is a driver loop of join+union+distinct, O(depth)
+    * iterations. At 100 TB each iteration is one shuffle and intermediate
+    * results should be checkpointed every few rounds to cut lineage. */
+  def transitiveClosure(edges: DataFrame, maxIterations: Int = 20): DataFrame = {
+    var closure = edges.select(col("child"), col("parent")).distinct().persist()
+    var n = closure.count()
+    var grew = true
+    var iter = 0
+    while (grew && iter < maxIterations) {
+      val step = closure.as("c")
+        .join(edges.as("e"), col("c.parent") === col("e.child"))
+        .select(col("c.child").as("child"), col("e.parent").as("parent"))
+      val next = closure.unionByName(step).distinct().persist()
+      val m = next.count()
+      grew = m > n
+      n = m
+      closure = next
+      iter += 1
+    }
+    closure
+  }
+
+  /** The dictionary ontology's ancestor closure from its direct edges. */
+  def ontologyClosure(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    transitiveClosure(graft.functions.ConceptDict.directEdges.toDF("child", "parent"))
+  }
+
   /** Node table: concept_id, name, category. */
   def nodes(spark: org.apache.spark.sql.SparkSession): DataFrame =
     ConceptDict.dictDF(spark)

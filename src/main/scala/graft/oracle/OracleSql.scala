@@ -618,6 +618,14 @@ object OracleSql {
        |$cooccurMetricsDoc
        |)""".stripMargin
 
+  val ontologyClosure: String =
+    s"""WITH RECURSIVE closure(child, parent) AS (
+       |  SELECT child, parent FROM ${ConceptDict.directEdgesValuesSql()}
+       |  UNION
+       |  SELECT c.child, e.parent
+       |  FROM closure c JOIN ${ConceptDict.directEdgesValuesSql("e")} ON c.parent = e.child)
+       |SELECT child, parent FROM closure""".stripMargin
+
   val eventsQuantiles: String =
     """SELECT event_type,
       |  floor((quantile_cont(value, 0.5)) * 1000000 + 0.5) / 1000000 AS p50,
@@ -710,6 +718,7 @@ object OracleSql {
     "dict_export" -> dictExport,
     "kg_nodes" -> kgNodes,
     "kg_edges" -> kgEdges,
+    "ontology_closure" -> ontologyClosure,
     "concepts_promoted" -> conceptsPromoted,
     "text_redact" -> textRedact,
     "events_props" -> eventsProps,

@@ -31,6 +31,18 @@ class SkewSpec extends SparkSpec {
     assert(cands.head.getAs[Long]("shared_bands") == (Dedup.NumHashes / Dedup.RowsPerBand).toLong)
   }
 
+  test("transitiveClosure reaches fixpoint on a 4-deep chain with a diamond") {
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "d"),   // chain a→b→c→d
+      ("a", "x"), ("x", "d"))               // diamond a→x→d
+      .toDF("child", "parent")
+    val closure = graft.operators.KnowledgeGraph.transitiveClosure(edges)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(closure == Set(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("a", "x"),
+      ("b", "c"), ("b", "d"), ("c", "d"), ("x", "d")))
+  }
+
   test("conll03 export tags dictionary tokens with B-<group>") {
     val docs = Seq((0L, "join table zzz", "en", "s", 14L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
