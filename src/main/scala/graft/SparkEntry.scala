@@ -126,6 +126,8 @@ object SparkEntry {
     "token_packing" -> ((s, d) => TextStats.tokenPacking(docs(s, d))),
     "lang_id" -> ((s, d) => TextStats.langId(docs(s, d))),
     "quality_score" -> ((s, d) => TextStats.quality(docs(s, d))),
+    "repetition_stats" -> ((s, d) => TextStats.repetitionStats(docs(s, d))),
+    "quality_filter" -> ((s, d) => TextStats.qualityFilter(docs(s, d))),
     "multimodal_meta" -> ((s, d) => TextStats.multimodalMeta(docs(s, d))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -95,6 +95,43 @@ object TextStats {
       .drop("cum")
   }
 
+  /** Repetition statistics (the Gopher/RefinedWeb-style quality signals):
+    * duplicate-token and duplicate-trigram ratios per document. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("ord")
+    TextOps.tokens(docs)
+      .withColumn("t2", lead("tok", 1).over(w))
+      .withColumn("t3", lead("tok", 2).over(w))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct("tok").as("n_distinct_tokens"),
+        sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("n_trigrams"),
+        countDistinct(when(col("t3").isNotNull,
+          concat_ws(" ", col("tok"), col("t2"), col("t3")))).as("n_distinct_trigrams"))
+      .where(col("n_trigrams") > 0) // guard degenerate <3-token docs
+      .select(col("doc_id"), col("n_tokens"), col("n_trigrams"),
+        Num.r6(lit(1.0) - col("n_distinct_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("dup_token_ratio"),
+        Num.r6(lit(1.0) - col("n_distinct_trigrams").cast("double") / col("n_trigrams").cast("double"))
+          .as("dup_trigram_ratio"))
+  }
+
+  /** Rule-based quality filter (Gopher-rule shape): keep/drop decision plus
+    * the firing reasons, so filtering is auditable. */
+  def qualityFilter(docs: DataFrame,
+                    minTokens: Long = 20, maxDupTrigram: Double = 0.55,
+                    maxStopRatio: Double = 0.12): DataFrame = {
+    val rep = repetitionStats(docs)
+    val q = quality(docs).select("doc_id", "stop_ratio")
+    rep.join(q, "doc_id")
+      .withColumn("too_short", col("n_tokens") < minTokens)
+      .withColumn("too_repetitive", col("dup_trigram_ratio") > maxDupTrigram)
+      .withColumn("too_stoppy", col("stop_ratio") > maxStopRatio)
+      .select(col("doc_id"), col("too_short"), col("too_repetitive"), col("too_stoppy"),
+        (!col("too_short") && !col("too_repetitive") && !col("too_stoppy")).as("keep"))
+  }
+
   /** Training-data decontamination: flag documents whose bigrams overlap an
     * eval set's bigrams (the standard n-gram–overlap contamination check).
     * The eval side is tiny → broadcast; the corpus is scanned once. */

@@ -592,6 +592,40 @@ object OracleSql {
        |    * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS quality
        |FROM f""".stripMargin
 
+  private val repCte =
+    s"""g AS (SELECT doc_id, tok,
+       |    lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS t2,
+       |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS t3
+       |  FROM tok),
+       |rep0 AS (SELECT doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(count(DISTINCT tok) AS BIGINT) AS nd,
+       |    CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_trigrams,
+       |    CAST(count(DISTINCT CASE WHEN t3 IS NOT NULL THEN tok || ' ' || t2 || ' ' || t3 END) AS BIGINT) AS ndt
+       |  FROM g GROUP BY doc_id),
+       |rep AS (SELECT doc_id, n_tokens, n_trigrams,
+       |    floor((1.0 - CAST(nd AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS dup_token_ratio,
+       |    floor((1.0 - CAST(ndt AS DOUBLE) / CAST(n_trigrams AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS dup_trigram_ratio
+       |  FROM rep0 WHERE n_trigrams > 0)""".stripMargin
+
+  val repetitionStats: String =
+    s"""WITH $tokCte,
+       |$repCte
+       |SELECT doc_id, n_tokens, n_trigrams, dup_token_ratio, dup_trigram_ratio FROM rep""".stripMargin
+
+  val qualityFilter: String =
+    s"""WITH $tokCte,
+       |$repCte,
+       |q AS (SELECT doc_id,
+       |    floor((CAST($stopCountSql AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS stop_ratio
+       |  FROM documents)
+       |SELECT rep.doc_id,
+       |  rep.n_tokens < 20 AS too_short,
+       |  rep.dup_trigram_ratio > 0.55 AS too_repetitive,
+       |  q.stop_ratio > 0.12 AS too_stoppy,
+       |  (NOT rep.n_tokens < 20 AND NOT rep.dup_trigram_ratio > 0.55 AND NOT q.stop_ratio > 0.12) AS keep
+       |FROM rep JOIN q ON rep.doc_id = q.doc_id""".stripMargin
+
   val multimodalMeta: String =
     """SELECT doc_id,
       |  CAST(length(text) AS BIGINT) AS byte_len,
@@ -761,5 +795,7 @@ object OracleSql {
     "emb_dup_pairs" -> embDupPairs,
     "lang_id" -> langId,
     "quality_score" -> qualityScore,
+    "repetition_stats" -> repetitionStats,
+    "quality_filter" -> qualityFilter,
     "multimodal_meta" -> multimodalMeta)
 }
