@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.Agg
 import graft.functions.ConceptDict
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -33,10 +34,10 @@ object Conllu {
       .withColumn("line", concat_ws("\t",
         col("tok_id"), col("tok"), lower(col("tok")), uposFor("tok")))
       .groupBy("doc_id", "sent_id")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("tok_id"), col("line")))), s => s("line")), "\n")
+      .agg(Agg.orderedStringAgg(col("tok_id"), col("line"), "\n")
         .as("sent_block"))
       .groupBy("doc_id")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("sent_id"), col("sent_block")))), s => s("sent_block")), "\n\n")
+      .agg(Agg.orderedStringAgg(col("sent_id"), col("sent_block"), "\n\n")
         .as("conllu"))
 
   /** Parse a conllu text column → doc_id, sent_id, tok_id, form, lemma, upos. */

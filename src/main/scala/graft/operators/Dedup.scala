@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.Agg
 import graft.functions.Num
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -90,7 +91,7 @@ object Dedup {
       .agg(min("h").as("mh"))
       .withColumn("band", (col("j") / RowsPerBand).cast("long"))
       .groupBy("doc_id", "band")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("mh")))), s => s("mh").cast("string")), ",")
+      .agg(Agg.orderedStringAgg(col("j"), col("mh").cast("string"), ",")
         .as("band_key"))
   }
 

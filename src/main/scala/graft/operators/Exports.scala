@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.Agg
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -48,7 +49,7 @@ object Exports {
           lit("},\"obj\":\""), col("concept_id"), lit("\"}")))
       .groupBy("doc_id")
       .agg(concat(lit("{\"target\":\"doc:"), col("doc_id"), lit("\",\"denotations\":["),
-        array_join(transform(array_sort(collect_list(struct(col("t_num"), col("denotation")))), s => s("denotation")), ","),
+        Agg.orderedStringAgg(col("t_num"), col("denotation"), ","),
         lit("]}")).as("pubannotation"))
   }
 
@@ -57,7 +58,7 @@ object Exports {
   def textExport(docs: DataFrame): DataFrame =
     TextOps.sentences(docs)
       .groupBy("doc_id")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("sent_id"), col("sent_text")))), s => s("sent_text")), " ")
+      .agg(Agg.orderedStringAgg(col("sent_id"), col("sent_text"), " ")
         .as("rebuilt_text"))
       .join(docs.select("doc_id", "text"), "doc_id")
       .select(col("doc_id"), col("rebuilt_text"), (col("rebuilt_text") === col("text")).as("matches"))

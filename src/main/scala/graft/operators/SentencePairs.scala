@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.Agg
 import graft.functions.Num
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -52,7 +53,7 @@ object SentencePairs {
           .when(col("ord") === col("y_ord"), lit("@CONCEPT_Y$"))
           .otherwise(col("tok")))
       .groupBy("doc_id", "sent_id", "concept_x", "concept_y", "x_ord", "y_ord")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("ord"), col("btok")))), s => s("btok")), " ")
+      .agg(Agg.orderedStringAgg(col("ord"), col("btok"), " ")
         .as("blinded_sentence"))
   }
 
@@ -101,7 +102,7 @@ object SentencePairs {
     pairs.join(toks, Seq("doc_id"))
       .where(col("ord") > col("lo") && col("ord") < col("hi"))
       .groupBy("doc_id", "sent_id", "concept_x", "concept_y", "lo", "hi")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("ord"), col("tok")))), s => s("tok")), " ")
+      .agg(Agg.orderedStringAgg(col("ord"), col("tok"), " ")
         .as("path"))
       .groupBy("path")
       .agg(count(lit(1)).as("support"),

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.Agg
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -48,7 +49,7 @@ object TextOps {
       .withColumn("sent_id", expr(s"(ord - 1) div $SentWindow"))
       .groupBy("doc_id", "sent_id")
       .agg(
-        array_join(transform(array_sort(collect_list(struct(col("ord"), col("tok")))), s => s("tok")), " ").as("sent_text"),
+        Agg.orderedStringAgg(col("ord"), col("tok"), " ").as("sent_text"),
         count(lit(1)).as("n_tokens"),
         min("char_start").as("char_start"),
         max("char_end").as("char_end"))

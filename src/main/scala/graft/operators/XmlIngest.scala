@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.Agg
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -27,7 +28,7 @@ object XmlIngest {
       .select(col("doc_id"), col("sent_text").as("title"))
     val body = sents.where(col("sent_id") > 0)
       .groupBy("doc_id")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("sent_id"), col("sent_text")))), s => s("sent_text")), " ")
+      .agg(Agg.orderedStringAgg(col("sent_id"), col("sent_text"), " ")
         .as("body"))
     title.join(body, Seq("doc_id"), "left")
       .select(col("doc_id"),
