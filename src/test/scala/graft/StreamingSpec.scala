@@ -75,6 +75,30 @@ class StreamingSpec extends SparkSpec {
     assert(total > 0)
   }
 
+  test("streaming windowed counts ≡ batch eventsHourly on the same real data") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Files.createTempDirectory("graft-equiv")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"), col("value"))
+    val q = graft.streaming.EventStreams.windowedCounts(stream, "1 hour", "100 days")
+      .writeStream.format("memory").queryName("equiv").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streaming = spark.table("equiv")
+      .select(expr("unix_micros(window_start) div 3600000000").as("hour_bucket"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("hour_bucket", "event_type").collect().map(_.toSeq)
+    val batch = graft.operators.Relational.eventsHourly(
+      graft.sources.Tables.events(spark, "/root/testdata/sf0.001"))
+      .orderBy("hour_bucket", "event_type").collect().map(_.toSeq)
+    assert(streaming.toSeq == batch.toSeq)
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Event]
