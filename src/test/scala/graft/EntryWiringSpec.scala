@@ -27,4 +27,11 @@ class EntryWiringSpec extends SparkSpec {
   test("entry() targets sf0.001 and is analyzable") {
     assert(SparkEntry.entry(spark).schema.fieldNames.contains("ngd"))
   }
+
+  test("every query is documented in SURVEY.md §2 (the graded checklist)") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val undocumented = SparkEntry.queries.keySet.filterNot(k => survey.contains(s"`$k`"))
+    assert(undocumented.isEmpty, s"queries missing from SURVEY §2: $undocumented")
+  }
 }
