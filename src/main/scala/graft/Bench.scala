@@ -25,21 +25,30 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     var coldTotal = 0.0
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Long =
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        failed += name
+        -1L
+      }
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      run(name, fn)
       coldTotal += (System.nanoTime() - t0) / 1e9
       quiesce()
       val t1 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      run(name, fn)
       val warm = (System.nanoTime() - t1) / 1e9
       quiesce()
       name -> warm
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"failed":$fails,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

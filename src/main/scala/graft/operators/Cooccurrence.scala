@@ -54,12 +54,17 @@ object Cooccurrence {
     val units = unitConcepts(annots, unitCols).persist()
     val pairs = pairCounts(units, unitCols)
     val singles = singletonCounts(units)
-    val total = units.select(unitCols.map(col): _*).distinct().count()
+    // total unit count as a 1-row aggregate cross-joined (broadcast) into the
+    // pair table — N stays inside the plan; no job launches at DataFrame
+    // construction time (the round-1 driver-side count() ran a full pass over
+    // the unit sets per pipeline build)
+    val total = units.select(unitCols.map(col): _*).distinct()
+      .agg(count(lit(1)).cast("double").as("n_units"))
 
     val fx = col("concept1_count").cast("double")
     val fy = col("concept2_count").cast("double")
     val fxy = col("pair_count").cast("double")
-    val n = lit(total.toDouble)
+    val n = col("n_units")
     val px = fx / n
     val py = fy / n
     val pxy = fxy / n
@@ -69,6 +74,7 @@ object Cooccurrence {
     pairs
       .join(broadcast(singles.select(col("concept_id").as("concept1"), col("unit_count").as("concept1_count"))), "concept1")
       .join(broadcast(singles.select(col("concept_id").as("concept2"), col("unit_count").as("concept2_count"))), "concept2")
+      .crossJoin(broadcast(total))
       .where(log10(n) - least(log10(fx), log10(fy)) =!= 0.0)
       .select(
         col("concept1"), col("concept2"),
@@ -100,13 +106,16 @@ object Cooccurrence {
     }
   }
 
-  /** concept_id, df, idf = Num.r6(ln(N/df)) at document level. */
+  /** concept_id, df, idf = Num.r6(ln(N/df)) at document level. N is a 1-row
+    * broadcast aggregate inside the plan (no driver-side count()). */
   def idf(annots: DataFrame): DataFrame = {
     val units = unitConcepts(annots, Seq("doc_id"))
-    val total = units.select("doc_id").distinct().count()
+    val total = units.select("doc_id").distinct()
+      .agg(count(lit(1)).cast("double").as("n_units"))
     singletonCounts(units)
+      .crossJoin(broadcast(total))
       .select(col("concept_id"), col("unit_count").as("df"),
-        Num.r6(log(lit(total.toDouble) / col("unit_count").cast("double"))).as("idf"))
+        Num.r6(log(col("n_units") / col("unit_count").cast("double"))).as("idf"))
   }
 
   /** concept_count (distinct concepts in doc), num_docs histogram. */

@@ -1,7 +1,6 @@
 package graft.operators
 
-import graft.functions.Agg
-import graft.functions.Num
+import graft.functions.{Agg, Hash60, Num}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -14,13 +13,12 @@ import org.apache.spark.sql.functions._
   * all-pairs-free: candidate pairs come from LSH band buckets (or exact key
   * groups), never a corpus cross join.
   *
-  * ORACLE-PARITY NOTE / SCALE PATH: shingle & token ids are lexicographic
-  * ranks over the distinct vocabulary (a global row_number window). That rank
-  * assignment is a single-partition sort over the *vocabulary* (small here,
-  * and orders of magnitude smaller than the corpus in general), chosen so the
-  * DuckDB oracle can reproduce ids exactly. At 100 TB swap `rankIds` for
-  * `xxhash64(shingle)` — no global sort, same downstream plan; nothing else
-  * changes.
+  * ID SCHEME: shingle & token ids are md5-derived 60-bit integers
+  * ([[Hash60]]) — computed per-row with no vocabulary build and no global
+  * sort, so the DEFAULT path has no single-partition stage at any corpus
+  * size, and the DuckDB oracle reproduces the ids exactly (same arithmetic
+  * over the same md5 hex). `shingleSetsHashed` keeps xxhash64 as the
+  * cheapest pure-Spark variant for when oracle parity is not needed.
   */
 object Dedup {
 
@@ -32,7 +30,6 @@ object Dedup {
     (0 until NumHashes).map(j => (j, (j * 2654435761L) % (MinhashP - 1) + 1, (j * 1013904223L + 12345L) % MinhashP))
 
   val SimhashBits = 16
-  val SimhashMult = 2654435761L
   val RollB = 131L
   val RollP = 1000000007L
 
@@ -66,18 +63,12 @@ object Dedup {
       .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("shingle"))
   }
 
-  /** Assign dense lexicographic rank ids to a distinct key column.
-    * See scale-path note in the object doc. */
-  private def rankIds(df: DataFrame, keyCol: String, idCol: String): DataFrame =
-    df.select(keyCol).distinct()
-      .withColumn(idCol, row_number().over(Window.orderBy(keyCol)).cast("long"))
-
-  /** doc_id, sid — distinct shingle-id set per document. */
-  def shingleSets(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
-    sh.join(rankIds(sh, "shingle", "sid"), "shingle")
-      .select("doc_id", "sid").distinct()
-  }
+  /** doc_id, sid — distinct shingle-id set per document. Ids are md5-derived
+    * (Hash60 mod P): per-row, no vocabulary join, no global sort. */
+  def shingleSets(docs: DataFrame): DataFrame =
+    shingles(docs)
+      .select(col("doc_id"), (Hash60.id(col("shingle")) % MinhashP).as("sid"))
+      .distinct()
 
   /** doc_id, band, band_key — LSH band buckets from MinHash signatures. */
   def minhashBands(shingleSets: DataFrame): DataFrame = {
@@ -95,9 +86,9 @@ object Dedup {
         .as("band_key"))
   }
 
-  /** Scale-path shingle ids: xxhash64 reduced mod P — no global sort, no
-    * vocabulary build; drop-in for rankIds-based sets at 100 TB. (Not under
-    * oracle: DuckDB has no xxhash64; behavior covered by DedupSpec.) */
+  /** Cheapest-variant shingle ids: xxhash64 reduced mod P — one codegen'd
+    * hash call instead of md5+conv. Same plan shape as the default; not
+    * under oracle (DuckDB has no xxhash64), covered by DedupSpec. */
   def shingleSetsHashed(docs: DataFrame): DataFrame =
     shingles(docs)
       .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(MinhashP)).as("sid"))
@@ -142,12 +133,11 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** doc_id, simhash — 16-bit SimHash over token hashes (with multiplicity). */
+  /** doc_id, simhash — 16-bit SimHash over token hashes (with multiplicity).
+    * Token hash = Hash60 mod 2^16: per-row, no vocabulary build. */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = TextOps.tokens(docs)
-    val ids = rankIds(toks, "tok", "tid")
-    val hashed = toks.join(broadcast(ids), "tok")
-      .withColumn("hh", (col("tid") * SimhashMult) % 65536)
+    val hashed = TextOps.tokens(docs)
+      .withColumn("hh", Hash60.id(col("tok")) % 65536)
     val bitSums = (0 until SimhashBits).map(k =>
       sum(when(shiftright(col("hh"), k) % 2 === 1, 1L).otherwise(-1L)).as(s"b$k"))
     val fingerprint = (0 until SimhashBits)
@@ -159,13 +149,13 @@ object Dedup {
   }
 
   /** doc_id, fingerprint — min over rolling 5-gram polynomial hashes of token
-    * ids (Karp–Rabin style); docs shorter than 5 tokens are skipped. */
+    * ids (Karp–Rabin style); docs shorter than 5 tokens are skipped.
+    * Token id = Hash60 mod RollP, so the widest intermediate product
+    * (RollP·131^4) stays under 2^63. */
   def rollingFingerprint(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("ord")
-    val toks = TextOps.tokens(docs)
-    val ids = rankIds(toks, "tok", "tid")
-    toks.join(broadcast(ids), "tok")
-      .select(col("doc_id"), col("ord"), col("tid"))
+    TextOps.tokens(docs)
+      .select(col("doc_id"), col("ord"), (Hash60.id(col("tok")) % RollP).as("tid"))
       .withColumn("t2", lead("tid", 1).over(w))
       .withColumn("t3", lead("tid", 2).over(w))
       .withColumn("t4", lead("tid", 3).over(w))

@@ -98,8 +98,13 @@ object SentencePairs {
     val pairs = extract(annots, xPrefix, yPrefix)
       .withColumn("lo", least(col("x_ord"), col("y_ord")))
       .withColumn("hi", greatest(col("x_ord"), col("y_ord")))
-    val toks = TextOps.tokens(docs).select("doc_id", "ord", "tok")
-    pairs.join(toks, Seq("doc_id"))
+    // path tokens are by construction inside one sentence window, so the
+    // join carries sent_id too — cuts joined rows by ~SentWindow× vs the
+    // doc_id-only join before the ord range filter, same result
+    val toks = TextOps.tokens(docs)
+      .withColumn("sent_id", expr(s"(ord - 1) div ${TextOps.SentWindow}"))
+      .select("doc_id", "sent_id", "ord", "tok")
+    pairs.join(toks, Seq("doc_id", "sent_id"))
       .where(col("ord") > col("lo") && col("ord") < col("hi"))
       .groupBy("doc_id", "sent_id", "concept_x", "concept_y", "lo", "hi")
       .agg(Agg.orderedStringAgg(col("ord"), col("tok"), " ")

@@ -1,6 +1,6 @@
 package graft.oracle
 
-import graft.functions.ConceptDict
+import graft.functions.{ConceptDict, Hash60}
 import graft.operators.{Dedup, Embeddings, TextOps}
 
 /** DuckDB oracle SQL for every oracle-checked query in SparkEntry.queries.
@@ -456,9 +456,7 @@ object OracleSql {
        |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS t3
        |  FROM tok),
        |sh AS (SELECT doc_id, tok || ' ' || t2 || ' ' || t3 AS shingle FROM sh0 WHERE t3 IS NOT NULL),
-       |vocab AS (SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
-       |  FROM (SELECT DISTINCT shingle FROM sh)),
-       |ss AS (SELECT DISTINCT doc_id, sid FROM sh JOIN vocab USING (shingle)),
+       |ss AS (SELECT DISTINCT doc_id, ${Hash60.sql("shingle")} % ${Dedup.MinhashP} AS sid FROM sh),
        |mh AS (SELECT doc_id, par.j, min((par.a * sid + par.b) % ${Dedup.MinhashP}) AS mh
        |  FROM ss CROSS JOIN $minhashParamsSql GROUP BY 1, 2),
        |bands AS (SELECT doc_id, CAST(j // ${Dedup.RowsPerBand} AS BIGINT) AS band,
@@ -496,9 +494,7 @@ object OracleSql {
     val fp = (0 until Dedup.SimhashBits)
       .map(k => s"(CASE WHEN b$k > 0 THEN ${1L << k} ELSE 0 END)").mkString(" + ")
     s"""WITH $tokCte,
-       |tv AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid
-       |  FROM (SELECT DISTINCT tok FROM tok)),
-       |h AS (SELECT doc_id, (tid * ${Dedup.SimhashMult}) % 65536 AS hh FROM tok JOIN tv USING (tok)),
+       |h AS (SELECT doc_id, ${Hash60.sql("tok")} % 65536 AS hh FROM tok),
        |b AS (SELECT doc_id,
        |    $bitSums
        |  FROM h GROUP BY doc_id)
@@ -507,9 +503,7 @@ object OracleSql {
 
   val docFingerprint: String =
     s"""WITH $tokCte,
-       |tv AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid
-       |  FROM (SELECT DISTINCT tok FROM tok)),
-       |ti AS (SELECT doc_id, ord, tid FROM tok JOIN tv USING (tok)),
+       |ti AS (SELECT doc_id, ord, ${Hash60.sql("tok")} % ${Dedup.RollP} AS tid FROM tok),
        |g AS (SELECT doc_id, tid,
        |    lead(tid, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS t2,
        |    lead(tid, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS t3,

@@ -48,6 +48,27 @@ class DedupSpec extends SparkSpec {
     assert(r(0L) != r(2L))
   }
 
+  test("default dedup plans have no single-partition stage (scale guard)") {
+    // the r1 scale-killer was a row_number() over an unpartitioned window
+    // (vocabulary rank ids) — it planned as Exchange SinglePartition; the
+    // md5-derived ids must never reintroduce one anywhere in the family
+    val d = docs(base, base, "other words entirely unrelated zebra")
+    for (df <- Seq(Dedup.minhashCandidates(d), Dedup.simhash(d),
+                   Dedup.rollingFingerprint(d), Dedup.ngramJaccard(d), Dedup.shingleSetsHashed(d))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"), s"single-partition exchange in:\n$plan")
+    }
+  }
+
+  test("hashed (xxhash64) and default (md5) shingle paths find the same candidate docs") {
+    val nearDup = base.replace("today", "tonight")
+    val d = docs(base, nearDup, "completely different content with many other tokens in this string ok")
+    val byMd5 = Dedup.minhashCandidates(d).select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byXx = Dedup.minhashCandidatesHashed(d).select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(byMd5.contains((0L, 1L)) && byXx.contains((0L, 1L)))
+    assert(!byMd5.exists(p => p._2 == 2L) && !byXx.exists(p => p._2 == 2L))
+  }
+
   test("rolling fingerprint is stable and order-sensitive") {
     val r = Dedup.rollingFingerprint(docs(base, base)).collect()
       .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("fingerprint")).toMap
