@@ -60,6 +60,17 @@ object SparkEntry {
         Cooccurrence.unitConcepts(Cooccurrence.levelAnnots(pp(s, d), "abstract"), Seq("doc_id")), Seq("doc_id"))
         .select(col("concept1"), col("concept2"), col("pair_count"))),
     "xml_roundtrip" -> ((s, d) => XmlIngest.roundTrip(docs(s, d))),
+    "medline_ingest" -> ((s, d) => XmlIngest.medlineRoundTrip(docs(s, d))),
+    "jats_ingest" -> ((s, d) => XmlIngest.jatsRoundTrip(docs(s, d))),
+    "sentences_punct" -> ((s, d) => TextOps.sentencesByPunct(TextOps.punctuated(docs(s, d)), "punct_text")),
+    "cooccur_counts_title_annot" -> ((s, d) =>
+      Cooccurrence.pairCounts(
+        Cooccurrence.unitConcepts(
+          Cooccurrence.levelAnnotsBySection(pp(s, d), Cooccurrence.sectionAnnots(docs(s, d)), "title"),
+          Seq("doc_id")), Seq("doc_id"))
+        .select(col("concept1"), col("concept2"), col("pair_count"))),
+    "sentence_pairs_kw" -> ((s, d) => SentencePairs.extractWithKeyword(docs(s, d), pp(s, d))),
+    "brat_export" -> ((s, d) => Exports.brat(pp(s, d))),
     "cooccur_metrics_doc" -> ((s, d) => Cooccurrence.metrics(pp(s, d), Seq("doc_id"))),
     "concept_idf" -> ((s, d) => Cooccurrence.idf(pp(s, d))),
     "concept_count_dist" -> ((s, d) => Cooccurrence.countDistribution(pp(s, d))),

@@ -106,6 +106,31 @@ object Cooccurrence {
     }
   }
 
+  /** Section annotations derived from the corpus structure: title = the
+    * first sentence window's char span, abstract = windows 1-2 combined.
+    * (doc_id, section, char_start, char_end) — the section-annotation shape
+    * the reference's ingest emits (MedlineXmlToTextFn title/abstract
+    * annotations) and fn/ConceptCooccurrenceCountsFn.java:43-60 consumes. */
+  def sectionAnnots(docs: DataFrame): DataFrame =
+    TextOps.sentences(docs)
+      .where(col("sent_id") <= 2)
+      .withColumn("section", when(col("sent_id") === 0, "title").otherwise("abstract"))
+      .groupBy("doc_id", "section")
+      .agg(min("char_start").as("char_start"), max("char_end").as("char_end"))
+
+  /** Annotation-driven level restriction: keep concept annots whose char
+    * span is contained in the named section's span — the reference's
+    * span-containment semantics, not an ordinal-window convention. The join
+    * is equi on doc_id (≤2 section rows per doc) with the containment
+    * predicate applied post-join. */
+  def levelAnnotsBySection(annots: DataFrame, sections: DataFrame, section: String): DataFrame =
+    annots.join(
+        sections.where(col("section") === section)
+          .select(col("doc_id"), col("char_start").as("sec_start"), col("char_end").as("sec_end")),
+        Seq("doc_id"))
+      .where(col("char_start") >= col("sec_start") && col("char_end") <= col("sec_end"))
+      .drop("sec_start", "sec_end")
+
   /** concept_id, df, idf = Num.r6(ln(N/df)) at document level. N is a 1-row
     * broadcast aggregate inside the plan (no driver-side count()). */
   def idf(annots: DataFrame): DataFrame = {

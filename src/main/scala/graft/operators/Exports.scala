@@ -33,6 +33,27 @@ object Exports {
           lit("\t"), col("tok")).as("line"))
   }
 
+  /** doc_id, ann_file, line — Brat standoff export (reference:
+    * relation_extraction/BratAssertionAnnotationFileCreator.java,
+    * README_brat_to_bert.md): per document an `<doc_id>.ann` file with one
+    * text-bound `T{n}\t{TYPE} {start} {end}\t{text}` line per annotation
+    * plus a normalization `N{n}\tReference T{n} {id}\t{text}` line binding
+    * it to its ontology id. */
+  def brat(annots: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("char_start"), col("concept_id"))
+    val t = annots.withColumn("t_num", row_number().over(w).cast("long"))
+    val tLines = t.select(col("doc_id"),
+      concat(lit("T"), col("t_num"), lit("\t"),
+        substring_index(col("concept_id"), ":", 1), lit(" "),
+        col("char_start"), lit(" "), col("char_end"),
+        lit("\t"), col("tok")).as("line"))
+    val nLines = t.select(col("doc_id"),
+      concat(lit("N"), col("t_num"), lit("\tReference T"), col("t_num"),
+        lit(" "), col("concept_id"), lit("\t"), col("tok")).as("line"))
+    tLines.unionAll(nLines)
+      .select(col("doc_id"), concat(col("doc_id"), lit(".ann")).as("ann_file"), col("line"))
+  }
+
   /** doc_id, pubannotation — PubAnnotation JSON export (reference:
     * etl/deprecated/PubAnnotationExportPipeline.java,
     * file/conversion/pubannotation): one JSON document per doc with a

@@ -40,6 +40,28 @@ object SentencePairs {
     xs.join(ys, Seq("doc_id", "sent_id"))
   }
 
+  /** Keywords for the keyword-constrained extraction — common corpus tokens
+    * (the reference runs with curated keyword lists per relation set). */
+  val DefaultKeywords: Seq[String] = Seq("merge", "stream", "vector")
+
+  /** Keyword-constrained extraction (reference:
+    * fn/SentenceExtractionFn.java:260-271 and :450 sentenceContainsKeyword):
+    * keep a candidate sentence only if it contains one of `keywords`
+    * (case-insensitive; tokens are whitespace-delimited so the reference's
+    * \b-regex match ≡ token equality here) and carry the matched keyword —
+    * the alphabetically first when several match, for determinism. */
+  def extractWithKeyword(docs: DataFrame, annots: DataFrame,
+                         keywords: Seq[String] = DefaultKeywords,
+                         xPrefix: String = "OP", yPrefix: String = "DS"): DataFrame = {
+    val kws = keywords.map(_.toLowerCase)
+    val kwHits = TextOps.tokens(docs)
+      .withColumn("sent_id", expr(s"(ord - 1) div ${TextOps.SentWindow}"))
+      .where(lower(col("tok")).isin(kws: _*))
+      .groupBy("doc_id", "sent_id")
+      .agg(min(lower(col("tok"))).as("keyword"))
+    extract(annots, xPrefix, yPrefix).join(kwHits, Seq("doc_id", "sent_id"))
+  }
+
   /** extract() + blinded sentence text (placeholders at the mention ords). */
   def extractWithBlinded(docs: DataFrame, annots: DataFrame,
                          xPrefix: String = "OP", yPrefix: String = "DS"): DataFrame = {

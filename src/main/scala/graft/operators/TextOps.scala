@@ -54,13 +54,30 @@ object TextOps {
         min("char_start").as("char_start"),
         max("char_end").as("char_end"))
 
-  /** Punctuation-aware segmentation used when real sentence boundaries exist;
-    * splits on [.!?] followed by whitespace and on line breaks. Unit-tested;
-    * not under oracle (the synthetic corpus has no punctuation). */
-  def sentencesByPunct(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), posexplode(split(col("text"), "(?<=[.!?])\\s+|\\n")).as(Seq("sent_id", "sent_text")))
-      .where(length(trim(col("sent_text"))) > 0)
-      .select(col("doc_id"), col("sent_id").cast("long"), col("sent_text"))
+  /** Derive a deterministic punctuated text column (doc_id, punct_text):
+    * sentence windows joined with cycling terminators ('. ', '! ', '? ',
+    * line break). The corpus has no punctuation of its own; this provides
+    * real boundaries for the punctuation segmenter and its oracle. */
+  def punctuated(docs: DataFrame): DataFrame =
+    sentences(docs)
+      .withColumn("piece", concat(col("sent_text"),
+        element_at(array(lit(". "), lit("! "), lit("? "), lit("\n")),
+          pmod(col("sent_id"), lit(4)).cast("int") + 1)))
+      .groupBy("doc_id")
+      .agg(Agg.orderedStringAgg(col("sent_id"), col("piece"), "").as("punct_text"))
+
+  /** Punctuation-aware segmentation (reference:
+    * fn/OpenNLPSentenceSegmentFn.java:64-130 — segment, then split on line
+    * breaks): a sentence ends at [.!?] or a line break, terminator kept.
+    * Implemented as regexp_extract_all with an RE2-compatible pattern (no
+    * lookbehind) so the DuckDB oracle segments byte-identically. */
+  def sentencesByPunct(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(regexp_extract_all(col(textCol), lit("[^.!?\\n]+[.!?]?"), lit(0)))
+          .as(Seq("pos", "raw")))
+      .withColumn("sent_text", trim(col("raw")))
+      .where(length(col("sent_text")) > 0)
+      .select(col("doc_id"), col("pos").cast("long").as("sent_id"), col("sent_text"))
 
   /** Filter unactionable documents and strip the trailing unactionable marker
     * section ('dup' marker plays the role of the reference's REF/SUPPL/ACK

@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.Agg
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
 
 /** XML document ingest (title/body extraction).
   *
@@ -47,4 +47,149 @@ object XmlIngest {
 
   /** Round-trip: serialize then parse (the oracle reconstructs directly). */
   def roundTrip(docs: DataFrame): DataFrame = parse(serialize(docs))
+
+  // ---------- Medline (real PubMed MedlineCitation schema) ----------
+
+  /** Abstract section labels for the two abstract sentence windows. */
+  private val AbstractLabels = Seq("BACKGROUND", "METHODS")
+
+  /** Default publication year when the citation has none — the reference's
+    * MedlineXmlToTextFn.DEFAULT_PUB_YEAR ("2155", MySQL's max year). */
+  val DefaultPubYear = "2155"
+
+  /** doc_id, xml — Medline-shaped XML: nested MedlineCitation with PMID,
+    * Journal/JournalIssue/PubDate/Year (omitted for doc_id%7==0 to exercise
+    * the pub-year default), ArticleTitle, and labeled AbstractText sections
+    * (title = sentence window 0; abstract sections = windows 1-2), the
+    * structure fn/MedlineXmlToTextFn.java:150-165 consumes. */
+  def serializeMedline(docs: DataFrame): DataFrame = {
+    val sents = TextOps.sentences(docs)
+    val title = sents.where(col("sent_id") === 0)
+      .select(col("doc_id"), col("sent_text").as("title"))
+    val abs = sents.where(col("sent_id") === 1 || col("sent_id") === 2)
+      .withColumn("elem", concat(
+        lit("<AbstractText Label=\""),
+        element_at(array(AbstractLabels.map(lit): _*), col("sent_id").cast("int")),
+        lit("\">"), col("sent_text"), lit("</AbstractText>")))
+      .groupBy("doc_id")
+      .agg(Agg.orderedStringAgg(col("sent_id"), col("elem"), "").as("abs_elems"))
+    title.join(abs, Seq("doc_id"), "left")
+      .select(col("doc_id"), concat(
+        lit("<PubmedArticle><MedlineCitation><PMID>"), col("doc_id"), lit("</PMID><Article>"),
+        lit("<Journal><JournalIssue><PubDate>"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(""))
+          .otherwise(concat(lit("<Year>"), (col("doc_id") % 30 + 1990).cast("string"), lit("</Year>"))),
+        lit("</PubDate></JournalIssue></Journal>"),
+        lit("<ArticleTitle>"), col("title"), lit("</ArticleTitle>"),
+        when(col("abs_elems").isNull, lit(""))
+          .otherwise(concat(lit("<Abstract>"), col("abs_elems"), lit("</Abstract>"))),
+        lit("</Article></MedlineCitation></PubmedArticle>")).as("xml"))
+  }
+
+  private val medlineSchema: StructType = {
+    val pubDate = StructType(Seq(StructField("Year", StringType)))
+    val journal = StructType(Seq(
+      StructField("JournalIssue", StructType(Seq(StructField("PubDate", pubDate))))))
+    val abstractText = ArrayType(StructType(Seq(
+      StructField("_Label", StringType),
+      StructField("_VALUE", StringType))))
+    val article = StructType(Seq(
+      StructField("Journal", journal),
+      StructField("ArticleTitle", StringType),
+      StructField("Abstract", StructType(Seq(StructField("AbstractText", abstractText))))))
+    StructType(Seq(
+      StructField("MedlineCitation", StructType(Seq(
+        StructField("PMID", LongType),
+        StructField("Article", article))))))
+  }
+
+  /** Parse Medline XML → doc_id, pmid, year, title, abstract, doc_text.
+    * Mirrors fn/MedlineXmlToTextFn.java: abstract = AbstractText values
+    * joined with \n (:257-266); doc text = title, or title\n\nabstract when
+    * an abstract exists (:151-153); year defaults to 2155 (:209-224). */
+  def parseMedline(xmlDocs: DataFrame): DataFrame = {
+    val cit = col("parsed").getField("MedlineCitation")
+    val art = cit.getField("Article")
+    xmlDocs
+      .withColumn("parsed", from_xml(col("xml"), medlineSchema))
+      .withColumn("abstract0",
+        array_join(transform(art.getField("Abstract").getField("AbstractText"), x => x.getField("_VALUE")), "\n"))
+      .select(
+        col("doc_id"),
+        concat(lit("PMID:"), cit.getField("PMID")).as("pmid"),
+        coalesce(art.getField("Journal").getField("JournalIssue").getField("PubDate").getField("Year"),
+          lit(DefaultPubYear)).as("year"),
+        art.getField("ArticleTitle").as("title"),
+        coalesce(col("abstract0"), lit("")).as("abstract"),
+        when(col("abstract0").isNull || col("abstract0") === "", art.getField("ArticleTitle"))
+          .otherwise(concat(art.getField("ArticleTitle"), lit("\n\n"), col("abstract0"))).as("doc_text"))
+  }
+
+  def medlineRoundTrip(docs: DataFrame): DataFrame = parseMedline(serializeMedline(docs))
+
+  // ---------- JATS (bioRxiv article schema) ----------
+
+  /** doc_id, xml — JATS-shaped XML: article/front/article-meta with a DOI
+    * article-id, title-group/article-title, abstract paragraphs (windows
+    * 1-2) and body/sec paragraphs (windows 3+), the structure
+    * fn/JatsArticleToDocumentFn.java (BiorxivXmlToTextPipeline) consumes. */
+  def serializeJats(docs: DataFrame): DataFrame = {
+    val sents = TextOps.sentences(docs)
+    val title = sents.where(col("sent_id") === 0)
+      .select(col("doc_id"), col("sent_text").as("title"))
+    def paras(cond: org.apache.spark.sql.Column, name: String) =
+      sents.where(cond)
+        .withColumn("p", concat(lit("<p>"), col("sent_text"), lit("</p>")))
+        .groupBy("doc_id")
+        .agg(Agg.orderedStringAgg(col("sent_id"), col("p"), "").as(name))
+    title
+      .join(paras(col("sent_id") === 1 || col("sent_id") === 2, "abs_ps"), Seq("doc_id"), "left")
+      .join(paras(col("sent_id") >= 3, "body_ps"), Seq("doc_id"), "left")
+      .select(col("doc_id"), concat(
+        lit("<article><front><article-meta>"),
+        lit("<article-id pub-id-type=\"doi\">10.1101/"), col("doc_id"), lit("</article-id>"),
+        lit("<title-group><article-title>"), col("title"), lit("</article-title></title-group>"),
+        when(col("abs_ps").isNull, lit(""))
+          .otherwise(concat(lit("<abstract>"), col("abs_ps"), lit("</abstract>"))),
+        lit("</article-meta></front>"),
+        when(col("body_ps").isNull, lit(""))
+          .otherwise(concat(lit("<body><sec>"), col("body_ps"), lit("</sec></body>"))),
+        lit("</article>")).as("xml"))
+  }
+
+  private val jatsSchema: StructType = {
+    val articleId = StructType(Seq(
+      StructField("_pub-id-type", StringType),
+      StructField("_VALUE", StringType)))
+    val titleGroup = StructType(Seq(StructField("article-title", StringType)))
+    val paragraphs = StructType(Seq(StructField("p", ArrayType(StringType))))
+    val articleMeta = StructType(Seq(
+      StructField("article-id", articleId),
+      StructField("title-group", titleGroup),
+      StructField("abstract", paragraphs)))
+    StructType(Seq(
+      StructField("front", StructType(Seq(StructField("article-meta", articleMeta)))),
+      StructField("body", StructType(Seq(StructField("sec", paragraphs))))))
+  }
+
+  /** Parse JATS XML → doc_id, doi, title, abstract, body, doc_text (title +
+    * abstract + body joined with blank lines, null sections skipped). */
+  def parseJats(xmlDocs: DataFrame): DataFrame = {
+    val meta = col("parsed").getField("front").getField("article-meta")
+    xmlDocs
+      .withColumn("parsed", from_xml(col("xml"), jatsSchema))
+      .withColumn("abstract0", array_join(meta.getField("abstract").getField("p"), "\n"))
+      .withColumn("body0",
+        array_join(col("parsed").getField("body").getField("sec").getField("p"), "\n"))
+      .select(
+        col("doc_id"),
+        meta.getField("article-id").getField("_VALUE").as("doi"),
+        meta.getField("title-group").getField("article-title").as("title"),
+        coalesce(col("abstract0"), lit("")).as("abstract"),
+        coalesce(col("body0"), lit("")).as("body"),
+        concat_ws("\n\n", meta.getField("title-group").getField("article-title"),
+          col("abstract0"), col("body0")).as("doc_text"))
+  }
+
+  def jatsRoundTrip(docs: DataFrame): DataFrame = parseJats(serializeJats(docs))
 }

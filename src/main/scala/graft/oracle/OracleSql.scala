@@ -1,7 +1,7 @@
 package graft.oracle
 
 import graft.functions.{ConceptDict, Hash60}
-import graft.operators.{Dedup, Embeddings, TextOps}
+import graft.operators.{Dedup, Embeddings, SentencePairs, TextOps, XmlIngest}
 
 /** DuckDB oracle SQL for every oracle-checked query in SparkEntry.queries.
   *
@@ -139,6 +139,63 @@ object OracleSql {
        |  CAST(len(string_split(t.title, ' ')) AS BIGINT) AS title_n_tokens
        |FROM t LEFT JOIN b USING (doc_id)""".stripMargin
 
+  /** sentence windows CTE (depends on tokCte) */
+  private val sentCte =
+    s"""sent AS (SELECT doc_id, (ord - 1) // $W AS sent_id,
+       |  string_agg(tok, ' ' ORDER BY ord) AS sent_text
+       |  FROM tok GROUP BY 1, 2)""".stripMargin
+
+  val medlineIngest: String =
+    s"""WITH $tokCte,
+       |$sentCte,
+       |t AS (SELECT doc_id, sent_text AS title FROM sent WHERE sent_id = 0),
+       |a AS (SELECT doc_id, string_agg(sent_text, chr(10) ORDER BY sent_id) AS abstract
+       |  FROM sent WHERE sent_id IN (1, 2) GROUP BY 1)
+       |SELECT t.doc_id,
+       |  'PMID:' || t.doc_id AS pmid,
+       |  CASE WHEN t.doc_id % 7 = 0 THEN '${XmlIngest.DefaultPubYear}'
+       |       ELSE CAST(t.doc_id % 30 + 1990 AS VARCHAR) END AS year,
+       |  t.title,
+       |  coalesce(a.abstract, '') AS abstract,
+       |  CASE WHEN a.abstract IS NULL OR a.abstract = '' THEN t.title
+       |       ELSE t.title || chr(10) || chr(10) || a.abstract END AS doc_text
+       |FROM t LEFT JOIN a USING (doc_id)""".stripMargin
+
+  val jatsIngest: String =
+    s"""WITH $tokCte,
+       |$sentCte,
+       |t AS (SELECT doc_id, sent_text AS title FROM sent WHERE sent_id = 0),
+       |a AS (SELECT doc_id, string_agg(sent_text, chr(10) ORDER BY sent_id) AS abstract
+       |  FROM sent WHERE sent_id IN (1, 2) GROUP BY 1),
+       |b AS (SELECT doc_id, string_agg(sent_text, chr(10) ORDER BY sent_id) AS body
+       |  FROM sent WHERE sent_id >= 3 GROUP BY 1)
+       |SELECT t.doc_id,
+       |  '10.1101/' || t.doc_id AS doi,
+       |  t.title,
+       |  coalesce(a.abstract, '') AS abstract,
+       |  coalesce(b.body, '') AS body,
+       |  concat_ws(chr(10) || chr(10), t.title, a.abstract, b.body) AS doc_text
+       |FROM t LEFT JOIN a USING (doc_id) LEFT JOIN b USING (doc_id)""".stripMargin
+
+  /** '[^.!?\n]+[.!?]?' — RE2/Java-identical extraction pattern, terminator
+    * kept with the sentence; \n acts as a bare terminator. */
+  private val punctPattern = """[^.!?\n]+[.!?]?"""
+
+  val sentencesPunct: String =
+    s"""WITH $tokCte,
+       |$sentCte,
+       |pt AS (SELECT doc_id, string_agg(
+       |    sent_text || CASE CAST(sent_id % 4 AS INT)
+       |      WHEN 0 THEN '. ' WHEN 1 THEN '! ' WHEN 2 THEN '? ' ELSE chr(10) END,
+       |    '' ORDER BY sent_id) AS punct_text
+       |  FROM sent GROUP BY 1),
+       |ex AS (SELECT doc_id,
+       |    unnest(regexp_extract_all(punct_text, '$punctPattern')) AS raw,
+       |    CAST(unnest(range(1, len(regexp_extract_all(punct_text, '$punctPattern')) + 1)) AS BIGINT) AS pos
+       |  FROM pt)
+       |SELECT doc_id, pos - 1 AS sent_id, trim(raw) AS sent_text
+       |FROM ex WHERE length(trim(raw)) > 0""".stripMargin
+
   private def uposCaseSql(c: String): String = {
     val whens = ConceptDict.groups.map { case (p, ts) =>
       s"WHEN $c IN ${ts.map(t => s"'$t'").mkString("(", ", ", ")")} THEN '$p'"
@@ -200,6 +257,25 @@ object OracleSql {
   val cooccurCountsAbstract: String =
     docPipeline(unitsLevelCte("abstr", s"(ord - 1) // $W IN (1, 2)"),
       pairCountsSql("units_abstr", Seq("doc_id"))) +
+      "SELECT concept1, concept2, pair_count FROM pairs"
+
+  /** title units by span containment against derived section annotations —
+    * the annotation-driven variant of the TITLE level. */
+  val cooccurCountsTitleAnnot: String =
+    docPipeline(
+      s"""sec AS (SELECT doc_id,
+         |    CASE WHEN (ord - 1) // $W = 0 THEN 'title' ELSE 'abstract' END AS section,
+         |    min(char_start) AS sec_start, max(char_end) AS sec_end
+         |  FROM tok WHERE (ord - 1) // $W <= 2 GROUP BY 1, 2)""".stripMargin,
+      s"""base_ta AS (SELECT DISTINCT p.doc_id, p.concept_id
+         |  FROM pp p JOIN sec s ON s.doc_id = p.doc_id AND s.section = 'title'
+         |    AND p.char_start >= s.sec_start AND p.char_end <= s.sec_end),
+         |units_ta AS (
+         |  SELECT doc_id, concept_id FROM base_ta
+         |  UNION
+         |  SELECT b.doc_id, anc.ancestor_id AS concept_id
+         |  FROM base_ta b JOIN ${ConceptDict.ancestorsValuesSql} ON b.concept_id = anc.concept_id)""".stripMargin,
+      pairCountsSql("units_ta", Seq("doc_id"))) +
       "SELECT concept1, concept2, pair_count FROM pairs"
 
   val cooccurMetricsDoc: String =
@@ -270,6 +346,15 @@ object OracleSql {
          |FROM prs p JOIN tok t ON t.doc_id = p.doc_id AND (t.ord - 1) // $W = p.sent_id
          |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
 
+  val sentencePairsKw: String = {
+    val kws = SentencePairs.DefaultKeywords.map(k => s"'${k.toLowerCase}'").mkString(", ")
+    docPipeline(pairsCte,
+      s"""kw AS (SELECT doc_id, (ord - 1) // $W AS sent_id, min(lower(tok)) AS keyword
+         |  FROM tok WHERE lower(tok) IN ($kws) GROUP BY 1, 2)""".stripMargin) +
+      """SELECT p.doc_id, p.sent_id, p.concept_x, p.concept_y, p.x_ord, p.y_ord, kw.keyword
+        |FROM prs p JOIN kw ON p.doc_id = kw.doc_id AND p.sent_id = kw.sent_id""".stripMargin
+  }
+
   val classifiedSentences: String =
     docPipeline(pairsCte) +
       """SELECT * FROM (
@@ -334,6 +419,19 @@ object OracleSql {
         |    || chr(9) || split_part(concept_id, ':', 1) || ' ' || char_start || ' ' || char_end
         |    || chr(9) || tok AS line
         |FROM pp""".stripMargin
+
+  val bratExport: String =
+    docPipeline(
+      """tnum AS (SELECT doc_id, concept_id, char_start, char_end, tok,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY char_start, concept_id) AS BIGINT) AS t_num
+        |  FROM pp)""".stripMargin) +
+      """SELECT doc_id, doc_id || '.ann' AS ann_file,
+        |  'T' || t_num || chr(9) || split_part(concept_id, ':', 1) || ' ' || char_start || ' ' || char_end || chr(9) || tok AS line
+        |FROM tnum
+        |UNION ALL
+        |SELECT doc_id, doc_id || '.ann' AS ann_file,
+        |  'N' || t_num || chr(9) || 'Reference T' || t_num || ' ' || concept_id || chr(9) || tok AS line
+        |FROM tnum""".stripMargin
 
   val pubannotationExport: String =
     docPipeline() +
@@ -742,6 +840,12 @@ object OracleSql {
     "cooccur_counts_title" -> cooccurCountsTitle,
     "cooccur_counts_abstract" -> cooccurCountsAbstract,
     "xml_roundtrip" -> xmlRoundtrip,
+    "medline_ingest" -> medlineIngest,
+    "jats_ingest" -> jatsIngest,
+    "sentences_punct" -> sentencesPunct,
+    "cooccur_counts_title_annot" -> cooccurCountsTitleAnnot,
+    "sentence_pairs_kw" -> sentencePairsKw,
+    "brat_export" -> bratExport,
     "conll03_export" -> conll03Export,
     "dict_export" -> dictExport,
     "kg_nodes" -> kgNodes,

@@ -26,6 +26,22 @@ class CooccurrenceSpec extends SparkSpec {
     assert(pairs(("DS:table", "OP:scan")) == 1L)
   }
 
+  test("annotation-driven title level keeps only span-contained concepts") {
+    // window 0 (title) holds join+merge; window 1 (abstract) holds scan+table
+    val d = Seq((0L, "join aa merge bb cc dd ee ff gg hh scan xx table yy zz qq ww rr tt uu",
+      "en", "s", 80L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = Concepts.postProcess(Concepts.recognize(d))
+    val secs = Cooccurrence.sectionAnnots(d)
+    assert(secs.collect().map(r => r.getAs[String]("section")).toSet == Set("title", "abstract"))
+    val titleAnnots = Cooccurrence.levelAnnotsBySection(a, secs, "title")
+    assert(titleAnnots.select("concept_id").distinct().collect().map(_.getString(0)).toSet ==
+      Set("OP:join", "OP:merge"))
+    val pairs = Cooccurrence.pairCounts(
+      Cooccurrence.unitConcepts(titleAnnots, Seq("doc_id"), addAncestors = false), Seq("doc_id")).collect()
+    assert(pairs.length == 1)
+    assert((pairs.head.getString(0), pairs.head.getString(1)) == ("OP:join", "OP:merge"))
+  }
+
   test("metrics match hand-computed reference formulas") {
     val m = Cooccurrence.metrics(annots, Seq("doc_id"))
       .where($"concept1" === "OP:join" && $"concept2" === "OP:merge").collect().head

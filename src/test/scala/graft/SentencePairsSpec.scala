@@ -21,6 +21,18 @@ class SentencePairsSpec extends SparkSpec {
     assert(p.getAs[Long]("sent_id") == 0L)
   }
 
+  test("keyword-constrained extraction keeps only sentences containing a keyword") {
+    // both windows have an OP×DS pair; only the first contains a keyword
+    val withKw = "join aa table bb cc merge dd ee ff gg join xx table yy zz qq ww rr tt uu"
+    val d = docs(withKw)
+    val annots = Concepts.postProcess(Concepts.recognize(d))
+    val all = SentencePairs.extract(annots).collect()
+    assert(all.map(_.getAs[Long]("sent_id")).toSet == Set(0L, 1L))
+    val kw = SentencePairs.extractWithKeyword(d, annots, keywords = Seq("Merge", "vector")).collect()
+    assert(kw.map(_.getAs[Long]("sent_id")).toSet == Set(0L)) // case-insensitive match
+    assert(kw.forall(_.getAs[String]("keyword") == "merge"))
+  }
+
   test("blinded sentence replaces both mentions with placeholders") {
     val text = "join aa table bb cc dd ee ff gg hh"
     val d = docs(text)
