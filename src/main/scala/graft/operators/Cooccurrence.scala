@@ -25,9 +25,16 @@ object Cooccurrence {
     * unitCols e.g. Seq("doc_id") or Seq("doc_id","sent_id"). */
   def unitConcepts(annots: DataFrame, unitCols: Seq[String], addAncestors: Boolean = true): DataFrame = {
     val base = annots.select(unitCols.map(col) :+ col("concept_id"): _*).distinct()
+    val expanded = if (addAncestors) Concepts.withAncestors(base, unitCols) else base
     // persist: counts/metrics/idf/tfidf all build on the same unit sets — the
-    // CacheManager shares one materialization across those queries
-    (if (addAncestors) Concepts.withAncestors(base, unitCols) else base).persist()
+    // CacheManager shares one materialization across those queries.
+    // repartition by the unit key first: the cached partitioning then already
+    // satisfies the pair self-join's distribution on both sides, so the join
+    // plans with ZERO exchanges (only the final pair aggregation shuffles) —
+    // the in-session analog of the doc_id-bucketed table layout measured in
+    // BucketedCooccurDemo (pair-join exchanges 17 → 1), and the layout the
+    // 100 TB path gets from bucketed storage.
+    expanded.repartition(unitCols.map(col): _*).persist()
   }
 
   /** concept1, concept2, pair_count over units. */

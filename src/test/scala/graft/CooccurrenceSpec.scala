@@ -26,6 +26,28 @@ class CooccurrenceSpec extends SparkSpec {
     assert(pairs(("DS:table", "OP:scan")) == 1L)
   }
 
+  test("cached unit sets are co-partitioned: pair self-join adds only the final agg exchange") {
+    // the cooccurrence family's scale contract (SURVEY §5): unitConcepts
+    // hash-places its one materialization on the unit key, so the pair
+    // self-join needs no exchange — only the (c1,c2) aggregation shuffles
+    val broadcastThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ: co-partitioning must carry it
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // plain plan tree for the node count
+    try {
+      val units = Cooccurrence.unitConcepts(annots, Seq("doc_id"))
+      units.count() // materialize the cache so the join reads InMemoryTableScan
+      val pairs = Cooccurrence.pairCounts(units, Seq("doc_id"))
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val shuffles = pairs.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.length == 1, pairs.queryExecution.executedPlan.toString)
+      units.unpersist()
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
+
   test("annotation-driven title level keeps only span-contained concepts") {
     // window 0 (title) holds join+merge; window 1 (abstract) holds scan+table
     val d = Seq((0L, "join aa merge bb cc dd ee ff gg hh scan xx table yy zz qq ww rr tt uu",
