@@ -62,6 +62,10 @@ object SparkEntry {
     "xml_roundtrip" -> ((s, d) => XmlIngest.roundTrip(docs(s, d))),
     "medline_ingest" -> ((s, d) => XmlIngest.medlineRoundTrip(docs(s, d))),
     "jats_ingest" -> ((s, d) => XmlIngest.jatsRoundTrip(docs(s, d))),
+    "bioc_ingest" -> ((s, d) => XmlIngest.biocRoundTrip(docs(s, d))),
+    "webanno_export" -> ((s, d) => Exports.webanno(docs(s, d), pp(s, d))),
+    "brat_to_bert" -> ((s, d) => Exports.bratToBert(docs(s, d), Exports.brat(pp(s, d)))),
+    "ivf_topk" -> ((s, d) => Embeddings.ivfTopK(Tables.embeddings(s, d))),
     "sentences_punct" -> ((s, d) => TextOps.sentencesByPunct(TextOps.punctuated(docs(s, d)), "punct_text")),
     "cooccur_counts_title_annot" -> ((s, d) =>
       Cooccurrence.pairCounts(

@@ -85,6 +85,62 @@ object Embeddings {
       .agg(sum(when(col("dotp") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(plane AS INT))")).otherwise(0L)).as("bucket"))
   }
 
+  val NumCells = 16
+  val NumProbes = 4
+
+  /** Deterministic pseudo-random IVF centroids, identical in the oracle:
+    * c(cell, dim) = ((cell*2654435761 + dim*40503) mod 2003) / 1001.5 - 1. */
+  val centroids: Seq[(Int, Int, Double)] =
+    for (k <- 0 until NumCells; d <- 0 until EmbDim)
+      yield (k, d, ((k * 2654435761L + d * 40503L) % 2003L).toDouble / 1001.5 - 1.0)
+
+  /** vec_id, cell, rnk — centroids ranked per vector by ROUNDED cosine with
+    * cell-id tie-break (cross-engine-stable ordering). rnk=1 is the vector's
+    * IVF cell; rnk<=nprobe is the query probe set. */
+  private def cellRanks(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = broadcast(centroids.toDF("cell", "dim", "w"))
+    embeddings
+      .select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("dim", "e")))
+      .join(cents, "dim")
+      .groupBy("vec_id", "cell")
+      .agg(sum(col("e") * col("w")).as("dot"),
+        sum(col("e") * col("e")).as("n2"),
+        sum(col("w") * col("w")).as("c2"))
+      .withColumn("ccos", Num.r6(col("dot") / (sqrt(col("n2")) * sqrt(col("c2")))))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))).cast("long"))
+      .select("vec_id", "cell", "rnk")
+  }
+
+  /** query_id, rank, neighbor_id, cosine — IVF approximate top-k: vectors
+    * live in their nearest-centroid cell; each query probes its `probes`
+    * nearest cells and ranks candidates there. The 100 TB shape: the cell id
+    * is the partition key, candidate generation is per-cell (corpus/K rows
+    * per query·probe on average), never a full scan per query. */
+  def ivfTopK(embeddings: DataFrame, numQueries: Int = 8, k: Int = 5,
+              probes: Int = NumProbes): DataFrame = {
+    val ranks = cellRanks(embeddings).persist()
+    val cells = ranks.where(col("rnk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cell"))
+    val qProbe = ranks.where(col("vec_id") < numQueries && col("rnk") <= probes)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val vecs = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("ve"))
+    val cand = qProbe.join(cells, "cell")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+    cand
+      .join(broadcast(vecs.where(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("ve").as("qe"))), "query_id")
+      .join(vecs.select(col("vec_id").as("neighbor_id"), col("ve").as("ne")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), Num.r6(cosine(col("qe"), col("ne"))).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** vec_a, vec_b, cosine — near-duplicate embedding pairs, candidate-limited
     * to shared LSH buckets (never all-pairs). */
   def dupPairs(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {

@@ -54,6 +54,48 @@ object Exports {
       .select(col("doc_id"), concat(col("doc_id"), lit(".ann")).as("ann_file"), col("line"))
   }
 
+  /** doc_id, line — WebAnno TSV-style token rows (reference:
+    * fn/SentenceExtractionWebAnnoFn.java, WebAnnoSentenceExtractionPipeline):
+    * `{sent}-{tok}\t{begin}-{end}\t{token}\t{label}` per token, label = the
+    * concept id at that token or `_` (WebAnno's no-annotation marker);
+    * min(concept_id) disambiguates the rare multi-annotated token. */
+  def webanno(docs: DataFrame, annots: DataFrame): DataFrame = {
+    val w = TextOps.SentWindow
+    val toks = TextOps.tokens(docs)
+      .withColumn("sent_id", expr(s"(ord - 1) div $w"))
+      .withColumn("tok_id", expr(s"(ord - 1) % $w + 1"))
+    val labels = annots.groupBy("doc_id", "ord").agg(min("concept_id").as("label"))
+    toks.join(labels, Seq("doc_id", "ord"), "left")
+      .select(col("doc_id"),
+        concat(col("sent_id") + 1, lit("-"), col("tok_id"), lit("\t"),
+          col("char_start"), lit("-"), col("char_end"), lit("\t"),
+          col("tok"), lit("\t"), coalesce(col("label"), lit("_"))).as("line"))
+  }
+
+  /** Brat→BERT converter (reference:
+    * relation_extraction/BratToBertConverter.java, README_brat_to_bert.md):
+    * parses Brat standoff lines back into concept annotations (T lines give
+    * spans, N lines give the ontology id), recovers token ordinals by span
+    * join, and emits the blinded BERT training rows. Round-trips the
+    * `brat` export: output ≡ SentencePairs.extractWithBlinded on the
+    * original annotations. */
+  def bratToBert(docs: DataFrame, bratLines: DataFrame): DataFrame = {
+    val spanRe = "\\t[A-Za-z]+ ([0-9]+) ([0-9]+)\\t"
+    val t = bratLines.where(col("line").startsWith("T"))
+      .select(col("doc_id"),
+        regexp_extract(col("line"), "^(T[0-9]+)\\t", 1).as("tid"),
+        regexp_extract(col("line"), spanRe, 1).cast("long").as("char_start"),
+        regexp_extract(col("line"), spanRe, 2).cast("long").as("char_end"))
+    val n = bratLines.where(col("line").startsWith("N"))
+      .select(col("doc_id"),
+        regexp_extract(col("line"), "Reference (T[0-9]+) ", 1).as("tid"),
+        regexp_extract(col("line"), "Reference T[0-9]+ ([^\\t]+)\\t", 1).as("concept_id"))
+    val annots = t.join(n, Seq("doc_id", "tid"))
+      .join(TextOps.tokens(docs), Seq("doc_id", "char_start", "char_end"))
+      .select("doc_id", "concept_id", "ord", "tok", "char_start", "char_end")
+    SentencePairs.extractWithBlinded(docs, annots)
+  }
+
   /** doc_id, pubannotation — PubAnnotation JSON export (reference:
     * etl/deprecated/PubAnnotationExportPipeline.java,
     * file/conversion/pubannotation): one JSON document per doc with a

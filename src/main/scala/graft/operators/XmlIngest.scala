@@ -192,4 +192,68 @@ object XmlIngest {
   }
 
   def jatsRoundTrip(docs: DataFrame): DataFrame = parseJats(serializeJats(docs))
+
+  // ---------- BioC (PMC full-text collection schema) ----------
+
+  /** doc_id, xml — BioC-shaped XML: collection/document with an id and typed
+    * passages carrying byte offsets (title at 0, abstract after it), the
+    * structure util/BiocToTextConverter.java:162-211 walks (passage `infon
+    * key="type"`, offset, text). Title = window 0; abstract = the rest. */
+  def serializeBioc(docs: DataFrame): DataFrame = {
+    val sents = TextOps.sentences(docs)
+    val title = sents.where(col("sent_id") === 0)
+      .select(col("doc_id"), col("sent_text").as("title"))
+    val abs = sents.where(col("sent_id") >= 1)
+      .groupBy("doc_id")
+      .agg(Agg.orderedStringAgg(col("sent_id"), col("sent_text"), " ").as("abstract"))
+    title.join(abs, Seq("doc_id"), "left")
+      .select(col("doc_id"), concat(
+        lit("<collection><document><id>"), col("doc_id"), lit("</id>"),
+        lit("<passage><infon key=\"type\">title</infon><offset>0</offset><text>"),
+        col("title"), lit("</text></passage>"),
+        when(col("abstract").isNull, lit("")).otherwise(concat(
+          lit("<passage><infon key=\"type\">abstract</infon><offset>"),
+          length(col("title")) + 1,
+          lit("</offset><text>"), col("abstract"), lit("</text></passage>"))),
+        lit("</document></collection>")).as("xml"))
+  }
+
+  private val biocSchema: StructType = {
+    val infon = StructType(Seq(
+      StructField("_key", StringType),
+      StructField("_VALUE", StringType)))
+    val passage = StructType(Seq(
+      StructField("infon", infon),
+      StructField("offset", LongType),
+      StructField("text", StringType)))
+    StructType(Seq(
+      StructField("document", StructType(Seq(
+        StructField("id", LongType),
+        StructField("passage", ArrayType(passage)))))))
+  }
+
+  /** Parse BioC XML → doc_id, title, abstract, doc_text (passages joined with
+    * the offset-implied single space), n_passages, abstract_offset (-1 when
+    * absent). The reassembled doc_text equals the original document text —
+    * the offset bookkeeping BiocToTextConverter maintains. */
+  def parseBioc(xmlDocs: DataFrame): DataFrame = {
+    val p = col("p")
+    xmlDocs
+      .withColumn("parsed", from_xml(col("xml"), biocSchema))
+      .select(col("doc_id"),
+        posexplode(col("parsed").getField("document").getField("passage")).as(Seq("i", "p")))
+      .groupBy("doc_id")
+      .agg(
+        max(when(p.getField("infon").getField("_VALUE") === "title", p.getField("text"))).as("title"),
+        max(when(p.getField("infon").getField("_VALUE") === "abstract", p.getField("text"))).as("abstract0"),
+        max(when(p.getField("infon").getField("_VALUE") === "abstract", p.getField("offset"))).as("aoff"),
+        count(lit(1)).as("n_passages"))
+      .select(col("doc_id"), col("title"),
+        coalesce(col("abstract0"), lit("")).as("abstract"),
+        concat_ws(" ", col("title"), col("abstract0")).as("doc_text"),
+        col("n_passages"),
+        coalesce(col("aoff"), lit(-1L)).as("abstract_offset"))
+  }
+
+  def biocRoundTrip(docs: DataFrame): DataFrame = parseBioc(serializeBioc(docs))
 }

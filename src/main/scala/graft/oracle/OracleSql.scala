@@ -177,6 +177,19 @@ object OracleSql {
        |  concat_ws(chr(10) || chr(10), t.title, a.abstract, b.body) AS doc_text
        |FROM t LEFT JOIN a USING (doc_id) LEFT JOIN b USING (doc_id)""".stripMargin
 
+  val biocIngest: String =
+    s"""WITH $tokCte,
+       |$sentCte,
+       |t AS (SELECT doc_id, sent_text AS title FROM sent WHERE sent_id = 0),
+       |a AS (SELECT doc_id, string_agg(sent_text, ' ' ORDER BY sent_id) AS abstract
+       |  FROM sent WHERE sent_id >= 1 GROUP BY 1)
+       |SELECT t.doc_id, t.title,
+       |  coalesce(a.abstract, '') AS abstract,
+       |  concat_ws(' ', t.title, a.abstract) AS doc_text,
+       |  CAST(CASE WHEN a.abstract IS NULL THEN 1 ELSE 2 END AS BIGINT) AS n_passages,
+       |  CAST(CASE WHEN a.abstract IS NULL THEN -1 ELSE length(t.title) + 1 END AS BIGINT) AS abstract_offset
+       |FROM t LEFT JOIN a USING (doc_id)""".stripMargin
+
   /** '[^.!?\n]+[.!?]?' — RE2/Java-identical extraction pattern, terminator
     * kept with the sentence; \n acts as a bare terminator. */
   private val punctPattern = """[^.!?\n]+[.!?]?"""
@@ -433,6 +446,15 @@ object OracleSql {
         |  'N' || t_num || chr(9) || 'Reference T' || t_num || ' ' || concept_id || chr(9) || tok AS line
         |FROM tnum""".stripMargin
 
+  val webannoExport: String =
+    docPipeline(
+      "lab AS (SELECT doc_id, ord, min(concept_id) AS label FROM pp GROUP BY 1, 2)") +
+      s"""SELECT t.doc_id,
+         |  CAST((t.ord - 1) // $W + 1 AS VARCHAR) || '-' || CAST((t.ord - 1) % $W + 1 AS VARCHAR)
+         |    || chr(9) || t.char_start || '-' || t.char_end
+         |    || chr(9) || t.tok || chr(9) || coalesce(lab.label, '_') AS line
+         |FROM tok t LEFT JOIN lab ON t.doc_id = lab.doc_id AND t.ord = lab.ord""".stripMargin
+
   val pubannotationExport: String =
     docPipeline() +
       """SELECT doc_id, '{"target":"doc:' || doc_id || '","denotations":[' ||
@@ -653,6 +675,35 @@ object OracleSql {
        |  FROM prs p JOIN v x ON p.vec_a = x.vec_id JOIN v y ON p.vec_b = y.vec_id)
        |WHERE cosine >= 0.35""".stripMargin
 
+  private val centroidsSql: String =
+    Embeddings.centroids.map { case (k, d, w) => s"($k, $d, $w)" }
+      .mkString("(VALUES ", ", ", ") AS cen(cell, dim, w)")
+
+  val ivfTopK: String =
+    s"""WITH ex AS (SELECT vec_id,
+       |    CAST(unnest(range(0, len(embedding))) AS BIGINT) AS dim,
+       |    unnest(CAST(embedding AS DOUBLE[])) AS e
+       |  FROM embeddings),
+       |s AS (SELECT vec_id, cen.cell, sum(e * cen.w) AS dot, sum(e * e) AS n2,
+       |    sum(CAST(cen.w AS DOUBLE) * CAST(cen.w AS DOUBLE)) AS c2
+       |  FROM ex JOIN $centroidsSql ON ex.dim = cen.dim GROUP BY 1, 2),
+       |r AS (SELECT vec_id, cell,
+       |    CAST(row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY floor((dot / (sqrt(n2) * sqrt(c2))) * 1000000 + 0.5) / 1000000 DESC, cell) AS BIGINT) AS rnk
+       |  FROM s),
+       |cells AS (SELECT vec_id AS neighbor_id, cell FROM r WHERE rnk = 1),
+       |qp AS (SELECT vec_id AS query_id, cell FROM r WHERE vec_id < 8 AND rnk <= ${Embeddings.NumProbes}),
+       |cand AS (SELECT DISTINCT qp.query_id, c.neighbor_id
+       |  FROM qp JOIN cells c USING (cell) WHERE c.neighbor_id <> qp.query_id),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |sc AS (SELECT cand.query_id, cand.neighbor_id,
+       |    floor((list_dot_product(q.ve, n.ve) / (sqrt(list_dot_product(q.ve, q.ve)) * sqrt(list_dot_product(n.ve, n.ve)))) * 1000000 + 0.5) / 1000000 AS cosine
+       |  FROM cand JOIN v q ON cand.query_id = q.vec_id JOIN v n ON cand.neighbor_id = n.vec_id),
+       |rk AS (SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT query_id, rank, neighbor_id, cosine FROM rk WHERE rank <= 5""".stripMargin
+
   private def stopCountSql: String =
     ConceptDict.stopwords.map(s => s"len(list_filter(string_split(text, ' '), t -> t = '$s'))").mkString(" + ")
 
@@ -842,6 +893,10 @@ object OracleSql {
     "xml_roundtrip" -> xmlRoundtrip,
     "medline_ingest" -> medlineIngest,
     "jats_ingest" -> jatsIngest,
+    "bioc_ingest" -> biocIngest,
+    "webanno_export" -> webannoExport,
+    "brat_to_bert" -> sentencePairs,
+    "ivf_topk" -> ivfTopK,
     "sentences_punct" -> sentencesPunct,
     "cooccur_counts_title_annot" -> cooccurCountsTitleAnnot,
     "sentence_pairs_kw" -> sentencePairsKw,
