@@ -237,22 +237,20 @@ object XmlIngest {
     * absent). The reassembled doc_text equals the original document text —
     * the offset bookkeeping BiocToTextConverter maintains. */
   def parseBioc(xmlDocs: DataFrame): DataFrame = {
-    val p = col("p")
+    // narrow projection over the passage array (≤ a handful of entries per
+    // doc) — no explode/groupBy shuffle; same shape as parseMedline
+    val ps = col("parsed").getField("document").getField("passage")
+    def passage(t: String) =
+      try_element_at(filter(ps, p => p.getField("infon").getField("_VALUE") === lit(t)), lit(1))
     xmlDocs
       .withColumn("parsed", from_xml(col("xml"), biocSchema))
       .select(col("doc_id"),
-        posexplode(col("parsed").getField("document").getField("passage")).as(Seq("i", "p")))
-      .groupBy("doc_id")
-      .agg(
-        max(when(p.getField("infon").getField("_VALUE") === "title", p.getField("text"))).as("title"),
-        max(when(p.getField("infon").getField("_VALUE") === "abstract", p.getField("text"))).as("abstract0"),
-        max(when(p.getField("infon").getField("_VALUE") === "abstract", p.getField("offset"))).as("aoff"),
-        count(lit(1)).as("n_passages"))
-      .select(col("doc_id"), col("title"),
-        coalesce(col("abstract0"), lit("")).as("abstract"),
-        concat_ws(" ", col("title"), col("abstract0")).as("doc_text"),
-        col("n_passages"),
-        coalesce(col("aoff"), lit(-1L)).as("abstract_offset"))
+        passage("title").getField("text").as("title"),
+        coalesce(passage("abstract").getField("text"), lit("")).as("abstract"),
+        concat_ws(" ", passage("title").getField("text"),
+          passage("abstract").getField("text")).as("doc_text"),
+        size(ps).cast("long").as("n_passages"),
+        coalesce(passage("abstract").getField("offset"), lit(-1L)).as("abstract_offset"))
   }
 
   def biocRoundTrip(docs: DataFrame): DataFrame = parseBioc(serializeBioc(docs))
