@@ -64,6 +64,7 @@ object SparkEntry {
     "jats_ingest" -> ((s, d) => XmlIngest.jatsRoundTrip(docs(s, d))),
     "bioc_ingest" -> ((s, d) => XmlIngest.biocRoundTrip(docs(s, d))),
     "webanno_export" -> ((s, d) => Exports.webanno(docs(s, d), pp(s, d))),
+    "bio_tags" -> ((s, d) => Conllu.bioTags(docs(s, d), pp(s, d))),
     "brat_to_bert" -> ((s, d) => Exports.bratToBert(docs(s, d), Exports.brat(pp(s, d)))),
     "ivf_topk" -> ((s, d) => Embeddings.ivfTopK(Tables.embeddings(s, d))),
     "sentences_punct" -> ((s, d) => TextOps.sentencesByPunct(TextOps.punctuated(docs(s, d)), "punct_text")),

@@ -71,4 +71,24 @@ object Conllu {
       .select(col("doc_id"), col("sent_id"), col("tok_id"),
         concat_ws(" ", col("tok"), uposFor("tok"), lit("O"), bio).as("line"))
   }
+
+  /** doc_id, ord, line — two-column `{token}\t{BIO-tag}` rows (reference:
+    * corpora/craft/CraftToBioTagFormat.java — CRAFT concept annotations to
+    * BIO NER format): a token opening a concept run gets `B-{group}`, a
+    * continuation of the same concept on the adjacent previous token gets
+    * `I-{group}`, unannotated tokens get `O`. Single doc-partitioned window
+    * over the dense token stream — adjacency is ord-adjacency. */
+  def bioTags(docs: DataFrame, annots: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("ord")
+    val labels = annots.groupBy("doc_id", "ord").agg(min("concept_id").as("cid"))
+    TextOps.tokens(docs)
+      .join(labels, Seq("doc_id", "ord"), "left")
+      .withColumn("prev_cid", lag(col("cid"), 1).over(w))
+      .withColumn("tag",
+        when(col("cid").isNull, lit("O"))
+          .when(col("prev_cid") === col("cid"),
+            concat(lit("I-"), substring_index(col("cid"), ":", 1)))
+          .otherwise(concat(lit("B-"), substring_index(col("cid"), ":", 1))))
+      .select(col("doc_id"), col("ord"), concat_ws("\t", col("tok"), col("tag")).as("line"))
+  }
 }

@@ -455,6 +455,18 @@ object OracleSql {
          |    || chr(9) || t.tok || chr(9) || coalesce(lab.label, '_') AS line
          |FROM tok t LEFT JOIN lab ON t.doc_id = lab.doc_id AND t.ord = lab.ord""".stripMargin
 
+  val bioTags: String =
+    docPipeline(
+      "lab AS (SELECT doc_id, ord, min(concept_id) AS cid FROM pp GROUP BY 1, 2)",
+      """lt AS (SELECT t.doc_id, t.ord, t.tok, lab.cid
+        |  FROM tok t LEFT JOIN lab ON t.doc_id = lab.doc_id AND t.ord = lab.ord)""".stripMargin) +
+      """SELECT doc_id, ord, tok || chr(9) ||
+        |  CASE WHEN cid IS NULL THEN 'O'
+        |       WHEN lag(cid) OVER (PARTITION BY doc_id ORDER BY ord) = cid
+        |         THEN 'I-' || split_part(cid, ':', 1)
+        |       ELSE 'B-' || split_part(cid, ':', 1) END AS line
+        |FROM lt""".stripMargin
+
   val pubannotationExport: String =
     docPipeline() +
       """SELECT doc_id, '{"target":"doc:' || doc_id || '","denotations":[' ||
@@ -895,6 +907,7 @@ object OracleSql {
     "jats_ingest" -> jatsIngest,
     "bioc_ingest" -> biocIngest,
     "webanno_export" -> webannoExport,
+    "bio_tags" -> bioTags,
     "brat_to_bert" -> sentencePairs,
     "ivf_topk" -> ivfTopK,
     "sentences_punct" -> sentencesPunct,
