@@ -65,6 +65,22 @@ object SparkEntry {
     "bioc_ingest" -> ((s, d) => XmlIngest.biocRoundTrip(docs(s, d))),
     "webanno_export" -> ((s, d) => Exports.webanno(docs(s, d), pp(s, d))),
     "bio_tags" -> ((s, d) => Conllu.bioTags(docs(s, d), pp(s, d))),
+    "streaming_hourly" -> ((s, d) => graft.streaming.EventStreams.hourlyViaStream(s, d)),
+    "processing_ledger" -> ((s, d) => {
+      val dd = docs(s, d)
+      val st = graft.infra.Etl.initStatus(dd, Seq("tokenized", "concepts_done", "actionable"))
+      val s1 = graft.infra.Etl.markDone(st, TextOps.tokens(dd), "tokenized")
+      val s2 = graft.infra.Etl.markDone(s1, pp(s, d), "concepts_done")
+      graft.infra.Etl.markDone(s2, TextOps.filterUnactionable(dd), "actionable")
+    }),
+    "etl_failures" -> ((s, d) => {
+      import s.implicits._
+      val ids = docs(s, d).select(col("doc_id")).as[Long]
+      val (_, failed) = graft.infra.Etl.withFailureChannel(ids, "parse", identity[Long]) { id =>
+        if (id % 13 == 0) throw new IllegalArgumentException(s"bad doc $id") else id * 2
+      }
+      failed.toDF()
+    }),
     "brat_to_bert" -> ((s, d) => Exports.bratToBert(docs(s, d), Exports.brat(pp(s, d)))),
     "ivf_topk" -> ((s, d) => Embeddings.ivfTopK(Tables.embeddings(s, d))),
     "sentences_punct" -> ((s, d) => TextOps.sentencesByPunct(TextOps.punctuated(docs(s, d)), "punct_text")),

@@ -467,6 +467,22 @@ object OracleSql {
         |       ELSE 'B-' || split_part(cid, ':', 1) END AS line
         |FROM lt""".stripMargin
 
+  val processingLedger: String =
+    docPipeline(
+      "tk AS (SELECT DISTINCT doc_id FROM tok)",
+      "cd AS (SELECT DISTINCT doc_id FROM pp)",
+      "ac AS (SELECT doc_id FROM documents WHERE lang IN ('en', 'es', 'de', 'fr') AND n_chars >= 50)") +
+      """SELECT d.doc_id,
+        |  (tk.doc_id IS NOT NULL) AS tokenized,
+        |  (cd.doc_id IS NOT NULL) AS concepts_done,
+        |  (ac.doc_id IS NOT NULL) AS actionable
+        |FROM documents d
+        |LEFT JOIN tk USING (doc_id) LEFT JOIN cd USING (doc_id) LEFT JOIN ac USING (doc_id)""".stripMargin
+
+  val etlFailures: String =
+    """SELECT doc_id AS id, 'parse' AS stage, 'bad doc ' || doc_id AS message
+      |FROM documents WHERE doc_id % 13 = 0""".stripMargin
+
   val pubannotationExport: String =
     docPipeline() +
       """SELECT doc_id, '{"target":"doc:' || doc_id || '","denotations":[' ||
@@ -908,6 +924,9 @@ object OracleSql {
     "bioc_ingest" -> biocIngest,
     "webanno_export" -> webannoExport,
     "bio_tags" -> bioTags,
+    "streaming_hourly" -> eventsHourly,
+    "processing_ledger" -> processingLedger,
+    "etl_failures" -> etlFailures,
     "brat_to_bert" -> sentencePairs,
     "ivf_topk" -> ivfTopK,
     "sentences_punct" -> sentencesPunct,

@@ -23,7 +23,7 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), graft.functions.Num.r2(sum(col("value"))).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value"))
 
   /** Streaming dedup within a watermark (exact-dedup dual): drops re-deliveries
@@ -31,6 +31,29 @@ object EventStreams {
   def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Batch-equivalent execution of windowedCounts through the real streaming
+    * engine: stage the events parquet as a file-source stream, run it to
+    * completion (AvailableNow semantics via processAllAvailable) into an
+    * in-memory complete-mode sink, and return the result keyed like
+    * Relational.eventsHourly — so the same DuckDB oracle checks a plan that
+    * actually executed as Structured Streaming. */
+  def hourlyViaStream(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-q")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), dir.resolve("events.parquet"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"), col("value"))
+    val name = s"stream_hourly_${System.nanoTime}"
+    val q = windowedCounts(stream, "1 hour", "100 days")
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Complete()).start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(name)
+      .select(expr("unix_micros(window_start) div 3600000000").as("hour_bucket"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)
   case class SessionUpdate(user_id: Long, session_start_ms: Long, session_end_ms: Long,
