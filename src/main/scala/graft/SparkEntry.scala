@@ -163,6 +163,6 @@ object SparkEntry {
     "multimodal_meta" -> ((s, d) => TextStats.multimodalMeta(docs(s, d))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
-    * same parquet tables ("abbrev" is intentionally absent → rows-only). */
+    * same parquet tables. */
   def oracleSql: Map[String, String] = OracleSql.all
 }

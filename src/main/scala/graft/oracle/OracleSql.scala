@@ -483,6 +483,34 @@ object OracleSql {
     """SELECT doc_id AS id, 'parse' AS stage, 'bad doc ' || doc_id AS message
       |FROM documents WHERE doc_id % 13 = 0""".stripMargin
 
+  /** Schwartz–Hearst over the constructed `p_name (XY)` inputs of the
+    * `abbrev` query: sf is the 2-letter initialism, candidate = last
+    * min(|sf|+5, 2|sf|) = 4 words of p_name, and the right-to-left
+    * two-pointer match is expanded per character — m2 = rightmost char
+    * matching sf[2], m1 = rightmost word-start char before it matching
+    * sf[1]; long form = candidate from m1 on. */
+  val abbrev: String =
+    """WITH base AS (
+      |  SELECT p_partkey AS part_id, trim(p_name) AS bf,
+      |    upper(left(split_part(p_name, ' ', 1), 1) || left(split_part(p_name, ' ', -1), 1)) AS sf
+      |  FROM part),
+      |c AS (SELECT part_id, sf,
+      |    array_to_string(list_slice(string_split(bf, ' '),
+      |      greatest(1, len(string_split(bf, ' ')) - 3), len(string_split(bf, ' '))), ' ') AS cand
+      |  FROM base),
+      |pos AS (SELECT part_id, sf, cand, CAST(unnest(range(1, length(cand) + 1)) AS INT) AS i FROM c),
+      |chars AS (SELECT part_id, sf, cand, i, lower(substring(cand, i, 1)) AS ch,
+      |    substring(cand, i - 1, 1) AS prev FROM pos),
+      |m2 AS (SELECT part_id, max(i) AS i2 FROM chars
+      |  WHERE ch = lower(substring(sf, 2, 1)) GROUP BY part_id),
+      |m1 AS (SELECT chars.part_id, max(i) AS i1 FROM chars JOIN m2 USING (part_id)
+      |  WHERE i < i2 AND ch = lower(substring(sf, 1, 1))
+      |    AND (i = 1 OR NOT regexp_matches(prev, '[a-zA-Z0-9]'))
+      |  GROUP BY chars.part_id)
+      |SELECT c.part_id, c.sf AS short_form, trim(substring(c.cand, m1.i1)) AS long_form
+      |FROM c JOIN m1 USING (part_id)
+      |WHERE length(trim(substring(c.cand, m1.i1))) > 0""".stripMargin
+
   val pubannotationExport: String =
     docPipeline() +
       """SELECT doc_id, '{"target":"doc:' || doc_id || '","denotations":[' ||
@@ -927,6 +955,7 @@ object OracleSql {
     "streaming_hourly" -> eventsHourly,
     "processing_ledger" -> processingLedger,
     "etl_failures" -> etlFailures,
+    "abbrev" -> abbrev,
     "brat_to_bert" -> sentencePairs,
     "ivf_topk" -> ivfTopK,
     "sentences_punct" -> sentencesPunct,
