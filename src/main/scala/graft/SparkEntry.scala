@@ -155,6 +155,13 @@ object SparkEntry {
         .select(col("doc_id").as("eval_id"), col("sent_text"))
       TextStats.decontaminate(base, eval, "eval_id", "sent_text")
     }),
+    "decontaminate_bloom" -> ((s, d) => {
+      val base = docs(s, d)
+      val eval = TextOps.sentences(base)
+        .where(col("sent_id") === 0 && pmod(col("doc_id"), lit(50L)) === 0)
+        .select(col("doc_id").as("eval_id"), col("sent_text"))
+      TextStats.decontaminateBloom(base, eval, "eval_id", "sent_text")
+    }),
     "token_packing" -> ((s, d) => TextStats.tokenPacking(docs(s, d))),
     "lang_id" -> ((s, d) => TextStats.langId(docs(s, d))),
     "quality_score" -> ((s, d) => TextStats.quality(docs(s, d))),

@@ -137,6 +137,42 @@ object TextStats {
     * The eval side is tiny → broadcast; the corpus is scanned once. */
   def decontaminate(docs: DataFrame, evalTexts: DataFrame,
                     evalIdCol: String, evalTextCol: String): DataFrame = {
+    val (docBg, evalBg) = bigramSides(docs, evalTexts, evalIdCol, evalTextCol)
+    docBg.join(broadcast(evalBg), "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlapping_bigrams"))
+  }
+
+  /** Same result as decontaminate, with the corpus side prefiltered through
+    * an in-plan Bloom filter of the eval bigrams (`bloom_filter_agg` →
+    * `might_contain`). At 100 TB the Bloom bits are what actually gets
+    * broadcast to every task, and only might-contain candidates reach the
+    * exact confirm join — which removes the false positives, so the output
+    * is byte-identical to the exact path (same oracle). */
+  def decontaminateBloom(docs: DataFrame, evalTexts: DataFrame,
+                         evalIdCol: String, evalTextCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val (docBg, evalBg) = bigramSides(docs, evalTexts, evalIdCol, evalTextCol)
+    // the Bloom bits enter the corpus scan as a scalar subquery — the same
+    // shape Spark's runtime row-level filtering injects (BloomFilterMightContain
+    // accepts only constants or scalar subqueries), so the build stays in-plan
+    val bloomDf = evalBg.agg(ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("bigram"))), 100000L)
+        .toAggregateExpression()).as("bf"))
+    val mightContain = ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.ScalarSubquery(bloomDf.queryExecution.analyzed),
+        ColumnBridge.expression(xxhash64(col("bigram")))))
+    docBg.where(mightContain)
+      .join(broadcast(evalBg), "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlapping_bigrams"))
+  }
+
+  /** (corpus distinct bigrams keyed by doc, eval distinct bigrams). */
+  private def bigramSides(docs: DataFrame, evalTexts: DataFrame,
+                          evalIdCol: String, evalTextCol: String): (DataFrame, DataFrame) = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("ord")
     val docBigrams = TextOps.tokens(docs)
       .withColumn("t2", lead("tok", 1).over(w))
@@ -150,9 +186,7 @@ object TextStats {
       .where(col("t2").isNotNull)
       .select(concat(col("tok"), lit(" "), col("t2")).as("bigram"))
       .distinct()
-    docBigrams.join(broadcast(evalBigrams), "bigram")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_overlapping_bigrams"))
+    (docBigrams, evalBigrams)
   }
 
   /** Multimodal metadata: payload as binary + typed metadata + stubbed decode.

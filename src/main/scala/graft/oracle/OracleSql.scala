@@ -974,6 +974,7 @@ object OracleSql {
     "ngram_counts" -> ngramCounts,
     "doc_sample" -> docSample,
     "decontaminate" -> decontaminate,
+    "decontaminate_bloom" -> decontaminate,
     "token_packing" -> tokenPacking,
     "events_quantiles" -> eventsQuantiles,
     "top_parts_per_brand" -> topPartsPerBrand,

@@ -42,4 +42,9 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("decontaminate_bloom keeps the Bloom prefilter in the plan") {
+    val df = SparkEntry.queries("decontaminate_bloom")(spark, sfDir)
+    assert(df.queryExecution.optimizedPlan.toString.contains("might_contain"))
+  }
 }
