@@ -38,6 +38,18 @@ object SparkEntry {
     "concepts" -> ((s, d) => Concepts.recognize(docs(s, d))),
     "concepts_pp" -> ((s, d) => pp(s, d)),
     "crf_overlap" -> ((s, d) => Concepts.filterViaCrf(pp(s, d), Concepts.crfAnnots(docs(s, d)))),
+    "concepts_pp_strict" -> ((s, d) => {
+      // noisy channel: stopword-covered and bracket-broken annots that the
+      // strict hygiene filters must remove, plus real exclusion-pair hits
+      val noisy = TextOps.tokens(docs(s, d))
+        .where(lower(col("tok")).isin(graft.functions.ConceptDict.stopwords: _*) ||
+          pmod(col("ord"), lit(97L)) === 0)
+        .select(col("doc_id"), concat(lit("FAKE:"), col("tok")).as("concept_id"), col("ord"),
+          when(pmod(col("ord"), lit(97L)) === 0, concat(lit("("), col("tok")))
+            .otherwise(col("tok")).as("tok"),
+          col("char_start"), col("char_end"))
+      Concepts.strictFilters(pp(s, d).unionByName(noisy))
+    }),
     "conllu_tokens" -> ((s, d) => Conllu.roundTrip(docs(s, d))),
     "conll03_export" -> ((s, d) => Conllu.conll03(docs(s, d))),
     "dict_export" -> ((s, _) => graft.functions.ConceptDict.dictExport(s)),

@@ -50,6 +50,21 @@ object ConceptDict {
 
   val stopwords: Seq[String] = Seq("a", "the")
 
+  /** (group, excluded covered text) — annotations of this group whose
+    * covered text equals the excluded string (case-insensitive) are dropped
+    * (reference: ConceptPostProcessingFn.removeIdToTextExclusionPairs:1162 —
+    * e.g. the common-word sense of an ontology label). */
+  val exclusionPairs: Seq[(String, String)] = Seq("DS" -> "line", "OP" -> "window")
+
+  def exclusionDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    exclusionPairs.toDF("x_group", "x_text")
+  }
+
+  def exclusionValuesSql: String =
+    exclusionPairs.map { case (g, t) => s"('$g','$t')" }
+      .mkString("(VALUES ", ", ", ") AS excl(x_group, x_text)")
+
   /** Concept promotion map (reference: util/NcbiTaxonPromotionMapFactory,
     * MondoToHpEquivalenceMapFileFactory — canonicalize specific ids before
     * counting). */

@@ -47,6 +47,29 @@ object Concepts {
       "left_anti")
   }
 
+  /** Strict annotation hygiene filters (reference: ConceptPostProcessingFn):
+    *  - unbalanced-bracket removal (:261 removeAnythingWithOddBracketCount —
+    *    the intended semantics: drop an annot whose covered text has an
+    *    unequal open/close count for any of (), [], {}),
+    *  - stopword / short covered-text removal (:1185 removeNcbiStopWords —
+    *    length > 2 and lower(text) not a stopword),
+    *  - id→text exclusion pairs (:1162 removeIdToTextExclusionPairs — drop a
+    *    group's annots whose covered text equals an excluded string,
+    *    case-insensitive; broadcast anti-join).
+    * All row-local codegen'd predicates plus one broadcast anti-join. */
+  def strictFilters(annots: DataFrame): DataFrame = {
+    def cnt(ch: String) = expr(s"length(tok) - length(replace(tok, '$ch', ''))")
+    val balanced = (cnt("(") === cnt(")")) && (cnt("[") === cnt("]")) && (cnt("{") === cnt("}"))
+    val excl = broadcast(ConceptDict.exclusionDF(annots.sparkSession))
+    annots
+      .where(balanced)
+      .where(length(col("tok")) > 2 && !lower(col("tok")).isin(ConceptDict.stopwords: _*))
+      .join(excl,
+        substring_index(col("concept_id"), ":", 1) === col("x_group") &&
+          lower(col("tok")) === col("x_text"),
+        "left_anti")
+  }
+
   /** The simulated CRF channel: pattern-based entity spans (reference calls a
     * hosted CRF service; here a deterministic regex NER plays that role). */
   def crfAnnots(docs: DataFrame): DataFrame =

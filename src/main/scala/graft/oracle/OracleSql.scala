@@ -467,6 +467,24 @@ object OracleSql {
         |       ELSE 'B-' || split_part(cid, ':', 1) END AS line
         |FROM lt""".stripMargin
 
+  val conceptsPpStrict: String =
+    docPipeline(
+      s"""noisy AS (
+         |  SELECT doc_id, 'FAKE:' || tok AS concept_id, ord,
+         |    CASE WHEN ord % 97 = 0 THEN '(' || tok ELSE tok END AS tok,
+         |    char_start, char_end
+         |  FROM tok WHERE lower(tok) IN ${ConceptDict.stopwordsInSql} OR ord % 97 = 0)""".stripMargin,
+      "un AS (SELECT * FROM pp UNION ALL SELECT * FROM noisy)") +
+      s"""SELECT un.doc_id, un.concept_id, un.ord, un.tok, un.char_start, un.char_end
+         |FROM un
+         |LEFT JOIN ${ConceptDict.exclusionValuesSql}
+         |  ON split_part(un.concept_id, ':', 1) = excl.x_group AND lower(un.tok) = excl.x_text
+         |WHERE length(un.tok) - length(replace(un.tok, '(', '')) = length(un.tok) - length(replace(un.tok, ')', ''))
+         |  AND length(un.tok) - length(replace(un.tok, '[', '')) = length(un.tok) - length(replace(un.tok, ']', ''))
+         |  AND length(un.tok) - length(replace(un.tok, '{', '')) = length(un.tok) - length(replace(un.tok, '}', ''))
+         |  AND length(un.tok) > 2 AND lower(un.tok) NOT IN ${ConceptDict.stopwordsInSql}
+         |  AND excl.x_group IS NULL""".stripMargin
+
   val processingLedger: String =
     docPipeline(
       "tk AS (SELECT DISTINCT doc_id FROM tok)",
@@ -954,6 +972,7 @@ object OracleSql {
     "bio_tags" -> bioTags,
     "streaming_hourly" -> eventsHourly,
     "processing_ledger" -> processingLedger,
+    "concepts_pp_strict" -> conceptsPpStrict,
     "etl_failures" -> etlFailures,
     "abbrev" -> abbrev,
     "brat_to_bert" -> sentencePairs,

@@ -17,6 +17,21 @@ class PostProcessSpec extends SparkSpec {
     assert(r.toSeq == Seq("ENT:engine", "SZ:large", "OP:join"))
   }
 
+  test("strictFilters drops bracket-broken, stopword, short, and excluded-pair annots") {
+    val noisy = Seq(
+      (0L, "OP:scan", 1L, "scan", 0L, 4L),        // kept
+      (0L, "FAKE:(x", 2L, "(broken", 5L, 12L),    // unbalanced bracket
+      (0L, "FAKE:ok", 3L, "(fine)", 13L, 19L),    // balanced bracket → kept
+      (0L, "FAKE:the", 4L, "the", 20L, 23L),      // stopword
+      (0L, "FAKE:ab", 5L, "ab", 24L, 26L),        // too short
+      (0L, "DS:line", 6L, "line", 27L, 31L),      // exclusion pair
+      (0L, "DS:line", 7L, "Line", 32L, 36L),      // exclusion is case-insensitive
+      (0L, "OP:window", 8L, "window", 37L, 43L))  // exclusion pair
+      .toDF("doc_id", "concept_id", "ord", "tok", "char_start", "char_end")
+    val kept = Concepts.strictFilters(noisy).select("ord").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+  }
+
   test("resolveGroupOverlaps drops the dispreferred concept on identical spans") {
     val overlapping = Seq(
       (0L, "DS:table", 1L, "table", 0L, 5L),
