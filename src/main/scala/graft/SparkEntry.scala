@@ -38,6 +38,25 @@ object SparkEntry {
     "concepts" -> ((s, d) => Concepts.recognize(docs(s, d))),
     "concepts_pp" -> ((s, d) => pp(s, d)),
     "crf_overlap" -> ((s, d) => Concepts.filterViaCrf(pp(s, d), Concepts.crfAnnots(docs(s, d)))),
+    "concepts_span_generality" -> ((s, d) => {
+      // span-anchor the ancestor expansion, then resolve: specific classes
+      // sharing a span with one of their ancestors are dropped
+      val p = pp(s, d)
+      val anc = broadcast(graft.functions.ConceptDict.ancestorsDF(s))
+      val expanded = p.join(anc, "concept_id")
+        .select(col("doc_id"), col("ancestor_id").as("concept_id"),
+          col("ord"), col("tok"), col("char_start"), col("char_end"))
+      Concepts.resolveSameSpanByGenerality(p.unionByName(expanded).distinct())
+    }),
+    "concepts_aug_filter" -> ((s, d) => {
+      // recognize over REAL augmented text (original + marker + a synonym
+      // section built from the doc's first five tokens), then drop the
+      // synonym-section hits at the marker boundary
+      val aug = docs(s, d).select(col("doc_id"),
+        concat(col("text"), lit("\n\n@@AUG@@ "),
+          array_join(slice(split(col("text"), " "), 1, 5), " ")).as("text"))
+      Concepts.filterAugmented(Concepts.recognize(aug), aug)
+    }),
     "concepts_pp_strict" -> ((s, d) => {
       // noisy channel: stopword-covered and bracket-broken annots that the
       // strict hygiene filters must remove, plus real exclusion-pair hits

@@ -70,6 +70,20 @@ object Concepts {
         "left_anti")
   }
 
+  /** Drop annotations that fall in the augmented document section (reference:
+    * ConceptPostProcessingFn.filterAnnotsInAugmentedDocSection:326 — the
+    * augmented text appended after the DOCUMENT_END_MARKER exists only to
+    * give the recognizer synonym context; hits there must not survive).
+    * Same indexOf semantics: keep spans starting before the marker. */
+  def filterAugmented(annots: DataFrame, augDocs: DataFrame,
+                      marker: String = "@@AUG@@"): DataFrame = {
+    val marks = augDocs.select(col("doc_id"),
+      (instr(col("text"), marker) - 1).cast("long").as("aug_start"))
+    annots.join(marks, "doc_id")
+      .where(col("char_start") < col("aug_start"))
+      .drop("aug_start")
+  }
+
   /** The simulated CRF channel: pattern-based entity spans (reference calls a
     * hosted CRF service; here a deterministic regex NER plays that role). */
   def crfAnnots(docs: DataFrame): DataFrame =
@@ -106,6 +120,23 @@ object Concepts {
     annots.join(pref,
       col("doc_id") === col("p_doc") && col("char_start") === col("p_start") &&
         col("char_end") === col("p_end") && col("concept_id").startsWith(over + ":"),
+      "left_anti")
+  }
+
+  /** Same-span generality resolution (reference:
+    * ConceptPostProcessingFn.promoteNcbiTaxonAnnots:1208 — when annotations
+    * related through the ontology hierarchy share an identical span, keep
+    * the more general class). An annot is dropped when one of its ancestors
+    * is annotated on the same span; broadcast ancestor map, one anti-join. */
+  def resolveSameSpanByGenerality(annots: DataFrame): DataFrame = {
+    val anc = broadcast(ConceptDict.ancestorsDF(annots.sparkSession)
+      .select(col("concept_id").as("spec_concept"), col("ancestor_id").as("g_concept")))
+    val generalAtSpan = annots.join(anc, col("concept_id") === col("g_concept"))
+      .select(col("doc_id").as("g_doc"), col("char_start").as("g_start"),
+        col("char_end").as("g_end"), col("spec_concept"))
+    annots.join(generalAtSpan,
+      col("doc_id") === col("g_doc") && col("char_start") === col("g_start") &&
+        col("char_end") === col("g_end") && col("concept_id") === col("spec_concept"),
       "left_anti")
   }
 

@@ -485,6 +485,41 @@ object OracleSql {
          |  AND length(un.tok) > 2 AND lower(un.tok) NOT IN ${ConceptDict.stopwordsInSql}
          |  AND excl.x_group IS NULL""".stripMargin
 
+  val conceptsAugFilter: String =
+    s"""WITH adoc AS (
+       |  SELECT doc_id,
+       |    text || chr(10) || chr(10) || '@@AUG@@ ' ||
+       |      array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS text
+       |  FROM documents),
+       |atok0 AS (
+       |  SELECT doc_id, text,
+       |    unnest(string_split(text, ' ')) AS tok,
+       |    CAST(unnest(range(1, len(string_split(text, ' ')) + 1)) AS BIGINT) AS ord
+       |  FROM adoc),
+       |atok AS (
+       |  SELECT doc_id, text, ord, tok,
+       |    CAST(sum(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY ord) - 1 - length(tok) AS BIGINT) AS char_start,
+       |    CAST(sum(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS BIGINT) AS char_end
+       |  FROM atok0)
+       |SELECT t.doc_id, dict.concept_id, t.ord, t.tok, t.char_start, t.char_end
+       |FROM atok t JOIN ${ConceptDict.dictValuesSql} ON t.tok = dict.tok
+       |WHERE length(t.tok) > 1 AND NOT regexp_matches(t.tok, '^[0-9[:punct:]]+$$')
+       |  AND t.char_start < strpos(t.text, '@@AUG@@') - 1""".stripMargin
+
+  val conceptsSpanGenerality: String =
+    docPipeline(
+      s"""ex AS (
+         |  SELECT doc_id, concept_id, ord, tok, char_start, char_end FROM pp
+         |  UNION
+         |  SELECT p.doc_id, anc.ancestor_id AS concept_id, p.ord, p.tok, p.char_start, p.char_end
+         |  FROM pp p JOIN ${ConceptDict.ancestorsValuesSql} ON p.concept_id = anc.concept_id)""".stripMargin) +
+      s"""SELECT a.doc_id, a.concept_id, a.ord, a.tok, a.char_start, a.char_end
+         |FROM ex a
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM ex b JOIN ${ConceptDict.ancestorsValuesSql}
+         |    ON anc.concept_id = a.concept_id AND anc.ancestor_id = b.concept_id
+         |  WHERE b.doc_id = a.doc_id AND b.char_start = a.char_start AND b.char_end = a.char_end)""".stripMargin
+
   val processingLedger: String =
     docPipeline(
       "tk AS (SELECT DISTINCT doc_id FROM tok)",
@@ -973,6 +1008,8 @@ object OracleSql {
     "streaming_hourly" -> eventsHourly,
     "processing_ledger" -> processingLedger,
     "concepts_pp_strict" -> conceptsPpStrict,
+    "concepts_aug_filter" -> conceptsAugFilter,
+    "concepts_span_generality" -> conceptsSpanGenerality,
     "etl_failures" -> etlFailures,
     "abbrev" -> abbrev,
     "brat_to_bert" -> sentencePairs,
