@@ -46,7 +46,9 @@ object SparkEntry {
       val expanded = p.join(anc, "concept_id")
         .select(col("doc_id"), col("ancestor_id").as("concept_id"),
           col("ord"), col("tok"), col("char_start"), col("char_end"))
-      Concepts.resolveSameSpanByGenerality(p.unionByName(expanded).distinct())
+      // persist: the resolver references the expanded set from both sides
+      // of its anti-join; one materialization instead of two
+      Concepts.resolveSameSpanByGenerality(p.unionByName(expanded).distinct().persist())
     }),
     "concepts_aug_filter" -> ((s, d) => {
       // recognize over REAL augmented text (original + marker + a synonym
