@@ -87,6 +87,25 @@ object Relational {
         Num.r6(expr("percentile(value, 0.99)")).as("p99"),
         count(lit(1)).as("n"))
 
+  /** Sketch-based quantiles — the 100 TB path for eventsQuantiles: a
+    * fixed-size mergeable summary per partition instead of a per-group sort,
+    * so memory is O(accuracy) regardless of group size. Spec-verified
+    * against the exact path (sketches aren't cross-engine reproducible,
+    * so no DuckDB oracle by design). */
+  def eventsQuantilesApprox(events: DataFrame, accuracy: Int = 10000): DataFrame =
+    events.groupBy("event_type")
+      .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.9), lit(0.99)), lit(accuracy)).as("ps"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("ps").getItem(0).as("p50"),
+        col("ps").getItem(1).as("p90"), col("ps").getItem(2).as("p99"), col("n"))
+
+  /** HyperLogLog++ distinct users per event type — the 100 TB path for
+    * exact countDistinct (no per-group hash set, constant-size sketch).
+    * Spec-verified within the configured relative error. */
+  def distinctUsersApprox(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"))
+
   /** Top-3 parts per brand by retail price — the generic windowed top-N per
     * group shape (rank inside partition, no global sort). */
   def topPartsPerBrand(part: DataFrame, k: Int = 3): DataFrame =
