@@ -99,6 +99,8 @@ object SparkEntry {
     "webanno_export" -> ((s, d) => Exports.webanno(docs(s, d), pp(s, d))),
     "bio_tags" -> ((s, d) => Conllu.bioTags(docs(s, d), pp(s, d))),
     "streaming_hourly" -> ((s, d) => graft.streaming.EventStreams.hourlyViaStream(s, d)),
+    "streaming_dedup" -> ((s, d) => graft.streaming.EventStreams.dedupViaStream(s, d)),
+    "streaming_sessions" -> ((s, d) => graft.streaming.EventStreams.sessionsViaStream(s, d)),
     "processing_ledger" -> ((s, d) => {
       val dd = docs(s, d)
       val st = graft.infra.Etl.initStatus(dd, Seq("tokenized", "concepts_done", "actionable"))

@@ -657,6 +657,27 @@ object OracleSql {
       |  min(tus) AS start_us, max(tus) AS end_us, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
       |FROM c GROUP BY user_id, session_id""".stripMargin
 
+  val streamingDedup: String =
+    "SELECT DISTINCT user_id FROM events"
+
+  /** Streaming sessionization emits only CLOSED sessions (a later same-user
+    * event past the gap closes one); ms precision because the state machine
+    * keys on epoch millis. Oracle = batch sessions at ms precision minus
+    * each user's final session. */
+  val streamingSessions: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) // 1000 AS tms, value FROM events),
+      |l AS (SELECT *, lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) AS prev FROM e),
+      |s AS (SELECT *, CASE WHEN prev IS NULL OR tms - prev > 1800000 THEN 1 ELSE 0 END AS is_new FROM l),
+      |c AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tms, event_id) AS BIGINT) AS sid FROM s),
+      |agg AS (SELECT user_id, sid,
+      |    CAST(min(tms) AS BIGINT) AS session_start_ms, CAST(max(tms) AS BIGINT) AS session_end_ms,
+      |    CAST(count(*) AS BIGINT) AS n_events,
+      |    floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+      |  FROM c GROUP BY user_id, sid)
+      |SELECT user_id, session_start_ms, session_end_ms, n_events, sum_value
+      |FROM agg
+      |WHERE sid < (SELECT max(a2.sid) FROM agg a2 WHERE a2.user_id = agg.user_id)""".stripMargin
+
   // ---------- G. LLM-data ops ----------
 
   val dedupExact: String =
@@ -1006,6 +1027,8 @@ object OracleSql {
     "webanno_export" -> webannoExport,
     "bio_tags" -> bioTags,
     "streaming_hourly" -> eventsHourly,
+    "streaming_dedup" -> streamingDedup,
+    "streaming_sessions" -> streamingSessions,
     "processing_ledger" -> processingLedger,
     "concepts_pp_strict" -> conceptsPpStrict,
     "concepts_aug_filter" -> conceptsAugFilter,

@@ -38,21 +38,59 @@ object EventStreams {
     * in-memory complete-mode sink, and return the result keyed like
     * Relational.eventsHourly — so the same DuckDB oracle checks a plan that
     * actually executed as Structured Streaming. */
-  def hourlyViaStream(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+  /** Stage the events parquet into a fresh directory and open it as a
+    * file-source stream (µs timestamps, full event columns). */
+  private def stagedEventsStream(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-q")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"), dir.resolve("events.parquet"))
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"), col("value"))
-    val name = s"stream_hourly_${System.nanoTime}"
-    val q = windowedCounts(stream, "1 hour", "100 days")
-      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Complete()).start()
+    spark.readStream.schema(schema).parquet(dir.toString)
+      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink and return
+    * the sink table. */
+  private def runToTable(streamed: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"stream_q_${System.nanoTime}"
+    val q = streamed.writeStream.format("memory").queryName(name).outputMode(mode).start()
     try { q.processAllAvailable() } finally q.stop()
-    spark.table(name)
+    streamed.sparkSession.table(name)
+  }
+
+  def hourlyViaStream(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
+    runToTable(windowedCounts(stagedEventsStream(spark, sfDir), "1 hour", "100 days"),
+      OutputMode.Complete())
       .select(expr("unix_micros(window_start) div 3600000000").as("hour_bucket"),
         col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Streaming dedup executed by the real engine over the staged events
+    * stream: dropDuplicatesWithinWatermark keeps one arrival per user inside
+    * the (here unbounded) watermark horizon. Projected to the key set, the
+    * result is deterministic regardless of which arrival won — and equals
+    * batch DISTINCT, which is the oracle. */
+  def dedupViaStream(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
+    runToTable(
+      stagedEventsStream(spark, sfDir)
+        .withWatermark("ts", "100 days")
+        .dropDuplicatesWithinWatermark("user_id"),
+      OutputMode.Append())
+      .select(col("user_id"))
+
+  /** Stateful sessionization executed by the real engine: the staged events
+    * run through flatMapGroupsWithState, which emits a session only when a
+    * later same-user event past the gap closes it — so the result is
+    * exactly the batch sessionization minus each user's final (still-open)
+    * session, which is what the oracle computes. */
+  def sessionsViaStream(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = stagedEventsStream(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("value")).as[Event]
+    runToTable(sessionize(ev).toDF(), OutputMode.Append())
+      .select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
+        col("n_events"), graft.functions.Num.r2(col("sum_value")).as("sum_value"))
   }
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)
