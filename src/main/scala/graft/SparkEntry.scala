@@ -101,6 +101,7 @@ object SparkEntry {
     "streaming_hourly" -> ((s, d) => graft.streaming.EventStreams.hourlyViaStream(s, d)),
     "streaming_dedup" -> ((s, d) => graft.streaming.EventStreams.dedupViaStream(s, d)),
     "streaming_sessions" -> ((s, d) => graft.streaming.EventStreams.sessionsViaStream(s, d)),
+    "streaming_join" -> ((s, d) => graft.streaming.EventStreams.joinViaStream(s, d)),
     "processing_ledger" -> ((s, d) => {
       val dd = docs(s, d)
       val st = graft.infra.Etl.initStatus(dd, Seq("tokenized", "concepts_done", "actionable"))

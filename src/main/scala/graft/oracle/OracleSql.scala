@@ -678,6 +678,17 @@ object OracleSql {
       |FROM agg
       |WHERE sid < (SELECT max(a2.sid) FROM agg a2 WHERE a2.user_id = agg.user_id)""".stripMargin
 
+  /** Inner interval joins emit the same set regardless of arrival order, so
+    * the streaming view→click join equals this batch interval join. */
+  val streamingJoin: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events)
+      |SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+      |  c.tus - v.tus AS lag_us
+      |FROM e v JOIN e c
+      |  ON v.user_id = c.user_id
+      | AND v.event_type = 'view' AND c.event_type = 'click'
+      | AND c.tus >= v.tus AND c.tus <= v.tus + 1800000000""".stripMargin
+
   // ---------- G. LLM-data ops ----------
 
   val dedupExact: String =
@@ -1029,6 +1040,7 @@ object OracleSql {
     "streaming_hourly" -> eventsHourly,
     "streaming_dedup" -> streamingDedup,
     "streaming_sessions" -> streamingSessions,
+    "streaming_join" -> streamingJoin,
     "processing_ledger" -> processingLedger,
     "concepts_pp_strict" -> conceptsPpStrict,
     "concepts_aug_filter" -> conceptsAugFilter,

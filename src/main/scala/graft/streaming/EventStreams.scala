@@ -93,6 +93,32 @@ object EventStreams {
         col("n_events"), graft.functions.Num.r2(col("sum_value")).as("sum_value"))
   }
 
+  /** Watermarked stream-stream interval join (SURVEY H4): each left event
+    * matches right events of the same user arriving within `[lts, lts+maxLag]`.
+    * The time bound lets the engine evict join state once the watermark
+    * passes; an inner join's emitted set is arrival-order independent, so
+    * run-to-completion equals the batch interval join. */
+  def intervalJoin(left: DataFrame, right: DataFrame, maxLag: String = "30 minutes",
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = left.select(col("user_id"), col("event_id").as("l_id"), col("ts").as("lts"))
+      .withWatermark("lts", watermark)
+    val r = right.select(col("user_id").as("r_user_id"), col("event_id").as("r_id"), col("ts").as("rts"))
+      .withWatermark("rts", watermark)
+    l.join(r, expr(s"user_id = r_user_id AND rts >= lts AND rts <= lts + interval $maxLag"))
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        (unix_micros(col("rts")) - unix_micros(col("lts"))).as("lag_us"))
+  }
+
+  /** view→click attribution through the real streaming engine: views and
+    * clicks are two file-source streams over the staged events, joined with
+    * the watermarked interval join above. */
+  def joinViaStream(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val views = stagedEventsStream(spark, sfDir).where(col("event_type") === "view")
+    val clicks = stagedEventsStream(spark, sfDir).where(col("event_type") === "click")
+    runToTable(intervalJoin(views, clicks, "30 minutes", "100 days"), OutputMode.Append())
+      .select(col("user_id"), col("l_id").as("view_id"), col("r_id").as("click_id"), col("lag_us"))
+  }
+
   case class Event(user_id: Long, ts: Timestamp, value: Double)
   case class SessionUpdate(user_id: Long, session_start_ms: Long, session_end_ms: Long,
                            n_events: Long, sum_value: Double)
