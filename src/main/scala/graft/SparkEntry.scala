@@ -102,6 +102,8 @@ object SparkEntry {
     "streaming_dedup" -> ((s, d) => graft.streaming.EventStreams.dedupViaStream(s, d)),
     "streaming_sessions" -> ((s, d) => graft.streaming.EventStreams.sessionsViaStream(s, d)),
     "streaming_join" -> ((s, d) => graft.streaming.EventStreams.joinViaStream(s, d)),
+    "streaming_concepts" -> ((s, d) => graft.streaming.DocStreams.conceptsViaStream(s, d)),
+    "brat_import" -> ((s, d) => Exports.bratImport(Exports.brat(pp(s, d)))),
     "processing_ledger" -> ((s, d) => {
       val dd = docs(s, d)
       val st = graft.infra.Etl.initStatus(dd, Seq("tokenized", "concepts_done", "actionable"))

@@ -23,9 +23,14 @@ import org.apache.spark.sql.functions._
 object Concepts {
 
   /** doc_id, concept_id, ord, tok, char_start, char_end */
-  def recognize(docs: DataFrame): DataFrame = {
-    val toks = TextOps.tokens(docs)
-    val dict = broadcast(ConceptDict.dictDF(docs.sparkSession))
+  def recognize(docs: DataFrame): DataFrame =
+    recognizeTokens(TextOps.tokens(docs))
+
+  /** Recognition over an existing token stream — row-local filters plus one
+    * broadcast dict join, so it runs identically on batch and streaming
+    * token sources (see streaming/DocStreams). */
+  def recognizeTokens(toks: DataFrame): DataFrame = {
+    val dict = broadcast(ConceptDict.dictDF(toks.sparkSession))
     toks
       .where(length(col("tok")) > 1)                       // OgerPostProcessingFn length filter
       .where(!col("tok").rlike("^[0-9\\p{Punct}]+$"))      // isDigitsAndPunctOnly

@@ -54,6 +54,31 @@ object Exports {
       .select(col("doc_id"), concat(col("doc_id"), lit(".ann")).as("ann_file"), col("line"))
   }
 
+  /** Inverse of [[brat]] — parse Brat standoff lines back into concept
+    * annotations (doc_id, concept_id, char_start, char_end, tok). The
+    * reference ships one-off corpus converters that read gold-standard
+    * standoff back into its document model (corpora/craft,
+    * relation_extraction/BratToBertConverter.java readAnnotationFiles); this
+    * is that import surface: T lines give the span + covered text, N lines
+    * bind each T to its ontology id, joined equi on (doc_id, t_num) — all
+    * row-local string splits, one narrow join. */
+  def bratImport(brat: DataFrame): DataFrame = {
+    val parts = split(col("line"), "\t")
+    val parsed = brat.select(col("doc_id"), parts.getItem(0).as("tag"),
+      parts.getItem(1).as("mid"), parts.getItem(2).as("txt"))
+    val t = parsed.where(col("tag").startsWith("T"))
+      .select(col("doc_id"), substring(col("tag"), 2, 18).cast("long").as("t_num"),
+        split(col("mid"), " ").getItem(1).cast("long").as("char_start"),
+        split(col("mid"), " ").getItem(2).cast("long").as("char_end"),
+        col("txt").as("tok"))
+    val n = parsed.where(col("tag").startsWith("N"))
+      .select(col("doc_id").as("n_doc_id"),
+        substring(split(col("mid"), " ").getItem(1), 2, 18).cast("long").as("n_t_num"),
+        split(col("mid"), " ").getItem(2).as("concept_id"))
+    t.join(n, col("doc_id") === col("n_doc_id") && col("t_num") === col("n_t_num"))
+      .select(col("doc_id"), col("concept_id"), col("char_start"), col("char_end"), col("tok"))
+  }
+
   /** doc_id, line — WebAnno TSV-style token rows (reference:
     * fn/SentenceExtractionWebAnnoFn.java, WebAnnoSentenceExtractionPipeline):
     * `{sent}-{tok}\t{begin}-{end}\t{token}\t{label}` per token, label = the

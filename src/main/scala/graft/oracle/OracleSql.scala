@@ -113,6 +113,11 @@ object OracleSql {
   val conceptsPp: String =
     docPipeline() + "SELECT doc_id, concept_id, ord, tok, char_start, char_end FROM pp"
 
+  /** Brat round-trip import lands back on the post-processed annotation set
+    * (minus ord, which standoff lines don't carry). */
+  val bratImport: String =
+    docPipeline() + "SELECT doc_id, concept_id, char_start, char_end, tok FROM pp"
+
   val crfOverlap: String =
     docPipeline(
       """crf AS (SELECT doc_id, char_start, char_end FROM tok
@@ -1041,6 +1046,8 @@ object OracleSql {
     "streaming_dedup" -> streamingDedup,
     "streaming_sessions" -> streamingSessions,
     "streaming_join" -> streamingJoin,
+    "streaming_concepts" -> concepts,
+    "brat_import" -> bratImport,
     "processing_ledger" -> processingLedger,
     "concepts_pp_strict" -> conceptsPpStrict,
     "concepts_aug_filter" -> conceptsAugFilter,

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** The concept-recognition front door executed as Structured Streaming.
+  *
+  * The reference ingests documents in batch only (Beam pipelines over a
+  * Datastore snapshot; etl/MedlineXmlToTextPipeline.java et al.). Because
+  * our recognition chain is declarative and stateless — tokenize, row-local
+  * hygiene filters, broadcast dictionary join — the identical operator
+  * pipeline also runs incrementally over a document stream, giving
+  * ingest-time concept annotation with no reprocessing. The only batch-only
+  * construct in the batch path is the running-offset window in
+  * TextOps.tokens; [[streamTokens]] replaces it with a per-document
+  * prefix-sum over the token array (a linear higher-order `aggregate`),
+  * which is stateless and therefore streaming-legal.
+  */
+object DocStreams {
+
+  /** Stage the documents parquet into a fresh dir and open it as a
+    * file-source stream. */
+  private def stagedDocsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-docs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"), dir.resolve("documents.parquet"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+    spark.readStream.schema(schema).parquet(dir.toString)
+  }
+
+  /** Streaming-safe dual of TextOps.tokens: identical output columns
+    * (doc_id, ord, tok, char_start, char_end), but the running character
+    * offset comes from a per-document array prefix-sum instead of a window
+    * function (windows are not allowed on streams). */
+  def streamTokens(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("starts",
+        expr("slice(aggregate(toks, array(0L), " +
+          "(acc, t) -> array_append(acc, element_at(acc, -1) + length(t) + 1)), 1, size(toks))"))
+      .select(col("doc_id"), posexplode(arrays_zip(col("toks"), col("starts"))).as(Seq("pos", "z")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("ord"),
+        col("z.toks").as("tok"),
+        col("z.starts").as("char_start"),
+        (col("z.starts") + length(col("z.toks"))).cast("long").as("char_end"))
+
+  /** Dictionary concept recognition executed by the real streaming engine
+    * over the staged documents stream; append-mode, stateless, so the
+    * emitted set equals batch Concepts.recognize — checked by the same
+    * DuckDB oracle. */
+  def conceptsViaStream(spark: SparkSession, sfDir: String): DataFrame =
+    EventStreams.runToTable(
+      graft.operators.Concepts.recognizeTokens(streamTokens(stagedDocsStream(spark, sfDir))),
+      OutputMode.Append())
+      .select(col("doc_id"), col("concept_id"), col("ord"), col("tok"),
+        col("char_start"), col("char_end"))
+}

@@ -52,12 +52,22 @@ object EventStreams {
   }
 
   /** Run a streaming DataFrame to completion into a memory sink and return
-    * the sink table. */
-  private def runToTable(streamed: DataFrame, mode: OutputMode): DataFrame = {
+    * the sink table. Stateful-operator partition count is pinned at query
+    * start from spark.sql.shuffle.partitions; streaming state should be
+    * sized to key cardinality / throughput, not to the batch shuffle width
+    * (each partition carries its own state store — a stream-stream join
+    * opens four per partition), so we drop to a narrow width for the run
+    * and restore the session conf after. */
+  private[streaming] def runToTable(streamed: DataFrame, mode: OutputMode): DataFrame = {
+    val spark = streamed.sparkSession
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
     val name = s"stream_q_${System.nanoTime}"
-    val q = streamed.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    try { q.processAllAvailable() } finally q.stop()
-    streamed.sparkSession.table(name)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = streamed.writeStream.format("memory").queryName(name).outputMode(mode).start()
+      try { q.processAllAvailable() } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    spark.table(name)
   }
 
   def hourlyViaStream(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
