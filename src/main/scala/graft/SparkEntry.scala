@@ -104,6 +104,13 @@ object SparkEntry {
     "streaming_join" -> ((s, d) => graft.streaming.EventStreams.joinViaStream(s, d)),
     "streaming_concepts" -> ((s, d) => graft.streaming.DocStreams.conceptsViaStream(s, d)),
     "brat_import" -> ((s, d) => Exports.bratImport(Exports.brat(pp(s, d)))),
+    "bionlp_source" -> ((s, d) => {
+      // round-trip through the standoff storage layout: export → per-doc
+      // partitioned text files → read back via the DSv2 source
+      val dir = java.nio.file.Files.createTempDirectory("graft-bionlp-src").toString
+      Exports.bionlp(pp(s, d)).write.partitionBy("doc_id").mode("overwrite").text(dir)
+      s.read.format("graft.sources.BioNlpSource").load(dir)
+    }),
     "processing_ledger" -> ((s, d) => {
       val dd = docs(s, d)
       val st = graft.infra.Etl.initStatus(dd, Seq("tokenized", "concepts_done", "actionable"))

@@ -438,6 +438,16 @@ object OracleSql {
         |    || chr(9) || tok AS line
         |FROM pp""".stripMargin
 
+  /** The DSv2 standoff source reads back exactly the exported annotation
+    * fields (t_num from the T tag, doc_id from the partition directory). */
+  val bionlpSource: String =
+    docPipeline() +
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY char_start, concept_id) AS BIGINT) AS t_num,
+        |  split_part(concept_id, ':', 1) AS concept_type,
+        |  char_start, char_end, tok
+        |FROM pp""".stripMargin
+
   val bratExport: String =
     docPipeline(
       """tnum AS (SELECT doc_id, concept_id, char_start, char_end, tok,
@@ -1048,6 +1058,7 @@ object OracleSql {
     "streaming_join" -> streamingJoin,
     "streaming_concepts" -> concepts,
     "brat_import" -> bratImport,
+    "bionlp_source" -> bionlpSource,
     "processing_ledger" -> processingLedger,
     "concepts_pp_strict" -> conceptsPpStrict,
     "concepts_aug_filter" -> conceptsAugFilter,
