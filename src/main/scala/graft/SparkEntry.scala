@@ -166,6 +166,22 @@ object SparkEntry {
     "q5_region_revenue" -> ((s, d) =>
       Relational.q5RegionRevenue(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
         Tables.nation(s, d), Tables.region(s, d))),
+    "q7_volume" -> ((s, d) =>
+      Relational.q7Volume(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d))),
+    "q16_part_suppliers" -> ((s, d) =>
+      Relational.q16PartSuppliers(Tables.part(s, d), Tables.lineitem(s, d), Tables.supplier(s, d))),
+    "q18_large_orders" -> ((s, d) =>
+      Relational.q18LargeOrders(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "skew_join" -> ((s, d) => {
+      // salted equi-join (8-way key scatter) must produce exactly the plain
+      // join's aggregate — the oracle is the unsalted join
+      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("okey"), col("l_quantity"))
+      val od = Tables.orders(s, d).select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      Skew.saltedJoin(li, od, "okey")
+        .groupBy("o_orderpriority")
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+    }),
     "events_hourly" -> ((s, d) => Relational.eventsHourly(Tables.events(s, d))),
     "events_sessions" -> ((s, d) => Relational.eventsSessions(Tables.events(s, d))),
     "events_quantiles" -> ((s, d) => Relational.eventsQuantiles(Tables.events(s, d))),

@@ -115,6 +115,53 @@ object Relational {
       .where(col("rk") <= k)
       .select(col("p_brand"), col("rk"), col("p_partkey"), col("p_name"), col("p_retailprice"))
 
+  /** TPC-H Q7-shaped: shipping volume between customer and supplier nations
+    * by ship year. Every dimension (customer, supplier, both nation copies)
+    * broadcasts; the fact shuffles once, for the final aggregation. */
+  def q7Volume(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+               supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val n1 = nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val n2 = nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    lineitem
+      .join(orders.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+      .where(col("cust_nation") =!= col("supp_nation"))
+      .groupBy(col("cust_nation"), col("supp_nation"), year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(Num.r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("volume"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q16-shaped: distinct supplier count per part attribute, excluding
+    * a supplier denylist via broadcast anti-join. count_distinct plans as
+    * two-phase (partial distinct map-side) — no single-point aggregation. */
+  def q16PartSuppliers(part: DataFrame, lineitem: DataFrame, supplier: DataFrame): DataFrame =
+    lineitem.select("l_partkey", "l_suppkey")
+      .join(broadcast(supplier.where(col("s_acctbal") < 0).select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(part.select("p_partkey", "p_brand", "p_type", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+
+  /** TPC-H Q18-shaped: customers with large orders — aggregate the fact per
+    * order, filter on the grouped sum (having), then join order/customer
+    * detail back. The having-filter runs before the detail join, so only
+    * qualifying orders reach it. */
+  def q18LargeOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                     minQty: Double = 150.0): DataFrame = {
+    val big = lineitem.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .where(col("total_qty") > minQty)
+    big.join(orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_name")), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        Num.r2(col("o_totalprice")).as("o_totalprice"), col("total_qty"))
+  }
+
   /** Gap-based sessionization (30 min): lag + running sum of session starts,
     * then per-session aggregation. One shuffle on user_id. Timestamps are
     * reduced to microseconds (the finest precision every engine preserves). */

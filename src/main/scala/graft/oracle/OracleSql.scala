@@ -658,6 +658,44 @@ object OracleSql {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name, n_name""".stripMargin
 
+  val q7Volume: String =
+    """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  floor((sum(l_extendedprice * (1.0 - l_discount))) * 100 + 0.5) / 100 AS volume,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE n1.n_name <> n2.n_name
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  val q16PartSuppliers: String =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  val q18LargeOrders: String =
+    """WITH big AS (
+      |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+      |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150)
+      |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+      |  floor(o_totalprice * 100 + 0.5) / 100 AS o_totalprice, total_qty
+      |FROM big
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  /** The salted join must aggregate identically to the plain join. */
+  val skewJoin: String =
+    """SELECT o_orderpriority, sum(l_quantity) AS sum_qty, CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
   val eventsHourly: String =
     """SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket, event_type,
       |  CAST(count(*) AS BIGINT) AS n_events, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
@@ -1105,6 +1143,10 @@ object OracleSql {
     "q1_pricing" -> q1Pricing,
     "q3_top_orders" -> q3TopOrders,
     "q5_region_revenue" -> q5RegionRevenue,
+    "q7_volume" -> q7Volume,
+    "q16_part_suppliers" -> q16PartSuppliers,
+    "q18_large_orders" -> q18LargeOrders,
+    "skew_join" -> skewJoin,
     "events_hourly" -> eventsHourly,
     "events_sessions" -> eventsSessions,
     "dedup_exact" -> dedupExact,
