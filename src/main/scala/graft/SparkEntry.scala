@@ -183,6 +183,7 @@ object SparkEntry {
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
     }),
     "events_hourly" -> ((s, d) => Relational.eventsHourly(Tables.events(s, d))),
+    "events_asof" -> ((s, d) => Relational.eventsAsof(Tables.events(s, d))),
     "events_sessions" -> ((s, d) => Relational.eventsSessions(Tables.events(s, d))),
     "events_quantiles" -> ((s, d) => Relational.eventsQuantiles(Tables.events(s, d))),
     "top_parts_per_brand" -> ((s, d) => Relational.topPartsPerBrand(Tables.part(s, d))),
@@ -193,6 +194,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
     "dedup_norm" -> ((s, d) => Dedup.normalized(docs(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(docs(s, d))),
+    "dedup_clusters" -> ((s, d) => Dedup.clusters(docs(s, d))),
     "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
     "doc_fingerprint" -> ((s, d) => Dedup.rollingFingerprint(docs(s, d))),

@@ -148,6 +148,58 @@ object Dedup {
       .select(col("doc_id"), fingerprint.as("simhash"))
   }
 
+  /** id, cluster_id — connected components over an undirected pair list by
+    * iterative min-label propagation: each round every node takes the min of
+    * its own and its neighbors' labels; fixpoint = every component labeled
+    * with its smallest member. Rounds needed = graph diameter; near-dup
+    * graphs are dense blobs with tiny diameters, so this converges in a few
+    * rounds (a pathological chain corpus would want the large-star/small-star
+    * variant, which squares paths for O(log n) rounds — same join shape).
+    * Each round is one equi-join + groupBy per direction; the per-round
+    * fixpoint check is a limit(1) existence probe, not a full count. */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    // localCheckpoint, not persist: persist caches data but keeps the full
+    // lineage, so each round's plan would embed the previous round's twice
+    // (once in next, once in the change probe) — exponential plan growth.
+    // Checkpointing truncates lineage per round, the standard shape for
+    // iterative graph algorithms (a cluster deployment with lineage-based
+    // recovery needs would use reliable checkpoint() to a checkpoint dir).
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var iter = 0
+    var changed = true
+    while (changed && iter < maxIterations) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy("src").agg(min(col("nl")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .where(col("label") =!= col("old")).limit(1).count() > 0
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** doc_id, cluster_id for EVERY document — canonical near-dup clusters:
+    * confirmed Jaccard pairs → connected components; docs in no pair are
+    * their own singleton cluster. This is the step that turns pairwise
+    * near-dup evidence into the keep-one-per-cluster decision a training
+    * pipeline actually executes. */
+  def clusters(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val comp = connectedComponents(ngramJaccard(docs, threshold).select("doc_a", "doc_b"))
+    docs.select(col("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
   /** doc_id, fingerprint — min over rolling 5-gram polynomial hashes of token
     * ids (Karp–Rabin style); docs shorter than 5 tokens are skipped.
     * Token id = Hash60 mod RollP, so the widest intermediate product

@@ -43,7 +43,10 @@ object KnowledgeGraph {
     * iterations. At 100 TB each iteration is one shuffle and intermediate
     * results should be checkpointed every few rounds to cut lineage. */
   def transitiveClosure(edges: DataFrame, maxIterations: Int = 20): DataFrame = {
-    var closure = edges.select(col("child"), col("parent")).distinct().persist()
+    // localCheckpoint truncates lineage per round (persist alone would let
+    // the plan double every iteration on deep graphs — see
+    // Dedup.connectedComponents for the same pattern)
+    var closure = edges.select(col("child"), col("parent")).distinct().localCheckpoint()
     var n = closure.count()
     var grew = true
     var iter = 0
@@ -51,7 +54,7 @@ object KnowledgeGraph {
       val step = closure.as("c")
         .join(edges.as("e"), col("c.parent") === col("e.child"))
         .select(col("c.child").as("child"), col("e.parent").as("parent"))
-      val next = closure.unionByName(step).distinct().persist()
+      val next = closure.unionByName(step).distinct().localCheckpoint()
       val m = next.count()
       grew = m > n
       n = m

@@ -162,6 +162,34 @@ object Relational {
         Num.r2(col("o_totalprice")).as("o_totalprice"), col("total_qty"))
   }
 
+  /** As-of join: each `leftType` event picks the most recent `refType` event
+    * of the same user strictly before it in (time, event_id) order — e.g.
+    * the click a purchase gets attributed to. Spark has no ASOF JOIN
+    * operator; the scale-correct composition is NOT a per-row range join
+    * (quadratic in events-per-user) but a single per-user ordered scan:
+    * union both types, window `last(_, ignoreNulls)` over the preceding
+    * frame, keep the left rows. One shuffle on user_id, linear work.
+    * Timestamps at µs (cross-engine precision floor); ties broken by
+    * event_id so the result is total-order deterministic. */
+  def eventsAsof(events: DataFrame, leftType: String = "purchase",
+                 refType: String = "click"): DataFrame = {
+    val ev = events
+      .where(col("event_type").isin(leftType, refType))
+      .select(col("user_id"), col("event_id"), col("event_type"), expr("ts div 1000").as("tus"))
+    val tagged = ev
+      .withColumn("ref_tus", when(col("event_type") === refType, col("tus")))
+      .withColumn("ref_id", when(col("event_type") === refType, col("event_id")))
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tagged
+      .withColumn("asof_tus", last(col("ref_tus"), ignoreNulls = true).over(w))
+      .withColumn("asof_id", last(col("ref_id"), ignoreNulls = true).over(w))
+      .where(col("event_type") === leftType)
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("tus").as("purchase_us"),
+        col("asof_id").as("click_id"), col("asof_tus").as("click_us"),
+        (col("tus") - col("asof_tus")).as("lag_us"))
+  }
+
   /** Gap-based sessionization (30 min): lag + running sum of session starts,
     * then per-session aggregation. One shuffle on user_id. Timestamps are
     * reduced to microseconds (the finest precision every engine preserves). */

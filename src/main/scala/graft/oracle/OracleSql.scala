@@ -696,6 +696,28 @@ object OracleSql {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
 
+  /** Same tie rule as the engine: candidate refs are those strictly before
+    * the left row in (tus, event_id) order; pick the last one. */
+  val eventsAsof: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events
+      |  WHERE event_type IN ('click', 'purchase')),
+      |t AS (SELECT *,
+      |    CASE WHEN event_type = 'click' THEN tus END AS ref_tus,
+      |    CASE WHEN event_type = 'click' THEN event_id END AS ref_id
+      |  FROM e),
+      |w AS (SELECT *,
+      |    last_value(ref_tus IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY tus, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_tus,
+      |    last_value(ref_id IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY tus, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_id
+      |  FROM t)
+      |SELECT user_id, event_id AS purchase_id, tus AS purchase_us,
+      |  asof_id AS click_id, asof_tus AS click_us, tus - asof_tus AS lag_us
+      |FROM w WHERE event_type = 'purchase'""".stripMargin
+
   val eventsHourly: String =
     """SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket, event_type,
       |  CAST(count(*) AS BIGINT) AS n_events, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
@@ -801,6 +823,35 @@ object OracleSql {
        |  JOIN sizes na ON na.doc_id = i.doc_a
        |  JOIN sizes nb ON nb.doc_id = i.doc_b)
        |WHERE jaccard >= 0.6""".stripMargin
+
+  /** Connected components in SQL: transitive reachability over the
+    * confirmed-Jaccard pair graph (recursive CTE with set-union semantics
+    * terminates on the cyclic graph), cluster = min reachable id. */
+  val dedupClusters: String =
+    s"""WITH RECURSIVE $tokCte,
+       |$minhashCtes,
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+       |  FROM cand c
+       |  JOIN ss sa ON sa.doc_id = c.doc_a
+       |  JOIN ss sb ON sb.doc_id = c.doc_b AND sa.sid = sb.sid
+       |  GROUP BY 1, 2),
+       |jac AS (SELECT * FROM (
+       |  SELECT i.doc_a, i.doc_b,
+       |    floor((CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS jaccard
+       |  FROM inter i
+       |  JOIN sizes na ON na.doc_id = i.doc_a
+       |  JOIN sizes nb ON nb.doc_id = i.doc_b)
+       |  WHERE jaccard >= 0.6),
+       |e AS (SELECT doc_a AS s, doc_b AS d FROM jac UNION SELECT doc_b, doc_a FROM jac),
+       |reach AS (
+       |  SELECT s AS id, d AS r FROM e
+       |  UNION
+       |  SELECT reach.id, e2.d FROM reach JOIN e e2 ON reach.r = e2.s),
+       |clus AS (SELECT id, least(id, min(r)) AS cid FROM reach GROUP BY id)
+       |SELECT d.doc_id, CAST(coalesce(c.cid, d.doc_id) AS BIGINT) AS cluster_id
+       |FROM documents d LEFT JOIN clus c ON d.doc_id = c.id""".stripMargin
 
   val dedupSimhash: String = {
     val bitSums = (0 until Dedup.SimhashBits)
@@ -1147,6 +1198,8 @@ object OracleSql {
     "q16_part_suppliers" -> q16PartSuppliers,
     "q18_large_orders" -> q18LargeOrders,
     "skew_join" -> skewJoin,
+    "events_asof" -> eventsAsof,
+    "dedup_clusters" -> dedupClusters,
     "events_hourly" -> eventsHourly,
     "events_sessions" -> eventsSessions,
     "dedup_exact" -> dedupExact,
