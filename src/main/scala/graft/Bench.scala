@@ -10,6 +10,27 @@ import org.apache.spark.sql.SparkSession
   * keeps async cleanup from the previous query out of the next one's timing.
   */
 object Bench {
+  /** The round-1 benchmark query set (BENCH_r01.json), for the
+    * warm_total_r1_queries round-over-round comparison metric. */
+  private val R1Queries: Set[String] = Set(
+    "abbrev", "bionlp_export", "chunk_content", "classified_sentences",
+    "collection_assign", "concept_count_dist", "concept_idf", "concepts",
+    "concepts_pp", "concepts_promoted", "conll03_export", "conllu_tokens",
+    "cooccur_counts_abstract", "cooccur_counts_doc", "cooccur_counts_sent",
+    "cooccur_counts_title", "cooccur_metrics_doc", "crf_overlap",
+    "decontaminate", "dedup_exact", "dedup_minhash", "dedup_norm",
+    "dedup_simhash", "dict_export", "distant_supervision", "doc_augment",
+    "doc_filter", "doc_fingerprint", "doc_sample", "doc_upsert",
+    "emb_dup_pairs", "emb_lsh", "emb_topk", "emb_topk_native", "es_docs",
+    "events_hourly", "events_props", "events_quantiles", "events_sessions",
+    "export_flat", "kg_edges", "kg_nodes", "lang_id", "multimodal_meta",
+    "ngram_counts", "ngram_jaccard", "ontology_closure", "pubannotation_export",
+    "q1_pricing", "q3_top_orders", "q5_region_revenue", "q6_forecast",
+    "quality_filter", "quality_score", "relation_paths", "repetition_stats",
+    "sentence_pairs", "sentences", "text_export", "text_redact", "tfidf",
+    "token_packing", "tokens", "top_parts_per_brand", "vocab_stats",
+    "xml_roundtrip")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -48,7 +69,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"failed":$fails,"sf":"$sfDir"}""")
+    // round-over-round comparability: the query set grows every round, so
+    // also report the warm total restricted to the round-1 query set
+    val r1Total = results.collect { case (k, v) if R1Queries(k) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"n_queries":${results.size},"warm_total_r1_queries":$r1Total,"failed":$fails,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -184,6 +184,7 @@ object SparkEntry {
     }),
     "events_hourly" -> ((s, d) => Relational.eventsHourly(Tables.events(s, d))),
     "events_asof" -> ((s, d) => Relational.eventsAsof(Tables.events(s, d))),
+    "range_join_binned" -> ((s, d) => Relational.rangeJoinBinned(Tables.events(s, d))),
     "events_sessions" -> ((s, d) => Relational.eventsSessions(Tables.events(s, d))),
     "events_quantiles" -> ((s, d) => Relational.eventsQuantiles(Tables.events(s, d))),
     "top_parts_per_brand" -> ((s, d) => Relational.topPartsPerBrand(Tables.part(s, d))),

@@ -190,6 +190,29 @@ object Relational {
         (col("tus") - col("asof_tus")).as("lag_us"))
   }
 
+  /** Interval join with NO equi key: every non-error event within ±maxLag of
+    * each error event, across all users. The naive plan for a pure range
+    * predicate is a BroadcastNestedLoopJoin — quadratic, the classic 100 TB
+    * killer. The scale shape bins the time axis at the lag width: each error
+    * probes its own and both adjacent bins (3-element explode), the join is
+    * equi on the bin, and the exact range predicate refines the candidates.
+    * Work is O(pairs-within-lag), not O(n²). */
+  def rangeJoinBinned(events: DataFrame, maxLagUs: Long = 60000000L): DataFrame = {
+    val ev = events.select(col("event_id"), expr("ts div 1000").as("tus"), col("event_type"))
+    val nbrs = ev.where(col("event_type") =!= "error")
+      .withColumn("bin", expr(s"tus div ${maxLagUs}L"))
+    val errs = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("tus").as("err_tus"))
+      .withColumn("bin", explode(array(
+        expr(s"err_tus div ${maxLagUs}L") - 1L,
+        expr(s"err_tus div ${maxLagUs}L"),
+        expr(s"err_tus div ${maxLagUs}L") + 1L)))
+    errs.join(nbrs, "bin")
+      .where(abs(col("tus") - col("err_tus")) <= maxLagUs)
+      .select(col("err_id"), col("event_id").as("nbr_id"),
+        (col("tus") - col("err_tus")).as("delta_us"))
+  }
+
   /** Gap-based sessionization (30 min): lag + running sum of session starts,
     * then per-session aggregation. One shuffle on user_id. Timestamps are
     * reduced to microseconds (the finest precision every engine preserves). */

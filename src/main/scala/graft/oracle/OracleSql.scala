@@ -718,6 +718,13 @@ object OracleSql {
       |  asof_id AS click_id, asof_tus AS click_us, tus - asof_tus AS lag_us
       |FROM w WHERE event_type = 'purchase'""".stripMargin
 
+  val rangeJoinBinned: String =
+    """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS tus FROM events)
+      |SELECT a.event_id AS err_id, b.event_id AS nbr_id, b.tus - a.tus AS delta_us
+      |FROM e a JOIN e b
+      |  ON a.event_type = 'error' AND b.event_type <> 'error'
+      | AND b.tus BETWEEN a.tus - 60000000 AND a.tus + 60000000""".stripMargin
+
   val eventsHourly: String =
     """SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket, event_type,
       |  CAST(count(*) AS BIGINT) AS n_events, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
@@ -1199,6 +1206,7 @@ object OracleSql {
     "q18_large_orders" -> q18LargeOrders,
     "skew_join" -> skewJoin,
     "events_asof" -> eventsAsof,
+    "range_join_binned" -> rangeJoinBinned,
     "dedup_clusters" -> dedupClusters,
     "events_hourly" -> eventsHourly,
     "events_sessions" -> eventsSessions,
