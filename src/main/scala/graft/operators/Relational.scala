@@ -130,8 +130,16 @@ object Relational {
       .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
       .where(col("cust_nation") =!= col("supp_nation"))
       .groupBy(col("cust_nation"), col("supp_nation"), year(col("l_shipdate")).cast("long").as("l_year"))
-      .agg(Num.r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("volume"),
+      // integer-cents accounting: round each item to cents, sum exactly as
+      // longs (order-independent — a float sum's last-ulp depends on
+      // accumulation order, which no distributed engine can pin down), then
+      // divide once. With 4k+ fine-grained groups the float-sum-then-round
+      // formulation measurably flips 2dp boundaries between engines.
+      .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0) + lit(0.5))
+        .cast("long")).as("cents"),
         count(lit(1)).as("n_items"))
+      .select(col("cust_nation"), col("supp_nation"), col("l_year"),
+        (col("cents") / lit(100.0)).as("volume"), col("n_items"))
   }
 
   /** TPC-H Q16-shaped: distinct supplier count per part attribute, excluding

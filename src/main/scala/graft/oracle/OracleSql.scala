@@ -658,10 +658,13 @@ object OracleSql {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name, n_name""".stripMargin
 
+  /** volume is summed in integer cents (per-item cent rounding, exact BIGINT
+    * sum) so the aggregate is accumulation-order independent — the
+    * float-sum-then-round form flips 2dp boundaries between engines. */
   val q7Volume: String =
     """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
       |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
-      |  floor((sum(l_extendedprice * (1.0 - l_discount))) * 100 + 0.5) / 100 AS volume,
+      |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS volume,
       |  CAST(count(*) AS BIGINT) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
