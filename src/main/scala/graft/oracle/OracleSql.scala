@@ -446,7 +446,7 @@ object OracleSql {
         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY char_start, concept_id) AS BIGINT) AS t_num,
         |  split_part(concept_id, ':', 1) AS concept_type,
         |  char_start, char_end, tok
-        |FROM pp""".stripMargin
+        |FROM pp WHERE doc_id % 20 = 0""".stripMargin
 
   val bratExport: String =
     docPipeline(
