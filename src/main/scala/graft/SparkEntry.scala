@@ -192,6 +192,8 @@ object SparkEntry {
     "events_hourly" -> ((s, d) => Relational.eventsHourly(Tables.events(s, d))),
     "events_asof" -> ((s, d) => Relational.eventsAsof(Tables.events(s, d))),
     "range_join_binned" -> ((s, d) => Relational.rangeJoinBinned(Tables.events(s, d))),
+    "multimodal_decode" -> ((s, d) => TextStats.decodeBatched(
+      docs(s, d).select(col("doc_id"), col("text").cast("binary").as("payload")))),
     "events_sessions" -> ((s, d) => Relational.eventsSessions(Tables.events(s, d))),
     "events_quantiles" -> ((s, d) => Relational.eventsQuantiles(Tables.events(s, d))),
     "top_parts_per_brand" -> ((s, d) => Relational.topPartsPerBrand(Tables.part(s, d))),

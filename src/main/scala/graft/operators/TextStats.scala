@@ -213,7 +213,9 @@ object TextStats {
       .mapPartitions { it =>
         it.grouped(64).flatMap { batch =>
           // STUB decode: real impl would hand `batch` to a native decoder.
-          batch.map { case (id, bytes) => (id, bytes.length, if (bytes.isEmpty) 0 else bytes(0).toInt) }
+          batch.map { case (id, bytes) =>
+            (id, bytes.length.toLong, if (bytes.isEmpty) 0L else bytes(0).toLong)
+          }
         }
       }
       .toDF("doc_id", "byte_len", "first_byte")

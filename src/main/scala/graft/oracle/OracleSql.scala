@@ -1024,6 +1024,13 @@ object OracleSql {
        |  (NOT rep.n_tokens < 20 AND NOT rep.dup_trigram_ratio > 0.55 AND NOT q.stop_ratio > 0.12) AS keep
        |FROM rep JOIN q ON rep.doc_id = q.doc_id""".stripMargin
 
+  /** The batched-decode stub emits (byte length, first byte) per payload;
+    * payloads are the ASCII doc text, so both are SQL-replayable. */
+  val multimodalDecode: String =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
+      |  CAST(CASE WHEN length(text) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS first_byte
+      |FROM documents""".stripMargin
+
   val multimodalMeta: String =
     """SELECT doc_id,
       |  CAST(length(text) AS BIGINT) AS byte_len,
@@ -1210,6 +1217,7 @@ object OracleSql {
     "skew_join" -> skewJoin,
     "events_asof" -> eventsAsof,
     "range_join_binned" -> rangeJoinBinned,
+    "multimodal_decode" -> multimodalDecode,
     "dedup_clusters" -> dedupClusters,
     "events_hourly" -> eventsHourly,
     "events_sessions" -> eventsSessions,
