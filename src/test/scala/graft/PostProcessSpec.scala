@@ -85,8 +85,8 @@ class PostProcessSpec extends SparkSpec {
     val payloads = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
       .selectExpr("doc_id", "CAST(text AS BINARY) AS payload")
     val r = TextStats.decodeBatched(payloads).orderBy("doc_id").collect()
-    assert(r(0).getAs[Int]("byte_len") == 5 && r(0).getAs[Int]("first_byte") == 'h'.toInt)
-    assert(r(1).getAs[Int]("byte_len") == 0 && r(1).getAs[Int]("first_byte") == 0)
+    assert(r(0).getAs[Long]("byte_len") == 5L && r(0).getAs[Long]("first_byte") == 'h'.toLong)
+    assert(r(1).getAs[Long]("byte_len") == 0L && r(1).getAs[Long]("first_byte") == 0L)
   }
 
   test("token packing keeps packs within budget for full sentences") {
