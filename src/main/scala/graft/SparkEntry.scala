@@ -220,6 +220,7 @@ object SparkEntry {
         get_json_object(col("props"), "$.k").cast("long").as("k_value"))),
     "vocab_stats" -> ((s, d) => TextStats.vocabStats(docs(s, d))),
     "ngram_counts" -> ((s, d) => TextStats.ngramCounts(docs(s, d))),
+    "unigram_logprob" -> ((s, d) => TextStats.unigramLogprob(docs(s, d))),
     "doc_sample" -> ((s, d) => TextStats.sampleDocs(docs(s, d))),
     "decontaminate" -> ((s, d) => {
       val base = docs(s, d)

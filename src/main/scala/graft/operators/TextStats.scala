@@ -63,6 +63,23 @@ object TextStats {
       .groupBy("tok")
       .agg(count(lit(1)).as("n_occurrences"), countDistinct("doc_id").as("doc_freq"))
 
+  /** doc_id, n_tokens, avg_logprob — corpus-self-trained unigram LM score,
+    * the cheap perplexity proxy LLM-data pipelines use for quality ranking
+    * (docs made of rare/garbled tokens score low). The LM is one
+    * vocabulary-sized aggregate; the grand total folds in as a broadcast
+    * 1-row aggregate (no driver action); the score join is equi on the
+    * token — vocabulary ≪ corpus, so this shuffles the token stream once. */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(docs).select("doc_id", "tok")
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    toks.join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        Num.r6(avg(log(col("cnt").cast("double") / col("total").cast("double")))).as("avg_logprob"))
+  }
+
   /** Top-k bigram counts (language-model n-gram table shape). */
   def ngramCounts(docs: DataFrame, k: Int = 20): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("ord")

@@ -1101,6 +1101,15 @@ object OracleSql {
        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
        |FROM tok GROUP BY tok""".stripMargin
 
+  val unigramLogprob: String =
+    s"""WITH $tokCte,
+       |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+       |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  floor(avg(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS avg_logprob
+       |FROM tok JOIN c USING (tok) CROSS JOIN t
+       |GROUP BY doc_id""".stripMargin
+
   val ngramCounts: String =
     s"""WITH $tokCte,
        |bg AS (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS bigram FROM tok)
@@ -1187,6 +1196,7 @@ object OracleSql {
     "events_props" -> eventsProps,
     "vocab_stats" -> vocabStats,
     "ngram_counts" -> ngramCounts,
+    "unigram_logprob" -> unigramLogprob,
     "doc_sample" -> docSample,
     "decontaminate" -> decontaminate,
     "decontaminate_bloom" -> decontaminate,
