@@ -205,6 +205,7 @@ object SparkEntry {
     "dedup_norm" -> ((s, d) => Dedup.normalized(docs(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(docs(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(docs(s, d))),
+    "simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d))),
     "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
     "doc_fingerprint" -> ((s, d) => Dedup.rollingFingerprint(docs(s, d))),

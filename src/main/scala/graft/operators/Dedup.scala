@@ -148,6 +148,29 @@ object Dedup {
       .select(col("doc_id"), fingerprint.as("simhash"))
   }
 
+  /** doc_a, doc_b, hamming — SimHash near-dup pairs. Candidate generation is
+    * banded exactly like MinHash-LSH: two fingerprints within Hamming
+    * distance k of a b-band split must agree on at least one band
+    * (pigeonhole), so pairs come from an equi-join on (band index, band
+    * value) — never all-pairs — and the exact `bit_count(xor)` distance
+    * (both codegen'd built-ins) filters the candidates. 4 bands of 4 bits
+    * over the 16-bit fingerprint guarantees recall for hamming ≤ 3. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fp = simhash(docs)
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), expr(s"(simhash >> ${4 * b}) & 15").as("band_val"))): _*)).as("bv"))
+      .select(col("doc_id"), col("simhash"), col("bv.band"), col("bv.band_val"))
+    val l = banded.select(col("band"), col("band_val"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val r = banded.select(col("band"), col("band_val"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("band", "band_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** id, cluster_id — connected components over an undirected pair list by
     * iterative min-label propagation: each round every node takes the min of
     * its own and its neighbors' labels; fixpoint = every component labeled

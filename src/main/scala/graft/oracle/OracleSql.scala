@@ -863,18 +863,36 @@ object OracleSql {
        |SELECT d.doc_id, CAST(coalesce(c.cid, d.doc_id) AS BIGINT) AS cluster_id
        |FROM documents d LEFT JOIN clus c ON d.doc_id = c.id""".stripMargin
 
-  val dedupSimhash: String = {
+  /** Shared fingerprint CTE chain for the SimHash queries (`f` = doc_id,
+    * simhash). */
+  private val simhashCtes: String = {
     val bitSums = (0 until Dedup.SimhashBits)
       .map(k => s"sum(CASE WHEN ((hh >> $k) & 1) = 1 THEN 1 ELSE -1 END) AS b$k").mkString(",\n    ")
     val fp = (0 until Dedup.SimhashBits)
       .map(k => s"(CASE WHEN b$k > 0 THEN ${1L << k} ELSE 0 END)").mkString(" + ")
-    s"""WITH $tokCte,
+    s"""$tokCte,
        |h AS (SELECT doc_id, ${Hash60.sql("tok")} % 65536 AS hh FROM tok),
        |b AS (SELECT doc_id,
        |    $bitSums
-       |  FROM h GROUP BY doc_id)
-       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM b""".stripMargin
+       |  FROM h GROUP BY doc_id),
+       |f AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM b)""".stripMargin
   }
+
+  val dedupSimhash: String =
+    s"WITH $simhashCtes\nSELECT doc_id, simhash FROM f"
+
+  /** Banded SimHash pairing: agree-on-one-band candidates, exact Hamming
+    * refine — mirrors Dedup.simhashPairs. */
+  val simhashPairs: String =
+    s"""WITH $simhashCtes,
+       |bands AS (SELECT unnest(range(0, 4)) AS band),
+       |bd AS (SELECT doc_id, simhash, band, (simhash >> (4 * band)) & 15 AS band_val
+       |  FROM f CROSS JOIN bands),
+       |p AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
+       |  FROM bd a JOIN bd b2
+       |    ON a.band = b2.band AND a.band_val = b2.band_val AND a.doc_id < b2.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3""".stripMargin
 
   val docFingerprint: String =
     s"""WITH $tokCte,
@@ -1229,6 +1247,7 @@ object OracleSql {
     "range_join_binned" -> rangeJoinBinned,
     "multimodal_decode" -> multimodalDecode,
     "dedup_clusters" -> dedupClusters,
+    "simhash_pairs" -> simhashPairs,
     "events_hourly" -> eventsHourly,
     "events_sessions" -> eventsSessions,
     "dedup_exact" -> dedupExact,
