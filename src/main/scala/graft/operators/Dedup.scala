@@ -29,7 +29,7 @@ object Dedup {
   val minhashParams: Seq[(Int, Long, Long)] =
     (0 until NumHashes).map(j => (j, (j * 2654435761L) % (MinhashP - 1) + 1, (j * 1013904223L + 12345L) % MinhashP))
 
-  val SimhashBits = 16
+  val SimhashBits = 60
   val RollB = 131L
   val RollP = 1000000007L
 
@@ -133,11 +133,15 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** doc_id, simhash — 16-bit SimHash over token hashes (with multiplicity).
-    * Token hash = Hash60 mod 2^16: per-row, no vocabulary build. */
+  /** doc_id, simhash — 60-bit SimHash over token hashes (with multiplicity).
+    * Token hash = Hash60 directly: per-row, no vocabulary build. 60 bits
+    * (real deployments use 64) keeps every shifted weight positive in a
+    * signed long AND makes the band space selective — a 16-bit fingerprint
+    * has only 16 values per 4-bit band, so banding degenerates to near
+    * all-pairs on any real corpus. */
   def simhash(docs: DataFrame): DataFrame = {
     val hashed = TextOps.tokens(docs)
-      .withColumn("hh", Hash60.id(col("tok")) % 65536)
+      .withColumn("hh", Hash60.id(col("tok")))
     val bitSums = (0 until SimhashBits).map(k =>
       sum(when(shiftright(col("hh"), k) % 2 === 1, 1L).otherwise(-1L)).as(s"b$k"))
     val fingerprint = (0 until SimhashBits)
@@ -153,13 +157,14 @@ object Dedup {
     * distance k of a b-band split must agree on at least one band
     * (pigeonhole), so pairs come from an equi-join on (band index, band
     * value) — never all-pairs — and the exact `bit_count(xor)` distance
-    * (both codegen'd built-ins) filters the candidates. 4 bands of 4 bits
-    * over the 16-bit fingerprint guarantees recall for hamming ≤ 3. */
+    * (both codegen'd built-ins) filters the candidates. 4 bands of 15 bits
+    * over the 60-bit fingerprint guarantees recall for hamming ≤ 3 with
+    * ~n/2^15 expected docs per band bucket. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val fp = simhash(docs)
     val banded = fp.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), expr(s"(simhash >> ${4 * b}) & 15").as("band_val"))): _*)).as("bv"))
+        struct(lit(b).as("band"), expr(s"(simhash >> ${15 * b}) & 32767").as("band_val"))): _*)).as("bv"))
       .select(col("doc_id"), col("simhash"), col("bv.band"), col("bv.band_val"))
     val l = banded.select(col("band"), col("band_val"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val r = banded.select(col("band"), col("band_val"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))

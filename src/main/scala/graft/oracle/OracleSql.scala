@@ -871,7 +871,7 @@ object OracleSql {
     val fp = (0 until Dedup.SimhashBits)
       .map(k => s"(CASE WHEN b$k > 0 THEN ${1L << k} ELSE 0 END)").mkString(" + ")
     s"""$tokCte,
-       |h AS (SELECT doc_id, ${Hash60.sql("tok")} % 65536 AS hh FROM tok),
+       |h AS (SELECT doc_id, ${Hash60.sql("tok")} AS hh FROM tok),
        |b AS (SELECT doc_id,
        |    $bitSums
        |  FROM h GROUP BY doc_id),
@@ -886,7 +886,7 @@ object OracleSql {
   val simhashPairs: String =
     s"""WITH $simhashCtes,
        |bands AS (SELECT unnest(range(0, 4)) AS band),
-       |bd AS (SELECT doc_id, simhash, band, (simhash >> (4 * band)) & 15 AS band_val
+       |bd AS (SELECT doc_id, simhash, band, (simhash >> (15 * band)) & 32767 AS band_val
        |  FROM f CROSS JOIN bands),
        |p AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
        |    CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
