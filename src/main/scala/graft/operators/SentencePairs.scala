@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.Agg
 import graft.functions.Num
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -62,22 +61,28 @@ object SentencePairs {
     extract(annots, xPrefix, yPrefix).join(kwHits, Seq("doc_id", "sent_id"))
   }
 
+  /** One row per sentence: its tokens as a sorted (ord, tok) array. Built
+    * once and equi-joined to pair tables, so per-pair text assembly is an
+    * array transform — not a per-pair ordered aggregation over a pairs×tokens
+    * join (which shuffles |pairs|·SentWindow rows; sentences with many X×Y
+    * mentions each re-shuffle every token once per pair). */
+  private def sentenceTokenArrays(docs: DataFrame): DataFrame =
+    TextOps.tokens(docs)
+      .withColumn("sent_id", expr(s"(ord - 1) div ${TextOps.SentWindow}"))
+      .groupBy("doc_id", "sent_id")
+      .agg(array_sort(collect_list(struct(col("ord").as("o"), col("tok").as("v")))).as("toks"))
+
   /** extract() + blinded sentence text (placeholders at the mention ords). */
   def extractWithBlinded(docs: DataFrame, annots: DataFrame,
-                         xPrefix: String = "OP", yPrefix: String = "DS"): DataFrame = {
-    val pairs = extract(annots, xPrefix, yPrefix)
-    val toks = TextOps.tokens(docs)
-      .withColumn("sent_id", expr(s"(ord - 1) div ${TextOps.SentWindow}"))
-      .select("doc_id", "sent_id", "ord", "tok")
-    pairs.join(toks, Seq("doc_id", "sent_id"))
-      .withColumn("btok",
-        when(col("ord") === col("x_ord"), lit("@CONCEPT_X$"))
-          .when(col("ord") === col("y_ord"), lit("@CONCEPT_Y$"))
-          .otherwise(col("tok")))
-      .groupBy("doc_id", "sent_id", "concept_x", "concept_y", "x_ord", "y_ord")
-      .agg(Agg.orderedStringAgg(col("ord"), col("btok"), " ")
-        .as("blinded_sentence"))
-  }
+                         xPrefix: String = "OP", yPrefix: String = "DS"): DataFrame =
+    extract(annots, xPrefix, yPrefix)
+      .join(sentenceTokenArrays(docs), Seq("doc_id", "sent_id"))
+      .select(col("doc_id"), col("sent_id"), col("concept_x"), col("concept_y"),
+        col("x_ord"), col("y_ord"),
+        array_join(transform(col("toks"), t =>
+          when(t("o") === col("x_ord"), lit("@CONCEPT_X$"))
+            .when(t("o") === col("y_ord"), lit("@CONCEPT_Y$"))
+            .otherwise(t("v"))), " ").as("blinded_sentence"))
 
   /** Distant supervision (reference: relation_extraction/distant_supervision):
     * sentence-level pair mentions are silver-labeled positive when the pair is
@@ -120,17 +125,17 @@ object SentencePairs {
     val pairs = extract(annots, xPrefix, yPrefix)
       .withColumn("lo", least(col("x_ord"), col("y_ord")))
       .withColumn("hi", greatest(col("x_ord"), col("y_ord")))
-    // path tokens are by construction inside one sentence window, so the
-    // join carries sent_id too — cuts joined rows by ~SentWindow× vs the
-    // doc_id-only join before the ord range filter, same result
-    val toks = TextOps.tokens(docs)
-      .withColumn("sent_id", expr(s"(ord - 1) div ${TextOps.SentWindow}"))
-      .select("doc_id", "sent_id", "ord", "tok")
-    pairs.join(toks, Seq("doc_id", "sent_id"))
-      .where(col("ord") > col("lo") && col("ord") < col("hi"))
-      .groupBy("doc_id", "sent_id", "concept_x", "concept_y", "lo", "hi")
-      .agg(Agg.orderedStringAgg(col("ord"), col("tok"), " ")
-        .as("path"))
+      // adjacent mentions have no between-path; ords are dense so hi>lo+1
+      // ⇔ the between-token set is non-empty (matches the pre-array plan,
+      // where such pairs produced no aggregation group)
+      .where(col("hi") > col("lo") + 1)
+    // path tokens are by construction inside one sentence window: join the
+    // per-sentence token array (one row per sentence) and slice it per pair
+    pairs.join(sentenceTokenArrays(docs), Seq("doc_id", "sent_id"))
+      .select(col("concept_x"), col("concept_y"),
+        array_join(transform(
+          filter(col("toks"), t => t("o") > col("lo") && t("o") < col("hi")),
+          t => t("v")), " ").as("path"))
       .groupBy("path")
       .agg(count(lit(1)).as("support"),
         countDistinct(concat_ws("|", col("concept_x"), col("concept_y"))).as("n_distinct_pairs"))
