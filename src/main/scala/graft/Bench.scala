@@ -66,13 +66,17 @@ object Bench {
       quiesce()
       name -> warm
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // 3-decimal times keep the whole JSON line under the harness's output
+    // tail window (full-precision doubles pushed it past the tail and the
+    // line arrived truncated → unparseable)
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // round-over-round comparability: the query set grows every round, so
     // also report the warm total restricted to the round-1 query set
     val r1Total = results.collect { case (k, v) if R1Queries(k) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"n_queries":${results.size},"warm_total_r1_queries":$r1Total,"failed":$fails,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"cold_total_sec":${f3(coldTotal)},"n_queries":${results.size},"warm_total_r1_queries":${f3(r1Total)},"failed":$fails,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
