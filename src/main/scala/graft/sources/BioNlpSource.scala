@@ -44,18 +44,35 @@ object BioNlpSource {
     "doc_id BIGINT, t_num BIGINT, concept_type STRING, char_start BIGINT, char_end BIGINT, tok STRING")
 
   /** (path, docId, len) for every data file under the root, doc id parsed
-    * from the `doc_id=N` directory component. */
+    * from the `doc_id=N` directory component.
+    *
+    * Local paths walk the tree with java.nio: Hadoop's RawLocalFileSystem
+    * materializes permission bits for each LocatedFileStatus by forking an
+    * `ls` per file, which turns a 250-file listing into seconds of planning
+    * time. Non-local schemes (HDFS, object stores) use the Hadoop listing,
+    * where recursive listFiles is the efficient bulk call. */
   private[sources] def listFiles(root: String): Seq[(String, Long, Long)] = {
-    val p = new Path(root)
-    val fs = p.getFileSystem(new Configuration())
-    val it = fs.listFiles(p, true)
+    val rootPath = new Path(root)
+    val scheme = rootPath.toUri.getScheme
     val out = Seq.newBuilder[(String, Long, Long)]
-    while (it.hasNext) {
-      val f = it.next()
-      val name = f.getPath.getName
-      val dir = f.getPath.getParent.getName
-      if (f.isFile && !name.startsWith(".") && !name.startsWith("_") && dir.startsWith("doc_id="))
-        out += ((f.getPath.toString, dir.stripPrefix("doc_id=").toLong, f.getLen))
+    def keep(dirName: String, fileName: String): Boolean =
+      !fileName.startsWith(".") && !fileName.startsWith("_") && dirName.startsWith("doc_id=")
+    if (scheme == null || scheme == "file") {
+      val base = java.nio.file.Paths.get(rootPath.toUri.getPath)
+      val stream = java.nio.file.Files.walk(base)
+      try stream.forEach { p =>
+        val f = p.toFile
+        if (f.isFile && keep(p.getParent.getFileName.toString, p.getFileName.toString))
+          out += ((p.toString, p.getParent.getFileName.toString.stripPrefix("doc_id=").toLong, f.length()))
+      } finally stream.close()
+    } else {
+      val fs = rootPath.getFileSystem(new Configuration())
+      val it = fs.listFiles(rootPath, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && keep(f.getPath.getParent.getName, f.getPath.getName))
+          out += ((f.getPath.toString, f.getPath.getParent.getName.stripPrefix("doc_id=").toLong, f.getLen))
+      }
     }
     out.result()
   }
@@ -136,6 +153,9 @@ class BioNlpPartitionReader(partition: BioNlpInputPartition, required: StructTyp
     extends PartitionReader[InternalRow] {
   private val fields = required.fieldNames
   private val needSpan = fields.exists(Set("t_num", "concept_type", "char_start", "char_end", "tok"))
+  // one conf for the reader's lifetime — constructing one per file re-reads
+  // the Hadoop resource chain
+  private val conf = new Configuration()
   private var fileIdx = 0
   private var docId = 0L
   private var lines: Iterator[String] = Iterator.empty
@@ -149,7 +169,7 @@ class BioNlpPartitionReader(partition: BioNlpInputPartition, required: StructTyp
     fileIdx += 1
     docId = d
     val p = new Path(file)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     reader = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p), "UTF-8"))
     lines = Iterator.continually(reader.readLine()).takeWhile(_ != null)
     true
