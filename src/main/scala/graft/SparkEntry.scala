@@ -214,6 +214,11 @@ object SparkEntry {
     "dedup_norm" -> ((s, d) => Dedup.normalized(docs(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(docs(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(docs(s, d))),
+    "window_dup" -> ((s, d) => Dedup.windowDupPairs(docs(s, d))),
+    "semantic_dedup" -> ((s, d) => Embeddings.semanticDedup(Tables.embeddings(s, d))),
+    "corpus_mix" -> ((s, d) => TextStats.corpusMix(docs(s, d))),
+    "annot_agreement" -> ((s, d) =>
+      Eval.spanAgreement(pp(s, d), Concepts.crfAnnots(docs(s, d)))),
     "simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d))),
     "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),

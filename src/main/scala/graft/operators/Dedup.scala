@@ -246,4 +246,41 @@ object Dedup {
       .groupBy("doc_id")
       .agg(min("wh").as("fingerprint"))
   }
+
+  /** doc_a, doc_b, n_shared — cross-document exact-substring duplication
+    * (the relational re-expression of the suffix-array pass in Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): flag a pair when the two docs share at least
+    * `minShared` distinct `windowTokens`-token windows verbatim. Window id =
+    * Hash60 of the window text mod MinhashP (per-row, oracle-reproducible).
+    * Windows occurring in more than `maxDf` documents are dropped before
+    * pairing — the boilerplate cap that bounds every bucket's join fan-out
+    * (a window in F docs contributes F² pairs; capping F is what makes the
+    * equi-join viable at corpus scale, and such windows are boilerplate,
+    * not duplication evidence). */
+  def windowDupPairs(docs: DataFrame, windowTokens: Int = 8,
+                     minShared: Int = 2, maxDf: Int = 20): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("ord")
+    val base = TextOps.tokens(docs)
+    val withLeads = (1 until windowTokens).foldLeft(base) { (df, i) =>
+      df.withColumn(s"t$i", lead("tok", i).over(w))
+    }
+    val windowStr = concat_ws(" ",
+      col("tok") +: (1 until windowTokens).map(i => col(s"t$i")): _*)
+    val wins = withLeads
+      .where(col(s"t${windowTokens - 1}").isNotNull)
+      .select(col("doc_id"), (Hash60.id(windowStr) % MinhashP).as("wid"))
+      .distinct()
+      .persist()
+    val keepWids = wins.groupBy("wid").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDf)
+      .select("wid")
+    val kept = wins.join(keepWids, "wid")
+    kept.select(col("wid"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("wid"), col("doc_id").as("doc_b")), "wid")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
 }

@@ -157,4 +157,28 @@ object Embeddings {
         Num.r6(cosine(col("ea"), col("eb"))).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** vec_id, cell, is_dup — SemDeDup-style semantic deduplication (Abbas et
+    * al. 2023, arXiv:2303.09540): cluster the embedding space, compare
+    * pairwise cosine ONLY within a cluster, and mark every vector that has a
+    * lower-id cluster-mate above `tau` as a semantic duplicate. The cluster
+    * assignment is the IVF nearest-centroid cell (the deterministic k-means
+    * surrogate shared with ivfTopK), so the cell id is the one shuffle key
+    * and pair generation is per-cell — never all-pairs. At 100 TB, K grows
+    * with the corpus (K ≈ √N keeps expected cell population √N) and hot
+    * cells split by a salted sub-cluster pass; the plan shape is unchanged. */
+  def semanticDedup(embeddings: DataFrame, tau: Double = 0.35): DataFrame = {
+    val cells = cellRanks(embeddings).where(col("rnk") === 1).select("vec_id", "cell")
+    val vecs = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("ve"))
+    val m = cells.join(vecs, "vec_id").persist()
+    val dropped = m.select(col("cell"), col("vec_id").as("vec_a"), col("ve").as("ea"))
+      .join(m.select(col("cell"), col("vec_id").as("vec_b"), col("ve").as("eb")), "cell")
+      .where(col("vec_a") < col("vec_b"))
+      .where(Num.r6(cosine(col("ea"), col("eb"))) >= tau)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    m.select("vec_id", "cell")
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), coalesce(col("dup"), lit(false)).as("is_dup"))
+  }
 }

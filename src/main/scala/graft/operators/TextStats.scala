@@ -100,6 +100,38 @@ object TextStats {
     docs.where(pmod(col("doc_id") * 2654435761L, lit(1000L)) < permille)
       .select(col("doc_id"), col("lang"), col("source"))
 
+  /** Token-budget corpus mixing: pick documents per source so the mixed
+    * corpus hits a target token budget at prescribed source proportions —
+    * the "data mixture" step of a training-data pipeline (e.g. the
+    * domain-weighted sampling of The Pile / DoReMi-style recipes, made
+    * deterministic). Weight per source is derived in-plan (1 + src-number
+    * mod 4, normalized by the corpus-wide weight total via a broadcast
+    * 1-row aggregate — no driver action); docs are ordered by the same
+    * multiplicative-hash permutation as sampleDocs and taken while the
+    * source's running token count stays within its share of `budget`.
+    * Output: doc_id, source, n_tokens, cum_tokens.
+    *
+    * Scale: the windows partition by source — at 100 TB with few sources,
+    * the two-level variant applies (hash-bucket subtotals per source, a
+    * tiny bucket-offset table broadcast back, within-bucket windows),
+    * identical selection when the permutation orders bucket-major. */
+  def corpusMix(docs: DataFrame, budget: Long = 20000L): DataFrame = {
+    val weighted = docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        (lit(1L) + pmod(regexp_extract(col("source"), "(\\d+)", 1).cast("long"), lit(4L))).as("w"))
+    val totalW = weighted.groupBy("source").agg(first("w").as("sw"))
+      .agg(sum("sw").as("w_total"))
+    val win = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(pmod(col("doc_id") * 2654435761L, lit(1000000L)), col("doc_id"))
+    weighted
+      .join(broadcast(totalW))
+      .withColumn("share", expr(s"($budget * w) div w_total"))
+      .withColumn("cum_tokens", sum("n_tokens").over(win))
+      .where(col("cum_tokens") <= col("share"))
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+  }
+
   /** Sequence packing (token-budget chunking): assign each sentence window
     * to a pack so every pack holds ~`budget` tokens of consecutive text.
     * doc_id, sent_id, n_tokens, pack_id. */

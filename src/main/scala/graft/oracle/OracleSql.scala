@@ -1163,6 +1163,81 @@ object OracleSql {
        |  FROM sent)
        |SELECT doc_id, sent_id, n_tokens, (cum - n_tokens) // 64 AS pack_id FROM c""".stripMargin
 
+  val windowDup: String = {
+    val leads = (1 to 7).map(i =>
+      s"lead(tok, $i) OVER (PARTITION BY doc_id ORDER BY ord) AS t$i").mkString(", ")
+    val cat = "tok" + (1 to 7).map(i => s" || ' ' || t$i").mkString
+    s"""WITH $tokCte,
+       |wl AS (SELECT doc_id, tok, $leads FROM tok),
+       |wstr AS (SELECT doc_id, $cat AS wtext FROM wl WHERE t7 IS NOT NULL),
+       |ws AS (SELECT DISTINCT doc_id, ${Hash60.sql("wtext")} % ${Dedup.MinhashP} AS wid FROM wstr),
+       |keep AS (SELECT wid FROM ws GROUP BY wid HAVING count(*) BETWEEN 2 AND 20),
+       |k AS (SELECT ws.doc_id, ws.wid FROM ws JOIN keep USING (wid))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM k a JOIN k b ON a.wid = b.wid AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+  }
+
+  val semanticDedup: String =
+    s"""WITH ex AS (SELECT vec_id,
+       |    CAST(unnest(range(0, len(embedding))) AS BIGINT) AS dim,
+       |    unnest(CAST(embedding AS DOUBLE[])) AS e
+       |  FROM embeddings),
+       |s AS (SELECT vec_id, cen.cell, sum(e * cen.w) AS dot, sum(e * e) AS n2,
+       |    sum(CAST(cen.w AS DOUBLE) * CAST(cen.w AS DOUBLE)) AS c2
+       |  FROM ex JOIN $centroidsSql ON ex.dim = cen.dim GROUP BY 1, 2),
+       |r AS (SELECT vec_id, cell,
+       |    CAST(row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY floor((dot / (sqrt(n2) * sqrt(c2))) * 1000000 + 0.5) / 1000000 DESC, cell) AS BIGINT) AS rnk
+       |  FROM s),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |m AS (SELECT r.vec_id, r.cell, v.ve FROM r JOIN v USING (vec_id) WHERE r.rnk = 1),
+       |dropped AS (SELECT DISTINCT b.vec_id
+       |  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE floor((list_dot_product(a.ve, b.ve) / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve)))) * 1000000 + 0.5) / 1000000 >= 0.35)
+       |SELECT m.vec_id, m.cell, COALESCE(d.vec_id IS NOT NULL, FALSE) AS is_dup
+       |FROM m LEFT JOIN dropped d ON m.vec_id = d.vec_id""".stripMargin
+
+  val corpusMix: String =
+    s"""WITH wtd AS (SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    1 + CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4 AS w
+       |  FROM documents),
+       |tw AS (SELECT CAST(sum(sw) AS BIGINT) AS w_total
+       |  FROM (SELECT source, min(w) AS sw FROM wtd GROUP BY source) t),
+       |cum AS (SELECT doc_id, source, n_tokens, w,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY (doc_id * 2654435761) % 1000000, doc_id) AS BIGINT) AS cum_tokens
+       |  FROM wtd)
+       |SELECT doc_id, source, n_tokens, cum_tokens
+       |FROM cum, tw WHERE cum_tokens <= (20000 * w) // w_total""".stripMargin
+
+  val annotAgreement: String =
+    docPipeline(
+      """crf AS (SELECT doc_id, char_start, char_end FROM tok
+        |  WHERE regexp_matches(tok, '^(customer|part|order|line|spark)')),
+        |sy AS (SELECT DISTINCT doc_id, char_start, char_end FROM pp),
+        |gd AS (SELECT DISTINCT doc_id, char_start, char_end FROM crf),
+        |fj AS (SELECT COALESCE(sy.doc_id, gd.doc_id) AS doc_id,
+        |    sy.doc_id IS NOT NULL AS in_s, gd.doc_id IS NOT NULL AS in_g
+        |  FROM sy FULL OUTER JOIN gd ON sy.doc_id = gd.doc_id
+        |    AND sy.char_start = gd.char_start AND sy.char_end = gd.char_end),
+        |agg AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN in_s AND in_g THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN in_s AND NOT in_g THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN NOT in_s AND in_g THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM fj GROUP BY doc_id),
+        |pr AS (SELECT doc_id, tp, fp, fn,
+        |    CASE WHEN tp + fp = 0 THEN 0.0
+        |      ELSE floor((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)) * 1000000 + 0.5) / 1000000 END AS prec,
+        |    CASE WHEN tp + fn = 0 THEN 0.0
+        |      ELSE floor((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)) * 1000000 + 0.5) / 1000000 END AS rec
+        |  FROM agg)""".stripMargin) +
+      s"""SELECT doc_id, tp, fp, fn, prec AS "precision", rec AS recall,
+         |  CASE WHEN prec + rec = 0.0 THEN 0.0
+         |    ELSE floor((2.0 * prec * rec / (prec + rec)) * 1000000 + 0.5) / 1000000 END AS f1
+         |FROM pr""".stripMargin
+
   /** name → oracle SQL for the driver's DuckDB compare */
   val all: Map[String, String] = Map(
     "tokens" -> tokens,
@@ -1253,6 +1328,10 @@ object OracleSql {
     "dedup_exact" -> dedupExact,
     "dedup_norm" -> dedupNorm,
     "dedup_minhash" -> dedupMinhash,
+    "window_dup" -> windowDup,
+    "semantic_dedup" -> semanticDedup,
+    "corpus_mix" -> corpusMix,
+    "annot_agreement" -> annotAgreement,
     "ngram_jaccard" -> ngramJaccard,
     "dedup_simhash" -> dedupSimhash,
     "doc_fingerprint" -> docFingerprint,

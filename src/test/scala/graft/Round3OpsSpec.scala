@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.{Dedup, Embeddings, Eval, TextStats}
+import org.apache.spark.sql.functions._
+
+/** Round-3 operators: exact-substring window dup, SemDeDup-style semantic
+  * dedup, token-budget corpus mixing, system-vs-gold span agreement. */
+class Round3OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", s"src${i % 3}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private val run = "alpha beta gamma delta epsilon zeta eta theta"
+
+  test("window dup flags docs sharing verbatim 8-token runs, not unrelated docs") {
+    val a = s"unique lead in words here $run trailing tail words one"
+    val b = s"other opening tokens go $run closing set of words two"
+    val c = "completely different content with no shared windows at all whatsoever here now"
+    // a and b share exactly the windows inside the 8-token run plus bordering
+    // context — with an 8-token window, only the exact run window is common
+    val pairs = Dedup.windowDupPairs(docs(a, b, c), minShared = 1).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("doc_a") == 0L && pairs.head.getAs[Long]("doc_b") == 1L)
+  }
+
+  test("window dup's document-frequency cap drops boilerplate windows") {
+    val boiler = (0 until 25).map(i => s"$run filler$i words$i")
+    val pairs = Dedup.windowDupPairs(docs(boiler: _*), minShared = 1, maxDf = 20)
+    assert(pairs.count() == 0)
+  }
+
+  test("semantic dedup marks the higher id of a same-cell duplicate pair") {
+    val v = (0 until Embeddings.EmbDim).map(i => (i % 7).toFloat / 7f).toArray
+    val w = v.map(x => x * 0.99f + 0.001f) // near-identical direction
+    val far = (0 until Embeddings.EmbDim).map(i => if (i % 2 == 0) 1f else -1f).toArray
+    val emb = Seq((0L, v, 0), (1L, w, 0), (2L, far, 0)).toDF("vec_id", "embedding", "label")
+    val r = Embeddings.semanticDedup(emb, tau = 0.9).orderBy("vec_id").collect()
+    assert(r.map(_.getAs[Boolean]("is_dup")).take(2).toSeq == Seq(false, true))
+    assert(!r.last.getAs[Boolean]("is_dup"))
+  }
+
+  test("corpus mix respects each source's token share and is deterministic") {
+    val many = (0 until 60).map(i => s"tok$i " * 20 + "end")
+    val mixed = TextStats.corpusMix(docs(many: _*), budget = 120L)
+    val rows = mixed.collect()
+    assert(rows.nonEmpty && rows.length < 60) // budget bites
+    // cum_tokens never exceeds the source's share of the budget
+    val shares = mixed.groupBy("source").agg(max("cum_tokens").as("m")).collect()
+    assert(shares.forall(_.getAs[Long]("m") <= 120L))
+    assert(mixed.collect().toSet == TextStats.corpusMix(docs(many: _*), budget = 120L).collect().toSet)
+  }
+
+  test("span agreement computes exact tp/fp/fn and rounded P/R/F1") {
+    val sys = Seq((1L, 0L, 5L), (1L, 10L, 15L), (1L, 20L, 25L)).toDF("doc_id", "char_start", "char_end")
+    val gold = Seq((1L, 0L, 5L), (1L, 30L, 35L)).toDF("doc_id", "char_start", "char_end")
+    val r = Eval.spanAgreement(sys, gold).collect().head
+    assert(r.getAs[Long]("tp") == 1L && r.getAs[Long]("fp") == 2L && r.getAs[Long]("fn") == 1L)
+    assert(r.getAs[Double]("precision") == 0.333333)
+    assert(r.getAs[Double]("recall") == 0.5)
+    assert(r.getAs[Double]("f1") == 0.4) // 2*precision*recall/(precision+recall)
+  }
+
+  test("span agreement emits 0.0 metrics for a doc with gold but no system spans") {
+    val sys = Seq((1L, 0L, 5L)).toDF("doc_id", "char_start", "char_end")
+    val gold = Seq((2L, 0L, 5L)).toDF("doc_id", "char_start", "char_end")
+    val byDoc = Eval.spanAgreement(sys, gold).orderBy("doc_id").collect()
+    val d2 = byDoc.last
+    assert(d2.getAs[Long]("tp") == 0L && d2.getAs[Long]("fn") == 1L)
+    assert(d2.getAs[Double]("precision") == 0.0 && d2.getAs[Double]("f1") == 0.0)
+  }
+}
