@@ -25,6 +25,9 @@ object SparkEntry {
     * re-read on repeat invocations — see `bionlp_source`). */
   private val bionlpStage = scala.collection.mutable.Map[String, String]()
 
+  /** Per-sf-dir staging dirs for the ORC round trip (same discipline). */
+  private val orcStage = scala.collection.mutable.Map[String, String]()
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Cooccurrence.metrics(pp(spark, "/root/testdata/sf0.001"), Seq("doc_id"))
@@ -217,6 +220,19 @@ object SparkEntry {
     "window_dup" -> ((s, d) => Dedup.windowDupPairs(docs(s, d))),
     "semantic_dedup" -> ((s, d) => Embeddings.semanticDedup(Tables.embeddings(s, d))),
     "corpus_mix" -> ((s, d) => TextStats.corpusMix(docs(s, d))),
+    "stratified_sample" -> ((s, d) => TextStats.stratifiedSample(docs(s, d))),
+    "orc_roundtrip" -> ((s, d) => {
+      // alternate columnar interchange: documents → ORC → scan (written
+      // once per sf dir; repeat invocations exercise the ORC reader)
+      val dir = orcStage.synchronized(orcStage.getOrElseUpdate(d, {
+        val out = java.nio.file.Files.createTempDirectory("graft-orc").toString
+        graft.sources.Sinks.orc(
+          docs(s, d).select("doc_id", "text", "source", "n_chars"), out)
+        out
+      }))
+      s.read.orc(dir).select(col("doc_id"), col("source"), col("n_chars"),
+        length(col("text")).cast("long").as("text_len"))
+    }),
     "annot_agreement" -> ((s, d) =>
       Eval.spanAgreement(pp(s, d), Concepts.crfAnnots(docs(s, d)))),
     "simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d))),

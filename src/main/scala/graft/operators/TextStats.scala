@@ -100,6 +100,19 @@ object TextStats {
     docs.where(pmod(col("doc_id") * 2654435761L, lit(1000L)) < permille)
       .select(col("doc_id"), col("lang"), col("source"))
 
+  /** Stratified reproducible sampling: exactly `k` documents per stratum
+    * (source), chosen by the multiplicative-hash permutation — the
+    * per-domain eval-holdout / ablation-subset draw. Partition-local
+    * row_number per stratum; no global sort. At 100 TB with huge k the
+    * per-stratum window becomes the two-level pattern used by corpusMix. */
+  def stratifiedSample(docs: DataFrame, k: Int = 5): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(pmod(col("doc_id") * 2654435761L, lit(1000000L)), col("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("draw_rank", row_number().over(win).cast("long"))
+      .where(col("draw_rank") <= k)
+  }
+
   /** Token-budget corpus mixing: pick documents per source so the mixed
     * corpus hits a target token budget at prescribed source proportions —
     * the "data mixture" step of a training-data pipeline (e.g. the
@@ -111,23 +124,38 @@ object TextStats {
     * source's running token count stays within its share of `budget`.
     * Output: doc_id, source, n_tokens, cum_tokens.
     *
-    * Scale: the windows partition by source — at 100 TB with few sources,
-    * the two-level variant applies (hash-bucket subtotals per source, a
-    * tiny bucket-offset table broadcast back, within-bucket windows),
-    * identical selection when the permutation orders bucket-major. */
-  def corpusMix(docs: DataFrame, budget: Long = 20000L): DataFrame = {
+    * The running sum is computed TWO-LEVEL so no window ever partitions by
+    * source alone (a handful of sources would collapse 100 TB onto a few
+    * tasks): per-(source, hash-bucket) token subtotals, a tiny
+    * sources×buckets offset table (windowed where it's cheap, broadcast
+    * back), then within-bucket running sums on (source, bucket) partitions.
+    * Because the bucket is a prefix of the permutation key, bucket-major
+    * order ≡ the flat permutation order and cum_tokens is bit-identical to
+    * the single-window formulation the oracle states. */
+  def corpusMix(docs: DataFrame, budget: Long = 20000L, buckets: Int = 100): DataFrame = {
+    val perm = pmod(col("doc_id") * 2654435761L, lit(1000000L))
     val weighted = docs
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         (lit(1L) + pmod(regexp_extract(col("source"), "(\\d+)", 1).cast("long"), lit(4L))).as("w"))
+      .withColumn("perm", perm)
+      .withColumn("bucket", expr(s"perm div ${1000000L / buckets}"))
     val totalW = weighted.groupBy("source").agg(first("w").as("sw"))
       .agg(sum("sw").as("w_total"))
-    val win = org.apache.spark.sql.expressions.Window.partitionBy("source")
-      .orderBy(pmod(col("doc_id") * 2654435761L, lit(1000000L)), col("doc_id"))
+    // level 1: per-bucket subtotals; the offset window runs over ≤
+    // sources×buckets rows, so its single-partition-per-source width is moot
+    val offsetWin = org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("bucket")
+    val offsets = weighted.groupBy("source", "bucket").agg(sum("n_tokens").as("bt"))
+      .withColumn("bucket_offset", sum("bt").over(offsetWin) - col("bt"))
+      .select("source", "bucket", "bucket_offset")
+    // level 2: running sum within (source, bucket) — the wide, parallel part
+    val innerWin = org.apache.spark.sql.expressions.Window.partitionBy("source", "bucket")
+      .orderBy(col("perm"), col("doc_id"))
     weighted
+      .join(broadcast(offsets), Seq("source", "bucket"))
       .join(broadcast(totalW))
       .withColumn("share", expr(s"($budget * w) div w_total"))
-      .withColumn("cum_tokens", sum("n_tokens").over(win))
+      .withColumn("cum_tokens", col("bucket_offset") + sum("n_tokens").over(innerWin))
       .where(col("cum_tokens") <= col("share"))
       .select("doc_id", "source", "n_tokens", "cum_tokens")
   }

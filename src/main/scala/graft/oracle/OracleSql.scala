@@ -1238,6 +1238,17 @@ object OracleSql {
          |    ELSE floor((2.0 * prec * rec / (prec + rec)) * 1000000 + 0.5) / 1000000 END AS f1
          |FROM pr""".stripMargin
 
+  val stratifiedSample: String =
+    """WITH r AS (SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY (doc_id * 2654435761) % 1000000, doc_id) AS BIGINT) AS draw_rank
+      |  FROM documents)
+      |SELECT doc_id, source, draw_rank FROM r WHERE draw_rank <= 5""".stripMargin
+
+  val orcRoundtrip: String =
+    """SELECT doc_id, source, n_chars,
+      |  CAST(length(text) AS BIGINT) AS text_len FROM documents""".stripMargin
+
   /** name → oracle SQL for the driver's DuckDB compare */
   val all: Map[String, String] = Map(
     "tokens" -> tokens,
@@ -1331,6 +1342,8 @@ object OracleSql {
     "window_dup" -> windowDup,
     "semantic_dedup" -> semanticDedup,
     "corpus_mix" -> corpusMix,
+    "stratified_sample" -> stratifiedSample,
+    "orc_roundtrip" -> orcRoundtrip,
     "annot_agreement" -> annotAgreement,
     "ngram_jaccard" -> ngramJaccard,
     "dedup_simhash" -> dedupSimhash,

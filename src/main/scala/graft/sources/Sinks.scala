@@ -27,6 +27,11 @@ object Sinks {
   def jsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC — the alternate columnar interchange (predicate pushdown + column
+    * pruning like parquet; some warehouse stacks are ORC-native). */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Bucketed managed table: co-locates join keys so repeated joins on
     * `bucketBy` columns skip the shuffle entirely (the 100 TB path for the
     * cooccurrence self-join family). Requires a warehouse-backed catalog. */

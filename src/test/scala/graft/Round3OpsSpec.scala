@@ -52,6 +52,14 @@ class Round3OpsSpec extends SparkSpec {
     assert(mixed.collect().toSet == TextStats.corpusMix(docs(many: _*), budget = 120L).collect().toSet)
   }
 
+  test("stratified sample draws exactly k docs per source, deterministically") {
+    val many = (0 until 30).map(i => s"text $i")
+    val r = TextStats.stratifiedSample(docs(many: _*), k = 3)
+    val perSource = r.groupBy("source").count().collect()
+    assert(perSource.length == 3 && perSource.forall(_.getAs[Long]("count") == 3L))
+    assert(r.collect().toSet == TextStats.stratifiedSample(docs(many: _*), k = 3).collect().toSet)
+  }
+
   test("span agreement computes exact tp/fp/fn and rounded P/R/F1") {
     val sys = Seq((1L, 0L, 5L), (1L, 10L, 15L), (1L, 20L, 25L)).toDF("doc_id", "char_start", "char_end")
     val gold = Seq((1L, 0L, 5L), (1L, 30L, 35L)).toDF("doc_id", "char_start", "char_end")
