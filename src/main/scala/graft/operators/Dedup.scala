@@ -199,6 +199,10 @@ object Dedup {
       .withColumn("label", col("id")).localCheckpoint()
     var iter = 0
     var changed = true
+    // labels only ever decrease, so Σlabel strictly decreases iff any node
+    // changed — the fixpoint probe is a one-row aggregate over the (already
+    // checkpointed) label table, not a join
+    var labelSum = labels.agg(sum("label")).head.getLong(0)
     while (changed && iter < maxIterations) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
@@ -207,9 +211,9 @@ object Dedup {
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .where(col("label") =!= col("old")).limit(1).count() > 0
+      val nextSum = next.agg(sum("label")).head.getLong(0)
+      changed = nextSum != labelSum
+      labelSum = nextSum
       labels = next
       iter += 1
     }

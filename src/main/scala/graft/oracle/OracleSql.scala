@@ -1343,6 +1343,7 @@ object OracleSql {
     "semantic_dedup" -> semanticDedup,
     "corpus_mix" -> corpusMix,
     "stratified_sample" -> stratifiedSample,
+    "streaming_upsert" -> docUpsert,
     "orc_roundtrip" -> orcRoundtrip,
     "annot_agreement" -> annotAgreement,
     "ngram_jaccard" -> ngramJaccard,

@@ -56,4 +56,30 @@ object DocStreams {
       OutputMode.Append())
       .select(col("doc_id"), col("concept_id"), col("ord"), col("tok"),
         col("char_start"), col("char_end"))
+
+  /** Streaming corpus upsert — the reference's incremental update pipeline
+    * (update/UpdateMedlineEntitiesPipeline) as continuous ingestion: update
+    * documents stream through a real exactly-once parquet file sink (the
+    * append log), and the corpus view is merge-on-read — base anti-joined
+    * with the log, updates win. This is the standard streaming-upsert
+    * layout when the store has no native MERGE (log + view now, compaction
+    * as a periodic batch job); the view's plan is the same one-shuffle
+    * anti-join as batch Etl.upsert, so the result matches the doc_upsert
+    * oracle exactly. */
+  def upsertViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val log = java.nio.file.Files.createTempDirectory("graft-upsert-log").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-upsert-ckpt").toString
+    val updates = stagedDocsStream(spark, sfDir)
+      .where(pmod(col("doc_id") * 2654435761L, lit(1000L)) < 100)
+      .withColumn("lang", lit("xx")).withColumn("source", lit("updated"))
+    val q = updates.writeStream.format("parquet")
+      .option("path", log).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+    val base = spark.read.schema(schema).parquet(s"$sfDir/documents.parquet")
+    graft.infra.Etl.upsert(base, spark.read.schema(schema).parquet(log), "doc_id")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
 }
