@@ -26,16 +26,21 @@ object Eval {
     * Output: doc_id, tp, fp, fn, precision, recall, f1 (6dp; 0.0 where the
     * denominator is empty, the usual eval-harness convention). */
   def spanAgreement(system: DataFrame, gold: DataFrame): DataFrame = {
-    val s = system.select(col("doc_id"), col("char_start"), col("char_end"))
-      .distinct().withColumn("in_sys", lit(1L))
-    val g = gold.select(col("doc_id"), col("char_start"), col("char_end"))
-      .distinct().withColumn("in_gold", lit(1L))
-    s.join(g, Seq("doc_id", "char_start", "char_end"), "full_outer")
+    // one union + one (doc, span) groupBy replaces two distincts plus a
+    // full outer join — the span-set semantics (multiplicity ignored) fall
+    // out of the max() flags, and both sides shuffle exactly once
+    val s = system.select(col("doc_id"), col("char_start"), col("char_end"),
+      lit(1L).as("s_flag"), lit(0L).as("g_flag"))
+    val g = gold.select(col("doc_id"), col("char_start"), col("char_end"),
+      lit(0L).as("s_flag"), lit(1L).as("g_flag"))
+    s.unionByName(g)
+      .groupBy("doc_id", "char_start", "char_end")
+      .agg(max("s_flag").as("in_s"), max("g_flag").as("in_g"))
       .groupBy("doc_id")
       .agg(
-        sum(when(col("in_sys").isNotNull && col("in_gold").isNotNull, 1L).otherwise(0L)).as("tp"),
-        sum(when(col("in_sys").isNotNull && col("in_gold").isNull, 1L).otherwise(0L)).as("fp"),
-        sum(when(col("in_sys").isNull && col("in_gold").isNotNull, 1L).otherwise(0L)).as("fn"))
+        sum(when(col("in_s") === 1L && col("in_g") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("in_s") === 1L && col("in_g") === 0L, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("in_s") === 0L && col("in_g") === 1L, 1L).otherwise(0L)).as("fn"))
       .withColumn("precision", Num.r6(
         when(col("tp") + col("fp") === 0, 0.0)
           .otherwise(col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))))

@@ -51,9 +51,8 @@ object DocStreams {
     * emitted set equals batch Concepts.recognize — checked by the same
     * DuckDB oracle. */
   def conceptsViaStream(spark: SparkSession, sfDir: String): DataFrame =
-    EventStreams.runToTable(
-      graft.operators.Concepts.recognizeTokens(streamTokens(stagedDocsStream(spark, sfDir))),
-      OutputMode.Append())
+    EventStreams.runToFiles(
+      graft.operators.Concepts.recognizeTokens(streamTokens(stagedDocsStream(spark, sfDir))))
       .select(col("doc_id"), col("concept_id"), col("ord"), col("tok"),
         col("char_start"), col("char_end"))
 

@@ -70,6 +70,28 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** Run an append-mode streaming DataFrame to completion through a parquet
+    * FILE sink and read the result back. The memory sink collects every
+    * output row onto the driver; the file sink writes from the executors —
+    * the production sink shape — so this is both the faster harness and the
+    * truer one for append-mode queries with LARGE outputs (a memory sink
+    * is cheaper when a query emits a few hundred rows; complete-mode
+    * aggregations need runToTable regardless). */
+  private[streaming] def runToFiles(streamed: DataFrame): DataFrame = {
+    val spark = streamed.sparkSession
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = streamed.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    spark.read.schema(streamed.schema).parquet(out)
+  }
+
   def hourlyViaStream(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
     runToTable(windowedCounts(stagedEventsStream(spark, sfDir), "1 hour", "100 days"),
       OutputMode.Complete())
@@ -98,7 +120,7 @@ object EventStreams {
     import spark.implicits._
     val ev = stagedEventsStream(spark, sfDir)
       .select(col("user_id"), col("ts"), col("value")).as[Event]
-    runToTable(sessionize(ev).toDF(), OutputMode.Append())
+    runToFiles(sessionize(ev).toDF())
       .select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
         col("n_events"), graft.functions.Num.r2(col("sum_value")).as("sum_value"))
   }
