@@ -219,6 +219,15 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(docs(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(docs(s, d))),
     "window_dup" -> ((s, d) => Dedup.windowDupPairs(docs(s, d))),
+    "decontaminate_fuzzy" -> ((s, d) => {
+      val base = docs(s, d)
+      val eval = TextOps.sentences(base)
+        .where(col("sent_id") === 0 && pmod(col("doc_id"), lit(50L)) === 0)
+        .select(col("doc_id").as("eval_id"), col("sent_text"))
+      Dedup.fuzzyDecontaminate(base, eval, "eval_id", "sent_text")
+    }),
+    "dsir_weights" -> ((s, d) => TextStats.dsirWeights(docs(s, d))),
+    "quality_cut" -> ((s, d) => TextStats.qualityCut(docs(s, d))),
     "semantic_dedup" -> ((s, d) => Embeddings.semanticDedup(Tables.embeddings(s, d))),
     "corpus_mix" -> ((s, d) => TextStats.corpusMix(docs(s, d))),
     "stratified_sample" -> ((s, d) => TextStats.stratifiedSample(docs(s, d))),

@@ -251,6 +251,32 @@ object Dedup {
       .agg(min("wh").as("fingerprint"))
   }
 
+  /** doc_id, eval_id, containment — FUZZY eval-set decontamination: exact
+    * shingle containment |D∩E|/|E| ≥ τ between corpus docs and eval texts
+    * (containment, not Jaccard — a contaminated doc CONTAINS the eval item
+    * but is much longer, so symmetric similarity stays low and MinHash-band
+    * candidates would silently miss; cf. the 13-gram overlap screens of
+    * GPT-3-era training-data hygiene). Candidate generation is the equi-join
+    * of the corpus shingle stream against the BROADCAST eval shingle sets —
+    * eval suites are small by nature, so the join is map-side and the only
+    * shuffle is the per-(doc, eval) intersection count. */
+  def fuzzyDecontaminate(docs: DataFrame, evalSet: DataFrame,
+                         evalKey: String, evalText: String,
+                         threshold: Double = 0.8): DataFrame = {
+    val evalDocs = evalSet.select(col(evalKey).as("doc_id"), col(evalText).as("text"))
+    val eSets = shingleSets(evalDocs)
+      .select(col("doc_id").as("eval_id"), col("sid")).persist()
+    val eSizes = eSets.groupBy("eval_id").agg(count(lit(1)).as("ne"))
+    shingleSets(docs)
+      .join(broadcast(eSets), "sid")
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("i"))
+      .join(broadcast(eSizes), "eval_id")
+      .withColumn("containment", Num.r6(col("i").cast("double") / col("ne").cast("double")))
+      .where(col("containment") >= threshold)
+      .select("doc_id", "eval_id", "containment")
+  }
+
   /** doc_a, doc_b, n_shared — cross-document exact-substring duplication
     * (the relational re-expression of the suffix-array pass in Lee et al.
     * 2022, "Deduplicating Training Data Makes Language Models Better",

@@ -80,6 +80,50 @@ object TextStats {
         Num.r6(avg(log(col("cnt").cast("double") / col("total").cast("double")))).as("avg_logprob"))
   }
 
+  /** doc_id, n_tokens, avg_llr — DSIR-style importance weights (Xie et al.
+    * 2023, arXiv:2302.03169 "Data Selection for Language Models via
+    * Importance Resampling"): each document scored by the mean
+    * log-likelihood ratio of a target-domain unigram LM over the corpus LM,
+    * add-one smoothed against the shared vocabulary. The two LMs are
+    * vocabulary-sized aggregates; the grand totals fold in as a broadcast
+    * 1-row aggregate, the per-token lookup is one equi-join on the token —
+    * the same single-token-stream-shuffle shape as unigramLogprob.
+    * `targetSources` defines the target domain (a source allowlist). */
+  def dsirWeights(docs: DataFrame, targetSources: Seq[String] = Seq("src0", "src1", "src2", "src3", "src4")): DataFrame = {
+    // one pass over the token stream builds both LMs: every token counts in
+    // base, target counts come from the target-membership flag
+    val isTarget = col("source").isin(targetSources: _*)
+    val stream = TextOps.tokens(docs).join(
+      docs.select(col("doc_id"), isTarget.as("in_target")), "doc_id")
+    val lm = stream.groupBy("tok")
+      .agg(count(lit(1)).as("cb"),
+        sum(when(col("in_target"), 1L).otherwise(0L)).as("ct"))
+    val totals = lm.agg(sum("cb").as("nb"), sum("ct").as("nt"),
+      count(lit(1)).as("v"))
+    stream
+      .join(lm, "tok")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        Num.r6(avg(
+          log((col("ct") + 1).cast("double") / (col("nt") + col("v")).cast("double")) -
+            log((col("cb") + 1).cast("double") / (col("nb") + col("v")).cast("double")))).as("avg_llr"))
+  }
+
+  /** doc_id, quality, threshold — percentile quality cut: keep documents at
+    * or above the corpus `pct` quality percentile. The threshold is an
+    * exact interpolated percentile computed IN-PLAN as a 1-row aggregate and
+    * broadcast into the filter — no driver action, no global sort of the
+    * corpus (at 100 TB swap the 1-row aggregate for percentile_approx: same
+    * plan, mergeable sketch). */
+  def qualityCut(docs: DataFrame, pct: Double = 0.75): DataFrame = {
+    val q = quality(docs).select(col("doc_id"), col("quality"))
+    val thr = q.agg(Num.r6(expr(s"percentile(quality, $pct)")).as("threshold"))
+    q.join(broadcast(thr))
+      .where(col("quality") >= col("threshold"))
+      .select("doc_id", "quality", "threshold")
+  }
+
   /** Top-k bigram counts (language-model n-gram table shape). */
   def ngramCounts(docs: DataFrame, k: Int = 20): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("ord")

@@ -1238,6 +1238,61 @@ object OracleSql {
          |    ELSE floor((2.0 * prec * rec / (prec + rec)) * 1000000 + 0.5) / 1000000 END AS f1
          |FROM pr""".stripMargin
 
+  val decontaminateFuzzy: String =
+    s"""WITH $tokCte,
+       |sh0 AS (SELECT doc_id, ord, tok,
+       |    lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS t2,
+       |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS t3
+       |  FROM tok),
+       |sh AS (SELECT doc_id, tok || ' ' || t2 || ' ' || t3 AS shingle FROM sh0 WHERE t3 IS NOT NULL),
+       |ss AS (SELECT DISTINCT doc_id, ${Hash60.sql("shingle")} % ${Dedup.MinhashP} AS sid FROM sh),
+       |etok AS (SELECT doc_id, ord, tok FROM tok
+       |  WHERE doc_id % 50 = 0 AND ord <= $W),
+       |esh0 AS (SELECT doc_id, ord, tok,
+       |    lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS t2,
+       |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS t3
+       |  FROM etok),
+       |esh AS (SELECT doc_id, tok || ' ' || t2 || ' ' || t3 AS shingle FROM esh0 WHERE t3 IS NOT NULL),
+       |ess AS (SELECT DISTINCT doc_id AS eval_id, ${Hash60.sql("shingle")} % ${Dedup.MinhashP} AS sid FROM esh),
+       |inter AS (SELECT d.doc_id, e.eval_id, CAST(count(*) AS BIGINT) AS i
+       |  FROM ss d JOIN ess e ON d.sid = e.sid GROUP BY 1, 2),
+       |esize AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS ne FROM ess GROUP BY 1)
+       |SELECT doc_id, eval_id,
+       |  floor((CAST(i AS DOUBLE) / CAST(ne AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS containment
+       |FROM inter JOIN esize USING (eval_id)
+       |WHERE floor((CAST(i AS DOUBLE) / CAST(ne AS DOUBLE)) * 1000000 + 0.5) / 1000000 >= 0.8""".stripMargin
+
+  val dsirWeights: String =
+    s"""WITH $tokCte,
+       |st AS (SELECT t.doc_id, t.tok,
+       |    d.source IN ('src0', 'src1', 'src2', 'src3', 'src4') AS in_target
+       |  FROM tok t JOIN documents d ON t.doc_id = d.doc_id),
+       |lm AS (SELECT tok, CAST(count(*) AS BIGINT) AS cb,
+       |    CAST(sum(CASE WHEN in_target THEN 1 ELSE 0 END) AS BIGINT) AS ct
+       |  FROM st GROUP BY tok),
+       |tot AS (SELECT CAST(sum(cb) AS BIGINT) AS nb, CAST(sum(ct) AS BIGINT) AS nt,
+       |    CAST(count(*) AS BIGINT) AS v FROM lm)
+       |SELECT st.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  floor(avg(ln(CAST(lm.ct + 1 AS DOUBLE) / CAST(tot.nt + tot.v AS DOUBLE)) -
+       |            ln(CAST(lm.cb + 1 AS DOUBLE) / CAST(tot.nb + tot.v AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS avg_llr
+       |FROM st JOIN lm USING (tok) CROSS JOIN tot
+       |GROUP BY st.doc_id""".stripMargin
+
+  val qualityCut: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       |    CAST($stopCountSql AS BIGINT) AS n_stop
+       |  FROM documents),
+       |q AS (SELECT doc_id,
+       |    floor((least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+       |      * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |      * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS quality
+       |  FROM f),
+       |thr AS (SELECT floor(quantile_cont(quality, 0.75) * 1000000 + 0.5) / 1000000 AS threshold FROM q)
+       |SELECT doc_id, quality, threshold FROM q, thr WHERE quality >= threshold""".stripMargin
+
   val stratifiedSample: String =
     """WITH r AS (SELECT doc_id, source,
       |    CAST(row_number() OVER (PARTITION BY source
@@ -1340,6 +1395,9 @@ object OracleSql {
     "dedup_norm" -> dedupNorm,
     "dedup_minhash" -> dedupMinhash,
     "window_dup" -> windowDup,
+    "decontaminate_fuzzy" -> decontaminateFuzzy,
+    "dsir_weights" -> dsirWeights,
+    "quality_cut" -> qualityCut,
     "semantic_dedup" -> semanticDedup,
     "corpus_mix" -> corpusMix,
     "stratified_sample" -> stratifiedSample,

@@ -52,6 +52,38 @@ class Round3OpsSpec extends SparkSpec {
     assert(mixed.collect().toSet == TextStats.corpusMix(docs(many: _*), budget = 120L).collect().toSet)
   }
 
+  test("fuzzy decontamination finds a doc containing an eval item, by containment not jaccard") {
+    val evalText = "alpha beta gamma delta epsilon zeta"
+    val contaminated = s"lots of leading context here then $evalText and trailing words after too"
+    val clean = "nothing in common with the evaluation suite at all in this document"
+    val evalSet = Seq((100L, evalText)).toDF("eval_id", "sent_text")
+    val r = Dedup.fuzzyDecontaminate(docs(contaminated, clean), evalSet, "eval_id", "sent_text")
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("doc_id") == 0L && r.head.getAs[Long]("eval_id") == 100L)
+    assert(r.head.getAs[Double]("containment") == 1.0)
+  }
+
+  test("dsir weights score target-domain-like docs above off-domain docs") {
+    // sources cycle src0/src1/src2; src0+src1 vocabulary differs from src2's
+    val texts = (0 until 30).map { i =>
+      if (i % 3 == 2) "quantum flux capacitor phase drive " * 3
+      else "standard corpus words common tokens everywhere " * 3
+    }
+    val r = TextStats.dsirWeights(docs(texts: _*), targetSources = Seq("src0", "src1"))
+      .collect().map(row => row.getAs[Long]("doc_id") -> row.getAs[Double]("avg_llr")).toMap
+    assert(r(0L) > r(2L)) // in-domain doc outranks off-domain doc
+  }
+
+  test("quality cut keeps only docs at or above the percentile threshold") {
+    val texts = (0 until 20).map(i => ((0 to i).map(j => s"w$j") ++ Seq.fill(3)("the")).mkString(" "))
+    val r = TextStats.qualityCut(docs(texts: _*), pct = 0.5)
+    val kept = r.collect()
+    assert(kept.nonEmpty && kept.length < 20)
+    val thr = kept.head.getAs[Double]("threshold")
+    assert(kept.forall(_.getAs[Double]("quality") >= thr))
+  }
+
   test("stratified sample draws exactly k docs per source, deterministically") {
     val many = (0 until 30).map(i => s"text $i")
     val r = TextStats.stratifiedSample(docs(many: _*), k = 3)
