@@ -47,4 +47,26 @@ class PlanAuditSpec extends SparkSpec {
     val df = SparkEntry.queries("decontaminate_bloom")(spark, sfDir)
     assert(df.queryExecution.optimizedPlan.toString.contains("might_contain"))
   }
+
+  private def scanText(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+
+  test("q6 predicates reach the parquet scan as pushed filters") {
+    val pushed = SparkEntry.queries("q6_forecast")(spark, sfDir)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metadata("PushedFilters")
+      }.mkString("\n")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("GreaterThanOrEqual(l_discount"), pushed)
+  }
+
+  test("scans prune to the columns the query projects") {
+    // q1 touches 7 of lineitem's 11 columns; the scan must not read the rest
+    val q1 = scanText("q1_pricing")
+    assert(!q1.contains("l_partkey") && !q1.contains("l_suppkey"), q1)
+    // tokens needs doc_id+text only — lang/source never reach the scan
+    val tk = scanText("tokens")
+    assert(tk.contains("doc_id") && !tk.contains("source"), tk)
+  }
 }
