@@ -216,6 +216,7 @@ object SparkEntry {
     // G. LLM-data ops
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
     "dedup_norm" -> ((s, d) => Dedup.normalized(docs(s, d))),
+    "span_dedup" -> ((s, d) => Dedup.spanDedup(docs(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(docs(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(docs(s, d))),
     "window_dup" -> ((s, d) => Dedup.windowDupPairs(docs(s, d))),

@@ -41,6 +41,26 @@ object Dedup {
       .select(col("doc_id"), col("canonical_id"), (col("doc_id") =!= col("canonical_id")).as("is_dup"))
   }
 
+  /** doc_id, sent_id, canonical_doc, canonical_sent, group_size — repeated
+    * intra-corpus span removal (the C4 recipe deduplicates repeated
+    * three-sentence spans ACROSS documents, not just whole docs): identical
+    * sentence windows occurring more than once anywhere in the corpus,
+    * canonicalized to their smallest (doc, sent) occurrence via a packed
+    * integer min — one hash groupBy, the same shape as whole-doc exact
+    * dedup, so it scales identically. */
+  def spanDedup(docs: DataFrame): DataFrame = {
+    val spans = TextOps.sentences(docs)
+      .select(col("doc_id"), col("sent_id"), md5(col("sent_text")).as("h"))
+    val groups = spans.groupBy("h")
+      .agg(min(col("doc_id") * 100000L + col("sent_id")).as("pack"),
+        count(lit(1)).as("group_size"))
+      .where(col("group_size") > 1)
+      .select(col("h"), expr("pack div 100000").as("canonical_doc"),
+        pmod(col("pack"), lit(100000L)).as("canonical_sent"), col("group_size"))
+    spans.join(groups, "h")
+      .select("doc_id", "sent_id", "canonical_doc", "canonical_sent", "group_size")
+  }
+
   /** Normalized-form dedup: sorted token multiset with the near-dup marker
     * token removed; emits members of groups with >1 doc. */
   def normalized(docs: DataFrame): DataFrame = {

@@ -1293,6 +1293,20 @@ object OracleSql {
        |thr AS (SELECT floor(quantile_cont(quality, 0.75) * 1000000 + 0.5) / 1000000 AS threshold FROM q)
        |SELECT doc_id, quality, threshold FROM q, thr WHERE quality >= threshold""".stripMargin
 
+  val spanDedup: String =
+    s"""WITH $tokCte,
+       |sent AS (SELECT doc_id, (ord - 1) // $W AS sent_id,
+       |    string_agg(tok, ' ' ORDER BY ord) AS sent_text
+       |  FROM tok GROUP BY 1, 2),
+       |g AS (SELECT sent_text,
+       |    CAST(min(doc_id * 100000 + sent_id) AS BIGINT) AS pack,
+       |    CAST(count(*) AS BIGINT) AS group_size
+       |  FROM sent GROUP BY sent_text HAVING count(*) > 1)
+       |SELECT s.doc_id, s.sent_id,
+       |  CAST(pack // 100000 AS BIGINT) AS canonical_doc,
+       |  CAST(pack % 100000 AS BIGINT) AS canonical_sent, group_size
+       |FROM sent s JOIN g USING (sent_text)""".stripMargin
+
   val stratifiedSample: String =
     """WITH r AS (SELECT doc_id, source,
       |    CAST(row_number() OVER (PARTITION BY source
@@ -1395,6 +1409,7 @@ object OracleSql {
     "dedup_norm" -> dedupNorm,
     "dedup_minhash" -> dedupMinhash,
     "window_dup" -> windowDup,
+    "span_dedup" -> spanDedup,
     "decontaminate_fuzzy" -> decontaminateFuzzy,
     "dsir_weights" -> dsirWeights,
     "quality_cut" -> qualityCut,

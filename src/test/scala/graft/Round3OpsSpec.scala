@@ -31,6 +31,20 @@ class Round3OpsSpec extends SparkSpec {
     assert(pairs.count() == 0)
   }
 
+  test("span dedup finds a sentence window repeated across documents") {
+    // 10-token windows: doc0 and doc1 share their first window verbatim
+    val shared = "one two three four five six seven eight nine ten"
+    val a = s"$shared unique tail for doc a here now ok fine yes"
+    val b = s"$shared other ending words for doc b entirely different here"
+    val c = "no repeated window in this document at all among these tokens here"
+    val r = Dedup.spanDedup(docs(a, b, c)).orderBy("doc_id", "sent_id").collect()
+    assert(r.length == 2)
+    assert(r.map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("sent_id"))).toSeq ==
+      Seq((0L, 0L), (1L, 0L)))
+    assert(r.forall(x => x.getAs[Long]("canonical_doc") == 0L &&
+      x.getAs[Long]("group_size") == 2L))
+  }
+
   test("semantic dedup marks the higher id of a same-cell duplicate pair") {
     val v = (0 until Embeddings.EmbDim).map(i => (i % 7).toFloat / 7f).toArray
     val w = v.map(x => x * 0.99f + 0.001f) // near-identical direction
