@@ -158,6 +158,9 @@ object SparkEntry {
     "sentence_pairs_kw" -> ((s, d) => SentencePairs.extractWithKeyword(docs(s, d), pp(s, d))),
     "brat_export" -> ((s, d) => Exports.brat(pp(s, d))),
     "cooccur_metrics_doc" -> ((s, d) => Cooccurrence.metrics(pp(s, d), Seq("doc_id"))),
+    "cooccur_metrics_sent" -> ((s, d) => Cooccurrence.metrics(
+      pp(s, d).withColumn("sent_id", expr(s"(ord - 1) div ${TextOps.SentWindow}")),
+      Seq("doc_id", "sent_id"))),
     "concept_idf" -> ((s, d) => Cooccurrence.idf(pp(s, d))),
     "concept_count_dist" -> ((s, d) => Cooccurrence.countDistribution(pp(s, d))),
     "tfidf" -> ((s, d) => Cooccurrence.tfidf(pp(s, d))),
@@ -208,6 +211,7 @@ object SparkEntry {
     "multimodal_decode" -> ((s, d) => TextStats.decodeBatched(
       docs(s, d).select(col("doc_id"), col("text").cast("binary").as("payload")))),
     "events_sessions" -> ((s, d) => Relational.eventsSessions(Tables.events(s, d))),
+    "events_retention" -> ((s, d) => Relational.eventsRetention(Tables.events(s, d))),
     "events_quantiles" -> ((s, d) => Relational.eventsQuantiles(Tables.events(s, d))),
     "top_parts_per_brand" -> ((s, d) => Relational.topPartsPerBrand(Tables.part(s, d))),
     "kg_nodes" -> ((s, _) => KnowledgeGraph.nodes(s)),

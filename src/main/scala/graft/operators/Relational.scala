@@ -63,6 +63,25 @@ object Relational {
       .groupBy(expr(s"(ts div 1000) div $UsPerHour").as("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), Num.r2(sum(col("value"))).as("sum_value"))
 
+  /** Cohort retention: users cohorted by their first-active day; one row
+    * per (cohort_day, day_offset) with the distinct active count, cohort
+    * size, and retention share. Three keyed aggregations and one equi-join
+    * on the (tiny) cohort-day table — nothing corpus-global, the standard
+    * product-analytics companion to sessionization. */
+  def eventsRetention(events: DataFrame): DataFrame = {
+    val usPerDay = UsPerHour * 24
+    val active = events.select(col("user_id"),
+      expr(s"(ts div 1000) div $usPerDay").as("day")).distinct()
+    val cohorts = active.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val sizes = cohorts.groupBy("cohort_day").agg(countDistinct("user_id").as("cohort_size"))
+    active.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(broadcast(sizes), "cohort_day")
+      .withColumn("retention",
+        Num.r6(col("n_active").cast("double") / col("cohort_size").cast("double")))
+  }
+
   /** TPC-H Q6-shaped revenue forecast: pure filter+agg — every predicate
     * reaches the parquet scan (PushedFilters), no join, one partial-agg
     * shuffle of a single row per partition. */

@@ -319,6 +319,30 @@ object OracleSql {
         |FROM m
         |WHERE log10(n) - least(log10(fx), log10(fy)) <> 0""".stripMargin
 
+  val cooccurMetricsSent: String =
+    docPipeline(unitsSentCte, pairCountsSql("units_sent", Seq("doc_id", "sent_id")),
+      """singles AS (SELECT concept_id, CAST(count(*) AS BIGINT) AS unit_count FROM units_sent GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n
+        |  FROM (SELECT DISTINCT doc_id, sent_id FROM units_sent)),
+        |m AS (
+        |  SELECT p.concept1, p.concept2, p.pair_count,
+        |    s1.unit_count AS concept1_count, s2.unit_count AS concept2_count,
+        |    CAST(s1.unit_count AS DOUBLE) AS fx, CAST(s2.unit_count AS DOUBLE) AS fy,
+        |    CAST(p.pair_count AS DOUBLE) AS fxy, t.n AS n
+        |  FROM pairs p
+        |  JOIN singles s1 ON p.concept1 = s1.concept_id
+        |  JOIN singles s2 ON p.concept2 = s2.concept_id
+        |  CROSS JOIN tot t)""".stripMargin) +
+      """SELECT concept1, concept2, pair_count, concept1_count, concept2_count,
+        |  floor(((greatest(log10(fx), log10(fy)) - log10(fxy)) / (log10(n) - least(log10(fx), log10(fy)))) * 1000000 + 0.5) / 1000000 AS ngd,
+        |  floor((ln((fxy / n) / ((fx / n) * (fy / n)))) * 1000000 + 0.5) / 1000000 AS pmi,
+        |  floor((ln((fxy / n) / ((fx / n) * (fy / n))) / (-1.0 * ln((fxy / n) + 0.000000001))) * 1000000 + 0.5) / 1000000 AS npmi,
+        |  floor((ln((fxy / n) / ((fx / n) * (fy / n))) / (-1.0 * ln(greatest(fx / n, fy / n) + 0.000000001))) * 1000000 + 0.5) / 1000000 AS npmim,
+        |  floor((ln(pow(fxy / n, 2.0) / ((fx / n) * (fy / n)))) * 1000000 + 0.5) / 1000000 AS md,
+        |  floor((ln(pow(fxy / n, 2.0) / ((fx / n) * (fy / n))) + ln(fxy / n)) * 1000000 + 0.5) / 1000000 AS lfmd
+        |FROM m
+        |WHERE log10(n) - least(log10(fx), log10(fy)) <> 0""".stripMargin
+
   val conceptIdf: String =
     docPipeline(unitsDocCte,
       "tot AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM units_doc)") +
@@ -1293,6 +1317,19 @@ object OracleSql {
        |thr AS (SELECT floor(quantile_cont(quality, 0.75) * 1000000 + 0.5) / 1000000 AS threshold FROM q)
        |SELECT doc_id, quality, threshold FROM q, thr WHERE quality >= threshold""".stripMargin
 
+  val eventsRetention: String =
+    """WITH a AS (SELECT DISTINCT user_id,
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1),
+      |s AS (SELECT cohort_day, CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_size
+      |  FROM c GROUP BY 1),
+      |r AS (SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+      |    CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+      |  FROM a JOIN c USING (user_id) GROUP BY 1, 2)
+      |SELECT r.cohort_day, r.day_offset, r.n_active, s.cohort_size,
+      |  floor((CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS retention
+      |FROM r JOIN s USING (cohort_day)""".stripMargin
+
   val spanDedup: String =
     s"""WITH $tokCte,
        |sent AS (SELECT doc_id, (ord - 1) // $W AS sent_id,
@@ -1377,6 +1414,7 @@ object OracleSql {
     "events_quantiles" -> eventsQuantiles,
     "top_parts_per_brand" -> topPartsPerBrand,
     "cooccur_metrics_doc" -> cooccurMetricsDoc,
+    "cooccur_metrics_sent" -> cooccurMetricsSent,
     "concept_idf" -> conceptIdf,
     "concept_count_dist" -> conceptCountDist,
     "tfidf" -> tfidf,
@@ -1405,6 +1443,7 @@ object OracleSql {
     "simhash_pairs" -> simhashPairs,
     "events_hourly" -> eventsHourly,
     "events_sessions" -> eventsSessions,
+    "events_retention" -> eventsRetention,
     "dedup_exact" -> dedupExact,
     "dedup_norm" -> dedupNorm,
     "dedup_minhash" -> dedupMinhash,
