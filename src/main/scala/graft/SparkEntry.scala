@@ -214,6 +214,16 @@ object SparkEntry {
     "events_retention" -> ((s, d) => Relational.eventsRetention(Tables.events(s, d))),
     "events_quantiles" -> ((s, d) => Relational.eventsQuantiles(Tables.events(s, d))),
     "top_parts_per_brand" -> ((s, d) => Relational.topPartsPerBrand(Tables.part(s, d))),
+    "top_parts_agg" -> ((s, d) =>
+      // same result as top_parts_per_brand, computed by the custom bounded
+      // top-k AGGREGATE (TypedImperativeAggregate): ≤k rows per group leave
+      // each map task — no per-group full sort, no window materialization
+      Tables.part(s, d)
+        .groupBy("p_brand")
+        .agg(graft.functions.TopKAgg.topK(col("p_retailprice"), col("p_partkey"), 3).as("tk"))
+        .select(col("p_brand"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("p_brand"), (col("pos") + 1).cast("long").as("rk"),
+          col("e.id").as("p_partkey"), col("e.score").as("p_retailprice"))),
     "kg_nodes" -> ((s, _) => KnowledgeGraph.nodes(s)),
     "ontology_closure" -> ((s, _) => KnowledgeGraph.ontologyClosure(s)),
     "kg_edges" -> ((s, d) => KnowledgeGraph.edges(pp(s, d))),

@@ -1122,6 +1122,13 @@ object OracleSql {
       |  FROM part)
       |WHERE rk <= 3""".stripMargin
 
+  val topPartsAgg: String =
+    """SELECT p_brand, rk, p_partkey, p_retailprice FROM (
+      |  SELECT p_brand, p_partkey, p_retailprice,
+      |    CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rk
+      |  FROM part)
+      |WHERE rk <= 3""".stripMargin
+
   val conceptsPromoted: String =
     docPipeline() +
       s"""SELECT p.doc_id, coalesce(promo.promoted_id, p.concept_id) AS concept_id,
@@ -1413,6 +1420,7 @@ object OracleSql {
     "token_packing" -> tokenPacking,
     "events_quantiles" -> eventsQuantiles,
     "top_parts_per_brand" -> topPartsPerBrand,
+    "top_parts_agg" -> topPartsAgg,
     "cooccur_metrics_doc" -> cooccurMetricsDoc,
     "cooccur_metrics_sent" -> cooccurMetricsSent,
     "concept_idf" -> conceptIdf,

@@ -106,6 +106,24 @@ class Round3OpsSpec extends SparkSpec {
     assert(r.collect().toSet == TextStats.stratifiedSample(docs(many: _*), k = 3).collect().toSet)
   }
 
+  test("bounded top-k aggregate matches the window formulation and partially aggregates") {
+    val rows = (0 until 200).map(i => (s"g${i % 4}", (i * 37 % 100).toDouble, i.toLong))
+      .toDF("g", "score", "id")
+    val viaAgg = rows.groupBy("g")
+      .agg(graft.functions.TopKAgg.topK(col("score"), col("id"), 5).as("tk"))
+      .select(col("g"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("g"), (col("pos") + 1).as("rk"), col("e.score"), col("e.id"))
+    val viaWindow = rows.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy(col("score").desc, col("id"))))
+      .where(col("rk") <= 5).select("g", "rk", "score", "id")
+    assert(viaAgg.collect().toSet == viaWindow.collect().toSet)
+    // the aggregate runs with a partial (map-side) phase: two HashAggregate-
+    // family nodes (ObjectHashAggregate for a TypedImperativeAggregate)
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_top_k_agg"), plan)
+  }
+
   test("span agreement computes exact tp/fp/fn and rounded P/R/F1") {
     val sys = Seq((1L, 0L, 5L), (1L, 10L, 15L), (1L, 20L, 25L)).toDF("doc_id", "char_start", "char_end")
     val gold = Seq((1L, 0L, 5L), (1L, 30L, 35L)).toDF("doc_id", "char_start", "char_end")
