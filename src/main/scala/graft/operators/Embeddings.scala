@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.Num
+import graft.functions.{MatVec, Num}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -71,19 +71,19 @@ object Embeddings {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
-  /** vec_id, bucket — sign-bit bucket over the hyperplane projections. */
-  def lshBuckets(embeddings: DataFrame): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val planes = broadcast(hyperplanes.toDF("plane", "dim", "w"))
-    embeddings
-      .select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("dim", "e")))
-      .join(planes, "dim")
-      .groupBy("vec_id", "plane")
-      .agg(sum(col("e") * col("w")).as("dotp"))
-      .groupBy("vec_id")
-      .agg(sum(when(col("dotp") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(plane AS INT))")).otherwise(0L)).as("bucket"))
-  }
+  /** Flattened row-major plane matrix (NumPlanes × EmbDim) for the codegen'd
+    * kernel — rides along as a literal, no plane table, no dim join. */
+  private val planeMatrix: Seq[Seq[Double]] =
+    hyperplanes.grouped(EmbDim).map(_.map(_._3)).toSeq
+
+  /** vec_id, bucket — sign-bit bucket over the hyperplane projections.
+    * One codegen'd projection per row (graft.functions.HyperplaneBucket);
+    * the round-3 posexplode+dim-join shape (512 intermediate rows/vector
+    * through two aggregations) is gone — see MatVec.scala. */
+  def lshBuckets(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      MatVec.hyperplaneBucket(asDouble(col("embedding")),
+        MatVec.matrixLit(planeMatrix)).as("bucket"))
 
   val NumCells = 16
   val NumProbes = 4
@@ -94,25 +94,24 @@ object Embeddings {
     for (k <- 0 until NumCells; d <- 0 until EmbDim)
       yield (k, d, ((k * 2654435761L + d * 40503L) % 2003L).toDouble / 1001.5 - 1.0)
 
+  /** Flattened row-major centroid matrix (NumCells × EmbDim). */
+  private val centroidMatrix: Seq[Seq[Double]] =
+    centroids.grouped(EmbDim).map(_.map(_._3)).toSeq
+
   /** vec_id, cell, rnk — centroids ranked per vector by ROUNDED cosine with
     * cell-id tie-break (cross-engine-stable ordering). rnk=1 is the vector's
-    * IVF cell; rnk<=nprobe is the query probe set. */
-  private def cellRanks(embeddings: DataFrame): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val cents = broadcast(centroids.toDF("cell", "dim", "w"))
+    * IVF cell; rnk<=nprobe is the query probe set.
+    *
+    * The codegen'd kernel (graft.functions.CentroidRanks) argsorts all
+    * NumCells cosines in-row, so the plan is one projection + a posexplode of
+    * a 16-element int array — no dim explode, no dim join, and no per-vector
+    * ranking window (which was a full shuffle+sort at corpus scale). */
+  private def cellRanks(embeddings: DataFrame): DataFrame =
     embeddings
-      .select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("dim", "e")))
-      .join(cents, "dim")
-      .groupBy("vec_id", "cell")
-      .agg(sum(col("e") * col("w")).as("dot"),
-        sum(col("e") * col("e")).as("n2"),
-        sum(col("w") * col("w")).as("c2"))
-      .withColumn("ccos", Num.r6(col("dot") / (sqrt(col("n2")) * sqrt(col("c2")))))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))).cast("long"))
-      .select("vec_id", "cell", "rnk")
-  }
+      .select(col("vec_id"),
+        posexplode(MatVec.centroidRanks(asDouble(col("embedding")),
+          MatVec.matrixLit(centroidMatrix))).as(Seq("rnk0", "cell")))
+      .select(col("vec_id"), col("cell"), (col("rnk0") + 1).cast("long").as("rnk"))
 
   /** query_id, rank, neighbor_id, cosine — IVF approximate top-k: vectors
     * live in their nearest-centroid cell; each query probes its `probes`

@@ -34,4 +34,50 @@ class FunctionsSpec extends SparkSpec {
     val r = df.select(cosineSim(col("a"), col("b")).as("c")).as[Double].collect()
     assert(r.forall(v => math.abs(v - 1.0) < 1e-12))
   }
+
+  test("hyperplane_bucket sets exactly the positive-projection bits") {
+    import graft.functions.MatVec
+    // planes: [1,0] and [-1,1] over 2-dim vectors
+    val m = MatVec.matrixLit(Seq(Seq(1.0, 0.0), Seq(-1.0, 1.0)))
+    val df = Seq(
+      (1L, Array(2.0, 5.0)),   // dots: 2>0, 3>0  -> 0b11 = 3
+      (2L, Array(3.0, 1.0)),   // dots: 3>0, -2<0 -> 0b01 = 1
+      (3L, Array(-1.0, -2.0))) // dots: -1<0, -1<0 -> 0
+      .toDF("vec_id", "e")
+    val r = df.select(col("vec_id"), MatVec.hyperplaneBucket(col("e"), m).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 3L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("centroid_ranks argsorts cells by rounded cosine desc with id tie-break") {
+    import graft.functions.MatVec
+    // cells 0/1/2 point at +x, +y, and +x again (tie with cell 0)
+    val m = MatVec.matrixLit(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(2.0, 0.0)))
+    val df = Seq((1L, Array(1.0, 0.1))).toDF("vec_id", "e")
+    val r = df.select(MatVec.centroidRanks(col("e"), m).as("ranks"))
+      .as[Seq[Int]].head()
+    // cos with cells 0 and 2 equal (~0.995), tie-break by id; cell 1 last
+    assert(r == Seq(0, 2, 1))
+  }
+
+  test("matvec kernels agree between interpreted eval and codegen over random data") {
+    import graft.functions.MatVec
+    import graft.operators.Embeddings
+    val planes = MatVec.matrixLit(
+      Embeddings.hyperplanes.grouped(Embeddings.EmbDim).map(_.map(_._3)).toSeq)
+    val df = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(Embeddings.EmbDim)(d => math.sin(i * 31 + d * 7).toDouble))
+    }.toDF("vec_id", "e")
+    val viaExpr = df.select(col("vec_id"), MatVec.hyperplaneBucket(col("e"), planes).as("b"))
+      .as[(Long, Long)].collect().toMap
+    // independent reference: per-plane HOF dot product, interpreted
+    val hofBucket = Embeddings.hyperplanes.grouped(Embeddings.EmbDim).zipWithIndex.map {
+      case (row, p) =>
+        val dot = aggregate(zip_with(col("e"),
+          lit(row.map(_._3).toArray), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+        when(dot > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+    val viaHof = df.select(col("vec_id"), hofBucket.as("b")).as[(Long, Long)].collect().toMap
+    assert(viaExpr == viaHof)
+  }
 }

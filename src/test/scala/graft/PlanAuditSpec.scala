@@ -52,6 +52,28 @@ class PlanAuditSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sfDir)
       .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
 
+  test("embedding bucket/cell assignment never explodes the embedding vector") {
+    // Round-3 weak plan family: posexplode(embedding) + a dim-keyed join blew
+    // up 512–1024 intermediate rows per vector. The MatVec kernels compute
+    // per-row, so emb_lsh must plan ZERO generates, and the IVF family may
+    // only explode the 16-element int rank array — never an array<double>.
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val lsh = SparkEntry.queries("emb_lsh")(spark, sfDir).queryExecution.optimizedPlan
+    assert(lsh.collect { case g: Generate => g }.isEmpty,
+      s"emb_lsh plans a Generate:\n$lsh")
+    val offenders = Seq("ivf_topk", "semantic_dedup", "emb_dup_pairs").flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
+      plan.collect {
+        case g: Generate if g.generator.children.exists(_.dataType match {
+          case ArrayType(DoubleType, _) => true
+          case _ => false
+        }) => s"$name: Generate over an array<double> (dim explode)"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("q6 predicates reach the parquet scan as pushed filters") {
     val pushed = SparkEntry.queries("q6_forecast")(spark, sfDir)
       .queryExecution.sparkPlan.collect {
