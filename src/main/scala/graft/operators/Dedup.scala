@@ -45,18 +45,20 @@ object Dedup {
     * intra-corpus span removal (the C4 recipe deduplicates repeated
     * three-sentence spans ACROSS documents, not just whole docs): identical
     * sentence windows occurring more than once anywhere in the corpus,
-    * canonicalized to their smallest (doc, sent) occurrence via a packed
-    * integer min — one hash groupBy, the same shape as whole-doc exact
-    * dedup, so it scales identically. */
+    * canonicalized to their lexicographically smallest (doc, sent)
+    * occurrence via a struct min — one hash groupBy, the same shape as
+    * whole-doc exact dedup, so it scales identically. (Struct min, not a
+    * packed-integer min: packing doc_id*C+sent_id silently breaks once a
+    * document exceeds C sentence windows and can overflow long.) */
   def spanDedup(docs: DataFrame): DataFrame = {
     val spans = TextOps.sentences(docs)
       .select(col("doc_id"), col("sent_id"), md5(col("sent_text")).as("h"))
     val groups = spans.groupBy("h")
-      .agg(min(col("doc_id") * 100000L + col("sent_id")).as("pack"),
+      .agg(min(struct(col("doc_id"), col("sent_id"))).as("mn"),
         count(lit(1)).as("group_size"))
       .where(col("group_size") > 1)
-      .select(col("h"), expr("pack div 100000").as("canonical_doc"),
-        pmod(col("pack"), lit(100000L)).as("canonical_sent"), col("group_size"))
+      .select(col("h"), col("mn.doc_id").as("canonical_doc"),
+        col("mn.sent_id").as("canonical_sent"), col("group_size"))
     spans.join(groups, "h")
       .select("doc_id", "sent_id", "canonical_doc", "canonical_sent", "group_size")
   }
@@ -201,8 +203,8 @@ object Dedup {
     * its own and its neighbors' labels; fixpoint = every component labeled
     * with its smallest member. Rounds needed = graph diameter; near-dup
     * graphs are dense blobs with tiny diameters, so this converges in a few
-    * rounds (a pathological chain corpus would want the large-star/small-star
-    * variant, which squares paths for O(log n) rounds — same join shape).
+    * rounds (for pathological chain shapes use [[connectedComponentsStar]],
+    * which converges in O(log n) rounds at the same per-round join cost).
     * Each round is one equi-join + groupBy per direction; the per-round
     * fixpoint check is a limit(1) existence probe, not a full count. */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
@@ -222,7 +224,11 @@ object Dedup {
     // labels only ever decrease, so Σlabel strictly decreases iff any node
     // changed — the fixpoint probe is a one-row aggregate over the (already
     // checkpointed) label table, not a join
-    var labelSum = labels.agg(sum("label")).head.getLong(0)
+    // coalesce: sum over zero rows is null — an empty edge list must read
+    // as fixpoint-at-zero, not NPE
+    def sumLabels(df: DataFrame): Long =
+      df.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
+    var labelSum = sumLabels(labels)
     while (changed && iter < maxIterations) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
@@ -231,13 +237,85 @@ object Dedup {
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .localCheckpoint()
-      val nextSum = next.agg(sum("label")).head.getLong(0)
+      val nextSum = sumLabels(next)
       changed = nextSum != labelSum
       labelSum = nextSum
       labels = next
       iter += 1
     }
     labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** id, cluster_id — connected components by ALTERNATING LARGE-STAR /
+    * SMALL-STAR (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): converges in O(log n) rounds on ANY graph shape,
+    * including the long-chain graphs where min-label propagation needs
+    * diameter rounds. Per round it is the same cost envelope as one
+    * propagation step (a groupBy-min plus an equi-join per star op), so at
+    * 100 TB this is the variant to reach for when cluster shapes are unknown.
+    *
+    *  - large-star: every node links its LARGER neighbors to the smallest
+    *    node of its closed neighborhood;
+    *  - small-star: every node links its smaller-or-equal neighbors to that
+    *    minimum.
+    * Fixpoint = the edge set is a forest of depth-1 stars rooted at each
+    * component's minimum. */
+  def connectedComponentsStar(pairs: DataFrame, maxIterations: Int = 30): DataFrame =
+    starComponents(pairs, maxIterations)._1
+
+  private[graft] def starComponents(pairs: DataFrame, maxIterations: Int = 30): (DataFrame, Int) = {
+    val ids = pairs.select(col("doc_a").as("id"))
+      .unionByName(pairs.select(col("doc_b").as("id"))).distinct()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val both = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = both.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      both.join(mins, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.where(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+      val mins = dir.groupBy("src").agg(min("dst").as("m"))
+      dir.join(mins, "src")
+        .where(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(mins.select(col("src"), col("m").as("dst")))
+        .distinct()
+    }
+
+    // fixpoint probe: (row count, order-insensitive xor of row hashes) of
+    // the edge set — xor can't overflow under ANSI arithmetic, and coalesce
+    // keeps it null-safe on an empty edge set
+    def probe(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var sig = probe(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = probe(next)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = next
+      iter += 1
+    }
+    // stars point child -> root; roots and isolated nodes label themselves
+    val out = ids
+      .join(edges.select(col("src").as("id"), col("dst").as("root")), Seq("id"), "left")
+      .groupBy("id").agg(min(coalesce(col("root"), col("id"))).as("cluster_id"))
+    (out, iter)
   }
 
   /** doc_id, cluster_id for EVERY document — canonical near-dup clusters:

@@ -1343,12 +1343,12 @@ object OracleSql {
        |    string_agg(tok, ' ' ORDER BY ord) AS sent_text
        |  FROM tok GROUP BY 1, 2),
        |g AS (SELECT sent_text,
-       |    CAST(min(doc_id * 100000 + sent_id) AS BIGINT) AS pack,
+       |    min({'d': doc_id, 's': sent_id}) AS mn,
        |    CAST(count(*) AS BIGINT) AS group_size
        |  FROM sent GROUP BY sent_text HAVING count(*) > 1)
        |SELECT s.doc_id, s.sent_id,
-       |  CAST(pack // 100000 AS BIGINT) AS canonical_doc,
-       |  CAST(pack % 100000 AS BIGINT) AS canonical_sent, group_size
+       |  CAST(mn.d AS BIGINT) AS canonical_doc,
+       |  CAST(mn.s AS BIGINT) AS canonical_sent, group_size
        |FROM sent s JOIN g USING (sent_text)""".stripMargin
 
   val stratifiedSample: String =
