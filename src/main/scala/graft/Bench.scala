@@ -44,7 +44,11 @@ object Bench {
 
     def quiesce(): Unit = { System.gc(); Thread.sleep(200) }
 
+    // optional args restrict the query set (local iteration only; the
+    // driver always runs the full suite with no args)
+    val only = args.toSet
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
     var coldTotal = 0.0
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Long =
