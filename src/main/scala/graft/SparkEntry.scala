@@ -101,6 +101,7 @@ object SparkEntry {
         .select(col("concept1"), col("concept2"), col("pair_count"))),
     "xml_roundtrip" -> ((s, d) => XmlIngest.roundTrip(docs(s, d))),
     "medline_ingest" -> ((s, d) => XmlIngest.medlineRoundTrip(docs(s, d))),
+    "medline_entities" -> ((s, d) => XmlIngest.medlineEntitiesRoundTrip(docs(s, d))),
     "jats_ingest" -> ((s, d) => XmlIngest.jatsRoundTrip(docs(s, d))),
     "bioc_ingest" -> ((s, d) => XmlIngest.biocRoundTrip(docs(s, d))),
     "webanno_export" -> ((s, d) => Exports.webanno(docs(s, d), pp(s, d))),

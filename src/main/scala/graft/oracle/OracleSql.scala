@@ -166,6 +166,25 @@ object OracleSql {
        |       ELSE t.title || chr(10) || chr(10) || a.abstract END AS doc_text
        |FROM t LEFT JOIN a USING (doc_id)""".stripMargin
 
+  /** medlineIngest with every title carrying the DECODED entity probe —
+    * the DuckDB twin of parse-time ISO-8879/numeric entity resolution. */
+  val medlineEntities: String =
+    s"""WITH $tokCte,
+       |$sentCte,
+       |t AS (SELECT doc_id, sent_text || '${XmlIngest.EntityProbeDecoded}' AS title
+       |  FROM sent WHERE sent_id = 0),
+       |a AS (SELECT doc_id, string_agg(sent_text, chr(10) ORDER BY sent_id) AS abstract
+       |  FROM sent WHERE sent_id IN (1, 2) GROUP BY 1)
+       |SELECT t.doc_id,
+       |  'PMID:' || t.doc_id AS pmid,
+       |  CASE WHEN t.doc_id % 7 = 0 THEN '${XmlIngest.DefaultPubYear}'
+       |       ELSE CAST(t.doc_id % 30 + 1990 AS VARCHAR) END AS year,
+       |  t.title,
+       |  coalesce(a.abstract, '') AS abstract,
+       |  CASE WHEN a.abstract IS NULL OR a.abstract = '' THEN t.title
+       |       ELSE t.title || chr(10) || chr(10) || a.abstract END AS doc_text
+       |FROM t LEFT JOIN a USING (doc_id)""".stripMargin
+
   val jatsIngest: String =
     s"""WITH $tokCte,
        |$sentCte,
@@ -1380,6 +1399,7 @@ object OracleSql {
     "cooccur_counts_abstract" -> cooccurCountsAbstract,
     "xml_roundtrip" -> xmlRoundtrip,
     "medline_ingest" -> medlineIngest,
+    "medline_entities" -> medlineEntities,
     "jats_ingest" -> jatsIngest,
     "bioc_ingest" -> biocIngest,
     "webanno_export" -> webannoExport,
