@@ -134,6 +134,17 @@ object OracleSql {
        |  ${uposCaseSql("tok")} AS upos
        |FROM tok""".stripMargin
 
+  /** conlluTokens restricted to the 1-in-20 staged-file sample — the
+    * file-based ingest (conllu_files) parses real `<doc_id>.conllu` files
+    * back to the same token rows. */
+  val conlluFilesSql: String =
+    s"""WITH $tokCte
+       |SELECT doc_id, (ord - 1) // $W AS sent_id,
+       |  CAST((ord - 1) % $W + 1 AS BIGINT) AS tok_id,
+       |  tok AS form, lower(tok) AS lemma,
+       |  ${uposCaseSql("tok")} AS upos
+       |FROM tok WHERE doc_id % 20 = 0""".stripMargin
+
   val xmlRoundtrip: String =
     s"""WITH $tokCte,
        |sent AS (SELECT doc_id, (ord - 1) // $W AS sent_id, string_agg(tok, ' ' ORDER BY ord) AS sent_text
@@ -1393,6 +1404,7 @@ object OracleSql {
     "concepts_pp" -> conceptsPp,
     "crf_overlap" -> crfOverlap,
     "conllu_tokens" -> conlluTokens,
+    "conllu_files" -> conlluFilesSql,
     "cooccur_counts_doc" -> cooccurCountsDoc,
     "cooccur_counts_sent" -> cooccurCountsSent,
     "cooccur_counts_title" -> cooccurCountsTitle,
