@@ -1,0 +1,98 @@
+package graft.infra
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Executor-side subprocess kernel — the Spark analog of the reference's
+  * SubProcessKernel (etl/subprocess_pipeline/kernel/SubProcessKernel.java,
+  * which execs Ab3P per bundle and captures stdout).
+  *
+  * Spark-first shape: ONE child process per partition (not per batch — the
+  * child keeps its model/resource state warm across the whole partition),
+  * a daemon writer thread streams framed records into the child's stdin
+  * while the task's iterator lazily consumes framed records from stdout.
+  * The concurrent writer is what makes the pipe deadlock-free: a
+  * write-everything-then-read loop wedges as soon as one side's pipe
+  * buffer fills, which is exactly the failure mode a 100 TB partition
+  * would hit first. Cleanup is tied to the task lifecycle (completion
+  * listener destroys a still-live child on task end/failure).
+  *
+  * Frame format: one `id \t hex(payload)` line per record — binary-safe,
+  * order-preserving, trivially consumed by line-oriented workers. The
+  * sandbox has no model binaries, so the default worker is /bin/cat (byte
+  * identity); a cluster swaps in the real binary (Ab3P, a codec, a tagger)
+  * plus a matching output parser.
+  */
+object SubProcess {
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  def toHex(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      sb.append(HexChars(b >>> 4)).append(HexChars(b & 0xf))
+      i += 1
+    }
+    sb.toString
+  }
+
+  def fromHex(s: String): Array[Byte] = {
+    val out = new Array[Byte](s.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((Character.digit(s.charAt(2 * i), 16) << 4) |
+        Character.digit(s.charAt(2 * i + 1), 16)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Pipe (id, payload) records through `cmd`, one child per partition.
+    * Returns the child's (id, payload) output frames. */
+  def pipeFramed(payloads: Dataset[(Long, Array[Byte])],
+                 cmd: Seq[String]): Dataset[(Long, Array[Byte])] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pb = new ProcessBuilder(cmd: _*)
+        // child diagnostics belong in the executor log, not the data pipe
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val proc = pb.start()
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+          if (proc.isAlive) proc.destroyForcibly()
+        })
+        val writer = new Thread(() => {
+          val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+            proc.getOutputStream, java.nio.charset.StandardCharsets.US_ASCII), 1 << 16)
+          try {
+            it.foreach { case (id, bytes) =>
+              w.write(java.lang.Long.toString(id))
+              w.write('\t')
+              w.write(toHex(bytes))
+              w.write('\n')
+            }
+          } finally w.close() // EOF tells the child to finish
+        }, "graft-subprocess-writer")
+        writer.setDaemon(true)
+        writer.start()
+        val r = new java.io.BufferedReader(new java.io.InputStreamReader(
+          proc.getInputStream, java.nio.charset.StandardCharsets.US_ASCII), 1 << 16)
+        new Iterator[(Long, Array[Byte])] {
+          private var line: String = r.readLine()
+          override def hasNext: Boolean = line != null
+          override def next(): (Long, Array[Byte]) = {
+            val cur = line
+            line = r.readLine()
+            if (line == null) { r.close(); proc.waitFor() }
+            val tab = cur.indexOf('\t')
+            (java.lang.Long.parseLong(cur.substring(0, tab)),
+              fromHex(cur.substring(tab + 1).toLowerCase(java.util.Locale.ROOT)))
+          }
+        }
+      }
+    }
+  }
+}

@@ -324,20 +324,22 @@ object TextStats {
         (pmod(floor(col("byte_len") / 64).cast("long"), lit(64L)) + 1).as("fake_height"),
         (pmod(col("byte_len"), lit(7L)) + 1).as("fake_n_frames"))
 
-  /** The per-partition batch-decode shape used for real multimodal decode at
-    * scale: binary payloads processed in partition-local batches. The decode
-    * itself is a deterministic stub; the mapPartitions plumbing is real. */
-  def decodeBatched(payloads: DataFrame): DataFrame = {
+  /** The per-partition decode shape used for real multimodal decode at
+    * scale: binary payloads streamed through a REAL external worker process
+    * (graft.infra.SubProcess — one child per partition, framed stdin/stdout,
+    * deadlock-free concurrent writer, task-lifecycle cleanup). The sandbox
+    * ships no codec binaries, so the default worker is /bin/cat (byte
+    * identity) and the "decode" of the returned payload is the deterministic
+    * byte-stat stub; a cluster swaps `cmd` for the codec and parses its real
+    * output here instead. */
+  def decodeBatched(payloads: DataFrame,
+                    cmd: Seq[String] = Seq("/bin/cat")): DataFrame = {
     import payloads.sparkSession.implicits._
-    payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+    val in = payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.grouped(64).flatMap { batch =>
-          // STUB decode: real impl would hand `batch` to a native decoder.
-          batch.map { case (id, bytes) =>
-            (id, bytes.length.toLong, if (bytes.isEmpty) 0L else bytes(0).toLong)
-          }
-        }
+    graft.infra.SubProcess.pipeFramed(in, cmd)
+      .map { case (id, bytes) =>
+        (id, bytes.length.toLong, if (bytes.isEmpty) 0L else bytes(0).toLong)
       }
       .toDF("doc_id", "byte_len", "first_byte")
   }

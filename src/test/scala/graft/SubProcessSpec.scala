@@ -1,0 +1,63 @@
+package graft
+
+import graft.infra.SubProcess
+import org.apache.spark.sql.functions._
+
+/** The subprocess kernel really execs a child per partition and really
+  * pushes the bytes through it. */
+class SubProcessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def payloads(n: Int, parts: Int) =
+    (1 to n).map(i => (i.toLong, s"payload-$i".getBytes("UTF-8")))
+      .toDF("doc_id", "payload").repartition(parts)
+
+  test("identity worker (/bin/cat) round-trips every frame") {
+    val in = payloads(100, 4)
+    val out = SubProcess.pipeFramed(
+      in.as[(Long, Array[Byte])], Seq("/bin/cat")).collect()
+    assert(out.length == 100)
+    assert(out.toMap.map { case (k, v) => k -> new String(v, "UTF-8") } ==
+      (1 to 100).map(i => i.toLong -> s"payload-$i").toMap)
+  }
+
+  test("one child process is launched per non-empty partition") {
+    val pidFile = java.nio.file.Files.createTempFile("graft-subproc-pids", ".txt")
+    val cmd = Seq("/bin/sh", "-c", s"echo $$$$ >> $pidFile; exec /bin/cat")
+    val n = SubProcess.pipeFramed(
+      payloads(64, 4).as[(Long, Array[Byte])], cmd).count()
+    assert(n == 64)
+    val pids = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(pidFile)).asScala.filter(_.nonEmpty)
+    assert(pids.size == 4, s"expected 4 child launches, saw: $pids")
+    assert(pids.distinct.size == 4)
+  }
+
+  test("bytes genuinely pass through the child (a transforming worker changes them)") {
+    // tr swaps hex digits 'a'<->'b' inside the frame payload: byte 0xAA
+    // comes back 0xBB — impossible unless the child saw the bytes
+    val in = Seq((7L, Array(0xAA.toByte))).toDF("doc_id", "payload")
+    val cmd = Seq("/bin/sh", "-c", "tr 'ab' 'ba'")
+    val out = SubProcess.pipeFramed(in.as[(Long, Array[Byte])], cmd).collect()
+    assert(out.head._1 == 7L)
+    assert(out.head._2.toSeq == Seq(0xBB.toByte))
+  }
+
+  test("decodeBatched through the kernel matches the direct byte stats") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(100)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val viaChild = graft.operators.TextStats.decodeBatched(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = docs.as[(Long, Array[Byte])].collect().map { case (id, bytes) =>
+      (id, bytes.length.toLong, if (bytes.isEmpty) 0L else bytes(0).toLong)
+    }.toSet
+    assert(viaChild == direct)
+    assert(viaChild.nonEmpty)
+  }
+
+  test("empty partitions launch no child and emit no rows") {
+    val in = spark.emptyDataset[(Long, Array[Byte])].repartition(4)
+    assert(SubProcess.pipeFramed(in, Seq("/bin/cat")).count() == 0)
+  }
+}
