@@ -93,7 +93,7 @@ object SparkEntry {
       // (partitionBy doc_id); the flat `<id>.conllu` rename is a driver-side
       // metadata walk over the fixture, not part of the measured read path.
       val dir = conlluStage.synchronized(conlluStage.getOrElseUpdate(d, {
-        val out = java.nio.file.Files.createTempDirectory("graft-conllu").toString
+        val out = graft.infra.Staging.tempDir("graft-conllu").toString
         Conllu.build(docs(s, d).where(pmod(col("doc_id"), lit(20L)) === 0L))
           .repartition(col("doc_id"))
           .write.partitionBy("doc_id").mode("overwrite").text(out)
@@ -163,7 +163,7 @@ object SparkEntry {
       // content-stable per (session, sf dir), so it is written once and
       // repeat invocations exercise what this query is about: the reader.
       val dir = bionlpStage.synchronized(bionlpStage.getOrElseUpdate(d, {
-        val out = java.nio.file.Files.createTempDirectory("graft-bionlp-src").toString
+        val out = graft.infra.Staging.tempDir("graft-bionlp-src").toString
         Exports.bionlp(pp(s, d).where(pmod(col("doc_id"), lit(20L)) === 0L))
           .repartition(col("doc_id"))
           .write.partitionBy("doc_id").mode("overwrite").text(out)
@@ -290,7 +290,7 @@ object SparkEntry {
       // alternate columnar interchange: documents → ORC → scan (written
       // once per sf dir; repeat invocations exercise the ORC reader)
       val dir = orcStage.synchronized(orcStage.getOrElseUpdate(d, {
-        val out = java.nio.file.Files.createTempDirectory("graft-orc").toString
+        val out = graft.infra.Staging.tempDir("graft-orc").toString
         graft.sources.Sinks.orc(
           docs(s, d).select("doc_id", "text", "source", "n_chars"), out)
         out

@@ -36,6 +36,17 @@ case class TopKAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
 
+  // analysis-time contract: update() reads score as Double and id as Long.
+  // (AbstractDataType is private[sql] in Spark 4, so ExpectsInputTypes is
+  // closed to third parties; the explicit check gives the same analysis-time
+  // rejection instead of a mid-task ClassCastException, and the Column API
+  // coerces compatible inputs by casting.)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (score.dataType == DoubleType && id.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"top_k_agg expects (DOUBLE score, BIGINT id), got (${score.dataType}, ${id.dataType})")
+
   // eviction heap: head = worst kept entry (lowest score; ties broken so
   // the LARGER id is worse, matching ORDER BY score DESC, id ASC)
   private val worstFirst: Ordering[(Double, Long)] =
@@ -102,9 +113,12 @@ case class TopKAgg(
 }
 
 object TopKAgg {
-  /** Column API: top-k (score, id) pairs per group, best-first. */
+  /** Column API: top-k (score, id) pairs per group, best-first. Compatible
+    * inputs (int/float score, int id) are coerced by the casts; incompatible
+    * ones fail analysis in checkInputDataTypes. */
   def topK(score: Column, id: Column, k: Int): Column =
     ColumnBridge.column(
-      TopKAgg(ColumnBridge.expression(score), ColumnBridge.expression(id), k)
+      TopKAgg(ColumnBridge.expression(score.cast("double")),
+        ColumnBridge.expression(id.cast("long")), k)
         .toAggregateExpression())
 }

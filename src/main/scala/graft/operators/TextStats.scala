@@ -269,17 +269,33 @@ object TextStats {
     * `might_contain`). At 100 TB the Bloom bits are what actually gets
     * broadcast to every task, and only might-contain candidates reach the
     * exact confirm join — which removes the false positives, so the output
-    * is byte-identical to the exact path (same oracle). */
+    * is byte-identical to the exact path (same oracle).
+    *
+    * `expectedEvalNgrams` sizes the Bloom bits. Pass it when the eval-set
+    * cardinality is known (the usual production case — eval suites are
+    * versioned artifacts); when 0 it is DERIVED from a count of the distinct
+    * eval bigrams — one extra tiny job over the side that gets broadcast
+    * anyway, with 1.25× headroom so late growth degrades the false-positive
+    * rate, never correctness (the confirm join removes all FPs).
+    *
+    * Crossover: the prefilter costs one Bloom build/broadcast and pays by
+    * keeping corpus bigrams that can't match away from the probe side of
+    * the confirm join. At sf0.1 (~1M corpus bigrams, ~2k eval bigrams) it
+    * is roughly break-even with the exact path; the win grows linearly
+    * with corpus size, which is why the 100 TB path wants it. */
   def decontaminateBloom(docs: DataFrame, evalTexts: DataFrame,
-                         evalIdCol: String, evalTextCol: String): DataFrame = {
+                         evalIdCol: String, evalTextCol: String,
+                         expectedEvalNgrams: Long = 0L): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val (docBg, evalBg) = bigramSides(docs, evalTexts, evalIdCol, evalTextCol)
+    val ndv = if (expectedEvalNgrams > 0) expectedEvalNgrams
+      else math.max(64L, (evalBg.count() * 1.25).toLong)
     // the Bloom bits enter the corpus scan as a scalar subquery — the same
     // shape Spark's runtime row-level filtering injects (BloomFilterMightContain
     // accepts only constants or scalar subqueries), so the build stays in-plan
     val bloomDf = evalBg.agg(ColumnBridge.column(
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-        ColumnBridge.expression(xxhash64(col("bigram"))), 100000L)
+        ColumnBridge.expression(xxhash64(col("bigram"))), ndv)
         .toAggregateExpression()).as("bf"))
     val mightContain = ColumnBridge.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(

@@ -22,7 +22,7 @@ object DocStreams {
   /** Stage the documents parquet into a fresh dir and open it as a
     * file-source stream. */
   private def stagedDocsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream-docs")
+    val dir = graft.infra.Staging.tempDir("graft-stream-docs")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/documents.parquet"), dir.resolve("documents.parquet"))
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
@@ -66,8 +66,8 @@ object DocStreams {
     * anti-join as batch Etl.upsert, so the result matches the doc_upsert
     * oracle exactly. */
   def upsertViaStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val log = java.nio.file.Files.createTempDirectory("graft-upsert-log").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-upsert-ckpt").toString
+    val log = graft.infra.Staging.tempDir("graft-upsert-log").toString
+    val ckpt = graft.infra.Staging.tempDir("graft-upsert-ckpt").toString
     val updates = stagedDocsStream(spark, sfDir)
       .where(pmod(col("doc_id") * 2654435761L, lit(1000L)) < 100)
       .withColumn("lang", lit("xx")).withColumn("source", lit("updated"))

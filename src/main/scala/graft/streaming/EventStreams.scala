@@ -41,7 +41,7 @@ object EventStreams {
   /** Stage the events parquet into a fresh directory and open it as a
     * file-source stream (µs timestamps, full event columns). */
   private def stagedEventsStream(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream-q")
+    val dir = graft.infra.Staging.tempDir("graft-stream-q")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"), dir.resolve("events.parquet"))
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
@@ -59,15 +59,26 @@ object EventStreams {
     * opens four per partition), so we drop to a narrow width for the run
     * and restore the session conf after. */
   private[streaming] def runToTable(streamed: DataFrame, mode: OutputMode): DataFrame = {
-    val spark = streamed.sparkSession
-    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val (narrow, df) = narrowSession(streamed)
     val name = s"stream_q_${System.nanoTime}"
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = streamed.writeStream.format("memory").queryName(name).outputMode(mode).start()
-      try { q.processAllAvailable() } finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
-    spark.table(name)
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try { q.processAllAvailable() } finally q.stop()
+    narrow.table(name)
+  }
+
+  /** Re-bind a streaming plan onto a CLONED session (shared SparkContext,
+    * cache and catalog; own SQLConf) whose shuffle width is the narrow
+    * stateful-operator width. Streaming state should be sized to key
+    * cardinality, not batch shuffle width — each partition carries its own
+    * state store and a stream-stream join opens four per partition — but
+    * mutating the session-global conf (the round-3 shape) silently changed
+    * the width of any query running concurrently on the session; the clone
+    * scopes the override to this stream alone. */
+  private def narrowSession(streamed: DataFrame): (org.apache.spark.sql.SparkSession, DataFrame) = {
+    val narrow = streamed.sparkSession.newSession()
+    narrow.conf.set("spark.sql.shuffle.partitions", "8")
+    (narrow, org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(
+      narrow, streamed.queryExecution.logical))
   }
 
   /** Run an append-mode streaming DataFrame to completion through a parquet
@@ -78,18 +89,14 @@ object EventStreams {
     * is cheaper when a query emits a few hundred rows; complete-mode
     * aggregations need runToTable regardless). */
   private[streaming] def runToFiles(streamed: DataFrame): DataFrame = {
-    val spark = streamed.sparkSession
-    val before = spark.conf.get("spark.sql.shuffle.partitions")
-    val out = java.nio.file.Files.createTempDirectory("graft-stream-out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = streamed.writeStream.format("parquet")
-        .option("path", out).option("checkpointLocation", ckpt)
-        .outputMode(OutputMode.Append()).start()
-      try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
-    spark.read.schema(streamed.schema).parquet(out)
+    val (_, df) = narrowSession(streamed)
+    val out = graft.infra.Staging.tempDir("graft-stream-out").toString
+    val ckpt = graft.infra.Staging.tempDir("graft-stream-ckpt").toString
+    val q = df.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    streamed.sparkSession.read.schema(streamed.schema).parquet(out)
   }
 
   def hourlyViaStream(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
