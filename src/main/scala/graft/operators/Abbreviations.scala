@@ -68,14 +68,17 @@ object Abbreviations {
     Some(candidate.substring(lIndex + 1).trim).filter(_.nonEmpty)
   }
 
-  /** DataFrame op: id + text column → (id, short_form, long_form) rows. */
-  def detect(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val fn = udf((t: String) => if (t == null) Seq.empty[(String, String)] else schwartzHearst(t))
-    df.select(col(idCol), explode(fn(col(textCol))).as("pair"))
-      .select(col(idCol), col("pair._1").as("short_form"), col("pair._2").as("long_form"))
-  }
+  /** DataFrame op: id + text column → (id, short_form, long_form) rows.
+    * Runs through the native [[graft.functions.SchwartzHearstPairs]]
+    * expression (whole-stage codegen, no UDF serialization boundary);
+    * this is also the I7 subprocess slot — a deployment wrapping the real
+    * Ab3P binary swaps this projection for a SubProcess.pipeFramed stage
+    * with the same output shape. */
+  def detect(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(graft.functions.SchwartzHearstPairs.pairsOf(col(textCol))).as("pair"))
+      .select(col(idCol), col("pair.short_form").as("short_form"),
+        col("pair.long_form").as("long_form"))
 
   /** The rows-only driver query: abbreviations over constructed
     * "name (INITIALS)" part descriptions. */
