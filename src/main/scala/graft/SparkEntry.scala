@@ -221,6 +221,7 @@ object SparkEntry {
     "q6_forecast" -> ((s, d) => Relational.q6Forecast(Tables.lineitem(s, d))),
     "text_export" -> ((s, d) => Exports.textExport(docs(s, d))),
     "es_docs" -> ((s, d) => Exports.esDocs(docs(s, d), pp(s, d))),
+    "es_bulk" -> ((s, d) => Exports.esBulk(docs(s, d), pp(s, d))),
     "export_flat" -> ((s, d) => Exports.flat(docs(s, d), pp(s, d))),
     // F. relational / events
     "q1_pricing" -> ((s, d) => Relational.q1Pricing(Tables.lineitem(s, d))),
@@ -267,6 +268,8 @@ object SparkEntry {
     "kg_nodes" -> ((s, _) => KnowledgeGraph.nodes(s)),
     "ontology_closure" -> ((s, _) => KnowledgeGraph.ontologyClosure(s)),
     "kg_edges" -> ((s, d) => KnowledgeGraph.edges(pp(s, d))),
+    "trapi_nodes" -> ((s, _) => KnowledgeGraph.trapiNodeTriples(s)),
+    "trapi_edges" -> ((s, d) => KnowledgeGraph.trapiEdgeTriples(pp(s, d))),
     // G. LLM-data ops
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
     "dedup_norm" -> ((s, d) => Dedup.normalized(docs(s, d))),

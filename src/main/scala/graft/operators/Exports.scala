@@ -176,6 +176,24 @@ object Exports {
         coalesce(col("concept_ids"), lit("")).as("concept_ids"))
   }
 
+  /** doc_id, line_ord, line — the Elasticsearch `_bulk` payload: an action
+    * line (`{"index":{"_index":…,"_id":…}}`) paired with the document source
+    * JSON (reference: fn/ElasticsearchDocumentCreatorFn.java builds the
+    * document JSON, ElasticsearchLoadPipeline posts the stream to the bulk
+    * API). `Sinks.tsv`/text writes this line stream as a _bulk-ready file;
+    * line_ord keeps the action/source pairing explicit and order-stable. */
+  def esBulk(docs: DataFrame, annots: DataFrame,
+             indexName: String = "graft_docs"): DataFrame = {
+    val d = esDocs(docs, annots)
+    val action = concat(
+      lit("{\"index\":{\"_index\":\"" + indexName + "\",\"_id\":\""),
+      col("doc_id"), lit("\"}}"))
+    val source = to_json(struct(col("doc_id"), col("lang"), col("source"),
+      col("n_sentences"), col("n_concepts"), col("concept_ids")))
+    d.select(col("doc_id"), posexplode(array(action, source)).as(Seq("ord0", "line")))
+      .select(col("doc_id"), (col("ord0") + 1).cast("long").as("line_ord"), col("line"))
+  }
+
   /** Star flatten: annotation rows with document metadata attached. */
   def flat(docs: DataFrame, annots: DataFrame): DataFrame =
     annots.join(docs.select("doc_id", "lang", "source"), "doc_id")

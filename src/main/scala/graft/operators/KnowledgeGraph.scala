@@ -86,4 +86,62 @@ object KnowledgeGraph {
         categoryFor("concept1").as("subject_category"),
         categoryFor("concept2").as("object_category"),
         col("pair_count"), col("ngd"), col("npmi"))
+
+  // ---------- TRAPI backend serialization ----------
+  // The reference's TRAPI backend renders the KG as Biolink N-Triples
+  // (trapi/TrapiBackendSerializer.java constants;
+  // OntologyKgTrapiBackendSerializer.java:20-67 — per node: biolink:id,
+  // rdfs:label, rdfs:subClassOf category; AssocKgTrapiBackendSerializer.java
+  // :80-148 — per association: a blank node typed biolink:Association with
+  // subject/predicate/object triples and a typed decimal score). Here the
+  // same line stream is a pure projection + posexplode of a per-row line
+  // array — no driver loop, shard-parallel like any other export.
+
+  private val BiolinkId = "<https://w3id.org/biolink/vocab/id>"
+  private val RdfsLabel = "<http://www.w3.org/2000/01/rdf-schema#label>"
+  private val RdfsSubClassOf = "<http://www.w3.org/2000/01/rdf-schema#subClassOf>"
+  private val RdfType = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+  private val BiolinkAssociation = "<https://w3id.org/biolink/vocab/Association>"
+  private val BiolinkSubject = "<https://w3id.org/biolink/vocab/subject>"
+  private val BiolinkPredicate = "<https://w3id.org/biolink/vocab/predicate>"
+  private val BiolinkObject = "<https://w3id.org/biolink/vocab/object>"
+  private val BiolinkScore = "<https://w3id.org/biolink/vocab/score>"
+  private val XsdDecimal = "<http://www.w3.org/2001/XMLSchema#decimal>"
+
+  private def uriFor(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("<https://graft.example/id/"), regexp_replace(c, ":", "_"), lit(">"))
+
+  private def categoryUri(cat: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("<https://graft.example/vocab/"), substring_index(cat, ":", -1), lit(">"))
+
+  /** concept_id, triple_ord, line — N-Triples for every KG node. */
+  def trapiNodeTriples(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val n = nodes(spark)
+    val uri = uriFor(col("concept_id"))
+    n.select(col("concept_id"), posexplode(array(
+        concat(uri, lit(s" $BiolinkId " + "\""), col("concept_id"), lit("\"@en .")),
+        concat(uri, lit(s" $RdfsLabel " + "\""), col("name"), lit("\"@en .")),
+        concat(uri, lit(s" $RdfsSubClassOf "), categoryUri(col("category")), lit(" ."))
+      )).as(Seq("ord0", "line")))
+      .select(col("concept_id"), (col("ord0") + 1).cast("long").as("triple_ord"), col("line"))
+  }
+
+  /** subject, object, triple_ord, line — N-Triples for every association:
+    * blank assoc node, type/subject/predicate/object, 6dp decimal score. */
+  def trapiEdgeTriples(annots: DataFrame): DataFrame = {
+    val e = edges(annots)
+    val assoc = concat(lit("<_:"),
+      regexp_replace(col("subject"), ":", "_"), lit("__"),
+      regexp_replace(col("object"), ":", "_"), lit("_assoc>"))
+    e.select(col("subject"), col("object"), posexplode(array(
+        concat(assoc, lit(s" $RdfType $BiolinkAssociation .")),
+        concat(assoc, lit(s" $BiolinkSubject "), uriFor(col("subject")), lit(" .")),
+        concat(assoc, lit(s" $BiolinkPredicate <https://graft.example/vocab/related_to> .")),
+        concat(assoc, lit(s" $BiolinkObject "), uriFor(col("object")), lit(" .")),
+        concat(assoc, lit(s" $BiolinkScore " + "\""), format_string("%.6f", col("npmi")),
+          lit(s"\"^^$XsdDecimal ."))
+      )).as(Seq("ord0", "line")))
+      .select(col("subject"), col("object"),
+        (col("ord0") + 1).cast("long").as("triple_ord"), col("line"))
+  }
 }

@@ -673,6 +673,21 @@ object OracleSql {
         |  coalesce(ca.concept_ids, '') AS concept_ids
         |FROM documents d LEFT JOIN sc USING (doc_id) LEFT JOIN ca USING (doc_id)""".stripMargin
 
+  /** The _bulk action/source line pairing over the esDocs shape — same JSON
+    * grammar as Spark's to_json over the source struct (compact, key order =
+    * struct order; all field values here are JSON-safe by construction). */
+  val esBulk: String =
+    s"""WITH d AS ($esDocs),
+       |u AS (SELECT doc_id,
+       |  '{"index":{"_index":"graft_docs","_id":"' || doc_id || '"}}' AS action,
+       |  '{"doc_id":' || doc_id || ',"lang":"' || lang || '","source":"' || source ||
+       |    '","n_sentences":' || n_sentences || ',"n_concepts":' || n_concepts ||
+       |    ',"concept_ids":"' || concept_ids || '"}' AS src
+       |FROM d)
+       |SELECT doc_id, CAST(t.ord AS BIGINT) AS line_ord,
+       |  CASE t.ord WHEN 1 THEN action ELSE src END AS line
+       |FROM u CROSS JOIN (SELECT unnest(range(1, 3)) AS ord) t""".stripMargin
+
   val exportFlat: String =
     docPipeline() +
       """SELECT p.doc_id, d.lang, d.source, p.concept_id, p.char_start, p.char_end
@@ -1119,6 +1134,41 @@ object OracleSql {
        |  ${KnowledgeGraph.categoryCaseSql("dict.concept_id")} AS category
        |FROM ${ConceptDict.dictValuesSql}""".stripMargin
 
+  /** TRAPI N-Triples twins: same line grammar as
+    * KnowledgeGraph.trapiNodeTriples / trapiEdgeTriples. */
+  val trapiNodes: String =
+    s"""WITH n AS ($kgNodes),
+       |u AS (SELECT concept_id, name, category,
+       |  '<https://graft.example/id/' || replace(concept_id, ':', '_') || '>' AS uri,
+       |  '<https://graft.example/vocab/' || split_part(category, ':', 2) || '>' AS cat_uri
+       |FROM n)
+       |SELECT concept_id, CAST(t.ord AS BIGINT) AS triple_ord,
+       |  CASE t.ord
+       |    WHEN 1 THEN uri || ' <https://w3id.org/biolink/vocab/id> "' || concept_id || '"@en .'
+       |    WHEN 2 THEN uri || ' <http://www.w3.org/2000/01/rdf-schema#label> "' || name || '"@en .'
+       |    ELSE uri || ' <http://www.w3.org/2000/01/rdf-schema#subClassOf> ' || cat_uri || ' .'
+       |  END AS line
+       |FROM u CROSS JOIN (SELECT unnest(range(1, 4)) AS ord) t""".stripMargin
+
+  val trapiEdges: String =
+    s"""WITH e AS (SELECT concept1 AS subject, concept2 AS object, npmi AS npmi0
+       |  FROM ($cooccurMetricsDoc)),
+       |u AS (SELECT subject, object,
+       |  '<_:' || replace(subject, ':', '_') || '__' || replace(object, ':', '_') || '_assoc>' AS assoc,
+       |  '<https://graft.example/id/' || replace(subject, ':', '_') || '>' AS subj_uri,
+       |  '<https://graft.example/id/' || replace(object, ':', '_') || '>' AS obj_uri,
+       |  printf('%.6f', npmi0) AS score
+       |FROM e)
+       |SELECT subject, object, CAST(t.ord AS BIGINT) AS triple_ord,
+       |  CASE t.ord
+       |    WHEN 1 THEN assoc || ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <https://w3id.org/biolink/vocab/Association> .'
+       |    WHEN 2 THEN assoc || ' <https://w3id.org/biolink/vocab/subject> ' || subj_uri || ' .'
+       |    WHEN 3 THEN assoc || ' <https://w3id.org/biolink/vocab/predicate> <https://graft.example/vocab/related_to> .'
+       |    WHEN 4 THEN assoc || ' <https://w3id.org/biolink/vocab/object> ' || obj_uri || ' .'
+       |    ELSE assoc || ' <https://w3id.org/biolink/vocab/score> "' || score || '"^^<http://www.w3.org/2001/XMLSchema#decimal> .'
+       |  END AS line
+       |FROM u CROSS JOIN (SELECT unnest(range(1, 6)) AS ord) t""".stripMargin
+
   val kgEdges: String =
     s"""SELECT concept1 AS subject, concept2 AS object,
        |  'graft:related_to' AS predicate,
@@ -1439,6 +1489,8 @@ object OracleSql {
     "dict_export" -> dictExport,
     "kg_nodes" -> kgNodes,
     "kg_edges" -> kgEdges,
+    "trapi_nodes" -> trapiNodes,
+    "trapi_edges" -> trapiEdges,
     "ontology_closure" -> ontologyClosure,
     "concepts_promoted" -> conceptsPromoted,
     "text_redact" -> textRedact,
@@ -1468,6 +1520,7 @@ object OracleSql {
     "q6_forecast" -> q6Forecast,
     "text_export" -> textExport,
     "es_docs" -> esDocs,
+    "es_bulk" -> esBulk,
     "export_flat" -> exportFlat,
     "q1_pricing" -> q1Pricing,
     "q3_top_orders" -> q3TopOrders,
