@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the full 119-query Verify/Bench suite accumulates the
+  // CacheManager materializations of every query (shared by design — see
+  // SparkEntry.pp); at 8g the storage pool evicted early caches mid-suite
+  // and late queries paid recompute + GC pressure (tfidf 0.74s solo vs
+  // 1.80s in the r3 full suite). The box has 128 GiB; local[32] is one JVM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
