@@ -310,6 +310,8 @@ object SparkEntry {
     "emb_topk" -> ((s, d) => Embeddings.cosineTopK(Tables.embeddings(s, d))),
     "emb_topk_native" -> ((s, d) => Embeddings.cosineTopKNative(Tables.embeddings(s, d))),
     "emb_lsh" -> ((s, d) => Embeddings.lshBuckets(Tables.embeddings(s, d))),
+    "pq_codes" -> ((s, d) => Embeddings.pqCodes(Tables.embeddings(s, d))),
+    "pq_topk" -> ((s, d) => Embeddings.pqTopK(Tables.embeddings(s, d))),
     "emb_dup_pairs" -> ((s, d) => Embeddings.dupPairs(Tables.embeddings(s, d))),
     "concepts_promoted" -> ((s, d) => Concepts.promote(pp(s, d))),
     "text_redact" -> ((s, d) =>

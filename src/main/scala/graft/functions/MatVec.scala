@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -194,6 +194,173 @@ case class CentroidRanks(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** ARRAY<INT> of product-quantization codes: the vector is split into
+  * `m` equal subvectors; code j = the L2-argmin centroid (of `k` per
+  * subspace) for subvector j, ties to the lower centroid id. The codebook
+  * rides flattened row-major as [subspace][centroid][subdim]. Distances are
+  * compared ROUNDED to 6dp (floor(x*1e6+0.5)/1e6) so the argmin is
+  * cross-engine-stable — the same grain the rest of the suite uses. */
+case class PqCodes(left: Expression, right: Expression, m: Int, k: Int)
+  extends BinaryExpression with MatVecKernel {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val v = l.asInstanceOf[ArrayData]
+    val cb = r.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (n == 0 || n % m != 0 || cb.numElements() != k * n) return null
+    val subDim = n / m
+    val codes = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var kk = 0
+      while (kk < k) {
+        var d2 = 0.0
+        var d = 0
+        val vBase = sub * subDim
+        val cBase = (sub * k + kk) * subDim
+        while (d < subDim) {
+          val diff = v.getDouble(vBase + d) - cb.getDouble(cBase + d)
+          d2 += diff * diff
+          d += 1
+        }
+        val r6 = math.floor(d2 * 1e6 + 0.5) / 1e6
+        if (r6 < bestD) { bestD = r6; best = kk }
+        kk += 1
+      }
+      codes(sub) = best
+      sub += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cb) => {
+      val n = ctx.freshName("n"); val subDim = ctx.freshName("subDim")
+      val codes = ctx.freshName("codes"); val sub = ctx.freshName("sub")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val kk = ctx.freshName("kk"); val d2 = ctx.freshName("d2")
+      val d = ctx.freshName("d"); val diff = ctx.freshName("diff")
+      val vBase = ctx.freshName("vBase"); val cBase = ctx.freshName("cBase")
+      val r6 = ctx.freshName("r6")
+      s"""
+         |int $n = $v.numElements();
+         |if ($n == 0 || $n % $m != 0 || $cb.numElements() != $k * $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $subDim = $n / $m;
+         |  int[] $codes = new int[$m];
+         |  for (int $sub = 0; $sub < $m; $sub++) {
+         |    int $best = 0;
+         |    double $bestD = Double.POSITIVE_INFINITY;
+         |    for (int $kk = 0; $kk < $k; $kk++) {
+         |      double $d2 = 0.0;
+         |      int $vBase = $sub * $subDim;
+         |      int $cBase = ($sub * $k + $kk) * $subDim;
+         |      for (int $d = 0; $d < $subDim; $d++) {
+         |        double $diff = $v.getDouble($vBase + $d) - $cb.getDouble($cBase + $d);
+         |        $d2 += $diff * $diff;
+         |      }
+         |      double $r6 = Math.floor($d2 * 1.0E6 + 0.5) / 1.0E6;
+         |      if ($r6 < $bestD) { $bestD = $r6; $best = $kk; }
+         |    }
+         |    $codes[$sub] = $best;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqCodes =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DOUBLE — asymmetric (ADC) squared distance between an exact query vector
+  * and a PQ-encoded neighbor: Σ over subspaces of ||q_sub − centroid[code]||².
+  * Children: (query vec ARRAY<DOUBLE>, codes ARRAY<INT>, codebook flat).
+  * Raw partials accumulate in subspace order; the caller rounds the total. */
+case class PqAdcDistance(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val okVec = first.dataType match { case ArrayType(DoubleType, _) => true; case _ => false }
+    val okCodes = second.dataType match { case ArrayType(IntegerType, _) => true; case _ => false }
+    val okCb = third.dataType match { case ArrayType(DoubleType, _) => true; case _ => false }
+    if (okVec && okCodes && okCb) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_distance expects (ARRAY<DOUBLE>, ARRAY<INT>, ARRAY<DOUBLE>), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc_distance"
+
+  override def nullSafeEval(q: Any, c: Any, b: Any): Any = {
+    val v = q.asInstanceOf[ArrayData]
+    val codes = c.asInstanceOf[ArrayData]
+    val cb = b.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val m = codes.numElements()
+    if (n == 0 || m == 0 || n % m != 0) return null
+    val subDim = n / m
+    val k = cb.numElements() / n
+    var total = 0.0
+    var sub = 0
+    while (sub < m) {
+      val code = codes.getInt(sub)
+      val vBase = sub * subDim
+      val cBase = (sub * k + code) * subDim
+      var d = 0
+      while (d < subDim) {
+        val diff = v.getDouble(vBase + d) - cb.getDouble(cBase + d)
+        total += diff * diff
+        d += 1
+      }
+      sub += 1
+    }
+    total
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, codes, cb) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val subDim = ctx.freshName("subDim"); val k = ctx.freshName("k")
+      val total = ctx.freshName("total"); val sub = ctx.freshName("sub")
+      val code = ctx.freshName("code"); val vBase = ctx.freshName("vBase")
+      val cBase = ctx.freshName("cBase"); val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      s"""
+         |int $n = $v.numElements();
+         |int $m = $codes.numElements();
+         |if ($n == 0 || $m == 0 || $n % $m != 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $subDim = $n / $m;
+         |  int $k = $cb.numElements() / $n;
+         |  double $total = 0.0;
+         |  for (int $sub = 0; $sub < $m; $sub++) {
+         |    int $code = $codes.getInt($sub);
+         |    int $vBase = $sub * $subDim;
+         |    int $cBase = ($sub * $k + $code) * $subDim;
+         |    for (int $d = 0; $d < $subDim; $d++) {
+         |      double $diff = $v.getDouble($vBase + $d) - $cb.getDouble($cBase + $d);
+         |      $total += $diff * $diff;
+         |    }
+         |  }
+         |  ${ev.value} = $total;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): PqAdcDistance =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object MatVec {
   /** Flattened row-major matrix literal for the kernel expressions. */
   def matrixLit(rows: Seq[Seq[Double]]): Column =
@@ -207,4 +374,13 @@ object MatVec {
   def centroidRanks(vec: Column, matFlat: Column): Column =
     ColumnBridge.column(CentroidRanks(
       ColumnBridge.expression(vec), ColumnBridge.expression(matFlat)))
+
+  def pqCodes(vec: Column, codebookFlat: Column, m: Int, k: Int): Column =
+    ColumnBridge.column(PqCodes(
+      ColumnBridge.expression(vec), ColumnBridge.expression(codebookFlat), m, k))
+
+  def pqAdcDistance(queryVec: Column, codes: Column, codebookFlat: Column): Column =
+    ColumnBridge.column(PqAdcDistance(
+      ColumnBridge.expression(queryVec), ColumnBridge.expression(codes),
+      ColumnBridge.expression(codebookFlat)))
 }

@@ -140,6 +140,56 @@ object Embeddings {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  // ---------- Product quantization (Jégou, Douze & Schmid, TPAMI 2011) ----------
+  // The 100 TB memory path: a 64-dim float vector (256 B) compresses to
+  // PqM 1-byte codes; search scans CODES with an asymmetric (ADC) distance —
+  // one subspace-table lookup per code instead of a 64-dim dot product —
+  // and only the final top-k ever touches a full vector. Codebooks here are
+  // the deterministic pseudo-random surrogate for the k-means training run
+  // (same convention as `hyperplanes`/`centroids`), shared with the oracle.
+
+  val PqM = 8      // subspaces (subvector length EmbDim/PqM = 8)
+  val PqK = 16     // centroids per subspace (codes fit 4 bits)
+
+  /** Deterministic codebook: c(sub, k, d) over subvector dims. */
+  val pqCodebook: Seq[(Int, Int, Int, Double)] =
+    for (s <- 0 until PqM; k <- 0 until PqK; d <- 0 until EmbDim / PqM)
+      yield (s, k, d,
+        (((s * 131L + k) * 2654435761L + d * 97003L) % 2003L).toDouble / 1001.5 - 1.0)
+
+  private val pqCodebookFlat: Seq[Seq[Double]] =
+    pqCodebook.grouped(EmbDim / PqM).map(_.map(_._4)).toSeq
+
+  /** vec_id, code_key — PQ codes per vector ('|'-joined for cross-engine
+    * comparison; the in-plan representation is the int array). */
+  def pqCodes(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      array_join(MatVec.pqCodes(asDouble(col("embedding")),
+        MatVec.matrixLit(pqCodebookFlat), PqM, PqK).cast("array<string>"), "|")
+        .as("code_key"))
+
+  /** query_id, rank, neighbor_id, adc_dist — PQ-compressed ANN: neighbors
+    * are represented ONLY by their codes; each (query, neighbor) pair costs
+    * PqM lookups + 8-dim residual sums instead of a full-vector dot product.
+    * Exact query vectors (ADC) keep the asymmetric accuracy advantage.
+    * Ranking uses the ROUNDED distance with id tie-break (cross-engine
+    * stable). Same broadcast-Q × streamed-N shape as cosineTopK. */
+  def pqTopK(embeddings: DataFrame, numQueries: Int = 8, k: Int = 5): DataFrame = {
+    val cb = MatVec.matrixLit(pqCodebookFlat)
+    val codes = embeddings.select(col("vec_id").as("neighbor_id"),
+      MatVec.pqCodes(asDouble(col("embedding")), cb, PqM, PqK).as("codes"))
+    val q = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+    broadcast(q).crossJoin(codes)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Num.r6(MatVec.pqAdcDistance(col("qe"), col("codes"), cb)).as("adc_dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc_dist"), col("neighbor_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc_dist")
+  }
+
   /** vec_a, vec_b, cosine — near-duplicate embedding pairs, candidate-limited
     * to shared LSH buckets (never all-pairs). */
   def dupPairs(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {

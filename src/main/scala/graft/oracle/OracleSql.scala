@@ -1017,6 +1017,56 @@ object OracleSql {
        |  FROM prs p JOIN v x ON p.vec_a = x.vec_id JOIN v y ON p.vec_b = y.vec_id)
        |WHERE cosine >= 0.35""".stripMargin
 
+  /** PQ codebook as a VALUES table (sub, k, d, w) — the DuckDB twin of
+    * Embeddings.pqCodebook. */
+  private val pqCodebookSql: String =
+    Embeddings.pqCodebook.map { case (s, k, d, w) => s"($s, $k, $d, $w)" }
+      .mkString("(VALUES ", ", ", ") AS cb(sub, k, d, w)")
+
+  private val pqSubDim = Embeddings.EmbDim / Embeddings.PqM
+
+  /** Per-vector PQ codes: subvector L2-argmin per subspace, distances
+    * compared at 6dp, ties to the lower centroid id. */
+  private val pqCodesCte: String =
+    s"""ex AS (SELECT vec_id,
+       |    CAST(unnest(range(0, len(embedding))) AS BIGINT) AS dim,
+       |    unnest(CAST(embedding AS DOUBLE[])) AS e
+       |  FROM embeddings),
+       |sd AS (SELECT vec_id, dim // $pqSubDim AS sub, dim % $pqSubDim AS d, e FROM ex),
+       |dist AS (SELECT vec_id, sd.sub, cb.k,
+       |    floor(sum((e - cb.w) * (e - cb.w)) * 1000000 + 0.5) / 1000000 AS d2
+       |  FROM sd JOIN $pqCodebookSql ON sd.sub = cb.sub AND sd.d = cb.d
+       |  GROUP BY 1, 2, 3),
+       |code AS (SELECT vec_id, sub, k AS code FROM (
+       |    SELECT vec_id, sub, k,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, k) AS rn
+       |    FROM dist) WHERE rn = 1)""".stripMargin
+
+  val pqCodesSql: String =
+    s"""WITH $pqCodesCte
+       |SELECT vec_id, string_agg(CAST(code AS VARCHAR), '|' ORDER BY sub) AS code_key
+       |FROM code GROUP BY vec_id""".stripMargin
+
+  val pqTopK: String =
+    s"""WITH $pqCodesCte,
+       |qex AS (SELECT vec_id AS query_id, dim // $pqSubDim AS sub, dim % $pqSubDim AS d, e
+       |  FROM ex WHERE vec_id < 8),
+       |qd AS (SELECT query_id, qex.sub, cb.k,
+       |    sum((e - cb.w) * (e - cb.w)) AS d2
+       |  FROM qex JOIN $pqCodebookSql ON qex.sub = cb.sub AND qex.d = cb.d
+       |  GROUP BY 1, 2, 3),
+       |pairs AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    floor(sum(qd.d2) * 1000000 + 0.5) / 1000000 AS adc_dist
+       |  FROM (SELECT DISTINCT query_id FROM qd) q
+       |  JOIN code c ON c.vec_id <> q.query_id
+       |  JOIN qd ON qd.query_id = q.query_id AND qd.sub = c.sub AND qd.k = c.code
+       |  GROUP BY 1, 2),
+       |rk AS (SELECT query_id, neighbor_id, adc_dist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
+       |  FROM pairs)
+       |SELECT query_id, rank, neighbor_id, adc_dist FROM rk WHERE rank <= 5""".stripMargin
+
   private val centroidsSql: String =
     Embeddings.centroids.map { case (k, d, w) => s"($k, $d, $w)" }
       .mkString("(VALUES ", ", ", ") AS cen(cell, dim, w)")
@@ -1557,6 +1607,8 @@ object OracleSql {
     "emb_topk" -> embTopK,
     "emb_topk_native" -> embTopK,
     "emb_lsh" -> embLsh,
+    "pq_codes" -> pqCodesSql,
+    "pq_topk" -> pqTopK,
     "emb_dup_pairs" -> embDupPairs,
     "lang_id" -> langId,
     "quality_score" -> qualityScore,

@@ -38,4 +38,22 @@ class EmbeddingsSpec extends SparkSpec {
     val pairs = Embeddings.dupPairs(vs, threshold = 0.9).collect()
     assert(pairs.exists(r => r.getAs[Long]("vec_a") == 0L && r.getAs[Long]("vec_b") == 1L))
   }
+
+  test("pq codes are deterministic and identical vectors share codes") {
+    val dim = Embeddings.EmbDim
+    val vs = vecs(Seq(unit(dim, 3), unit(dim, 3), unit(dim, 40)))
+    val c = Embeddings.pqCodes(vs).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("code_key")).toMap
+    assert(c(0L) == c(1L))
+    assert(c(0L).split("\\|").length == Embeddings.PqM)
+    assert(Embeddings.pqCodes(vs).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("code_key")).toMap == c)
+  }
+
+  test("pq ADC ranks an exact duplicate first (its codes are the query's argmin codes)") {
+    val dim = Embeddings.EmbDim
+    val vs = vecs(Seq(unit(dim, 0), unit(dim, 0), unit(dim, 5), unit(dim, 9)))
+    val top = Embeddings.pqTopK(vs, numQueries = 1, k = 3).orderBy("rank").collect()
+    assert(top.head.getAs[Long]("neighbor_id") == 1L)
+  }
 }
