@@ -252,6 +252,7 @@ object SparkEntry {
     "multimodal_decode" -> ((s, d) => TextStats.decodeBatched(
       docs(s, d).select(col("doc_id"), col("text").cast("binary").as("payload")))),
     "events_sessions" -> ((s, d) => Relational.eventsSessions(Tables.events(s, d))),
+    "events_sessions_native" -> ((s, d) => Relational.eventsSessionsNative(Tables.events(s, d))),
     "events_retention" -> ((s, d) => Relational.eventsRetention(Tables.events(s, d))),
     "events_quantiles" -> ((s, d) => Relational.eventsQuantiles(Tables.events(s, d))),
     "top_parts_per_brand" -> ((s, d) => Relational.topPartsPerBrand(Tables.part(s, d))),

@@ -257,4 +257,23 @@ object Relational {
         max(col("tus")).as("end_us"),
         Num.r2(sum(col("value"))).as("sum_value"))
   }
+
+  /** Sessionization through Spark's NATIVE session_window aggregation — the
+    * operator the lag+running-sum formulation above hand-rolls (and, in
+    * streaming, the stateful session operator; no per-user sort window in
+    * the plan, just a hash aggregation over merging session windows).
+    * Boundary semantics differ at the exact gap: session_window's window
+    * end (last event + gap) is EXCLUSIVE, so an event landing exactly at
+    * the gap starts a new session, where the lag formulation (`> gap`)
+    * merges it — the oracle encodes `>=`. */
+  def eventsSessionsNative(events: DataFrame): DataFrame =
+    events
+      .withColumn("tus", expr("ts div 1000"))
+      .groupBy(col("user_id"),
+        session_window(timestamp_micros(col("tus")), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tus")).as("start_us"),
+        max(col("tus")).as("end_us"),
+        Num.r2(sum(col("value"))).as("sum_value"))
+      .select("user_id", "n_events", "start_us", "end_us", "sum_value")
 }

@@ -811,6 +811,17 @@ object OracleSql {
       |  min(tus) AS start_us, max(tus) AS end_us, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
       |FROM c GROUP BY user_id, session_id""".stripMargin
 
+  /** eventsSessions with session_window's boundary rule (exclusive window
+    * end: a gap of exactly 30 min SPLITS) and no session_id column. */
+  val eventsSessionsNative: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+      |l AS (SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM e),
+      |s AS (SELECT *, CASE WHEN prev IS NULL OR tus - prev >= 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
+      |c AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS BIGINT) AS session_id FROM s)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  min(tus) AS start_us, max(tus) AS end_us, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+      |FROM c GROUP BY user_id, session_id""".stripMargin
+
   val streamingDedup: String =
     "SELECT DISTINCT user_id FROM events"
 
@@ -1586,6 +1597,7 @@ object OracleSql {
     "simhash_pairs" -> simhashPairs,
     "events_hourly" -> eventsHourly,
     "events_sessions" -> eventsSessions,
+    "events_sessions_native" -> eventsSessionsNative,
     "events_retention" -> eventsRetention,
     "dedup_exact" -> dedupExact,
     "dedup_norm" -> dedupNorm,

@@ -12,6 +12,25 @@ class PropertySpec extends AnyFunSuite {
   private def samples[A](g: Gen[A], n: Int = 200): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
 
+  test("SubProcess hex framing round-trips arbitrary binary payloads") {
+    val bytesGen = Gen.chooseNum(0, 64)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)))
+      .map(_.toArray)
+    samples(bytesGen, 300).foreach { b =>
+      val hex = graft.infra.SubProcess.toHex(b)
+      assert(hex.length == b.length * 2)
+      assert(hex.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')))
+      assert(graft.infra.SubProcess.fromHex(hex).toSeq == b.toSeq)
+    }
+  }
+
+  test("XML entity decoder is identity on entity-free printable text") {
+    samples(Gen.asciiPrintableStr.map(_.filterNot(c => c == '&')), 300).foreach { s0 =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s0)
+      assert(graft.functions.XmlEntityDecoder.decode(u).toString == s0)
+    }
+  }
+
   private val word = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
 
   test("Schwartz–Hearst: initials-formed short forms resolve to a pre-paren suffix") {
