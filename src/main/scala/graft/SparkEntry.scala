@@ -32,6 +32,9 @@ object SparkEntry {
     * write-once discipline as `bionlp_source`). */
   private val conlluStage = scala.collection.mutable.Map[String, String]()
 
+  /** Per-sf-dir staging dirs for the TSV round trip (same discipline). */
+  private val tsvStage = scala.collection.mutable.Map[String, String]()
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Cooccurrence.metrics(pp(spark, "/root/testdata/sf0.001"), Seq("doc_id"))
@@ -301,6 +304,21 @@ object SparkEntry {
       }))
       s.read.orc(dir).select(col("doc_id"), col("source"), col("n_chars"),
         length(col("text")).cast("long").as("text_len"))
+    }),
+    "tsv_roundtrip" -> ((s, d) => {
+      // the reference's export interchange IS header'd TSV (TextIO loads);
+      // round-trip documents through Sinks.tsv and the csv reader with an
+      // explicit schema (written once per sf dir, like orc_roundtrip)
+      val dir = tsvStage.synchronized(tsvStage.getOrElseUpdate(d, {
+        val out = graft.infra.Staging.tempDir("graft-tsv").toString
+        graft.sources.Sinks.tsv(
+          docs(s, d).select(col("doc_id"), col("source"), col("n_chars"),
+            length(col("text")).cast("long").as("text_len")), out)
+        out
+      }))
+      s.read.option("sep", "\t").option("header", "true")
+        .schema("doc_id BIGINT, source STRING, n_chars BIGINT, text_len BIGINT")
+        .csv(dir)
     }),
     "annot_agreement" -> ((s, d) =>
       Eval.spanAgreement(pp(s, d), Concepts.crfAnnots(docs(s, d)))),

@@ -1612,6 +1612,7 @@ object OracleSql {
     "stratified_sample" -> stratifiedSample,
     "streaming_upsert" -> docUpsert,
     "orc_roundtrip" -> orcRoundtrip,
+    "tsv_roundtrip" -> orcRoundtrip,
     "annot_agreement" -> annotAgreement,
     "ngram_jaccard" -> ngramJaccard,
     "dedup_simhash" -> dedupSimhash,
