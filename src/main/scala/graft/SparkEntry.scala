@@ -305,6 +305,7 @@ object SparkEntry {
       s.read.orc(dir).select(col("doc_id"), col("source"), col("n_chars"),
         length(col("text")).cast("long").as("text_len"))
     }),
+    "zorder_key" -> ((s, d) => Layout.zorderKey(docs(s, d))),
     "tsv_roundtrip" -> ((s, d) => {
       // the reference's export interchange IS header'd TSV (TextIO loads);
       // round-trip documents through Sinks.tsv and the csv reader with an

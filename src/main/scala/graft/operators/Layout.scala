@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.functions.Hash60
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-column data-skipping layout: Z-order (Morton) clustering.
+  *
+  * At 100 TB the cheapest predicate is the one that never reads the file:
+  * parquet footer min/max stats prune whole row groups, but only for
+  * columns the file order correlates with. Sorting by one column gives
+  * perfect skipping on it and none on the others; interleaving the bits of
+  * two (quantized) columns gives useful locality on BOTH — the standard
+  * lakehouse Z-ORDER operation (Delta/Iceberg expose the same thing). Here
+  * it is pure column algebra: quantize each key to 16 bits, spread bits
+  * with the classic mask-shift sequence, interleave, then
+  * `repartitionByRange + sortWithinPartitions` on the z-value so the write
+  * inherits the clustered order. Everything is codegen'd arithmetic — no
+  * UDF, no shuffle beyond the one range exchange the layout IS.
+  */
+object Layout {
+
+  /** Spread the low 16 bits of `c` to even bit positions (0b...abcd →
+    * 0b...0a0b0c0d) — the 4-step mask-shift bit spread. */
+  def spread16(c: Column): Column = {
+    val x0 = c.cast("long")
+    val x1 = (x0.bitwiseOR(shiftleft(x0, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val x2 = (x1.bitwiseOR(shiftleft(x1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val x3 = (x2.bitwiseOR(shiftleft(x2, 2))).bitwiseAND(lit(0x33333333L))
+    (x3.bitwiseOR(shiftleft(x3, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton code of two 16-bit values (a in even bits, b in odd). */
+  def morton2(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** doc_id, zval — the Z-order key over (n_chars min-max-quantized to 16
+    * bits, source hash-bucketed to 16 bits). Bounds come from a 1-row
+    * broadcast aggregate, in-plan (no driver-side pass). */
+  def zorderKey(docs: DataFrame): DataFrame = {
+    val bounds = docs.agg(min(col("n_chars")).cast("double").as("mn"),
+      max(col("n_chars")).cast("double").as("mx"))
+    docs.crossJoin(broadcast(bounds))
+      .withColumn("qa", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(floor((col("n_chars") - col("mn")) * 65535.0 / (col("mx") - col("mn"))).cast("long")))
+      .withColumn("qb", pmod(Hash60.id(col("source")), lit(65536L)))
+      .select(col("doc_id"), morton2(col("qa"), col("qb")).as("zval"))
+  }
+
+  /** The layout operation itself: cluster `docs` in z-order so a parquet
+    * write inherits row-group locality on both keys. One range exchange. */
+  def zorderBy(docs: DataFrame, partitions: Int = 32): DataFrame = {
+    val keyed = docs.join(zorderKey(docs), "doc_id")
+    keyed.repartitionByRange(partitions, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .drop("zval")
+  }
+}

@@ -1499,6 +1499,22 @@ object OracleSql {
       |  FROM documents)
       |SELECT doc_id, source, draw_rank FROM r WHERE draw_rank <= 5""".stripMargin
 
+  /** Morton z-value twin of Layout.zorderKey: identical quantization and
+    * the same 4-step mask-shift bit spread in DuckDB integer algebra. */
+  val zorderKey: String =
+    s"""WITH b AS (SELECT CAST(min(n_chars) AS DOUBLE) AS mn,
+       |    CAST(max(n_chars) AS DOUBLE) AS mx FROM documents),
+       |q AS (SELECT doc_id,
+       |    CASE WHEN mx = mn THEN 0
+       |         ELSE CAST(floor((n_chars - mn) * 65535.0 / (mx - mn)) AS BIGINT) END AS qa,
+       |    ${Hash60.sql("source")} % 65536 AS qb
+       |  FROM documents CROSS JOIN b),
+       |s1 AS (SELECT doc_id, (qa | (qa << 8)) & 16711935 AS a, (qb | (qb << 8)) & 16711935 AS bb FROM q),
+       |s2 AS (SELECT doc_id, (a | (a << 4)) & 252645135 AS a, (bb | (bb << 4)) & 252645135 AS bb FROM s1),
+       |s3 AS (SELECT doc_id, (a | (a << 2)) & 858993459 AS a, (bb | (bb << 2)) & 858993459 AS bb FROM s2),
+       |s4 AS (SELECT doc_id, (a | (a << 1)) & 1431655765 AS a, (bb | (bb << 1)) & 1431655765 AS bb FROM s3)
+       |SELECT doc_id, CAST(a | (bb << 1) AS BIGINT) AS zval FROM s4""".stripMargin
+
   val orcRoundtrip: String =
     """SELECT doc_id, source, n_chars,
       |  CAST(length(text) AS BIGINT) AS text_len FROM documents""".stripMargin
@@ -1613,6 +1629,7 @@ object OracleSql {
     "streaming_upsert" -> docUpsert,
     "orc_roundtrip" -> orcRoundtrip,
     "tsv_roundtrip" -> orcRoundtrip,
+    "zorder_key" -> zorderKey,
     "annot_agreement" -> annotAgreement,
     "ngram_jaccard" -> ngramJaccard,
     "dedup_simhash" -> dedupSimhash,

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("morton2 interleaves exactly (spot values + bijectivity on a sample)") {
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (0xABCDL, 0x1234L), (42L, 4242L), (65535L, 0L))
+    val got = pairs.toDF("a", "b")
+      .select(Layout.morton2(col("a"), col("b")).as("z")).as[Long].collect()
+    def spread(x: Long): Long = {
+      var v = x
+      v = (v | (v << 8)) & 0x00FF00FFL
+      v = (v | (v << 4)) & 0x0F0F0F0FL
+      v = (v | (v << 2)) & 0x33333333L
+      v = (v | (v << 1)) & 0x55555555L
+      v
+    }
+    val expect = pairs.map { case (a, b) => spread(a) | (spread(b) << 1) }
+    assert(got.toSeq == expect)
+    assert(got.distinct.length == got.length) // distinct pairs -> distinct codes
+  }
+
+  test("zorderBy clusters without changing the row set") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val laid = Layout.zorderBy(docs, partitions = 4)
+    assert(laid.count() == docs.count())
+    assert(laid.columns.sorted.toSeq == docs.columns.sorted.toSeq)
+    // within each output partition, rows arrive z-sorted (layout inherited
+    // by any subsequent file write)
+    val keyed = Layout.zorderKey(docs)
+    val zByDoc = keyed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perPart = laid.select("doc_id").rdd
+      .mapPartitions(it => Iterator.single(it.map(_.getLong(0)).toSeq)).collect()
+    perPart.foreach { ids =>
+      val zs = ids.map(zByDoc)
+      assert(zs == zs.sorted, "partition not z-sorted")
+    }
+  }
+}
