@@ -306,6 +306,8 @@ object SparkEntry {
         length(col("text")).cast("long").as("text_len"))
     }),
     "zorder_key" -> ((s, d) => Layout.zorderKey(docs(s, d))),
+    // rows-only driver check: deflate has no DuckDB twin (spec-pinned instead)
+    "compression_quality" -> ((s, d) => TextStats.compressionQuality(docs(s, d))),
     "tsv_roundtrip" -> ((s, d) => {
       // the reference's export interchange IS header'd TSV (TextIO loads);
       // round-trip documents through Sinks.tsv and the csv reader with an

@@ -240,6 +240,21 @@ object TextStats {
 
   /** Rule-based quality filter (Gopher-rule shape): keep/drop decision plus
     * the firing reasons, so filtering is auditable. */
+  /** doc_id, compression_ratio, is_repetitive, is_noise — the deflate
+    * compression-ratio quality signal (Gopher/RefinedWeb lineage): text that
+    * compresses too WELL is templated/repetitive, text that barely
+    * compresses is noise; both tails are dropped from training corpora.
+    * The ratio comes from a codegen'd expression over zlib level 6
+    * (deterministic output size); no DuckDB twin exists, so the driver
+    * check is rows-only and numeric behavior is spec-pinned. */
+  def compressionQuality(docs: DataFrame,
+                         repetitiveBelow: Double = 0.25,
+                         noiseAbove: Double = 0.95): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.CompressionRatio.compressionRatio(col("text")).as("compression_ratio"))
+      .withColumn("is_repetitive", col("compression_ratio") < repetitiveBelow)
+      .withColumn("is_noise", col("compression_ratio") > noiseAbove)
+
   def qualityFilter(docs: DataFrame,
                     minTokens: Long = 20, maxDupTrigram: Double = 0.55,
                     maxStopRatio: Double = 0.12): DataFrame = {

@@ -4,7 +4,9 @@ package graft
   * smallest corpus, and the queries↔oracle maps stay in sync. */
 class EntryWiringSpec extends SparkSpec {
 
-  private val rowsOnly = Set("abbrev") // intentionally oracle-less (SURVEY §2 B3)
+  // intentionally oracle-less: compression_quality (DuckDB has no deflate;
+  // numeric behavior spec-pinned in TextOpsSpec instead — SURVEY §2 G29)
+  private val rowsOnly = Set("compression_quality")
 
   test("every oracle key has a matching query") {
     val missing = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
