@@ -173,7 +173,17 @@ object Embeddings {
     * PqM lookups + 8-dim residual sums instead of a full-vector dot product.
     * Exact query vectors (ADC) keep the asymmetric accuracy advantage.
     * Ranking uses the ROUNDED distance with id tie-break (cross-engine
-    * stable). Same broadcast-Q × streamed-N shape as cosineTopK. */
+    * stable). Same broadcast-Q × streamed-N shape as cosineTopK.
+    *
+    * Retrieval quality note: the oracle checks the ARITHMETIC (codes and
+    * ADC distances hash-match DuckDB); ranking quality depends on how well
+    * the codebooks fit the data. Real deployments train them with k-means —
+    * the deterministic codebook here is the stand-in for that training
+    * artifact, and over the uniform synthetic corpus (where pairwise
+    * distances concentrate) its recall is accordingly poor. EmbeddingsSpec
+    * pins high recall on codebook-distributed data and exact-duplicate-
+    * first behavior; do not read sf-corpus recall as the operator's
+    * ceiling. */
   def pqTopK(embeddings: DataFrame, numQueries: Int = 8, k: Int = 5): DataFrame = {
     val cb = MatVec.matrixLit(pqCodebookFlat)
     val codes = embeddings.select(col("vec_id").as("neighbor_id"),

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Embeddings
+import org.apache.spark.sql.functions._
 
 class EmbeddingsSpec extends SparkSpec {
   import spark.implicits._
@@ -48,6 +49,43 @@ class EmbeddingsSpec extends SparkSpec {
     assert(c(0L).split("\\|").length == Embeddings.PqM)
     assert(Embeddings.pqCodes(vs).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("code_key")).toMap == c)
+  }
+
+  test("pq recall is high when codebooks fit the data (codebook-distributed vectors)") {
+    // vectors sampled AT codebook reconstructions + small noise — the
+    // trained-k-means regime; recall@5 vs exact L2 must be high here even
+    // though uniform random data (distance concentration) scores poorly
+    val subDim = Embeddings.EmbDim / Embeddings.PqM
+    val cb: Map[(Int, Int, Int), Double] =
+      Embeddings.pqCodebook.map { case (s, k, d, w) => (s, k, d) -> w }.toMap
+    def reconstruct(seed: Int): Array[Float] =
+      Array.tabulate(Embeddings.EmbDim) { dim =>
+        val s = dim / subDim; val d = dim % subDim
+        val k = (seed * 31 + s * 7) % Embeddings.PqK
+        (cb((s, k, d)) + math.sin(seed * 131 + dim) * 0.01).toFloat
+      }
+    val vs = vecs((0 until 40).map(reconstruct))
+    val vd = vs.select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+    val q = vd.where(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("ve").as("qe"))
+    val exact = broadcast(q)
+      .crossJoin(vd.select(col("vec_id").as("neighbor_id"), col("ve").as("ne")))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("qe"), col("ne"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d2"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("d2"), col("neighbor_id"))).cast("long"))
+      .where(col("rank") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Embeddings.pqTopK(vs).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.toSeq.map(k =>
+      (approx.getOrElse(k, Set.empty) & exact(k)).size.toDouble / exact(k).size)
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.8, f"recall@5 = $recall%.2f")
   }
 
   test("pq ADC ranks an exact duplicate first (its codes are the query's argmin codes)") {
