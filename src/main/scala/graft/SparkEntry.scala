@@ -153,6 +153,7 @@ object SparkEntry {
     "streaming_sessions" -> ((s, d) => graft.streaming.EventStreams.sessionsViaStream(s, d)),
     "streaming_join" -> ((s, d) => graft.streaming.EventStreams.joinViaStream(s, d)),
     "streaming_concepts" -> ((s, d) => graft.streaming.DocStreams.conceptsViaStream(s, d)),
+    "streaming_cooccur" -> ((s, d) => graft.streaming.DocStreams.cooccurViaStream(s, d)),
     "streaming_upsert" -> ((s, d) => graft.streaming.DocStreams.upsertViaStream(s, d)),
     "brat_import" -> ((s, d) => Exports.bratImport(Exports.brat(pp(s, d)))),
     "bionlp_source" -> ((s, d) => {

@@ -280,6 +280,23 @@ object OracleSql {
        |  GROUP BY 1, 2)""".stripMargin
   }
 
+  /** Pair counts over RAW recognition (no post-processing) with ancestor
+    * expansion — the batch twin of the streaming cooccurrence aggregation
+    * (DocStreams.cooccurViaStream derives per-doc pair sets row-locally). */
+  val streamingCooccur: String =
+    s"""WITH $tokCte,
+       |$conCte,
+       |base AS (SELECT DISTINCT doc_id, concept_id FROM con),
+       |units AS (
+       |  SELECT doc_id, concept_id FROM base
+       |  UNION
+       |  SELECT b.doc_id, anc.ancestor_id AS concept_id
+       |  FROM base b JOIN ${ConceptDict.ancestorsValuesSql} ON b.concept_id = anc.concept_id)
+       |SELECT l.concept_id AS concept1, r.concept_id AS concept2,
+       |  CAST(count(*) AS BIGINT) AS pair_count
+       |FROM units l JOIN units r ON l.doc_id = r.doc_id AND l.concept_id < r.concept_id
+       |GROUP BY 1, 2""".stripMargin
+
   val cooccurCountsDoc: String =
     docPipeline(unitsDocCte, pairCountsSql("units_doc", Seq("doc_id"))) +
       "SELECT concept1, concept2, pair_count FROM pairs"
@@ -1548,6 +1565,7 @@ object OracleSql {
     "streaming_sessions" -> streamingSessions,
     "streaming_join" -> streamingJoin,
     "streaming_concepts" -> concepts,
+    "streaming_cooccur" -> streamingCooccur,
     "brat_import" -> bratImport,
     "bionlp_source" -> bionlpSource,
     "processing_ledger" -> processingLedger,

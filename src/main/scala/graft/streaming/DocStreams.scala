@@ -56,6 +56,44 @@ object DocStreams {
       .select(col("doc_id"), col("concept_id"), col("ord"), col("tok"),
         col("char_start"), col("char_end"))
 
+  /** Document-level concept-pair counts executed by the real streaming
+    * engine — the reference's CORE analytic (ConceptCooccurrenceCounts),
+    * incrementally. Everything before the single streaming aggregation is
+    * row-local: each arriving document derives its distinct,
+    * ancestor-expanded concept set and its c1<c2 pairs entirely inside the
+    * row (the dictionary and ontology ride as broadcast map literals), so
+    * the plan is stateless projections + ONE stateful groupBy count — the
+    * legal streaming-aggregation shape. Run-to-completion in complete mode
+    * equals the batch pair counts over raw recognition; at scale this runs
+    * update-mode into a keyed store and the counts stay incremental. */
+  def cooccurViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.ConceptDict
+    val dictByTok = ConceptDict.entries.groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    val ancByConcept = ConceptDict.ancestors.groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    val dictMap = typedLit(dictByTok)
+    val ancMap = typedLit(ancByConcept)
+    val emptyArr = expr("CAST(array() AS array<string>)")
+    val perDoc = stagedDocsStream(spark, sfDir)
+      .withColumn("cands", filter(split(col("text"), " "),
+        t => length(t) > 1 && !t.rlike("^[0-9\\p{Punct}]+$")))
+      .withColumn("cids", array_distinct(flatten(transform(
+        filter(col("cands"), t => element_at(dictMap, t).isNotNull),
+        t => element_at(dictMap, t)))))
+      .withColumn("cs", array_sort(array_distinct(concat(col("cids"),
+        flatten(transform(col("cids"),
+          c => coalesce(element_at(ancMap, c), emptyArr)))))))
+      .select(col("doc_id"), explode(expr(
+        "flatten(transform(cs, (x, i) -> " +
+          "transform(slice(cs, i + 2, size(cs)), y -> struct(x AS concept1, y AS concept2))))"))
+        .as("pair"))
+      .select(col("pair.concept1").as("concept1"), col("pair.concept2").as("concept2"))
+    EventStreams.runToTable(
+      perDoc.groupBy("concept1", "concept2").agg(count(lit(1)).as("pair_count")),
+      OutputMode.Complete())
+  }
+
   /** Streaming corpus upsert — the reference's incremental update pipeline
     * (update/UpdateMedlineEntitiesPipeline) as continuous ingestion: update
     * documents stream through a real exactly-once parquet file sink (the
