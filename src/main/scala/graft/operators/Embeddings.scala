@@ -200,6 +200,53 @@ object Embeddings {
       .select("query_id", "rank", "neighbor_id", "adc_dist")
   }
 
+  // ---------- k-means codebook training ----------
+
+  /** Lloyd's k-means over the embedding column — the TRAINING step whose
+    * artifact the deterministic IVF/PQ surrogate codebooks stand in for.
+    * Per round: L2-argmin assignment through the codegen'd [[graft.functions.PqCodes]]
+    * kernel (m=1 → whole-vector argmin, distances compared at 6dp, low-id
+    * ties) and centroid recomputation through the custom
+    * [[graft.functions.VectorSumAgg]] TypedImperativeAggregate (one
+    * double[] buffer per cell, map-side combined — no dim explode
+    * anywhere). Only the k×dim centroid matrix (a few KB) ever reaches the
+    * driver, once per round — the standard iterative-refinement shape, same
+    * cost envelope as connectedComponents' fixpoint loop. Centroids round
+    * to 6dp each round so the trajectory is cross-engine reproducible;
+    * empty cells keep their previous centroid. */
+  def kmeansCentroids(embeddings: DataFrame, k: Int = NumCells,
+                      iters: Int = 2): Seq[Seq[Double]] = {
+    var cents: Seq[Seq[Double]] =
+      centroids.grouped(EmbDim).map(_.map(_._3)).toSeq.take(k)
+    val vecs = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("ve"))
+    for (_ <- 0 until iters) {
+      val assigned = vecs.select(col("ve"),
+        element_at(graft.functions.MatVec.pqCodes(
+          col("ve"), graft.functions.MatVec.matrixLit(cents), 1, k), 1).as("cell"))
+      val stats = assigned.groupBy("cell")
+        .agg(graft.functions.VectorSumAgg.vectorSum(col("ve")).as("vsum"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getSeq[Double](1), r.getLong(2)))).toMap
+      cents = cents.indices.map { cell =>
+        stats.get(cell) match {
+          case Some((vsum, n)) if n > 0 =>
+            vsum.map(s => math.floor(s / n * 1e6 + 0.5) / 1e6).toSeq
+          case _ => cents(cell)
+        }
+      }
+    }
+    cents
+  }
+
+  /** vec_id, cell — nearest trained centroid after `iters` Lloyd rounds. */
+  def kmeansCells(embeddings: DataFrame, k: Int = NumCells, iters: Int = 2): DataFrame = {
+    val trained = graft.functions.MatVec.matrixLit(kmeansCentroids(embeddings, k, iters))
+    embeddings.select(col("vec_id"),
+      element_at(graft.functions.MatVec.pqCodes(
+        asDouble(col("embedding")), trained, 1, k), 1).as("cell"))
+  }
+
   /** vec_a, vec_b, cosine — near-duplicate embedding pairs, candidate-limited
     * to shared LSH buckets (never all-pairs). */
   def dupPairs(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {

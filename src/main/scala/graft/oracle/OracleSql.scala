@@ -1095,6 +1095,39 @@ object OracleSql {
        |  FROM pairs)
        |SELECT query_id, rank, neighbor_id, adc_dist FROM rk WHERE rank <= 5""".stripMargin
 
+  /** Two deterministic Lloyd rounds + final assignment — the DuckDB twin of
+    * Embeddings.kmeansCells (6dp-rounded distances and centroids, low-id
+    * ties, empty cells keep the previous centroid). */
+  val kmeansCellsSql: String = {
+    val init = Embeddings.centroids.map { case (k, d, w) => s"($k, $d, $w)" }
+      .mkString("(VALUES ", ", ", ")")
+    def assign(r: Int, cents: String): String =
+      s"""d$r AS (SELECT v.vec_id, c.cell,
+         |    floor(sum((v.e - c.w) * (v.e - c.w)) * 1000000 + 0.5) / 1000000 AS d2
+         |  FROM ex v JOIN $cents c ON v.dim = c.dim GROUP BY 1, 2),
+         |a$r AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |    FROM d$r) WHERE rn = 1)""".stripMargin
+    def refit(r: Int, cents: String): String =
+      s"""m$r AS (SELECT a.cell, v.dim,
+         |    floor(avg(v.e) * 1000000 + 0.5) / 1000000 AS w
+         |  FROM a$r a JOIN ex v USING (vec_id) GROUP BY 1, 2),
+         |c${r + 1} AS (SELECT p.cell, p.dim, coalesce(m.w, p.w) AS w
+         |  FROM $cents p LEFT JOIN m$r m ON p.cell = m.cell AND p.dim = m.dim)""".stripMargin
+    s"""WITH ex AS (SELECT vec_id,
+       |    CAST(unnest(range(0, len(embedding))) AS BIGINT) AS dim,
+       |    unnest(CAST(embedding AS DOUBLE[])) AS e
+       |  FROM embeddings),
+       |c0 AS (SELECT * FROM $init t(cell, dim, w)),
+       |${assign(0, "c0")},
+       |${refit(0, "c0")},
+       |${assign(1, "c1")},
+       |${refit(1, "c1")},
+       |${assign(2, "c2")}
+       |SELECT vec_id, CAST(cell AS INT) AS cell FROM a2""".stripMargin
+  }
+
   private val centroidsSql: String =
     Embeddings.centroids.map { case (k, d, w) => s"($k, $d, $w)" }
       .mkString("(VALUES ", ", ", ") AS cen(cell, dim, w)")
@@ -1656,6 +1689,7 @@ object OracleSql {
     "emb_topk_native" -> embTopK,
     "emb_lsh" -> embLsh,
     "pq_codes" -> pqCodesSql,
+    "kmeans_cells" -> kmeansCellsSql,
     "pq_topk" -> pqTopK,
     "emb_dup_pairs" -> embDupPairs,
     "lang_id" -> langId,

@@ -88,6 +88,35 @@ class EmbeddingsSpec extends SparkSpec {
     assert(recall >= 0.8, f"recall@5 = $recall%.2f")
   }
 
+  test("vector_sum aggregate equals element-wise column sums") {
+    val df = (1 to 50).map(i => (i % 3, Array.tabulate(8)(d => (i * 13 + d).toDouble)))
+      .toDF("g", "v")
+    val got = df.groupBy("g").agg(graft.functions.VectorSumAgg.vectorSum(col("v")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+    val want = (1 to 50).groupBy(_ % 3).view.mapValues(is =>
+      (0 until 8).map(d => is.map(i => (i * 13 + d).toDouble).sum).toSeq).toMap
+    assert(got == want)
+  }
+
+  test("k-means refinement does not increase the Lloyd objective") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def objective(cents: Seq[Seq[Double]]): Double = {
+      val mat = graft.functions.MatVec.matrixLit(cents)
+      emb.select(col("embedding").cast("array<double>").as("ve"))
+        .select(aggregate(zip_with(col("ve"),
+          // d2 to the assigned (argmin) centroid via the PQ kernel round trip
+          transform(sequence(lit(0), lit(Embeddings.EmbDim - 1)),
+            i => element_at(mat, element_at(graft.functions.MatVec.pqCodes(
+              col("ve"), mat, 1, Embeddings.NumCells), 1) * Embeddings.EmbDim + i + 1)),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x).as("d2"))
+        .agg(sum(col("d2"))).head.getDouble(0)
+    }
+    val init = Embeddings.centroids.grouped(Embeddings.EmbDim).map(_.map(_._3)).toSeq
+    val trained = Embeddings.kmeansCentroids(emb, iters = 2)
+    assert(objective(trained) <= objective(init) + 1e-6,
+      s"training increased the objective: ${objective(init)} -> ${objective(trained)}")
+  }
+
   test("pq ADC ranks an exact duplicate first (its codes are the query's argmin codes)") {
     val dim = Embeddings.EmbDim
     val vs = vecs(Seq(unit(dim, 0), unit(dim, 0), unit(dim, 5), unit(dim, 9)))
