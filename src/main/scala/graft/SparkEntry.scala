@@ -292,6 +292,7 @@ object SparkEntry {
     "dsir_weights" -> ((s, d) => TextStats.dsirWeights(docs(s, d))),
     "quality_cut" -> ((s, d) => TextStats.qualityCut(docs(s, d))),
     "semantic_dedup" -> ((s, d) => Embeddings.semanticDedup(Tables.embeddings(s, d))),
+    "semantic_clusters" -> ((s, d) => Embeddings.semanticClusters(Tables.embeddings(s, d))),
     "corpus_mix" -> ((s, d) => TextStats.corpusMix(docs(s, d))),
     "stratified_sample" -> ((s, d) => TextStats.stratifiedSample(docs(s, d))),
     "orc_roundtrip" -> ((s, d) => {

@@ -264,6 +264,23 @@ object Embeddings {
       .where(col("cosine") >= threshold)
   }
 
+  /** vec_id, cluster_id for EVERY vector — embedding near-dup groups as
+    * canonical clusters: LSH-candidate cosine pairs → ALTERNATING
+    * LARGE-STAR/SMALL-STAR connected components (Dedup.connectedComponentsStar,
+    * O(log n) rounds on any cluster shape) → smallest-member labels;
+    * vectors in no pair are their own singleton cluster. The embedding-side
+    * twin of Dedup.clusters, and the driver-query surface for the star
+    * variant (the text-side clusters query pins min-label propagation). */
+  def semanticClusters(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {
+    val pairs = dupPairs(embeddings, threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val comp = Dedup.connectedComponentsStar(pairs)
+      .withColumnRenamed("id", "vec_id")
+    embeddings.select(col("vec_id"))
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+  }
+
   /** vec_id, cell, is_dup — SemDeDup-style semantic deduplication (Abbas et
     * al. 2023, arXiv:2303.09540): cluster the embedding space, compare
     * pairwise cosine ONLY within a cluster, and mark every vector that has a

@@ -1047,6 +1047,28 @@ object OracleSql {
 
   /** PQ codebook as a VALUES table (sub, k, d, w) — the DuckDB twin of
     * Embeddings.pqCodebook. */
+  /** Star-CC clusters over the LSH-candidate cosine pairs — recursive
+    * reachability closure in DuckDB (cluster label = component minimum,
+    * singletons label themselves). */
+  val semanticClustersSql: String =
+    s"""WITH RECURSIVE $bucketsCte,
+       |prs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |dp AS (SELECT * FROM (
+       |  SELECT p.vec_a, p.vec_b,
+       |    floor((list_dot_product(x.ve, y.ve) / (sqrt(list_dot_product(x.ve, x.ve)) * sqrt(list_dot_product(y.ve, y.ve)))) * 1000000 + 0.5) / 1000000 AS cosine
+       |  FROM prs p JOIN v x ON p.vec_a = x.vec_id JOIN v y ON p.vec_b = y.vec_id)
+       |  WHERE cosine >= 0.35),
+       |e AS (SELECT vec_a AS s, vec_b AS d FROM dp UNION SELECT vec_b, vec_a FROM dp),
+       |reach AS (
+       |  SELECT s AS id, d AS r FROM e
+       |  UNION
+       |  SELECT reach.id, e2.d FROM reach JOIN e e2 ON reach.r = e2.s),
+       |clus AS (SELECT id, least(id, min(r)) AS cid FROM reach GROUP BY id)
+       |SELECT emb.vec_id, CAST(coalesce(c.cid, emb.vec_id) AS BIGINT) AS cluster_id
+       |FROM embeddings emb LEFT JOIN clus c ON emb.vec_id = c.id""".stripMargin
+
   private val pqCodebookSql: String =
     Embeddings.pqCodebook.map { case (s, k, d, w) => s"($s, $k, $d, $w)" }
       .mkString("(VALUES ", ", ", ") AS cb(sub, k, d, w)")
@@ -1675,6 +1697,7 @@ object OracleSql {
     "dsir_weights" -> dsirWeights,
     "quality_cut" -> qualityCut,
     "semantic_dedup" -> semanticDedup,
+    "semantic_clusters" -> semanticClustersSql,
     "corpus_mix" -> corpusMix,
     "stratified_sample" -> stratifiedSample,
     "streaming_upsert" -> docUpsert,
