@@ -57,6 +57,20 @@ object TextStats {
   def redact(df: DataFrame, textCol: String): DataFrame =
     df.withColumn(s"${textCol}_redacted", regexp_replace(col(textCol), "[0-9]+", "<NUM>"))
 
+  /** doc_id, bucket, tf — hashing-trick term-frequency features (the
+    * HashingTF featurization downstream classifiers consume): token →
+    * Hash60 mod numFeatures, counted per document. Sparse triplets, not a
+    * dense vector column — the representation that survives 100 TB (dense
+    * 1024-wide arrays for every doc would 8× the corpus; triplets are
+    * proportional to actual token mass and aggregate with one shuffle).
+    * No vocabulary is built — the hash IS the feature id, which is the
+    * point of the trick at scale. */
+  def hashingTf(docs: DataFrame, numFeatures: Int = 1024): DataFrame =
+    TextOps.tokens(docs)
+      .select(col("doc_id"), pmod(graft.functions.Hash60.id(col("tok")), lit(numFeatures.toLong)).as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("tf"))
+
   /** Corpus vocabulary statistics: token, n_occurrences, doc_freq. */
   def vocabStats(docs: DataFrame): DataFrame =
     TextOps.tokens(docs)

@@ -1357,6 +1357,12 @@ object OracleSql {
     """SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_value
       |FROM events""".stripMargin
 
+  val hashingTfSql: String =
+    s"""WITH $tokCte
+       |SELECT doc_id, ${Hash60.sql("tok")} % 1024 AS bucket,
+       |  CAST(count(*) AS BIGINT) AS tf
+       |FROM tok GROUP BY 1, 2""".stripMargin
+
   val vocabStats: String =
     s"""WITH $tokCte
        |SELECT tok, CAST(count(*) AS BIGINT) AS n_occurrences,
@@ -1646,6 +1652,7 @@ object OracleSql {
     "text_redact" -> textRedact,
     "events_props" -> eventsProps,
     "vocab_stats" -> vocabStats,
+    "hashing_tf" -> hashingTfSql,
     "ngram_counts" -> ngramCounts,
     "unigram_logprob" -> unigramLogprob,
     "doc_sample" -> docSample,
