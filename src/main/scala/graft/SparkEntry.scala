@@ -310,6 +310,9 @@ object SparkEntry {
     "zorder_key" -> ((s, d) => Layout.zorderKey(docs(s, d))),
     // rows-only driver check: deflate has no DuckDB twin (spec-pinned instead)
     "compression_quality" -> ((s, d) => TextStats.compressionQuality(docs(s, d))),
+    // rows-only driver check: the K-round merge trajectory has no practical
+    // DuckDB replay (spec-pinned: hand-computed merges + determinism)
+    "bpe_merges" -> ((s, d) => Bpe.merges(docs(s, d))),
     "tsv_roundtrip" -> ((s, d) => {
       // the reference's export interchange IS header'd TSV (TextIO loads);
       // round-trip documents through Sinks.tsv and the csv reader with an

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge training over the corpus (Sennrich, Haddow &
+  * Birch, ACL 2016) — the tokenizer-training step a training-data pipeline
+  * runs before token counting/packing (TextStats.quality's
+  * `approx_bpe_tokens` is the cheap proxy; this is the real thing).
+  *
+  * Distributed shape, per merge round:
+  *  - pair counts come from the DISTINCT-WORD table weighted by word
+  *    frequency (corpus mass collapses to |vocab| rows before any
+  *    per-round work — the classic BPE trick, and at 100 TB the only
+  *    viable one);
+  *  - the argmax pair (count desc, then lexicographic — deterministic
+  *    cross-run tie-break) is one collected row;
+  *  - the merge applies as a per-row left-to-right non-overlapping fold
+  *    over each word's symbol array (a higher-order `aggregate` — no UDF,
+  *    no explode of the corpus).
+  * Only K argmax rows ever reach the driver. The learned merge table is
+  * the model artifact; [[encode]] replays it on any text column.
+  *
+  * DuckDB cannot replay the K-round trajectory practically, so the driver
+  * query is rows-only and semantics are spec-pinned (hand-computed merges
+  * on a classic corpus + determinism).
+  */
+object Bpe {
+
+  val EndMarker = "</w>"
+
+  /** token → frequency-weighted symbol rows: word, n, syms ARRAY<STRING>
+    * (characters + terminal marker). */
+  private def wordTable(docs: DataFrame): DataFrame =
+    TextOps.tokens(docs)
+      .groupBy(col("tok").as("word")).agg(count(lit(1)).as("n"))
+      .withColumn("syms",
+        concat(transform(split(col("word"), ""), c => c), array(lit(EndMarker))))
+
+  /** Adjacent-pair counts over a symbol-array column, weighted by `n`. */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("n"), col("syms"),
+        posexplode(slice(col("syms"), lit(1), greatest(size(col("syms")) - 1, lit(0))))
+          .as(Seq("i", "a")))
+      .withColumn("b", col("syms")(col("i") + 1)) // pos is 0-based; apply() too
+      .select(col("a"), col("b"), col("n"))
+      .groupBy("a", "b").agg(sum("n").as("cnt"))
+
+  /** One left-to-right non-overlapping merge of adjacent (a, b) → a||b over
+    * a symbol array — a pure fold, greedy like reference BPE. */
+  private def mergeFold(syms: Column, a: String, b: String): Column = {
+    val al = lit(a); val bl = lit(b)
+    aggregate(syms,
+      struct(expr("CAST(array() AS array<string>)").as("out"),
+        lit(null).cast("string").as("prev")),
+      (acc, x) => {
+        val out = acc.getField("out"); val prev = acc.getField("prev")
+        when(prev.isNull, struct(out.as("out"), x.as("prev")))
+          .when(prev === al && x === bl,
+            struct(array_append(out, concat(al, bl)).as("out"),
+              lit(null).cast("string").as("prev")))
+          .otherwise(struct(array_append(out, prev).as("out"), x.as("prev")))
+      },
+      acc => when(acc.getField("prev").isNull, acc.getField("out"))
+        .otherwise(array_append(acc.getField("out"), acc.getField("prev"))))
+  }
+
+  /** Learn `k` merges; returns them in order. */
+  def learnMerges(docs: DataFrame, k: Int = 8): Seq[(String, String)] = {
+    var words = wordTable(docs).localCheckpoint()
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var done = false
+    while (round < k && !done) {
+      val top = pairCounts(words)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        words = words.withColumn("syms", mergeFold(col("syms"), a, b)).localCheckpoint()
+      }
+      round += 1
+    }
+    merges.result()
+  }
+
+  /** merge_ord, left, right — the learned merge table (the artifact). */
+  def merges(docs: DataFrame, k: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    learnMerges(docs, k).zipWithIndex
+      .map { case ((a, b), i) => (i.toLong + 1, a, b) }
+      .toDF("merge_ord", "left", "right")
+  }
+
+  /** doc_id, n_bpe_tokens — token count under the learned merges (replayed
+    * as K nested folds over each word; still zero UDFs). */
+  def encodeCounts(docs: DataFrame, learned: Seq[(String, String)]): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .withColumn("syms",
+        concat(transform(split(col("word"), ""), c => c), array(lit(EndMarker))))
+      .withColumn("syms", learned.foldLeft(col("syms")) {
+        case (c, (a, b)) => mergeFold(c, a, b)
+      })
+      .groupBy("doc_id").agg(sum(size(col("syms"))).cast("long").as("n_bpe_tokens"))
+}

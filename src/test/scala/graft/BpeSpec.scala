@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Bpe
+
+/** BPE merge learning pinned against hand-computed merges on a classic
+  * corpus, plus determinism and encode-count sanity. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // "hug hug hug pug pun bun hug hugs" — the standard BPE teaching corpus:
+  // 'u','g' dominates (hug×4, pug, hugs = 6), then 'h','ug' (5), ...
+  private def corpus = Seq((1L, "hug hug hug pug pun bun hug hugs"))
+    .toDF("doc_id", "text")
+
+  test("learned merges match hand-computed BPE on the classic corpus") {
+    val merges = Bpe.learnMerges(corpus, k = 3)
+    // counts: (u,g)=6 beats (u,n)=2 and terminals; then h+ug=5; then hug</w>=4
+    assert(merges.head == ("u", "g"), merges.toString)
+    assert(merges(1) == ("h", "ug"), merges.toString)
+    assert(merges(2) == ("hug", Bpe.EndMarker), merges.toString)
+  }
+
+  test("merge learning is deterministic") {
+    val a = Bpe.learnMerges(corpus, k = 3)
+    val b = Bpe.learnMerges(corpus, k = 3)
+    assert(a == b)
+  }
+
+  test("encode counts shrink as merges apply and floor at one symbol per word") {
+    val none = Bpe.encodeCounts(corpus, Nil).collect().head.getLong(1)
+    val learned = Bpe.learnMerges(corpus, k = 3)
+    val merged = Bpe.encodeCounts(corpus, learned).collect().head.getLong(1)
+    // raw: chars+terminal per word; "hug" = 4 syms -> after 3 merges = 1 sym
+    assert(merged < none)
+    // the four plain "hug" words collapse to exactly one symbol each
+    val words = Seq((1L, "hug hug hug hug")).toDF("doc_id", "text")
+    assert(Bpe.encodeCounts(words, learned).collect().head.getLong(1) == 4L)
+  }
+
+  test("merges DataFrame carries the ordered artifact") {
+    val df = Bpe.merges(corpus, k = 3).orderBy("merge_ord").collect()
+    assert(df.map(r => (r.getString(1), r.getString(2))).toSeq ==
+      Bpe.learnMerges(corpus, k = 3))
+    assert(df.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+}

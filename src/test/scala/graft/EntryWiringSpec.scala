@@ -6,7 +6,7 @@ class EntryWiringSpec extends SparkSpec {
 
   // intentionally oracle-less: compression_quality (DuckDB has no deflate;
   // numeric behavior spec-pinned in TextOpsSpec instead — SURVEY §2 G29)
-  private val rowsOnly = Set("compression_quality")
+  private val rowsOnly = Set("compression_quality", "bpe_merges")
 
   test("every oracle key has a matching query") {
     val missing = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
