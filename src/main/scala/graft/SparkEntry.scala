@@ -349,6 +349,7 @@ object SparkEntry {
         get_json_object(col("props"), "$.k").cast("long").as("k_value"))),
     "vocab_stats" -> ((s, d) => TextStats.vocabStats(docs(s, d))),
     "hashing_tf" -> ((s, d) => TextStats.hashingTf(docs(s, d))),
+    "text_normalize" -> ((s, d) => TextStats.normalizeText(docs(s, d))),
     "ngram_counts" -> ((s, d) => TextStats.ngramCounts(docs(s, d))),
     "unigram_logprob" -> ((s, d) => TextStats.unigramLogprob(docs(s, d))),
     "doc_sample" -> ((s, d) => TextStats.sampleDocs(docs(s, d))),

@@ -57,6 +57,20 @@ object TextStats {
   def redact(df: DataFrame, textCol: String): DataFrame =
     df.withColumn(s"${textCol}_redacted", regexp_replace(col(textCol), "[0-9]+", "<NUM>"))
 
+  /** Accent-bearing probe appended by the text_normalize query so the
+    * normalization faces real non-ASCII content on the ASCII corpus. */
+  val NormProbe = " Caf\u00e9 na\u00efve \u00dcber se\u00f1or MIXED"
+
+  /** doc_id, norm_text — Unicode NFC + lowercase + accent strip through the
+    * codegen'd [[graft.functions.NormalizeText]] expression: the
+    * normalization multilingual ingest runs before dedup/matching (so
+    * Caf\u00e9/caf\u00e9/cafe collide). Oracle twin:
+    * strip_accents(lower(nfc_normalize(x))) in DuckDB. */
+  def normalizeText(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.NormalizeText.normalizeText(
+        concat(col("text"), lit(NormProbe))).as("norm_text"))
+
   /** doc_id, bucket, tf — hashing-trick term-frequency features (the
     * HashingTF featurization downstream classifiers consume): token →
     * Hash60 mod numFeatures, counted per document. Sparse triplets, not a

@@ -1,7 +1,7 @@
 package graft.oracle
 
 import graft.functions.{ConceptDict, Hash60}
-import graft.operators.{Dedup, Embeddings, SentencePairs, TextOps, XmlIngest}
+import graft.operators.{Dedup, Embeddings, SentencePairs, TextOps, TextStats, XmlIngest}
 
 /** DuckDB oracle SQL for every oracle-checked query in SparkEntry.queries.
   *
@@ -1357,6 +1357,11 @@ object OracleSql {
     """SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_value
       |FROM events""".stripMargin
 
+  val textNormalize: String =
+    s"""SELECT doc_id,
+       |  strip_accents(lower(nfc_normalize(text || '${TextStats.NormProbe}'))) AS norm_text
+       |FROM documents""".stripMargin
+
   val hashingTfSql: String =
     s"""WITH $tokCte
        |SELECT doc_id, ${Hash60.sql("tok")} % 1024 AS bucket,
@@ -1653,6 +1658,7 @@ object OracleSql {
     "events_props" -> eventsProps,
     "vocab_stats" -> vocabStats,
     "hashing_tf" -> hashingTfSql,
+    "text_normalize" -> textNormalize,
     "ngram_counts" -> ngramCounts,
     "unigram_logprob" -> unigramLogprob,
     "doc_sample" -> docSample,
