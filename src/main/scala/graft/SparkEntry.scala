@@ -372,6 +372,22 @@ object SparkEntry {
     "quality_score" -> ((s, d) => TextStats.quality(docs(s, d))),
     "repetition_stats" -> ((s, d) => TextStats.repetitionStats(docs(s, d))),
     "quality_filter" -> ((s, d) => TextStats.qualityFilter(docs(s, d))),
+    "training_pipeline" -> ((s, d) => {
+      // the operators COMPOSE: quality gate, keep-canonical exact dedup,
+      // and decontamination chain into one surviving-corpus plan (each
+      // stage is the same operator its standalone query verifies; the
+      // oracle nests the same standalone SQL)
+      val base = docs(s, d)
+      val eval = TextOps.sentences(base)
+        .where(col("sent_id") === 0 && pmod(col("doc_id"), lit(50L)) === 0)
+        .select(col("doc_id").as("eval_id"), col("sent_text"))
+      base.select("doc_id", "source", "n_chars")
+        .join(TextStats.qualityFilter(base).where(col("keep")).select("doc_id"), "doc_id")
+        .join(Dedup.exact(base).where(!col("is_dup")).select("doc_id"), "doc_id")
+        .join(TextStats.decontaminate(base, eval, "eval_id", "sent_text")
+          .where(col("n_overlapping_bigrams") >= 3).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+    }),
     "multimodal_meta" -> ((s, d) => TextStats.multimodalMeta(docs(s, d))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -1602,6 +1602,18 @@ object OracleSql {
     """SELECT doc_id, source, n_chars,
       |  CAST(length(text) AS BIGINT) AS text_len FROM documents""".stripMargin
 
+  /** The composed training-data pipeline: quality gate ∩ exact-dedup
+    * canonicals ∖ contaminated docs — each stage is the SAME SQL as its
+    * standalone oracle, nested as subqueries. */
+  val trainingPipeline: String =
+    s"""SELECT d.doc_id, d.source, d.n_chars
+       |FROM documents d
+       |JOIN (SELECT doc_id FROM ($qualityFilter) WHERE keep) kq ON d.doc_id = kq.doc_id
+       |JOIN (SELECT doc_id FROM ($dedupExact) WHERE NOT is_dup) cn ON d.doc_id = cn.doc_id
+       |LEFT JOIN (SELECT doc_id FROM ($decontaminate)
+       |  WHERE n_overlapping_bigrams >= 3) ct ON d.doc_id = ct.doc_id
+       |WHERE ct.doc_id IS NULL""".stripMargin
+
   /** name → oracle SQL for the driver's DuckDB compare */
   val all: Map[String, String] = Map(
     "tokens" -> tokens,
@@ -1732,5 +1744,6 @@ object OracleSql {
     "quality_score" -> qualityScore,
     "repetition_stats" -> repetitionStats,
     "quality_filter" -> qualityFilter,
+    "training_pipeline" -> trainingPipeline,
     "multimodal_meta" -> multimodalMeta)
 }
