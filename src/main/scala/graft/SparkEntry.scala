@@ -251,6 +251,9 @@ object SparkEntry {
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
     }),
     "events_hourly" -> ((s, d) => Relational.eventsHourly(Tables.events(s, d))),
+    "events_outliers" -> ((s, d) => Relational.eventsOutliers(Tables.events(s, d))),
+    "skew_report" -> ((s, d) =>
+      Relational.skewReport(Tables.lineitem(s, d).select(col("l_orderkey").as("okey")), "okey")),
     "events_asof" -> ((s, d) => Relational.eventsAsof(Tables.events(s, d))),
     "range_join_binned" -> ((s, d) => Relational.rangeJoinBinned(Tables.events(s, d))),
     "multimodal_decode" -> ((s, d) => TextStats.decodeBatched(

@@ -258,6 +258,28 @@ object Relational {
         Num.r2(sum(col("value"))).as("sum_value"))
   }
 
+  /** event_id, event_type, value, z — per-type z-score outliers (|z| > 3):
+    * the standard streaming-adjacent anomaly check. Per-type mean/stddev are
+    * a tiny broadcast aggregate; the flag is one scan. stddev is the sample
+    * stddev both engines compute; the 6dp rounding absorbs accumulation-
+    * order noise. Types with zero variance emit nothing (z undefined). */
+  def eventsOutliers(events: DataFrame): DataFrame = {
+    val stats = events.groupBy("event_type")
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+      .where(col("sigma") > 0)
+    events.join(broadcast(stats), "event_type")
+      .withColumn("z", Num.r6((col("value") - col("mu")) / col("sigma")))
+      .where(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"), Num.r6(col("value")).as("value"), col("z"))
+  }
+
+  /** key, n — the hottest join keys (worth salting): deterministic ordering
+    * (count desc, key asc) so the report is cross-engine stable. */
+  def skewReport(df: DataFrame, key: String, topK: Int = 20): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(key))
+      .limit(topK)
+
   /** Sessionization through Spark's NATIVE session_window aggregation — the
     * operator the lag+running-sum formulation above hand-rolls (and, in
     * streaming, the stateful session operator; no per-user sort window in

@@ -814,6 +814,20 @@ object OracleSql {
       |  ON a.event_type = 'error' AND b.event_type <> 'error'
       | AND b.tus BETWEEN a.tus - 60000000 AND a.tus + 60000000""".stripMargin
 
+  val eventsOutliers: String =
+    """WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+      |  FROM events GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT e.event_id, e.event_type,
+      |    floor(e.value * 1000000 + 0.5) / 1000000 AS value,
+      |    floor(((e.value - s.mu) / s.sigma) * 1000000 + 0.5) / 1000000 AS z
+      |  FROM events e JOIN s USING (event_type) WHERE s.sigma > 0)
+      |WHERE abs(z) > 3.0""".stripMargin
+
+  val skewReportSql: String =
+    """SELECT l_orderkey AS okey, CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY n DESC, okey LIMIT 20""".stripMargin
+
   val eventsHourly: String =
     """SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket, event_type,
       |  CAST(count(*) AS BIGINT) AS n_events, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
@@ -1710,6 +1724,8 @@ object OracleSql {
     "dedup_clusters" -> dedupClusters,
     "simhash_pairs" -> simhashPairs,
     "events_hourly" -> eventsHourly,
+    "events_outliers" -> eventsOutliers,
+    "skew_report" -> skewReportSql,
     "events_sessions" -> eventsSessions,
     "events_sessions_native" -> eventsSessionsNative,
     "events_retention" -> eventsRetention,
