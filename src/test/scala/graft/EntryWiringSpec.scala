@@ -4,8 +4,10 @@ package graft
   * smallest corpus, and the queries↔oracle maps stay in sync. */
 class EntryWiringSpec extends SparkSpec {
 
-  // intentionally oracle-less: compression_quality (DuckDB has no deflate;
-  // numeric behavior spec-pinned in TextOpsSpec instead — SURVEY §2 G29)
+  // intentionally oracle-less (numeric/trajectory behavior spec-pinned):
+  // compression_quality — DuckDB has no deflate (TextOpsSpec, SURVEY G29);
+  // bpe_merges — K-round merge trajectory has no practical DuckDB replay
+  // (BpeSpec, SURVEY G32)
   private val rowsOnly = Set("compression_quality", "bpe_merges")
 
   test("every oracle key has a matching query") {
