@@ -74,7 +74,15 @@ object SubProcess {
               w.write(toHex(bytes))
               w.write('\n')
             }
-          } finally w.close() // EOF tells the child to finish
+          } catch {
+            // a child that stops reading early (a filter like `head`, or a
+            // crash) breaks the pipe here; that is the CHILD's story to
+            // tell — its exit code is checked when stdout drains
+            case _: java.io.IOException => ()
+          } finally {
+            try w.close() // EOF tells the child to finish
+            catch { case _: java.io.IOException => () }
+          }
         }, "graft-subprocess-writer")
         writer.setDaemon(true)
         writer.start()
@@ -82,11 +90,27 @@ object SubProcess {
           proc.getInputStream, java.nio.charset.StandardCharsets.US_ASCII), 1 << 16)
         new Iterator[(Long, Array[Byte])] {
           private var line: String = r.readLine()
-          override def hasNext: Boolean = line != null
+          private def onDrained(): Unit = {
+            r.close()
+            val code = proc.waitFor()
+            // fail LOUDLY: a crashed child must kill the task, not quietly
+            // truncate the partition's output
+            if (code != 0)
+              throw new RuntimeException(
+                s"subprocess worker ${cmd.mkString(" ")} exited with code $code")
+          }
+          override def hasNext: Boolean = {
+            val has = line != null
+            if (!has) onDrainedOnce()
+            has
+          }
+          private var drained = false
+          private def onDrainedOnce(): Unit =
+            if (!drained) { drained = true; onDrained() }
           override def next(): (Long, Array[Byte]) = {
             val cur = line
             line = r.readLine()
-            if (line == null) { r.close(); proc.waitFor() }
+            if (line == null) onDrainedOnce()
             val tab = cur.indexOf('\t')
             (java.lang.Long.parseLong(cur.substring(0, tab)),
               fromHex(cur.substring(tab + 1).toLowerCase(java.util.Locale.ROOT)))

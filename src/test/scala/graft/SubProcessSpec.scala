@@ -60,4 +60,21 @@ class SubProcessSpec extends SparkSpec {
     val in = spark.emptyDataset[(Long, Array[Byte])].repartition(4)
     assert(SubProcess.pipeFramed(in, Seq("/bin/cat")).count() == 0)
   }
+
+  test("a crashed child fails the task loudly instead of truncating output") {
+    val in = payloads(10, 1).as[(Long, Array[Byte])]
+    val e = intercept[org.apache.spark.SparkException] {
+      SubProcess.pipeFramed(in, Seq("/bin/sh", "-c", "exit 3")).count()
+    }
+    assert(e.getMessage.contains("exited with code 3") ||
+      Option(e.getCause).exists(_.getMessage.contains("exited with code 3")), e.getMessage)
+  }
+
+  test("a filtering child (head) truncates cleanly with exit code 0") {
+    // head stops reading after 5 lines -> broken pipe at the writer; that's
+    // the child's prerogative (exit 0), so the task gets the 5 frames
+    val in = payloads(64, 1).as[(Long, Array[Byte])]
+    val n = SubProcess.pipeFramed(in, Seq("/usr/bin/head", "-n", "5")).count()
+    assert(n == 5)
+  }
 }

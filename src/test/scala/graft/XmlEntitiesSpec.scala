@@ -23,6 +23,9 @@ class XmlEntitiesSpec extends SparkSpec {
     assert(dec("&#955;=280nm") == "λ=280nm")
     assert(dec("&#x3BC;M and &#X3BC;M") == "μM and μM")
     assert(dec("&#8212;") == "—")
+    // supplementary plane (surrogate pair in UTF-16) and control rejection
+    assert(dec("&#x1F600;") == new String(Character.toChars(0x1F600)))
+    assert(dec("&#7;") == "&#7;") // C0 control: left untouched
   }
 
   test("XML builtins are left for the parser; markup codepoints re-encode") {
