@@ -83,6 +83,30 @@ class PlanAuditSpec extends SparkSpec {
       pushed.contains("GreaterThanOrEqual(l_discount"), pushed)
   }
 
+  test("star join broadcasts every dim and shuffles the fact exactly once") {
+    // q5: customer/nation/region (+AQE-promoted orders) broadcast; the only
+    // exchange is the final aggregation — the shape that holds at 100 TB
+    // with dims still dim-sized
+    val df = SparkEntry.queries("q5_region_revenue")(spark, sfDir)
+    df.count() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    def n(p: String) = p.r.findAllIn(plan).length
+    assert(n("BroadcastHashJoin") >= 3, plan.take(2000))
+    assert(n("SortMergeJoin") == 0, plan.take(2000))
+    assert(n("Exchange (hash|range)") <= 1, plan.take(2000))
+  }
+
+  test("brute and PQ top-k broadcast only the Q side") {
+    for (q <- Seq("emb_topk", "pq_topk")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      def n(p: String) = p.r.findAllIn(plan).length
+      assert(n("BroadcastNestedLoop") == 1, s"$q: ${plan.take(1500)}")
+      assert(n("Exchange (hash|range)") <= 1, s"$q: ${plan.take(1500)}")
+    }
+  }
+
   test("scans prune to the columns the query projects") {
     // q1 touches 7 of lineitem's 11 columns; the scan must not read the rest
     val q1 = scanText("q1_pricing")
