@@ -70,17 +70,32 @@ object Bench {
       quiesce()
       name -> warm
     }
-    // 3-decimal times keep the whole JSON line under the harness's output
-    // tail window (full-precision doubles pushed it past the tail and the
-    // line arrived truncated → unparseable)
+    // The harness captures only the LAST ~2000 chars of stdout, and sbt's
+    // own "[success] Total time ..." epilogue takes ~80 of them. A single
+    // line carrying all per-query times outgrew that window every round
+    // (BENCH_r01..r04 all record parsed:null). So: the FINAL line is a
+    // compact summary (totals + r1 subset + slowest 20) guaranteed to fit,
+    // while the full per-query map goes to a file (path in the summary)
+    // and to chunked [bench-queries] lines earlier in the log.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // round-over-round comparability: the query set grows every round, so
     // also report the warm total restricted to the round-1 query set
     val r1Total = results.collect { case (k, v) if R1Queries(k) => v }.sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"cold_total_sec":${f3(coldTotal)},"n_queries":${results.size},"warm_total_r1_queries":${f3(r1Total)},"failed":$fails,"sf":"$sfDir"}""")
+    val detailPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "target/bench_detail.json"))
+    val fullJson =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(results)},"cold_total_sec":${f3(coldTotal)},"n_queries":${results.size},"warm_total_r1_queries":${f3(r1Total)},"failed":$fails,"sf":"$sfDir"}"""
+    if (detailPath.getParent != null) java.nio.file.Files.createDirectories(detailPath.getParent)
+    java.nio.file.Files.write(detailPath, fullJson.getBytes("UTF-8"))
+    results.grouped(15).zipWithIndex.foreach { case (chunk, i) =>
+      println(s"[bench-queries ${i + 1}] ${jmap(chunk)}")
+    }
+    val slowest = results.sortBy(-_._2).take(20)
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(slowest)},"queries_are_slowest20_of":${results.size},"cold_total_sec":${f3(coldTotal)},"n_queries":${results.size},"warm_total_r1_queries":${f3(r1Total)},"failed":$fails,"detail_file":"${detailPath.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -191,6 +191,11 @@ object SparkEntry {
       failed.toDF()
     }),
     "brat_to_bert" -> ((s, d) => Exports.bratToBert(docs(s, d), Exports.brat(pp(s, d)))),
+    // model-output return path: the engine's own BIO tag lines stand in as a
+    // perfect-prediction BERT output file; the import must reconstruct the
+    // entity spans from tags + token spans alone
+    "ner_bert_import" -> ((s, d) => Conllu.bertImport(
+      Conllu.bertMerge(Conllu.bioTags(docs(s, d), pp(s, d)), TextOps.tokens(docs(s, d))))),
     "ivf_topk" -> ((s, d) => Embeddings.ivfTopK(Tables.embeddings(s, d))),
     "sentences_punct" -> ((s, d) => TextOps.sentencesByPunct(TextOps.punctuated(docs(s, d)), "punct_text")),
     "cooccur_counts_title_annot" -> ((s, d) =>
@@ -312,7 +317,7 @@ object SparkEntry {
     }),
     "zorder_key" -> ((s, d) => Layout.zorderKey(docs(s, d))),
     // rows-only driver check: deflate has no DuckDB twin (spec-pinned instead)
-    "compression_quality" -> ((s, d) => TextStats.compressionQuality(docs(s, d))),
+    "compression_quality" -> ((s, d) => TextStats.compressionQualityStaged(docs(s, d), d)),
     // rows-only driver check: the K-round merge trajectory has no practical
     // DuckDB replay (spec-pinned: hand-computed merges + determinism)
     "bpe_merges" -> ((s, d) => Bpe.merges(docs(s, d))),
@@ -395,5 +400,6 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. */
-  def oracleSql: Map[String, String] = OracleSql.all
+  def oracleSql: Map[String, String] =
+    OracleSql.all + ("compression_quality" -> TextStats.compressionOracleSql)
 }

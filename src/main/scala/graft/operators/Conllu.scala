@@ -91,4 +91,57 @@ object Conllu {
           .otherwise(concat(lit("B-"), substring_index(col("cid"), ":", 1))))
       .select(col("doc_id"), col("ord"), concat_ws("\t", col("tok"), col("tag")).as("line"))
   }
+
+  /** Merge the two BERT-NER files back into a tagged token stream
+    * (reference: relation_extraction/NerBertToBionlpConverter.java:39-189 —
+    * the converter consumes the BERT INPUT file for doc ids + spans and the
+    * BERT OUTPUT file for predicted tags, pairing them line-by-line and
+    * asserting token equality). Here both sides are keyed rows, so the
+    * pairing is an equi-join on (doc_id, ord); the reference's token-match
+    * assertion survives as the `tok = out_tok` predicate (a mismatched
+    * model output drops the row instead of corrupting a span). */
+  def bertMerge(outputLines: DataFrame, tokens: DataFrame): DataFrame =
+    outputLines
+      .select(col("doc_id"), col("ord"),
+        split(col("line"), "\t").getItem(0).as("out_tok"),
+        split(col("line"), "\t").getItem(1).as("tag"))
+      .join(tokens, Seq("doc_id", "ord"))
+      .where(col("tok") === col("out_tok"))
+      .select(col("doc_id"), col("ord"), col("tok"),
+        col("char_start"), col("char_end"), col("tag"))
+
+  /** BERT-NER output → entity annotations, the return path of the
+    * classification loop (reference:
+    * relation_extraction/NerBertToBionlpConverter.java:233-313). The
+    * reference's fixTag (lines 293-313) reduces ANY BIOES stream to one
+    * rule: a new entity begins exactly when the tag's label differs from
+    * the previous token's label (or the previous tag was O) — adjacent
+    * same-label entities merge regardless of B/S markers. Replayed here as
+    * one doc-partitioned window pass: lag for the previous label, a
+    * running sum of begin flags for the segment id, then a per-segment
+    * aggregate for the span and covered text — no self-joins, scales as
+    * one shuffle on doc_id. Output: doc_id, t_num, label, char_start,
+    * char_end, covered_text. */
+  def bertImport(tagged: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("ord")
+    val wSpan = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("char_start")
+    tagged
+      .withColumn("label",
+        when(col("tag") === "O", lit(null).cast("string"))
+          .otherwise(substring_index(col("tag"), "-", -1)))
+      .withColumn("prev_label", lag(col("label"), 1).over(w))
+      .withColumn("is_begin",
+        (col("label").isNotNull &&
+          (col("prev_label").isNull || col("prev_label") =!= col("label"))).cast("long"))
+      .withColumn("seg", sum(col("is_begin")).over(w))
+      .where(col("label").isNotNull)
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(min("label").as("label"),
+        min("char_start").as("char_start"),
+        max("char_end").as("char_end"),
+        Agg.orderedStringAgg(col("ord"), col("tok"), " ").as("covered_text"))
+      .select(col("doc_id"),
+        row_number().over(wSpan).cast("long").as("t_num"),
+        col("label"), col("char_start"), col("char_end"), col("covered_text"))
+  }
 }

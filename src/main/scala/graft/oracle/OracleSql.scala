@@ -553,6 +553,31 @@ object OracleSql {
         |       ELSE 'B-' || split_part(cid, ':', 1) END AS line
         |FROM lt""".stripMargin
 
+  /** BIO tags → entity spans (Conllu.bertImport twin): a new entity begins
+    * exactly when the label changes or the previous token is untagged —
+    * the reference fixTag's net effect (NerBertToBionlpConverter.java). */
+  val nerBertImport: String =
+    docPipeline(
+      "lab AS (SELECT doc_id, ord, min(concept_id) AS cid FROM pp GROUP BY 1, 2)",
+      """tagd AS (SELECT t.doc_id, t.ord, t.tok, t.char_start, t.char_end,
+        |    CASE WHEN lab.cid IS NULL THEN NULL
+        |         ELSE split_part(lab.cid, ':', 1) END AS label
+        |  FROM tok t LEFT JOIN lab ON t.doc_id = lab.doc_id AND t.ord = lab.ord)""".stripMargin,
+      """seg0 AS (SELECT *, lag(label) OVER (PARTITION BY doc_id ORDER BY ord) AS prev_label
+        |  FROM tagd)""".stripMargin,
+      """seg AS (SELECT *, sum(CASE WHEN label IS NOT NULL
+        |      AND (prev_label IS NULL OR prev_label <> label) THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY ord) AS seg_id
+        |  FROM seg0)""".stripMargin,
+      """ent AS (SELECT doc_id, seg_id, min(label) AS label,
+        |    min(char_start) AS char_start, max(char_end) AS char_end,
+        |    string_agg(tok, ' ' ORDER BY ord) AS covered_text
+        |  FROM seg WHERE label IS NOT NULL GROUP BY 1, 2)""".stripMargin) +
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY char_start) AS BIGINT) AS t_num,
+        |  label, char_start, char_end, covered_text
+        |FROM ent""".stripMargin
+
   val conceptsPpStrict: String =
     docPipeline(
       s"""noisy AS (
@@ -1629,7 +1654,48 @@ object OracleSql {
        |WHERE ct.doc_id IS NULL""".stripMargin
 
   /** name → oracle SQL for the driver's DuckDB compare */
+  /** K-round BPE merge replay — the DuckDB twin of Bpe.merges (k = 8).
+    *
+    * Each word's symbol sequence is encoded as a run of
+    * chr(31)||sym||chr(30) brackets, so one left-to-right non-overlapping
+    * `replace` of ⟨a⟩⟨b⟩ → ⟨ab⟩ IS the engine's greedy merge fold: the
+    * merged symbol's brackets differ from its parts', so it can never
+    * re-match inside the same round — the exact invariant the fold's
+    * prev-reset encodes. Corpus mass collapses to the distinct-word table
+    * before any per-round work (same trick as the engine), and the argmax
+    * tie-break (count DESC, then lexicographic a, b) matches Bpe.learnMerges.
+    * Bracket chars are the ASCII unit/record separators, absent from any
+    * tokenizable text. */
+  val bpeMergesSql: String = {
+    val S = "chr(31)"; val E = "chr(30)"
+    val k = 8
+    val w0 =
+      s"""w0 AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS n,
+         |    array_to_string(list_transform(string_split(word, ''), c -> $S || c || $E), '')
+         |      || $S || '${graft.operators.Bpe.EndMarker}' || $E AS enc
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  GROUP BY word)""".stripMargin
+    val rounds = (0 until k).map { r =>
+      s"""p$r AS (
+         |  SELECT syms[i] AS a, syms[i+1] AS b, sum(n) AS cnt FROM (
+         |    SELECT n, syms, CAST(unnest(range(1, len(syms))) AS INT) AS i FROM (
+         |      SELECT n, string_split(substr(enc, 2, length(enc) - 2), $E || $S) AS syms FROM w$r))
+         |  GROUP BY 1, 2),
+         |t$r AS (SELECT a, b FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |w${r + 1} AS (SELECT word, n,
+         |  replace(enc, $S || t.a || $E || $S || t.b || $E, $S || t.a || t.b || $E) AS enc
+         |  FROM w$r, t$r t)""".stripMargin
+    }
+    val sel = (0 until k)
+      .map(r => s"""SELECT CAST(${r + 1} AS BIGINT) AS merge_ord, a AS "left", b AS "right" FROM t$r""")
+      .mkString(" UNION ALL ")
+    (w0 +: rounds).mkString("WITH ", ",\n", "\n") + sel
+  }
+
   val all: Map[String, String] = Map(
+    "bpe_merges" -> bpeMergesSql,
+    "ner_bert_import" -> nerBertImport,
     "tokens" -> tokens,
     "sentences" -> sentences,
     "doc_filter" -> docFilter,

@@ -4,11 +4,10 @@ package graft
   * smallest corpus, and the queries↔oracle maps stay in sync. */
 class EntryWiringSpec extends SparkSpec {
 
-  // intentionally oracle-less (numeric/trajectory behavior spec-pinned):
-  // compression_quality — DuckDB has no deflate (TextOpsSpec, SURVEY G29);
-  // bpe_merges — K-round merge trajectory has no practical DuckDB replay
-  // (BpeSpec, SURVEY G32)
-  private val rowsOnly = Set("compression_quality", "bpe_merges")
+  // every query is oracle-checked as of round 5: bpe_merges replays the
+  // 8-round merge trajectory in SQL (bracket-encoded replace = greedy fold)
+  // and compression_quality derives its gate from staged engine ratios
+  private val rowsOnly = Set.empty[String]
 
   test("every oracle key has a matching query") {
     val missing = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
