@@ -196,6 +196,11 @@ object SparkEntry {
     // entity spans from tags + token spans alone
     "ner_bert_import" -> ((s, d) => Conllu.bertImport(
       Conllu.bertMerge(Conllu.bioTags(docs(s, d), pp(s, d)), TextOps.tokens(docs(s, d))))),
+    "sentence_cooccur_export" -> ((s, d) => Exports.sentenceCooccur(docs(s, d), pp(s, d))),
+    // the parse returned by the per-partition kernel child must re-parse to
+    // the same token rows the engine serialized (identity child in-sandbox;
+    // a real parser binary replaces cmd on a cluster)
+    "dep_parse_kernel" -> ((s, d) => Conllu.depParseKernel(docs(s, d))),
     "ivf_topk" -> ((s, d) => Embeddings.ivfTopK(Tables.embeddings(s, d))),
     "sentences_punct" -> ((s, d) => TextOps.sentencesByPunct(TextOps.punctuated(docs(s, d)), "punct_text")),
     "cooccur_counts_title_annot" -> ((s, d) =>

@@ -61,10 +61,16 @@ object SubProcess {
         // child diagnostics belong in the executor log, not the data pipe
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         val proc = pb.start()
-        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+        val taskCtx = TaskContext.get()
+        Option(taskCtx).foreach(_.addTaskCompletionListener[Unit] { _ =>
           if (proc.isAlive) proc.destroyForcibly()
         })
         val writer = new Thread(() => {
+          // the writer consumes the UPSTREAM iterator, whose lazily
+          // initialized internals (vectorized readers, shuffle/memory-
+          // manager iterators) call TaskContext.get() — propagate the task
+          // thread's context exactly as Spark's PipedRDD does
+          if (taskCtx != null) org.apache.spark.graftbridge.TaskContextBridge.set(taskCtx)
           val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
             proc.getOutputStream, java.nio.charset.StandardCharsets.US_ASCII), 1 << 16)
           try {
@@ -111,9 +117,20 @@ object SubProcess {
             val cur = line
             line = r.readLine()
             if (line == null) onDrainedOnce()
+            // a worker that prints diagnostics to stdout corrupts the data
+            // pipe — name the command and the offending line instead of
+            // dying with a bare substring/parse exception
             val tab = cur.indexOf('\t')
-            (java.lang.Long.parseLong(cur.substring(0, tab)),
-              fromHex(cur.substring(tab + 1).toLowerCase(java.util.Locale.ROOT)))
+            if (tab <= 0) throw new RuntimeException(
+              s"subprocess worker ${cmd.mkString(" ")} emitted a malformed " +
+                s"frame (no id\\tpayload tab): '${cur.take(120)}'")
+            val id =
+              try java.lang.Long.parseLong(cur.substring(0, tab))
+              catch { case _: NumberFormatException => throw new RuntimeException(
+                s"subprocess worker ${cmd.mkString(" ")} emitted a frame with " +
+                  s"a non-numeric id: '${cur.take(120)}'")
+              }
+            (id, fromHex(cur.substring(tab + 1).toLowerCase(java.util.Locale.ROOT)))
           }
         }
       }

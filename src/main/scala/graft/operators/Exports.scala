@@ -149,6 +149,47 @@ object Exports {
         lit("]}")).as("pubannotation"))
   }
 
+  /** doc_id, line — the sentence-cooccurrence BigQuery load file (reference:
+    * etl/fn/SentenceCooccurrenceFileBuilderFn.java:39-70 +
+    * util/serialization/SentenceCooccurrenceBuilder.java:42-164): per
+    * document one `SENT_COUNT\t{n}\t{doc_id}` header, then one row per
+    * concept-bearing sentence carrying the sentence's sha256 annotation id
+    * (BigQueryUtil.getAnnotationIdentifier — sha256 over doc_id + span
+    * start + covered text + layer + [sentence]), the sentence's concepts
+    * serialized as sentence-relative `start|end|concept;` runs, and the
+    * sentence text. Stopword-covered concepts are excluded
+    * (SentenceCooccurrenceBuilder.java:96). The reference assigns concepts
+    * to sentences by span overlap over per-doc maps; with token-windowed
+    * sentences assignment is the sentence key itself, so the plan is two
+    * doc-keyed aggregations plus one co-keyed join — no per-doc loops, no
+    * span-range join. Concept order inside a run is pinned to
+    * (char_start, concept_id) — the reference iterates a HashSet, and a
+    * 100 TB export must be deterministic to be diffable. */
+  def sentenceCooccur(docs: DataFrame, annots: DataFrame): DataFrame = {
+    val sents = TextOps.sentences(docs)
+    val header = sents.groupBy("doc_id").agg(count(lit(1)).as("n_sents"))
+      .select(col("doc_id"),
+        concat_ws("\t", lit("SENT_COUNT"), col("n_sents"), col("doc_id")).as("line"))
+    val con = annots
+      .where(!lower(col("tok")).isin(graft.functions.ConceptDict.stopwords: _*))
+      .withColumn("sent_id", expr(s"(ord - 1) div ${TextOps.SentWindow}"))
+    val rows = con
+      .join(sents.select(col("doc_id"), col("sent_id"), col("sent_text"),
+        col("char_start").as("s_start")), Seq("doc_id", "sent_id"))
+      .withColumn("rel", concat(
+        col("char_start") - col("s_start"), lit("|"),
+        col("char_end") - col("s_start"), lit("|"),
+        col("concept_id"), lit(";")))
+      .groupBy("doc_id", "sent_id", "sent_text", "s_start")
+      .agg(Agg.orderedStringAgg(struct(col("char_start"), col("concept_id")), col("rel"), "")
+        .as("concepts"))
+      .select(col("doc_id"), concat_ws("\t",
+        sha2(concat(col("doc_id").cast("string"), col("s_start").cast("string"),
+          col("sent_text"), lit("SENTENCE"), lit("[sentence]")), 256),
+        col("concepts"), col("sent_text")).as("line"))
+    header.unionByName(rows)
+  }
+
   /** doc_id, rebuilt_text, matches — reconstruct doc text from sentences and
     * prove span discipline (the reference validates spans the same way). */
   def textExport(docs: DataFrame): DataFrame =

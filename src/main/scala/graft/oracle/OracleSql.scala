@@ -578,6 +578,32 @@ object OracleSql {
         |  label, char_start, char_end, covered_text
         |FROM ent""".stripMargin
 
+  /** Exports.sentenceCooccur twin: SENT_COUNT headers + per-sentence
+    * concept runs under the same sha256 annotation-id recipe. */
+  val sentenceCooccurExport: String =
+    docPipeline(
+      s"""sents AS (SELECT doc_id, (ord - 1) // $W AS sent_id,
+         |    string_agg(tok, ' ' ORDER BY ord) AS sent_text,
+         |    min(char_start) AS s_start
+         |  FROM tok GROUP BY 1, 2)""".stripMargin,
+      s"""keep AS (SELECT doc_id, (ord - 1) // $W AS sent_id, concept_id, char_start, char_end
+         |  FROM pp WHERE lower(tok) NOT IN ${ConceptDict.stopwordsInSql})""".stripMargin,
+      """runs AS (SELECT k.doc_id, k.sent_id,
+        |    string_agg(CAST(k.char_start - s.s_start AS VARCHAR) || '|' ||
+        |      CAST(k.char_end - s.s_start AS VARCHAR) || '|' || k.concept_id || ';', ''
+        |      ORDER BY k.char_start, k.concept_id) AS concepts,
+        |    min(s.sent_text) AS sent_text, min(s.s_start) AS s_start
+        |  FROM keep k JOIN sents s ON k.doc_id = s.doc_id AND k.sent_id = s.sent_id
+        |  GROUP BY 1, 2)""".stripMargin) +
+      """SELECT doc_id, 'SENT_COUNT' || chr(9) || CAST(count(*) AS VARCHAR)
+        |    || chr(9) || CAST(doc_id AS VARCHAR) AS line
+        |FROM sents GROUP BY doc_id
+        |UNION ALL
+        |SELECT doc_id, sha256(CAST(doc_id AS VARCHAR) || CAST(s_start AS VARCHAR)
+        |    || sent_text || 'SENTENCE' || '[sentence]')
+        |    || chr(9) || concepts || chr(9) || sent_text AS line
+        |FROM runs""".stripMargin
+
   val conceptsPpStrict: String =
     docPipeline(
       s"""noisy AS (
@@ -1696,6 +1722,9 @@ object OracleSql {
   val all: Map[String, String] = Map(
     "bpe_merges" -> bpeMergesSql,
     "ner_bert_import" -> nerBertImport,
+    "sentence_cooccur_export" -> sentenceCooccurExport,
+    // identity kernel child ⇒ same rows as the build→parse round trip
+    "dep_parse_kernel" -> conlluTokens,
     "tokens" -> tokens,
     "sentences" -> sentences,
     "doc_filter" -> docFilter,

@@ -77,4 +77,14 @@ class SubProcessSpec extends SparkSpec {
     val n = SubProcess.pipeFramed(in, Seq("/usr/bin/head", "-n", "5")).count()
     assert(n == 5)
   }
+
+  test("a child that prints diagnostics to stdout fails with the command and line named") {
+    val in = payloads(3, 1).as[(Long, Array[Byte])]
+    val e = intercept[org.apache.spark.SparkException] {
+      SubProcess.pipeFramed(in,
+        Seq("/bin/sh", "-c", "echo 'loading model...'; exec /bin/cat")).count()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("malformed") && msg.contains("loading model..."), msg)
+  }
 }
