@@ -8,9 +8,13 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Static kernel: deflate(level 6) size over UTF-8 size. Deterministic —
-  * zlib's output for a given input/level/strategy is fixed by the algorithm,
-  * so the ratio is stable across JVMs and runs. */
+/** Static kernel: deflate(level 6) size over UTF-8 size. Deterministic per
+  * zlib implementation: DEFLATE output size at a given level is NOT pinned
+  * by the spec, and a JDK Deflater may link platform zlib or zlib-ng, so
+  * the ratio is run-to-run stable on one machine but not comparable across
+  * differently-linked JVMs. The oracle therefore never recomputes this
+  * number — it is staged once and only the gate derivation is compared
+  * (TextStats.compressionQualityStaged); the number itself is spec-pinned. */
 object CompressionKernel {
   def ratio(s: UTF8String): Double = {
     val bytes = s.getBytes

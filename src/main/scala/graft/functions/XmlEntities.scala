@@ -137,7 +137,11 @@ object XmlEntityDecoder {
       val digits = if (hex) name.substring(2) else name.substring(1)
       try {
         val cp = Integer.parseInt(digits, if (hex) 16 else 10)
-        if (Character.isValidCodePoint(cp) && cp >= 0x20 || cp == '\n' || cp == '\r' || cp == '\t')
+        // isValidCodePoint accepts surrogates; inlining one (&#xD800;)
+        // would emit an ill-formed lone UTF-16 surrogate — leave such
+        // references untouched like any other invalid ref
+        if (cp >= 0xD800 && cp <= 0xDFFF) null
+        else if (Character.isValidCodePoint(cp) && cp >= 0x20 || cp == '\n' || cp == '\r' || cp == '\t')
           markupSafe(cp)
         else null
       } catch { case _: NumberFormatException => null }

@@ -23,16 +23,35 @@ object KnowledgeGraph {
     "SZ" -> "graft:Qualifier",
     "ENT" -> "graft:Entity")
 
-  def categoryFor(conceptCol: String): org.apache.spark.sql.Column =
-    categories.foldLeft(lit("graft:NamedThing")) { case (acc, (p, cat)) =>
-      when(substring_index(col(conceptCol), ":", 1) === p, lit(cat)).otherwise(acc)
-    }
-
   def categoryCaseSql(c: String): String = {
     val whens = categories.map { case (p, cat) =>
       s"WHEN split_part($c, ':', 1) = '$p' THEN '$cat'"
     }.mkString(" ")
     s"(CASE $whens ELSE 'graft:NamedThing' END)"
+  }
+
+  /** The category mapping as DATA — a (prefix, category) table — rather
+    * than a case expression (reference:
+    * etl/util/OntologyClassBiolinkCategoryMapFactory.java and
+    * OntologyClassLabelMapFactory.java build these maps from ontology
+    * files, not code). Joined broadcast wherever a category is derived, so
+    * at scale the mapping ships as a tiny broadcast and is swappable
+    * without recompiling; unmapped prefixes default to graft:NamedThing
+    * via left-join + coalesce, exactly the case expression's ELSE. */
+  def categoryMap(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    categories.toSeq.toDF("prefix", "category")
+  }
+
+  /** Left-broadcast-join `outCol` onto `df` from the prefix of `conceptCol`. */
+  private def joinCategory(df: DataFrame, conceptCol: String, outCol: String): DataFrame = {
+    val pfx = s"__pfx_$outCol"
+    val cats = broadcast(categoryMap(df.sparkSession)
+      .select(col("prefix").as(pfx), col("category").as(s"__cat_$outCol")))
+    df.withColumn(pfx, substring_index(col(conceptCol), ":", 1))
+      .join(cats, Seq(pfx), "left")
+      .withColumn(outCol, coalesce(col(s"__cat_$outCol"), lit("graft:NamedThing")))
+      .drop(pfx, s"__cat_$outCol")
   }
 
   /** Transitive closure of a (child, parent) edge set by iterative
@@ -70,22 +89,26 @@ object KnowledgeGraph {
     transitiveClosure(graft.functions.ConceptDict.directEdges.toDF("child", "parent"))
   }
 
-  /** Node table: concept_id, name, category. */
+  /** Node table: concept_id, name, category (category via the broadcast
+    * mapping table, name from the dictionary data itself). */
   def nodes(spark: org.apache.spark.sql.SparkSession): DataFrame =
-    ConceptDict.dictDF(spark)
-      .select(col("concept_id"), col("tok").as("name"), categoryFor("concept_id").as("category"))
+    joinCategory(ConceptDict.dictDF(spark), "concept_id", "category")
+      .select(col("concept_id"), col("tok").as("name"), col("category"))
 
   /** Edge table from document-level cooccurrence metrics: subject, object,
-    * predicate, subject_category, object_category, pair_count, ngd, npmi. */
-  def edges(annots: DataFrame): DataFrame =
-    Cooccurrence.metrics(annots, Seq("doc_id"))
+    * predicate, subject_category, object_category, pair_count, ngd, npmi.
+    * Two broadcast category joins — one per endpoint. */
+  def edges(annots: DataFrame): DataFrame = {
+    val base = Cooccurrence.metrics(annots, Seq("doc_id"))
+    joinCategory(joinCategory(base, "concept1", "subject_category"),
+        "concept2", "object_category")
       .select(
         col("concept1").as("subject"),
         col("concept2").as("object"),
         lit("graft:related_to").as("predicate"),
-        categoryFor("concept1").as("subject_category"),
-        categoryFor("concept2").as("object_category"),
+        col("subject_category"), col("object_category"),
         col("pair_count"), col("ngd"), col("npmi"))
+  }
 
   // ---------- TRAPI backend serialization ----------
   // The reference's TRAPI backend renders the KG as Biolink N-Triples

@@ -34,25 +34,34 @@ object Layout {
   def morton2(a: Column, b: Column): Column =
     spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
 
-  /** doc_id, zval — the Z-order key over (n_chars min-max-quantized to 16
-    * bits, source hash-bucketed to 16 bits). Bounds come from a 1-row
-    * broadcast aggregate, in-plan (no driver-side pass). */
-  def zorderKey(docs: DataFrame): DataFrame = {
+  /** All of `docs` plus an inline `zval` column — the Z-order key over
+    * (n_chars min-max-quantized to 16 bits, source hash-bucketed to 16
+    * bits). Bounds come from a 1-row broadcast aggregate, in-plan (no
+    * driver-side pass); the key is computed ON the full row, so layouts
+    * never join it back. */
+  private def withZval(docs: DataFrame): DataFrame = {
     val bounds = docs.agg(min(col("n_chars")).cast("double").as("mn"),
       max(col("n_chars")).cast("double").as("mx"))
     docs.crossJoin(broadcast(bounds))
       .withColumn("qa", when(col("mx") === col("mn"), lit(0L))
         .otherwise(floor((col("n_chars") - col("mn")) * 65535.0 / (col("mx") - col("mn"))).cast("long")))
       .withColumn("qb", pmod(Hash60.id(col("source")), lit(65536L)))
-      .select(col("doc_id"), morton2(col("qa"), col("qb")).as("zval"))
+      .withColumn("zval", morton2(col("qa"), col("qb")))
+      .drop("mn", "mx", "qa", "qb")
   }
 
+  /** doc_id, zval — the key view (the oracle-checked query surface). */
+  def zorderKey(docs: DataFrame): DataFrame =
+    withZval(docs).select(col("doc_id"), col("zval"))
+
   /** The layout operation itself: cluster `docs` in z-order so a parquet
-    * write inherits row-group locality on both keys. One range exchange. */
-  def zorderBy(docs: DataFrame, partitions: Int = 32): DataFrame = {
-    val keyed = docs.join(zorderKey(docs), "doc_id")
-    keyed.repartitionByRange(partitions, col("zval"))
+    * write inherits row-group locality on both keys. The z-key is computed
+    * inline on the full row (no doc_id self-join — that shape cost an
+    * avoidable shuffle join), so the whole plan is scan → broadcast bounds
+    * → ONE range exchange. */
+  def zorderBy(docs: DataFrame, partitions: Int = 32): DataFrame =
+    withZval(docs)
+      .repartitionByRange(partitions, col("zval"))
       .sortWithinPartitions(col("zval"))
       .drop("zval")
-  }
 }

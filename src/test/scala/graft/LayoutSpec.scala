@@ -39,5 +39,22 @@ class LayoutSpec extends SparkSpec {
       val zs = ids.map(zByDoc)
       assert(zs == zs.sorted, "partition not z-sorted")
     }
+    // partitions cover disjoint ascending z-ranges (a true range layout)
+    val ranges = perPart.filter(_.nonEmpty).map { ids =>
+      val zs = ids.map(zByDoc); (zs.min, zs.max)
+    }
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo, "overlapping z-ranges")
+      case _ => ()
+    }
+  }
+
+  test("zorderBy plans as scan → broadcast bounds → one range exchange (no self-join)") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Layout.zorderBy(docs, partitions = 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(!plan.contains("ShuffledHashJoin"), plan.take(2000))
+    assert("Exchange rangepartitioning".r.findAllIn(plan).length == 1, plan.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty, plan.take(2000))
   }
 }

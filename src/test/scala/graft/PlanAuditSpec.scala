@@ -96,6 +96,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(n("Exchange (hash|range)") <= 1, plan.take(2000))
   }
 
+  test("kg node/edge categories come from a broadcast mapping-table join") {
+    // categories are DATA (a prefix→category table joined broadcast), not a
+    // case expression — at 100 TB the map ships as a tiny broadcast and is
+    // swappable without recompiling
+    for (q <- Seq("kg_nodes", "kg_edges")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin".r.findAllIn(plan).nonEmpty, s"$q: ${plan.take(2000)}")
+    }
+  }
+
   test("brute and PQ top-k broadcast only the Q side") {
     for (q <- Seq("emb_topk", "pq_topk")) {
       val df = SparkEntry.queries(q)(spark, sfDir)

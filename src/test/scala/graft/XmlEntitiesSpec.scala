@@ -47,6 +47,12 @@ class XmlEntitiesSpec extends SparkSpec {
     assert(got.toSeq == Seq("α-helix", "5′-UTR", "plain", "&amp;&unknown;"))
   }
 
+  test("surrogate-range numeric references are left untouched (no lone surrogates)") {
+    val df = Seq("bad &#xD800; ref", "also &#55296; bad", "edge &#xDFFF;").toDF("s")
+    val got = df.select(DecodeXmlEntities.decodeXml(col("s"))).as[String].collect()
+    assert(got.toSeq == Seq("bad &#xD800; ref", "also &#55296; bad", "edge &#xDFFF;"))
+  }
+
   test("medline round trip decodes the injected entity probe") {
     val docs = Seq((1L, "one two three four five six seven eight nine ten " * 3))
       .toDF("doc_id", "text")
