@@ -201,6 +201,13 @@ object SparkEntry {
     // the same token rows the engine serialized (identity child in-sandbox;
     // a real parser binary replaces cmd on a cluster)
     "dep_parse_kernel" -> ((s, d) => Conllu.depParseKernel(docs(s, d))),
+    // sentences of doc_id % 7 == 0 stand in for the previously-annotated set
+    "annotation_batch" -> ((s, d) => {
+      val sents = TextOps.sentences(docs(s, d))
+      val prev = sents.where(pmod(col("doc_id"), lit(7L)) === 0L)
+        .select(sha2(col("sent_text"), 256).as("sent_hash"))
+      Exports.annotationBatch(sents, prev)
+    }),
     "ivf_topk" -> ((s, d) => Embeddings.ivfTopK(Tables.embeddings(s, d))),
     "sentences_punct" -> ((s, d) => TextOps.sentencesByPunct(TextOps.punctuated(docs(s, d)), "punct_text")),
     "cooccur_counts_title_annot" -> ((s, d) =>

@@ -190,6 +190,43 @@ object Exports {
     header.unionByName(rows)
   }
 
+  /** Annotation-batch assembly for human annotators (reference:
+    * relation_extraction/ElasticsearchToBratExporter.java:129-254 — sample
+    * candidate sentences, skip any whose sha256 text hash was already
+    * annotated (`alreadyAnnotatedSentenceIds`) or already emitted in this
+    * batch, stop at batchSize, and page the output into
+    * sentences-per-page brat files). The ES/Google-Sheets plumbing around
+    * it is out of scope; this is the samplable core. Spark-first:
+    *  - hash-dedup is a groupBy on the sha256 hash with a struct-min
+    *    canonical (no per-batch HashSet);
+    *  - "already annotated" is a left-anti join against the hash set;
+    *  - the reference's Random sampling becomes a deterministic
+    *    pseudo-random order — sorting by the hash itself — so batches are
+    *    reproducible (and diffable) across runs;
+    *  - batch cut = orderBy(hash).limit(batchSize): a top-k
+    *    TakeOrderedAndProject, never a full global sort of the corpus.
+    * The position window below runs AFTER the limit, over ≤ batchSize
+    * rows by construction — bounded, so the single task is fine
+    * (PlanAuditSpec exempts windows over GlobalLimit inputs). */
+  def annotationBatch(sents: DataFrame, alreadyAnnotated: DataFrame,
+                      batchSize: Int = 100, perPage: Int = 20): DataFrame = {
+    val w = Window.orderBy("sent_hash")
+    val canonical = sents
+      .withColumn("sent_hash", sha2(col("sent_text"), 256))
+      .groupBy("sent_hash")
+      .agg(min(struct(col("doc_id"), col("sent_id"))).as("c"),
+        min("sent_text").as("sent_text"))
+      .select(col("sent_hash"), col("c.doc_id").as("doc_id"),
+        col("c.sent_id").as("sent_id"), col("sent_text"))
+    canonical
+      .join(alreadyAnnotated.select("sent_hash").distinct(), Seq("sent_hash"), "left_anti")
+      .orderBy("sent_hash").limit(batchSize)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("page", expr(s"(pos - 1) div $perPage"))
+      .withColumn("ann_file", concat_ws("", lit("batch_"), col("page"), lit(".ann")))
+      .select("pos", "page", "ann_file", "sent_hash", "doc_id", "sent_id", "sent_text")
+  }
+
   /** doc_id, rebuilt_text, matches — reconstruct doc text from sentences and
     * prove span discipline (the reference validates spans the same way). */
   def textExport(docs: DataFrame): DataFrame =

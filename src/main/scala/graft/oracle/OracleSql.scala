@@ -604,6 +604,29 @@ object OracleSql {
         |    || chr(9) || concepts || chr(9) || sent_text AS line
         |FROM runs""".stripMargin
 
+  /** Exports.annotationBatch twin: hash-dedup canonical, already-annotated
+    * anti-join, deterministic hash-order batch cut, per-page assignment. */
+  val annotationBatch: String =
+    s"""WITH $tokCte,
+       |sent AS (SELECT doc_id, (ord - 1) // $W AS sent_id,
+       |    string_agg(tok, ' ' ORDER BY ord) AS sent_text
+       |  FROM tok GROUP BY 1, 2),
+       |h AS (SELECT sha256(sent_text) AS sent_hash, doc_id, sent_id, sent_text FROM sent),
+       |canon AS (SELECT sent_hash, min({'d': doc_id, 's': sent_id}) AS mn,
+       |    min(sent_text) AS sent_text
+       |  FROM h GROUP BY 1),
+       |prev AS (SELECT DISTINCT sha256(sent_text) AS sent_hash FROM sent WHERE doc_id % 7 = 0),
+       |batch AS (SELECT c.sent_hash, CAST(c.mn.d AS BIGINT) AS doc_id,
+       |    CAST(c.mn.s AS BIGINT) AS sent_id, c.sent_text
+       |  FROM canon c LEFT JOIN prev p ON c.sent_hash = p.sent_hash
+       |  WHERE p.sent_hash IS NULL
+       |  ORDER BY c.sent_hash LIMIT 100),
+       |pos AS (SELECT *, CAST(row_number() OVER (ORDER BY sent_hash) AS BIGINT) AS pos FROM batch)
+       |SELECT pos, (pos - 1) // 20 AS page,
+       |  'batch_' || CAST((pos - 1) // 20 AS VARCHAR) || '.ann' AS ann_file,
+       |  sent_hash, doc_id, sent_id, sent_text
+       |FROM pos""".stripMargin
+
   val conceptsPpStrict: String =
     docPipeline(
       s"""noisy AS (
@@ -1725,6 +1748,7 @@ object OracleSql {
     "sentence_cooccur_export" -> sentenceCooccurExport,
     // identity kernel child ⇒ same rows as the build→parse round trip
     "dep_parse_kernel" -> conlluTokens,
+    "annotation_batch" -> annotationBatch,
     "tokens" -> tokens,
     "sentences" -> sentences,
     "doc_filter" -> docFilter,

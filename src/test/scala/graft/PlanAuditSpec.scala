@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.catalyst.plans.Cross
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LocalRelation, LogicalPlan, OneRowRelation, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LocalRelation, LogicalPlan, OneRowRelation, Window}
 
 /** Fleet-wide scale audit: walks the optimized logical plan of EVERY driver
   * query and fails on the two patterns that kill a 100 TB run regardless of
@@ -17,10 +17,12 @@ class PlanAuditSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** A join side that cannot explode: a 1-row aggregate (in-plan totals),
-    * a literal parameter table, or anything already bounded by one. */
+  /** An input that cannot explode: a 1-row aggregate (in-plan totals), a
+    * row-count limit (top-k cuts), a literal parameter table, or anything
+    * already bounded by one. */
   private def bounded(p: LogicalPlan): Boolean = p match {
     case a: Aggregate if a.groupingExpressions.isEmpty => true
+    case _: GlobalLimit => true
     case _: LocalRelation | _: OneRowRelation => true
     case other => other.children.nonEmpty && other.children.forall(bounded)
   }
@@ -29,7 +31,10 @@ class PlanAuditSpec extends SparkSpec {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan
       plan.collect {
-        case w: Window if w.partitionSpec.isEmpty =>
+        // a Window over a row-count-limited input (annotation_batch's
+        // per-page positions over a ≤batchSize cut) is a bounded single
+        // task, not the corpus-global sort this audit exists to catch
+        case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
           s"$name: Window with empty partitionSpec (global sort)"
         case j: Join if (j.joinType == Cross || j.condition.isEmpty) &&
           !j.hint.leftHint.exists(_.strategy.isDefined) &&
