@@ -301,6 +301,7 @@ object SparkEntry {
     "span_dedup" -> ((s, d) => Dedup.spanDedup(docs(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(docs(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(docs(s, d))),
+    "dedup_keep_best" -> ((s, d) => Dedup.clusterKeepBest(docs(s, d))),
     "window_dup" -> ((s, d) => Dedup.windowDupPairs(docs(s, d))),
     "decontaminate_fuzzy" -> ((s, d) => {
       val base = docs(s, d)

@@ -330,6 +330,26 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
+  /** doc_id, cluster_id, quality, keep — quality-aware canonical selection
+    * over near-dup clusters (RefinedWeb/FineWeb practice: when a near-dup
+    * cluster collapses to one survivor, keep the HIGHEST-QUALITY member,
+    * not an arbitrary one). Canonical = argmax over (rounded quality,
+    * lowest doc_id tie-break) via a struct max — per the suite's argmin/
+    * argmax convention, only ROUNDED values are ever compared, so
+    * summation-order fp noise cannot flip a winner. One groupBy per
+    * cluster plus one co-keyed join; clusters come from [[clusters]]. */
+  def clusterKeepBest(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val cl = clusters(docs, threshold)
+    val q = graft.operators.TextStats.quality(docs).select(col("doc_id"), col("quality"))
+    val joined = cl.join(q, "doc_id")
+    val canon = joined.groupBy("cluster_id")
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("c"))
+      .select(col("cluster_id"), (-col("c.nid")).as("keep_doc"))
+    joined.join(canon, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        (col("doc_id") === col("keep_doc")).as("keep"))
+  }
+
   /** doc_id, fingerprint — min over rolling 5-gram polynomial hashes of token
     * ids (Karp–Rabin style); docs shorter than 5 tokens are skipped.
     * Token id = Hash60 mod RollP, so the widest intermediate product

@@ -1021,9 +1021,10 @@ object OracleSql {
 
   /** Connected components in SQL: transitive reachability over the
     * confirmed-Jaccard pair graph (recursive CTE with set-union semantics
-    * terminates on the cyclic graph), cluster = min reachable id. */
-  val dedupClusters: String =
-    s"""WITH RECURSIVE $tokCte,
+    * terminates on the cyclic graph), cluster = min reachable id.
+    * Shared by dedup_clusters and dedup_keep_best. */
+  private val clusterCtes: String =
+    s"""$tokCte,
        |$minhashCtes,
        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY 1),
        |inter AS (
@@ -1044,9 +1045,35 @@ object OracleSql {
        |  SELECT s AS id, d AS r FROM e
        |  UNION
        |  SELECT reach.id, e2.d FROM reach JOIN e e2 ON reach.r = e2.s),
-       |clus AS (SELECT id, least(id, min(r)) AS cid FROM reach GROUP BY id)
-       |SELECT d.doc_id, CAST(coalesce(c.cid, d.doc_id) AS BIGINT) AS cluster_id
-       |FROM documents d LEFT JOIN clus c ON d.doc_id = c.id""".stripMargin
+       |clus AS (SELECT id, least(id, min(r)) AS cid FROM reach GROUP BY id),
+       |cl AS (SELECT d.doc_id, CAST(coalesce(c.cid, d.doc_id) AS BIGINT) AS cluster_id
+       |  FROM documents d LEFT JOIN clus c ON d.doc_id = c.id)""".stripMargin
+
+  val dedupClusters: String =
+    s"""WITH RECURSIVE $clusterCtes
+       |SELECT doc_id, cluster_id FROM cl""".stripMargin
+
+  /** Dedup.clusterKeepBest twin: per-cluster argmax over (rounded quality,
+    * lowest doc_id) marks the surviving member. */
+  val dedupKeepBest: String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |fq AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       |    CAST($stopCountSql AS BIGINT) AS n_stop
+       |  FROM documents),
+       |kq AS (SELECT doc_id,
+       |    floor((least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+       |      * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |      * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS quality
+       |  FROM fq),
+       |rk AS (SELECT cl.cluster_id, cl.doc_id, kq.quality,
+       |    row_number() OVER (PARTITION BY cl.cluster_id ORDER BY kq.quality DESC, cl.doc_id) AS rn
+       |  FROM cl JOIN kq USING (doc_id)),
+       |canon AS (SELECT cluster_id, doc_id AS keep_doc FROM rk WHERE rn = 1)
+       |SELECT r.doc_id, r.cluster_id, r.quality, r.doc_id = c2.keep_doc AS keep
+       |FROM rk r JOIN canon c2 USING (cluster_id)""".stripMargin
 
   /** Shared fingerprint CTE chain for the SimHash queries (`f` = doc_id,
     * simhash). */
@@ -1749,6 +1776,7 @@ object OracleSql {
     // identity kernel child ⇒ same rows as the build→parse round trip
     "dep_parse_kernel" -> conlluTokens,
     "annotation_batch" -> annotationBatch,
+    "dedup_keep_best" -> dedupKeepBest,
     "tokens" -> tokens,
     "sentences" -> sentences,
     "doc_filter" -> docFilter,
