@@ -258,6 +258,11 @@ object SparkEntry {
       Relational.q16PartSuppliers(Tables.part(s, d), Tables.lineitem(s, d), Tables.supplier(s, d))),
     "q18_large_orders" -> ((s, d) =>
       Relational.q18LargeOrders(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q10_returns" -> ((s, d) =>
+      Relational.q10Returns(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.nation(s, d))),
+    "q14_promo" -> ((s, d) =>
+      Relational.q14Promo(Tables.lineitem(s, d), Tables.part(s, d))),
     "skew_join" -> ((s, d) => {
       // salted equi-join (8-way key scatter) must produce exactly the plain
       // join's aggregate — the oracle is the unsalted join

@@ -60,22 +60,28 @@ object Exports {
     * standoff back into its document model (corpora/craft,
     * relation_extraction/BratToBertConverter.java readAnnotationFiles); this
     * is that import surface: T lines give the span + covered text, N lines
-    * bind each T to its ontology id, joined equi on (doc_id, t_num) — all
-    * row-local string splits, one narrow join. */
+    * bind each T to its ontology id. A single-pass pivot — both line kinds
+    * project a common (doc_id, tid) key and ONE aggregation folds each
+    * T/N pair onto a row — rather than a T×N self-join, which would
+    * compute the upstream line stream twice and shuffle both branches;
+    * the pivot is one map-side-combinable shuffle. Requiring both halves
+    * (the WHERE) is the inner join's semantics. */
   def bratImport(brat: DataFrame): DataFrame = {
     val parts = split(col("line"), "\t")
-    val parsed = brat.select(col("doc_id"), parts.getItem(0).as("tag"),
-      parts.getItem(1).as("mid"), parts.getItem(2).as("txt"))
-    val t = parsed.where(col("tag").startsWith("T"))
-      .select(col("doc_id"), substring(col("tag"), 2, 18).cast("long").as("t_num"),
-        split(col("mid"), " ").getItem(1).cast("long").as("char_start"),
-        split(col("mid"), " ").getItem(2).cast("long").as("char_end"),
-        col("txt").as("tok"))
-    val n = parsed.where(col("tag").startsWith("N"))
-      .select(col("doc_id").as("n_doc_id"),
-        substring(split(col("mid"), " ").getItem(1), 2, 18).cast("long").as("n_t_num"),
-        split(col("mid"), " ").getItem(2).as("concept_id"))
-    t.join(n, col("doc_id") === col("n_doc_id") && col("t_num") === col("n_t_num"))
+    val isT = col("tag").startsWith("T")
+    val mid = split(col("mid"), " ")
+    brat.select(col("doc_id"), parts.getItem(0).as("tag"),
+        parts.getItem(1).as("mid"), parts.getItem(2).as("txt"))
+      .withColumn("tid",
+        when(isT, substring(col("tag"), 2, 18).cast("long"))
+          .otherwise(substring(mid.getItem(1), 2, 18).cast("long")))
+      .groupBy("doc_id", "tid")
+      .agg(
+        max(when(isT, mid.getItem(1).cast("long"))).as("char_start"),
+        max(when(isT, mid.getItem(2).cast("long"))).as("char_end"),
+        max(when(isT, col("txt"))).as("tok"),
+        max(when(!isT, mid.getItem(2))).as("concept_id"))
+      .where(col("concept_id").isNotNull && col("char_start").isNotNull)
       .select(col("doc_id"), col("concept_id"), col("char_start"), col("char_end"), col("tok"))
   }
 

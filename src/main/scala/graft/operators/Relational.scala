@@ -57,6 +57,41 @@ object Relational {
       .agg(Num.r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
         count(lit(1)).as("n_items"))
 
+  /** TPC-H Q10-shaped: returned-item revenue per customer for one quarter,
+    * top 20. Fact filtered at the scan (returnflag + order-date pushdown
+    * through the join), dims broadcast, one shuffle on the fact, then a
+    * top-k cut (TakeOrderedAndProject — never a global sort). */
+  def q10Returns(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                 nation: DataFrame): DataFrame =
+    lineitem.where(col("l_returnflag") === "R")
+      .join(orders.select("o_orderkey", "o_custkey", "o_orderdate")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(Num.r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q14-shaped: promo revenue share for one month — broadcast part
+    * join + one conditional aggregate; the whole query is one partial-agg
+    * shuffle of a single row per partition. */
+  def q14Promo(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    lineitem
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+      .join(broadcast(part.select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(Num.r6(
+        sum(when(col("p_type").startsWith("PROMO"), disc).otherwise(lit(0.0))) * lit(100.0)
+          / sum(disc)).as("promo_revenue"))
+  }
+
   /** Tumbling 1h windows per event type: hour_bucket (ns-epoch / 3600e9). */
   def eventsHourly(events: DataFrame): DataFrame =
     events

@@ -853,6 +853,29 @@ object OracleSql {
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey""".stripMargin
 
+  val q10Returns: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  floor((sum(l_extendedprice * (1.0 - l_discount))) * 100 + 0.5) / 100 AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  val q14Promo: String =
+    """SELECT floor((sum(CASE WHEN p_type LIKE 'PROMO%'
+      |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) * 100.0
+      |    / sum(l_extendedprice * (1.0 - l_discount))) * 1000000 + 0.5) / 1000000 AS promo_revenue
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""".stripMargin
+
   /** The salted join must aggregate identically to the plain join. */
   val skewJoin: String =
     """SELECT o_orderpriority, sum(l_quantity) AS sum_qty, CAST(count(*) AS BIGINT) AS n_items
@@ -1860,6 +1883,8 @@ object OracleSql {
     "export_flat" -> exportFlat,
     "q1_pricing" -> q1Pricing,
     "q3_top_orders" -> q3TopOrders,
+    "q10_returns" -> q10Returns,
+    "q14_promo" -> q14Promo,
     "q5_region_revenue" -> q5RegionRevenue,
     "q7_volume" -> q7Volume,
     "q16_part_suppliers" -> q16PartSuppliers,
