@@ -66,7 +66,17 @@ object Bpe {
         .otherwise(array_append(acc.getField("out"), acc.getField("prev"))))
   }
 
-  /** Learn `k` merges; returns them in order. */
+  /** Learn `k` merges; returns them in order.
+    *
+    * The driver-paced O(k) round structure (one 1-row argmax collect +
+    * one localCheckpoint per round) is inherent to BPE — merge i+1's pair
+    * counts depend on merge i having been applied, so 30k merges means
+    * 30k sequential rounds in ANY engine. What makes production tokenizer
+    * training tractable is not parallelizing the rounds but shrinking the
+    * per-round work: the corpus collapses once to the frequency-weighted
+    * DISTINCT-WORD table (vocabulary-sized, not corpus-sized), and every
+    * round's pair count, argmax, and merge fold run over that, so round
+    * cost is O(|vocab|) regardless of corpus bytes. */
   def learnMerges(docs: DataFrame, k: Int = 8): Seq[(String, String)] = {
     var words = wordTable(docs).localCheckpoint()
     val merges = Seq.newBuilder[(String, String)]
