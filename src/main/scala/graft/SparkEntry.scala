@@ -334,11 +334,16 @@ object SparkEntry {
         length(col("text")).cast("long").as("text_len"))
     }),
     "zorder_key" -> ((s, d) => Layout.zorderKey(docs(s, d))),
-    // rows-only driver check: deflate has no DuckDB twin (spec-pinned instead)
+    // the zlib ratio has no DuckDB twin, so the ratio column is staged once
+    // and the oracle checks the both-tails gate derivation over it
     "compression_quality" -> ((s, d) => TextStats.compressionQualityStaged(docs(s, d), d)),
-    // rows-only driver check: the K-round merge trajectory has no practical
-    // DuckDB replay (spec-pinned: hand-computed merges + determinism)
+    // oracle = bracket-encoded 8-round SQL replay of the merge trajectory
     "bpe_merges" -> ((s, d) => Bpe.merges(docs(s, d))),
+    // apply the learned merges back to the corpus: per-doc BPE token counts
+    "bpe_encode" -> ((s, d) => {
+      val dd = docs(s, d)
+      Bpe.encodeCounts(dd, Bpe.learnMerges(dd))
+    }),
     "tsv_roundtrip" -> ((s, d) => {
       // the reference's export interchange IS header'd TSV (TextIO loads);
       // round-trip documents through Sinks.tsv and the csv reader with an

@@ -1765,9 +1765,12 @@ object OracleSql {
     * tie-break (count DESC, then lexicographic a, b) matches Bpe.learnMerges.
     * Bracket chars are the ASCII unit/record separators, absent from any
     * tokenizable text. */
-  val bpeMergesSql: String = {
-    val S = "chr(31)"; val E = "chr(30)"
-    val k = 8
+  private val bpeS = "chr(31)"; private val bpeE = "chr(30)"
+  private val bpeK = 8
+
+  /** w0..w{k} round CTE chain shared by bpe_merges and bpe_encode. */
+  private val bpeRoundCtes: String = {
+    val S = bpeS; val E = bpeE
     val w0 =
       s"""w0 AS (
          |  SELECT word, CAST(count(*) AS BIGINT) AS n,
@@ -1775,7 +1778,7 @@ object OracleSql {
          |      || $S || '${graft.operators.Bpe.EndMarker}' || $E AS enc
          |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
          |  GROUP BY word)""".stripMargin
-    val rounds = (0 until k).map { r =>
+    val rounds = (0 until bpeK).map { r =>
       s"""p$r AS (
          |  SELECT syms[i] AS a, syms[i+1] AS b, sum(n) AS cnt FROM (
          |    SELECT n, syms, CAST(unnest(range(1, len(syms))) AS INT) AS i FROM (
@@ -1786,14 +1789,34 @@ object OracleSql {
          |  replace(enc, $S || t.a || $E || $S || t.b || $E, $S || t.a || t.b || $E) AS enc
          |  FROM w$r, t$r t)""".stripMargin
     }
-    val sel = (0 until k)
+    (w0 +: rounds).mkString(",\n")
+  }
+
+  val bpeMergesSql: String = {
+    val sel = (0 until bpeK)
       .map(r => s"""SELECT CAST(${r + 1} AS BIGINT) AS merge_ord, a AS "left", b AS "right" FROM t$r""")
       .mkString(" UNION ALL ")
-    (w0 +: rounds).mkString("WITH ", ",\n", "\n") + sel
+    s"WITH $bpeRoundCtes\n$sel"
   }
+
+  /** Bpe.encodeCounts twin: the k-round trajectory's final per-word symbol
+    * count, replayed once over the distinct-word table and joined back to
+    * each document's word stream (the fold is deterministic per word, so
+    * per-occurrence fold ≡ per-word fold × occurrences). */
+  val bpeEncodeSql: String =
+    // NB: no outer stripMargin over the interpolated CTE chain — it would
+    // re-strip the chain's own `||` continuation lines
+    s"WITH $bpeRoundCtes,\n" +
+      s"""wf AS (SELECT word,
+         |    CAST(len(string_split(substr(enc, 2, length(enc) - 2), $bpeE || $bpeS)) AS BIGINT) AS n_syms
+         |  FROM w$bpeK),
+         |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
+         |FROM dw JOIN wf USING (word) GROUP BY doc_id""".stripMargin
 
   val all: Map[String, String] = Map(
     "bpe_merges" -> bpeMergesSql,
+    "bpe_encode" -> bpeEncodeSql,
     "ner_bert_import" -> nerBertImport,
     "sentence_cooccur_export" -> sentenceCooccurExport,
     // identity kernel child ⇒ same rows as the build→parse round trip
