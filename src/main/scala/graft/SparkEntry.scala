@@ -155,6 +155,7 @@ object SparkEntry {
     "streaming_concepts" -> ((s, d) => graft.streaming.DocStreams.conceptsViaStream(s, d)),
     "streaming_cooccur" -> ((s, d) => graft.streaming.DocStreams.cooccurViaStream(s, d)),
     "streaming_upsert" -> ((s, d) => graft.streaming.DocStreams.upsertViaStream(s, d)),
+    "streaming_quality" -> ((s, d) => graft.streaming.DocStreams.qualityFilterViaStream(s, d)),
     "brat_import" -> ((s, d) => Exports.bratImport(Exports.brat(pp(s, d)))),
     "bionlp_source" -> ((s, d) => {
       // round-trip through the standoff storage layout: export → per-doc

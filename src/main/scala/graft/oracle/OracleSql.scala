@@ -1955,6 +1955,8 @@ object OracleSql {
     "quality_score" -> qualityScore,
     "repetition_stats" -> repetitionStats,
     "quality_filter" -> qualityFilter,
+    // streaming pass is stateless ⇒ identical to the batch gate
+    "streaming_quality" -> qualityFilter,
     "training_pipeline" -> trainingPipeline,
     "multimodal_meta" -> multimodalMeta)
 }

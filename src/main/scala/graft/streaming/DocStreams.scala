@@ -94,6 +94,41 @@ object DocStreams {
       OutputMode.Complete())
   }
 
+  /** The rule-based quality gate (TextStats.qualityFilter) executed by the
+    * real streaming engine at ingest. The batch path derives trigram
+    * repetition via doc-partitioned `lead()` windows — not streaming-legal —
+    * so here every statistic is row-local over the token ARRAY (trigrams by
+    * indexed transform, stopword count by filter), and the gate runs
+    * append-mode stateless; emitted rows equal the batch qualityFilter and
+    * share its DuckDB oracle. Same rounding discipline: ratios go through
+    * the 6dp grain BEFORE threshold comparison, so the gate can never
+    * disagree with the batch/oracle decision on a boundary. */
+  def qualityFilterViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{ConceptDict, Num}
+    val stops = ConceptDict.stopwords
+    val gated = stagedDocsStream(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("tris", expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 0)), i -> " +
+          "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"))
+      .withColumn("n_trigrams", greatest(size(col("toks")) - 2, lit(0)).cast("long"))
+      .withColumn("ndt", size(array_distinct(col("tris"))).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isInCollection(stops))).cast("long"))
+      .where(col("n_trigrams") > 0)
+      .withColumn("dup_trigram_ratio",
+        Num.r6(lit(1.0) - col("ndt").cast("double") / col("n_trigrams").cast("double")))
+      .withColumn("stop_ratio",
+        Num.r6(col("n_stop").cast("double") / col("n_tokens").cast("double")))
+      .withColumn("too_short", col("n_tokens") < 20)
+      .withColumn("too_repetitive", col("dup_trigram_ratio") > 0.55)
+      .withColumn("too_stoppy", col("stop_ratio") > 0.12)
+      .select(col("doc_id"), col("too_short"), col("too_repetitive"), col("too_stoppy"),
+        (!col("too_short") && !col("too_repetitive") && !col("too_stoppy")).as("keep"))
+    EventStreams.runToFiles(gated)
+  }
+
   /** Streaming corpus upsert — the reference's incremental update pipeline
     * (update/UpdateMedlineEntitiesPipeline) as continuous ingestion: update
     * documents stream through a real exactly-once parquet file sink (the
