@@ -92,6 +92,36 @@ object Relational {
           / sum(disc)).as("promo_revenue"))
   }
 
+  /** Ordered-funnel analysis (view → click → purchase): how far each user
+    * progresses through a strictly time-ordered step sequence, aggregated
+    * to users-per-step — the product-analytics companion to
+    * sessionization (F5) and retention (F9). ONE shuffle: events group to
+    * their user, the per-user event array sorts row-locally, and a
+    * higher-order fold walks it advancing a (step, time) accumulator —
+    * never a per-step join chain (k steps would mean k event-table
+    * shuffles) and never a corpus-wide sort. Steps advance on STRICTLY
+    * later µs timestamps, so same-instant events cannot satisfy two
+    * steps; the fold only compares times, so the (tus, event_id) sort
+    * tie-break cannot change the outcome. */
+  /** Funnel window end: 2024-01-04T00:00:00Z in raw epoch-ns (the events
+    * table spans a month; a bounded window makes the funnel discriminate —
+    * unbounded, every user completes all three steps). */
+  val FunnelCutoffNs: Long = 1704326400000000000L
+
+  def eventsFunnel(events: DataFrame): DataFrame =
+    events.where(col("ts") < lit(FunnelCutoffNs))
+      .select(col("user_id"),
+        struct(expr("(ts div 1000)").as("tus"), col("event_id"),
+          col("event_type").as("et")).as("ev"))
+      .groupBy("user_id").agg(array_sort(collect_list(col("ev"))).as("evs"))
+      .withColumn("step", expr(
+        "aggregate(evs, struct(0 AS s, CAST(-1 AS BIGINT) AS t), (acc, e) -> " +
+          "CASE WHEN acc.s = 0 AND e.et = 'view' THEN struct(1 AS s, e.tus AS t) " +
+          "WHEN acc.s = 1 AND e.et = 'click' AND e.tus > acc.t THEN struct(2 AS s, e.tus AS t) " +
+          "WHEN acc.s = 2 AND e.et = 'purchase' AND e.tus > acc.t THEN struct(3 AS s, e.tus AS t) " +
+          "ELSE acc END, acc -> acc.s)").cast("long"))
+      .groupBy("step").agg(count(lit(1)).as("n_users"))
+
   /** Tumbling 1h windows per event type: hour_bucket (ns-epoch / 3600e9). */
   def eventsHourly(events: DataFrame): DataFrame =
     events

@@ -882,6 +882,31 @@ object OracleSql {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
 
+  /** Relational.eventsFunnel twin: the engine's sorted-array fold is
+    * equivalent to the first-view / first-later-click / first-later-purchase
+    * min chain (the fold only ever compares µs times, and "first eligible in
+    * sorted order" = "min over eligible"). */
+  val eventsFunnel: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+      |  WHERE ts < TIMESTAMP '2024-01-04 00:00:00'),
+      |u AS (SELECT DISTINCT user_id FROM e),
+      |v AS (SELECT user_id, min(tus) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(tus) AS t2
+      |  FROM e JOIN v USING (user_id)
+      |  WHERE event_type = 'click' AND tus > v.t1 GROUP BY 1),
+      |p AS (SELECT e.user_id, min(tus) AS t3
+      |  FROM e JOIN c USING (user_id)
+      |  WHERE event_type = 'purchase' AND tus > c.t2 GROUP BY 1)
+      |SELECT step, CAST(count(*) AS BIGINT) AS n_users FROM (
+      |  SELECT u.user_id,
+      |    CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+      |         WHEN c.user_id IS NOT NULL THEN 2
+      |         WHEN v.user_id IS NOT NULL THEN 1
+      |         ELSE 0 END AS BIGINT) AS step
+      |  FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+      |    LEFT JOIN p USING (user_id))
+      |GROUP BY step""".stripMargin
+
   /** Same tie rule as the engine: candidate refs are those strictly before
     * the left row in (tus, event_id) order; pick the last one. */
   val eventsAsof: String =
@@ -1908,6 +1933,7 @@ object OracleSql {
     "q3_top_orders" -> q3TopOrders,
     "q10_returns" -> q10Returns,
     "q14_promo" -> q14Promo,
+    "events_funnel" -> eventsFunnel,
     "q5_region_revenue" -> q5RegionRevenue,
     "q7_volume" -> q7Volume,
     "q16_part_suppliers" -> q16PartSuppliers,
