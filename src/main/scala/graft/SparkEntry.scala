@@ -371,6 +371,8 @@ object SparkEntry {
     "emb_topk_native" -> ((s, d) => Embeddings.cosineTopKNative(Tables.embeddings(s, d))),
     "emb_lsh" -> ((s, d) => Embeddings.lshBuckets(Tables.embeddings(s, d))),
     "pq_codes" -> ((s, d) => Embeddings.pqCodes(Tables.embeddings(s, d))),
+    "sq_codes" -> ((s, d) => Embeddings.sqCodes(Tables.embeddings(s, d))),
+    "sq_topk" -> ((s, d) => Embeddings.sqTopK(Tables.embeddings(s, d))),
     "kmeans_cells" -> ((s, d) => Embeddings.kmeansCells(Tables.embeddings(s, d))),
     "pq_topk" -> ((s, d) => Embeddings.pqTopK(Tables.embeddings(s, d))),
     "emb_dup_pairs" -> ((s, d) => Embeddings.dupPairs(Tables.embeddings(s, d))),

@@ -200,6 +200,62 @@ object Embeddings {
       .select("query_id", "rank", "neighbor_id", "adc_dist")
   }
 
+  /** vec_id, mn, scale, code_key — int8 SCALAR quantization (SQ8): each
+    * vector stores a per-vector (min, scale) pair plus one byte per
+    * dimension, a 4× cut over float32 that keeps per-dimension structure
+    * (unlike PQ's subspace codebooks) and needs no training artifact. The
+    * quantizer is pure column algebra — array_min/max for the range,
+    * floor(x+0.5) for the code — all codegen'd built-ins. Codes serialize
+    * as the same '|'-joined key as pq_codes. */
+  def sqCodes(embeddings: DataFrame): DataFrame = {
+    val e = asDouble(col("embedding"))
+    // raw range stats keep distinct names (mn0/scale0): the code transform
+    // must quantize against the UNROUNDED stats while the output carries
+    // 6dp-rounded ones, and a same-name sibling alias would capture the
+    // rounded value inside the lambda
+    embeddings.select(col("vec_id"),
+        array_min(e).as("mn0"),
+        ((array_max(e) - array_min(e)) / lit(255.0)).as("scale0"),
+        e.as("e"))
+      .select(col("vec_id"), Num.r6(col("mn0")).as("mn"), Num.r6(col("scale0")).as("scale"),
+        array_join(transform(col("e"),
+          x => when(col("scale0") === 0.0, lit(0L))
+            .otherwise(floor((x - col("mn0")) / col("scale0") + lit(0.5)).cast("long"))
+        ).cast("array<string>"), "|").as("code_key"))
+  }
+
+  /** query_id, rank, neighbor_id, cosine — ANN over SQ8-RECONSTRUCTED
+    * neighbors with exact queries (asymmetric, like ADC): each neighbor
+    * is rebuilt as mn + code·scale inside the plan, so the scan carries
+    * 1-byte codes instead of float vectors and the full-precision query
+    * keeps the accuracy. Same broadcast-Q × streamed-N shape as
+    * cosineTopK; rounded-cosine + id tie-break ranking. Unlike PQ there
+    * is no codebook to fit, so recall degrades only with the per-vector
+    * dynamic range. */
+  def sqTopK(embeddings: DataFrame, numQueries: Int = 8, k: Int = 5): DataFrame = {
+    val e = asDouble(col("embedding"))
+    val recon = embeddings.select(col("vec_id").as("neighbor_id"),
+        array_min(e).as("mn"),
+        ((array_max(e) - array_min(e)) / lit(255.0)).as("scale"),
+        e.as("e"))
+      .select(col("neighbor_id"), col("mn"), col("scale"),
+        transform(col("e"),
+          x => when(col("scale") === 0.0, lit(0L))
+            .otherwise(floor((x - col("mn")) / col("scale") + lit(0.5)).cast("long"))).as("codes"))
+      .select(col("neighbor_id"),
+        transform(col("codes"), c => col("mn") + c.cast("double") * col("scale")).as("ne"))
+    val q = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+    broadcast(q).crossJoin(recon)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Num.r6(cosine(col("qe"), col("ne"))).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   // ---------- k-means codebook training ----------
 
   /** Lloyd's k-means over the embedding column — the TRAINING step whose

@@ -1179,6 +1179,44 @@ object OracleSql {
       |  FROM s)
       |SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""".stripMargin
 
+  /** Shared SQ8 quantizer CTEs (per-vector min/scale + per-dim codes). */
+  private val sqCtes: String =
+    """ex AS (SELECT vec_id,
+      |    CAST(unnest(range(0, len(embedding))) AS BIGINT) AS dim,
+      |    unnest(CAST(embedding AS DOUBLE[])) AS e
+      |  FROM embeddings),
+      |st AS (SELECT vec_id, min(e) AS mn, (max(e) - min(e)) / 255.0 AS scale
+      |  FROM ex GROUP BY 1),
+      |sqc AS (SELECT ex.vec_id, ex.dim,
+      |    CASE WHEN st.scale = 0 THEN 0
+      |         ELSE CAST(floor((ex.e - st.mn) / st.scale + 0.5) AS BIGINT) END AS code
+      |  FROM ex JOIN st USING (vec_id))""".stripMargin
+
+  val sqCodesSql: String =
+    s"""WITH $sqCtes
+       |SELECT c.vec_id,
+       |  floor(st.mn * 1000000 + 0.5) / 1000000 AS mn,
+       |  floor(st.scale * 1000000 + 0.5) / 1000000 AS scale,
+       |  string_agg(CAST(c.code AS VARCHAR), '|' ORDER BY c.dim) AS code_key
+       |FROM sqc c JOIN st USING (vec_id)
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  val sqTopKSql: String =
+    s"""WITH $sqCtes,
+       |rv AS (SELECT c.vec_id AS neighbor_id,
+       |    list(st.mn + c.code * st.scale ORDER BY c.dim) AS ne
+       |  FROM sqc c JOIN st USING (vec_id) GROUP BY 1),
+       |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+       |  FROM embeddings WHERE vec_id < 8),
+       |s AS (
+       |  SELECT query_id, neighbor_id,
+       |    floor((list_dot_product(qe, ne) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ne, ne)))) * 1000000 + 0.5) / 1000000 AS cosine
+       |  FROM q CROSS JOIN rv WHERE neighbor_id <> query_id),
+       |r AS (SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM s)
+       |SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""".stripMargin
+
   private val hyperplanesSql: String =
     Embeddings.hyperplanes.map { case (p, d, w) => s"($p, $d, $w)" }
       .mkString("(VALUES ", ", ", ") AS hp(plane, dim, w)")
@@ -1974,6 +2012,8 @@ object OracleSql {
     "emb_topk_native" -> embTopK,
     "emb_lsh" -> embLsh,
     "pq_codes" -> pqCodesSql,
+    "sq_codes" -> sqCodesSql,
+    "sq_topk" -> sqTopKSql,
     "kmeans_cells" -> kmeansCellsSql,
     "pq_topk" -> pqTopK,
     "emb_dup_pairs" -> embDupPairs,

@@ -123,4 +123,25 @@ class EmbeddingsSpec extends SparkSpec {
     val top = Embeddings.pqTopK(vs, numQueries = 1, k = 3).orderBy("rank").collect()
     assert(top.head.getAs[Long]("neighbor_id") == 1L)
   }
+
+  test("sq8 reconstruction preserves brute-force rank-1 on the real corpus") {
+    // 8-bit per-dim quantization error (~scale/2 per dim) barely perturbs a
+    // 64-dim cosine — rank-1 agreement with the exact scan is the cheap,
+    // deterministic stand-in for a recall sweep
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def rank1(df: org.apache.spark.sql.DataFrame) =
+      df.where(org.apache.spark.sql.functions.col("rank") === 1)
+        .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val brute = rank1(Embeddings.cosineTopK(emb))
+    val sq = rank1(Embeddings.sqTopK(emb))
+    val agree = brute.keys.count(q => sq.get(q) == brute.get(q))
+    assert(agree >= brute.size - 1, s"rank-1 agreement $agree/${brute.size}")
+  }
+
+  test("sq codes: an exact duplicate reconstructs to the query's own quantized vector (rank 1)") {
+    val dim = Embeddings.EmbDim
+    val vs = vecs(Seq(unit(dim, 3), unit(dim, 3), unit(dim, 7), unit(dim, 11)))
+    val top = Embeddings.sqTopK(vs, numQueries = 1, k = 3).orderBy("rank").collect()
+    assert(top.head.getAs[Long]("neighbor_id") == 1L)
+  }
 }
