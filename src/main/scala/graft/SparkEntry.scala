@@ -156,6 +156,7 @@ object SparkEntry {
     "streaming_cooccur" -> ((s, d) => graft.streaming.DocStreams.cooccurViaStream(s, d)),
     "streaming_upsert" -> ((s, d) => graft.streaming.DocStreams.upsertViaStream(s, d)),
     "streaming_quality" -> ((s, d) => graft.streaming.DocStreams.qualityFilterViaStream(s, d)),
+    "streaming_funnel" -> ((s, d) => graft.streaming.EventStreams.funnelViaStream(s, d)),
     "brat_import" -> ((s, d) => Exports.bratImport(Exports.brat(pp(s, d)))),
     "bionlp_source" -> ((s, d) => {
       // round-trip through the standoff storage layout: export → per-doc
@@ -394,6 +395,13 @@ object SparkEntry {
         .where(col("sent_id") === 0 && pmod(col("doc_id"), lit(50L)) === 0)
         .select(col("doc_id").as("eval_id"), col("sent_text"))
       TextStats.decontaminate(base, eval, "eval_id", "sent_text")
+    }),
+    "contamination_report" -> ((s, d) => {
+      val base = docs(s, d)
+      val eval = TextOps.sentences(base)
+        .where(col("sent_id") === 0 && pmod(col("doc_id"), lit(50L)) === 0)
+        .select(col("doc_id").as("eval_id"), col("sent_text"))
+      TextStats.contaminationReport(base, eval, "eval_id", "sent_text")
     }),
     "decontaminate_bloom" -> ((s, d) => {
       val base = docs(s, d)

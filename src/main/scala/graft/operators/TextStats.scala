@@ -395,6 +395,25 @@ object TextStats {
   }
 
   /** (corpus distinct bigrams keyed by doc, eval distinct bigrams). */
+  /** doc_id, n_bigrams, n_overlapping_bigrams, overlap_fraction — the
+    * thresholdable report behind [[decontaminate]]'s any-hit count:
+    * production pipelines drop documents above an overlap FRACTION
+    * (n-gram-contamination share), so the gate needs the denominator and
+    * the clean documents too (left join, fraction 0). Same broadcast
+    * eval side and single corpus scan as the boolean path. */
+  def contaminationReport(docs: DataFrame, evalTexts: DataFrame,
+                          evalIdCol: String, evalTextCol: String): DataFrame = {
+    val (docBg, evalBg) = bigramSides(docs, evalTexts, evalIdCol, evalTextCol)
+    val counts = docBg.groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"))
+    val overlap = docBg.join(broadcast(evalBg), "bigram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    counts.join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_overlapping_bigrams"),
+        Num.r6(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_bigrams").cast("double")).as("overlap_fraction"))
+  }
+
   private def bigramSides(docs: DataFrame, evalTexts: DataFrame,
                           evalIdCol: String, evalTextCol: String): (DataFrame, DataFrame) = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("ord")

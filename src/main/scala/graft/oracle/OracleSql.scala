@@ -1610,6 +1610,28 @@ object OracleSql {
        |SELECT db.doc_id, CAST(count(*) AS BIGINT) AS n_overlapping_bigrams
        |FROM db JOIN eb USING (bigram) GROUP BY 1""".stripMargin
 
+  /** TextStats.contaminationReport twin: decontaminate's CTEs plus the
+    * per-doc denominator and a clean-docs-preserving left join. */
+  val contaminationReport: String =
+    s"""WITH $tokCte,
+       |db0 AS (SELECT doc_id, tok, lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS t2 FROM tok),
+       |db AS (SELECT DISTINCT doc_id, tok || ' ' || t2 AS bigram FROM db0 WHERE t2 IS NOT NULL),
+       |ev AS (SELECT doc_id AS eval_id, string_agg(tok, ' ' ORDER BY ord) AS sent_text
+       |  FROM tok WHERE (ord - 1) // $W = 0 AND doc_id % 50 = 0 GROUP BY doc_id),
+       |et AS (SELECT eval_id,
+       |    unnest(string_split(sent_text, ' ')) AS tok,
+       |    CAST(unnest(range(1, len(string_split(sent_text, ' ')) + 1)) AS BIGINT) AS pos
+       |  FROM ev),
+       |eb0 AS (SELECT eval_id, tok, lead(tok, 1) OVER (PARTITION BY eval_id ORDER BY pos) AS t2 FROM et),
+       |eb AS (SELECT DISTINCT tok || ' ' || t2 AS bigram FROM eb0 WHERE t2 IS NOT NULL),
+       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams FROM db GROUP BY 1),
+       |hit AS (SELECT db.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM db JOIN eb USING (bigram) GROUP BY 1)
+       |SELECT cnt.doc_id, cnt.n_bigrams,
+       |  coalesce(hit.n_hits, 0) AS n_overlapping_bigrams,
+       |  floor((CAST(coalesce(hit.n_hits, 0) AS DOUBLE) / CAST(cnt.n_bigrams AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS overlap_fraction
+       |FROM cnt LEFT JOIN hit ON cnt.doc_id = hit.doc_id""".stripMargin
+
   val tokenPacking: String =
     s"""WITH $tokCte,
        |sent AS (SELECT doc_id, (ord - 1) // $W AS sent_id, CAST(count(*) AS BIGINT) AS n_tokens
@@ -1945,6 +1967,7 @@ object OracleSql {
     "unigram_logprob" -> unigramLogprob,
     "doc_sample" -> docSample,
     "decontaminate" -> decontaminate,
+    "contamination_report" -> contaminationReport,
     "decontaminate_bloom" -> decontaminate,
     "token_packing" -> tokenPacking,
     "events_quantiles" -> eventsQuantiles,
@@ -1972,6 +1995,8 @@ object OracleSql {
     "q10_returns" -> q10Returns,
     "q14_promo" -> q14Promo,
     "events_funnel" -> eventsFunnel,
+    // run-to-completion keyed-state fold ≡ the batch funnel
+    "streaming_funnel" -> eventsFunnel,
     "q5_region_revenue" -> q5RegionRevenue,
     "q7_volume" -> q7Volume,
     "q16_part_suppliers" -> q16PartSuppliers,

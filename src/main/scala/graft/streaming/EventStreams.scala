@@ -158,6 +158,52 @@ object EventStreams {
       .select(col("user_id"), col("l_id").as("view_id"), col("r_id").as("click_id"), col("lag_us"))
   }
 
+  case class StepEvent(user_id: Long, tus: Long, event_id: Long, event_type: String)
+  case class StepState(step: Int, t: Long)
+  case class UserStep(user_id: Long, step: Long)
+
+  /** Incremental ordered-funnel state (streaming dual of
+    * Relational.eventsFunnel): per-user keyed state carries (step,
+    * last-advance time) and each micro-batch folds its arrivals in
+    * (tus, event_id) order — the same strictly-later-timestamp advance
+    * rule as batch, so run-to-completion equals the batch fold. The step
+    * is monotone, so downstream takes max(step) per user regardless of
+    * how many batches emitted progress rows. */
+  def funnelSteps(events: Dataset[StepEvent]): Dataset[UserStep] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[StepState, UserStep](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[StepState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.tus, e.event_id))
+          var s = state.getOption.getOrElse(StepState(0, -1L))
+          for (e <- sorted) {
+            s = (s.step, e.event_type) match {
+              case (0, "view") => StepState(1, e.tus)
+              case (1, "click") if e.tus > s.t => StepState(2, e.tus)
+              case (2, "purchase") if e.tus > s.t => StepState(3, e.tus)
+              case _ => s
+            }
+          }
+          state.update(s)
+          Iterator.single(UserStep(uid, s.step.toLong))
+      }
+  }
+
+  /** Funnel progression through the real streaming engine; the per-step
+    * user counts aggregate over the emitted progress log (max per user —
+    * monotone), matching the batch events_funnel oracle. */
+  def funnelViaStream(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = stagedEventsStream(spark, sfDir)
+      .where(unix_micros(col("ts")) * 1000 < graft.operators.Relational.FunnelCutoffNs)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), col("event_type")).as[StepEvent]
+    runToFiles(funnelSteps(ev).toDF())
+      .groupBy("user_id").agg(max("step").as("step"))
+      .groupBy("step").agg(count(lit(1)).as("n_users"))
+  }
+
   case class Event(user_id: Long, ts: Timestamp, value: Double)
   case class SessionUpdate(user_id: Long, session_start_ms: Long, session_end_ms: Long,
                            n_events: Long, sum_value: Double)
