@@ -374,6 +374,7 @@ object SparkEntry {
     "pq_codes" -> ((s, d) => Embeddings.pqCodes(Tables.embeddings(s, d))),
     "sq_codes" -> ((s, d) => Embeddings.sqCodes(Tables.embeddings(s, d))),
     "sq_topk" -> ((s, d) => Embeddings.sqTopK(Tables.embeddings(s, d))),
+    "ivfsq_topk" -> ((s, d) => Embeddings.ivfSqTopK(Tables.embeddings(s, d))),
     "kmeans_cells" -> ((s, d) => Embeddings.kmeansCells(Tables.embeddings(s, d))),
     "pq_topk" -> ((s, d) => Embeddings.pqTopK(Tables.embeddings(s, d))),
     "emb_dup_pairs" -> ((s, d) => Embeddings.dupPairs(Tables.embeddings(s, d))),

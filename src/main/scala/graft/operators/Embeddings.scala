@@ -140,6 +140,35 @@ object Embeddings {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** query_id, rank, neighbor_id, cosine — IVF-SQ8, the production
+    * composite (FAISS's IVF,SQ index shape): IVF cells prune the candidate
+    * set, SQ8 codes stand in for the candidate vectors, and only the
+    * (broadcast) queries stay full-precision. This is the 100 TB ladder
+    * fully assembled — cell-bounded pair generation AND a byte-per-dim
+    * scan — each rung independently oracle-checked (ivf_topk, sq_topk)
+    * and here composed under its own oracle. */
+  def ivfSqTopK(embeddings: DataFrame, numQueries: Int = 8, k: Int = 5,
+                probes: Int = NumProbes): DataFrame = {
+    val ranks = cellRanks(embeddings).persist()
+    val cells = ranks.where(col("rnk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cell"))
+    val qProbe = ranks.where(col("vec_id") < numQueries && col("rnk") <= probes)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val q = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+    val cand = qProbe.join(cells, "cell")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+    cand
+      .join(broadcast(q), "query_id")
+      .join(sqRecon(embeddings), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), Num.r6(cosine(col("qe"), col("ne"))).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   // ---------- Product quantization (Jégou, Douze & Schmid, TPAMI 2011) ----------
   // The 100 TB memory path: a 64-dim float vector (256 B) compresses to
   // PqM 1-byte codes; search scans CODES with an asymmetric (ADC) distance —
@@ -224,17 +253,11 @@ object Embeddings {
         ).cast("array<string>"), "|").as("code_key"))
   }
 
-  /** query_id, rank, neighbor_id, cosine — ANN over SQ8-RECONSTRUCTED
-    * neighbors with exact queries (asymmetric, like ADC): each neighbor
-    * is rebuilt as mn + code·scale inside the plan, so the scan carries
-    * 1-byte codes instead of float vectors and the full-precision query
-    * keeps the accuracy. Same broadcast-Q × streamed-N shape as
-    * cosineTopK; rounded-cosine + id tie-break ranking. Unlike PQ there
-    * is no codebook to fit, so recall degrades only with the per-vector
-    * dynamic range. */
-  def sqTopK(embeddings: DataFrame, numQueries: Int = 8, k: Int = 5): DataFrame = {
+  /** neighbor_id, ne — every vector SQ8-quantized and rebuilt in-plan as
+    * mn + code·scale (what a code-carrying scan materializes at read). */
+  private def sqRecon(embeddings: DataFrame): DataFrame = {
     val e = asDouble(col("embedding"))
-    val recon = embeddings.select(col("vec_id").as("neighbor_id"),
+    embeddings.select(col("vec_id").as("neighbor_id"),
         array_min(e).as("mn"),
         ((array_max(e) - array_min(e)) / lit(255.0)).as("scale"),
         e.as("e"))
@@ -244,9 +267,20 @@ object Embeddings {
             .otherwise(floor((x - col("mn")) / col("scale") + lit(0.5)).cast("long"))).as("codes"))
       .select(col("neighbor_id"),
         transform(col("codes"), c => col("mn") + c.cast("double") * col("scale")).as("ne"))
+  }
+
+  /** query_id, rank, neighbor_id, cosine — ANN over SQ8-RECONSTRUCTED
+    * neighbors with exact queries (asymmetric, like ADC): each neighbor
+    * is rebuilt as mn + code·scale inside the plan, so the scan carries
+    * 1-byte codes instead of float vectors and the full-precision query
+    * keeps the accuracy. Same broadcast-Q × streamed-N shape as
+    * cosineTopK; rounded-cosine + id tie-break ranking. Unlike PQ there
+    * is no codebook to fit, so recall degrades only with the per-vector
+    * dynamic range. */
+  def sqTopK(embeddings: DataFrame, numQueries: Int = 8, k: Int = 5): DataFrame = {
     val q = embeddings.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
-    broadcast(q).crossJoin(recon)
+    broadcast(q).crossJoin(sqRecon(embeddings))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         Num.r6(cosine(col("qe"), col("ne"))).as("cosine"))

@@ -1380,6 +1380,34 @@ object OracleSql {
        |  FROM sc)
        |SELECT query_id, rank, neighbor_id, cosine FROM rk WHERE rank <= 5""".stripMargin
 
+  /** Embeddings.ivfSqTopK twin: the ivf_topk candidate CTEs composed with
+    * the sq_topk reconstruction — raw queries, reconstructed neighbors. */
+  val ivfSqTopK: String =
+    s"""WITH $sqCtes,
+       |s AS (SELECT vec_id, cen.cell, sum(e * cen.w) AS dot, sum(e * e) AS n2,
+       |    sum(CAST(cen.w AS DOUBLE) * CAST(cen.w AS DOUBLE)) AS c2
+       |  FROM ex JOIN $centroidsSql ON ex.dim = cen.dim GROUP BY 1, 2),
+       |r AS (SELECT vec_id, cell,
+       |    CAST(row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY floor((dot / (sqrt(n2) * sqrt(c2))) * 1000000 + 0.5) / 1000000 DESC, cell) AS BIGINT) AS rnk
+       |  FROM s),
+       |cells AS (SELECT vec_id AS neighbor_id, cell FROM r WHERE rnk = 1),
+       |qp AS (SELECT vec_id AS query_id, cell FROM r WHERE vec_id < 8 AND rnk <= ${Embeddings.NumProbes}),
+       |cand AS (SELECT DISTINCT qp.query_id, c.neighbor_id
+       |  FROM qp JOIN cells c USING (cell) WHERE c.neighbor_id <> qp.query_id),
+       |rv AS (SELECT c.vec_id AS neighbor_id,
+       |    list(st.mn + c.code * st.scale ORDER BY c.dim) AS ne
+       |  FROM sqc c JOIN st USING (vec_id) GROUP BY 1),
+       |qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+       |  FROM embeddings WHERE vec_id < 8),
+       |sc AS (SELECT cand.query_id, cand.neighbor_id,
+       |    floor((list_dot_product(q.qe, n.ne) / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(n.ne, n.ne)))) * 1000000 + 0.5) / 1000000 AS cosine
+       |  FROM cand JOIN qv q USING (query_id) JOIN rv n USING (neighbor_id)),
+       |rk AS (SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT query_id, rank, neighbor_id, cosine FROM rk WHERE rank <= 5""".stripMargin
+
   private def stopCountSql: String =
     ConceptDict.stopwords.map(s => s"len(list_filter(string_split(text, ' '), t -> t = '$s'))").mkString(" + ")
 
@@ -2039,6 +2067,7 @@ object OracleSql {
     "pq_codes" -> pqCodesSql,
     "sq_codes" -> sqCodesSql,
     "sq_topk" -> sqTopKSql,
+    "ivfsq_topk" -> ivfSqTopK,
     "kmeans_cells" -> kmeansCellsSql,
     "pq_topk" -> pqTopK,
     "emb_dup_pairs" -> embDupPairs,
