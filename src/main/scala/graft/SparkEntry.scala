@@ -308,6 +308,7 @@ object SparkEntry {
     "dedup_norm" -> ((s, d) => Dedup.normalized(docs(s, d))),
     "span_dedup" -> ((s, d) => Dedup.spanDedup(docs(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(docs(s, d))),
+    "minhash_est" -> ((s, d) => Dedup.minhashEstimate(docs(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(docs(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.clusterKeepBest(docs(s, d))),
     "window_dup" -> ((s, d) => Dedup.windowDupPairs(docs(s, d))),
@@ -416,6 +417,7 @@ object SparkEntry {
     "quality_score" -> ((s, d) => TextStats.quality(docs(s, d))),
     "repetition_stats" -> ((s, d) => TextStats.repetitionStats(docs(s, d))),
     "quality_filter" -> ((s, d) => TextStats.qualityFilter(docs(s, d))),
+    "corpus_stats" -> ((s, d) => TextStats.corpusStats(docs(s, d))),
     "training_pipeline" -> ((s, d) => {
       // the operators COMPOSE: quality gate, keep-canonical exact dedup,
       // and decontamination chain into one surviving-corpus plan (each

@@ -92,8 +92,8 @@ object Dedup {
       .select(col("doc_id"), (Hash60.id(col("shingle")) % MinhashP).as("sid"))
       .distinct()
 
-  /** doc_id, band, band_key — LSH band buckets from MinHash signatures. */
-  def minhashBands(shingleSets: DataFrame): DataFrame = {
+  /** doc_id, j, mh — the raw MinHash signature components. */
+  def minhashValues(shingleSets: DataFrame): DataFrame = {
     val spark = shingleSets.sparkSession
     import spark.implicits._
     val params = broadcast(minhashParams.toDF("j", "a", "b"))
@@ -102,10 +102,35 @@ object Dedup {
       .withColumn("h", (col("a") * col("sid") + col("b")) % MinhashP)
       .groupBy(col("doc_id"), col("j"))
       .agg(min("h").as("mh"))
+  }
+
+  /** doc_id, band, band_key — LSH band buckets from MinHash signatures. */
+  def minhashBands(shingleSets: DataFrame): DataFrame =
+    minhashValues(shingleSets)
       .withColumn("band", (col("j") / RowsPerBand).cast("long"))
       .groupBy("doc_id", "band")
       .agg(Agg.orderedStringAgg(col("j"), col("mh").cast("string"), ",")
         .as("band_key"))
+
+  /** doc_a, doc_b, n_matching_hashes, est_jaccard — signature-based Jaccard
+    * ESTIMATE on the LSH candidates: P[two sets' j-th minhashes agree] = J,
+    * so the matching-component fraction is an unbiased J estimate computed
+    * from 12 longs per doc instead of the full shingle sets. At 100 TB this
+    * is the pruning stage between banding and the exact confirm join
+    * (ngramJaccard) — signatures are what the candidate join already
+    * carries, so estimation adds no extra corpus scan. */
+  def minhashEstimate(docs: DataFrame): DataFrame = {
+    val sets = shingleSets(docs).persist()
+    val mh = minhashValues(sets)
+    minhashCandidatesFrom(sets).select("doc_a", "doc_b")
+      .join(mh.select(col("doc_id").as("doc_a"), col("j"), col("mh").as("ma")), "doc_a")
+      .join(mh.select(col("doc_id").as("doc_b"), col("j").as("jb"), col("mh").as("mb")), "doc_b")
+      .where(col("j") === col("jb"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("n_matching_hashes"))
+      .select(col("doc_a"), col("doc_b"), col("n_matching_hashes"),
+        Num.r6(col("n_matching_hashes").cast("double") / lit(NumHashes.toDouble))
+          .as("est_jaccard"))
   }
 
   /** Cheapest-variant shingle ids: xxhash64 reduced mod P — one codegen'd

@@ -52,6 +52,20 @@ object TextStats {
             * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens").cast("double"))
             * (col("n_distinct").cast("double") / col("n_tokens").cast("double"))).as("quality"))
 
+  /** source, n_docs, n_tokens, n_chars, mean_quality — the per-provenance
+    * "data card" rollup a corpus release ships with (how much of what, at
+    * what quality, from where). One keyed aggregation over the per-doc
+    * quality frame; at 100 TB this is a map-side-combined single shuffle
+    * on the (tiny) source key. */
+  def corpusStats(docs: DataFrame): DataFrame =
+    quality(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("n_chars").as("n_chars"),
+        Num.r6(avg("quality")).as("mean_quality"))
+
   /** PII/noise redaction (training-data scrubbing): digit runs → <NUM>.
     * Pattern kept dialect-neutral (Java regex ≡ RE2 here). */
   def redact(df: DataFrame, textCol: String): DataFrame =

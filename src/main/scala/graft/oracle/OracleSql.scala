@@ -1049,6 +1049,20 @@ object OracleSql {
   val dedupMinhash: String =
     s"WITH $tokCte,\n$minhashCtes\nSELECT doc_a, doc_b, shared_bands FROM cand"
 
+  /** Dedup.minhashEstimate twin: matching-signature-component fraction. */
+  val minhashEstimate: String =
+    s"""WITH $tokCte,
+       |$minhashCtes,
+       |est AS (SELECT c.doc_a, c.doc_b,
+       |    CAST(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_matching_hashes
+       |  FROM cand c
+       |  JOIN mh ma ON ma.doc_id = c.doc_a
+       |  JOIN mh mb ON mb.doc_id = c.doc_b AND ma.j = mb.j
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_matching_hashes,
+       |  floor((CAST(n_matching_hashes AS DOUBLE) / ${Dedup.NumHashes}.0) * 1000000 + 0.5) / 1000000 AS est_jaccard
+       |FROM est""".stripMargin
+
   val ngramJaccard: String =
     s"""WITH $tokCte,
        |$minhashCtes,
@@ -1438,6 +1452,22 @@ object OracleSql {
        |    * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
        |    * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS quality
        |FROM f""".stripMargin
+
+  /** TextStats.corpusStats twin: avg over the per-doc ROUNDED quality. */
+  val corpusStats: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       |    CAST($stopCountSql AS BIGINT) AS n_stop
+       |  FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  floor(avg(floor((least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+       |    * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |    * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))) * 1000000 + 0.5) / 1000000) * 1000000 + 0.5) / 1000000 AS mean_quality
+       |FROM f GROUP BY 1""".stripMargin
 
   private val repCte =
     s"""g AS (SELECT doc_id, tok,
@@ -1996,6 +2026,8 @@ object OracleSql {
     "doc_sample" -> docSample,
     "decontaminate" -> decontaminate,
     "contamination_report" -> contaminationReport,
+    "minhash_est" -> minhashEstimate,
+    "corpus_stats" -> corpusStats,
     "decontaminate_bloom" -> decontaminate,
     "token_packing" -> tokenPacking,
     "events_quantiles" -> eventsQuantiles,
