@@ -41,6 +41,18 @@ class DedupSpec extends SparkSpec {
     assert(jac > 0.5 && jac < 1.0)
   }
 
+  test("minhash estimate is exact 1.0 on identical docs and tracks exact jaccard on near-dups") {
+    val nearDup = base.replace("today", "tonight")
+    val est = Dedup.minhashEstimate(docs(base, base, nearDup)).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("est_jaccard")).toMap
+    // identical shingle sets ⇒ identical signatures ⇒ estimate exactly 1.0
+    assert(est((0L, 1L)) == 1.0)
+    // near-dup estimates land in (0, 1): some components agree, not all —
+    // the deterministic sanity bound behind the E[est] = J statistic
+    val nd = Seq((0L, 2L), (1L, 2L)).flatMap(est.get)
+    assert(nd.nonEmpty && nd.forall(e => e > 0.0 && e < 1.0), est.toString)
+  }
+
   test("identical docs get identical simhash; different docs differ") {
     val r = Dedup.simhash(docs(base, base, "other words entirely unrelated zebra"))
       .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("simhash")).toMap
