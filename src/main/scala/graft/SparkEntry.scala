@@ -266,6 +266,7 @@ object SparkEntry {
     "q14_promo" -> ((s, d) =>
       Relational.q14Promo(Tables.lineitem(s, d), Tables.part(s, d))),
     "events_funnel" -> ((s, d) => Relational.eventsFunnel(Tables.events(s, d))),
+    "session_metrics" -> ((s, d) => Relational.sessionMetrics(Tables.events(s, d))),
     "skew_join" -> ((s, d) => {
       // salted equi-join (8-way key scatter) must produce exactly the plain
       // join's aggregate — the oracle is the unsalted join

@@ -323,6 +323,19 @@ object Relational {
         Num.r2(sum(col("value"))).as("sum_value"))
   }
 
+  /** duration_min, n_sessions, mean_events — the session-duration
+    * distribution over [[eventsSessions]] (the report a product team reads
+    * off the session table): duration floored to minutes, session count
+    * and mean size per bucket. One extra keyed aggregation over the
+    * session frame — the bucket key is tiny, the heavy lifting is the
+    * sessionization it composes. */
+  def sessionMetrics(events: DataFrame): DataFrame =
+    eventsSessions(events)
+      .withColumn("duration_min", expr("(end_us - start_us) div 60000000"))
+      .groupBy("duration_min")
+      .agg(count(lit(1)).as("n_sessions"),
+        Num.r6(avg(col("n_events"))).as("mean_events"))
+
   /** event_id, event_type, value, z — per-type z-score outliers (|z| > 3):
     * the standard streaming-adjacent anomaly check. Per-type mean/stddev are
     * a tiny broadcast aggregate; the flag is one scan. stddev is the sample

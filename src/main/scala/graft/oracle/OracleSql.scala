@@ -964,6 +964,21 @@ object OracleSql {
       |  min(tus) AS start_us, max(tus) AS end_us, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
       |FROM c GROUP BY user_id, session_id""".stripMargin
 
+  /** Relational.sessionMetrics twin: the session rollup bucketed to
+    * floored minutes. */
+  val sessionMetrics: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+      |l AS (SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM e),
+      |s AS (SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
+      |c AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS BIGINT) AS session_id FROM s),
+      |g AS (SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+      |    min(tus) AS start_us, max(tus) AS end_us
+      |  FROM c GROUP BY 1, 2)
+      |SELECT (end_us - start_us) // 60000000 AS duration_min,
+      |  CAST(count(*) AS BIGINT) AS n_sessions,
+      |  floor(avg(n_events) * 1000000 + 0.5) / 1000000 AS mean_events
+      |FROM g GROUP BY 1""".stripMargin
+
   /** eventsSessions with session_window's boundary rule (exclusive window
     * end: a gap of exactly 30 min SPLITS) and no session_id column. */
   val eventsSessionsNative: String =
@@ -2055,6 +2070,7 @@ object OracleSql {
     "q10_returns" -> q10Returns,
     "q14_promo" -> q14Promo,
     "events_funnel" -> eventsFunnel,
+    "session_metrics" -> sessionMetrics,
     // run-to-completion keyed-state fold ≡ the batch funnel
     "streaming_funnel" -> eventsFunnel,
     "q5_region_revenue" -> q5RegionRevenue,
