@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses the LAST stdout line as JSON. Two sbt
+// behaviors break that: (a) the "[success] Total time ..." banner prints
+// after the program's final line; (b) forked `run` output is wrapped by the
+// logger as "[info] <line>". Suppress the banner and pass forked stdout
+// through raw so Bench's summary JSON is the literal last line.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
