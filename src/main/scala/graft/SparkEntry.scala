@@ -35,6 +35,13 @@ object SparkEntry {
   /** Per-sf-dir staging dirs for the TSV round trip (same discipline). */
   private val tsvStage = scala.collection.mutable.Map[String, String]()
 
+  /** Funnel window end for the events_funnel / streaming_funnel queries:
+    * 2024-01-04T00:00:00Z in raw epoch-ns. This is WIRING, not library
+    * semantics — the synthetic events table spans a month, and a bounded
+    * window is what makes the funnel discriminate. The operator itself
+    * (Relational.eventsFunnel) takes the cutoff as a parameter. */
+  val FunnelCutoffNs: Long = 1704326400000000000L
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Cooccurrence.metrics(pp(spark, "/root/testdata/sf0.001"), Seq("doc_id"))
@@ -156,7 +163,8 @@ object SparkEntry {
     "streaming_cooccur" -> ((s, d) => graft.streaming.DocStreams.cooccurViaStream(s, d)),
     "streaming_upsert" -> ((s, d) => graft.streaming.DocStreams.upsertViaStream(s, d)),
     "streaming_quality" -> ((s, d) => graft.streaming.DocStreams.qualityFilterViaStream(s, d)),
-    "streaming_funnel" -> ((s, d) => graft.streaming.EventStreams.funnelViaStream(s, d)),
+    "streaming_funnel" -> ((s, d) =>
+      graft.streaming.EventStreams.funnelViaStream(s, d, FunnelCutoffNs)),
     "brat_import" -> ((s, d) => Exports.bratImport(Exports.brat(pp(s, d)))),
     "bionlp_source" -> ((s, d) => {
       // round-trip through the standoff storage layout: export → per-doc
@@ -265,7 +273,7 @@ object SparkEntry {
         Tables.nation(s, d))),
     "q14_promo" -> ((s, d) =>
       Relational.q14Promo(Tables.lineitem(s, d), Tables.part(s, d))),
-    "events_funnel" -> ((s, d) => Relational.eventsFunnel(Tables.events(s, d))),
+    "events_funnel" -> ((s, d) => Relational.eventsFunnel(Tables.events(s, d), FunnelCutoffNs)),
     "session_metrics" -> ((s, d) => Relational.sessionMetrics(Tables.events(s, d))),
     "skew_join" -> ((s, d) => {
       // salted equi-join (8-way key scatter) must produce exactly the plain

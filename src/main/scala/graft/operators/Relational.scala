@@ -103,13 +103,12 @@ object Relational {
     * later µs timestamps, so same-instant events cannot satisfy two
     * steps; the fold only compares times, so the (tus, event_id) sort
     * tie-break cannot change the outcome. */
-  /** Funnel window end: 2024-01-04T00:00:00Z in raw epoch-ns (the events
-    * table spans a month; a bounded window makes the funnel discriminate —
-    * unbounded, every user completes all three steps). */
-  val FunnelCutoffNs: Long = 1704326400000000000L
-
-  def eventsFunnel(events: DataFrame): DataFrame =
-    events.where(col("ts") < lit(FunnelCutoffNs))
+  /** @param cutoffNs funnel window end (exclusive) in raw epoch-ns; events
+    * at or past it are ignored. The caller owns this — a bounded window is
+    * what makes a funnel discriminate (unbounded, every active user
+    * eventually completes every step). */
+  def eventsFunnel(events: DataFrame, cutoffNs: Long): DataFrame =
+    events.where(col("ts") < lit(cutoffNs))
       .select(col("user_id"),
         struct(expr("(ts div 1000)").as("tus"), col("event_id"),
           col("event_type").as("et")).as("ev"))

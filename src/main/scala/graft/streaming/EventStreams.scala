@@ -193,10 +193,11 @@ object EventStreams {
   /** Funnel progression through the real streaming engine; the per-step
     * user counts aggregate over the emitted progress log (max per user —
     * monotone), matching the batch events_funnel oracle. */
-  def funnelViaStream(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+  def funnelViaStream(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                      cutoffNs: Long): DataFrame = {
     import spark.implicits._
     val ev = stagedEventsStream(spark, sfDir)
-      .where(unix_micros(col("ts")) * 1000 < graft.operators.Relational.FunnelCutoffNs)
+      .where(unix_micros(col("ts")) * 1000 < cutoffNs)
       .select(col("user_id"), unix_micros(col("ts")).as("tus"),
         col("event_id"), col("event_type")).as[StepEvent]
     runToFiles(funnelSteps(ev).toDF())
