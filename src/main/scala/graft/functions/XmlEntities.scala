@@ -109,13 +109,22 @@ object XmlEntityDecoder {
     "clubs" -> 0x2663, "hearts" -> 0x2665, "diams" -> 0x2666)
 
   private val table: java.util.HashMap[String, String] = {
-    val m = new java.util.HashMap[String, String](defs.size * 2)
+    val m = new java.util.HashMap[String, String]((defs.size + XmlEntitiesExt.defs.size) * 2)
     defs.foreach { case (n, cp) => m.put(n, new String(Character.toChars(cp))) }
+    // ISO 9573-13 + MathML sets (generated table; see XmlEntitiesExt).
+    // putIfAbsent keeps the ISO-8879/HTML4 value on the 93 shared names.
+    // Multi-codepoint expansions go through markupSafe per codepoint so an
+    // expansion containing a markup char (nvlt = U+003C U+20D2) re-encodes
+    // its '<' as &lt; and the post-decode string stays parseable.
+    XmlEntitiesExt.defs.foreach { case (n, cps) =>
+      m.putIfAbsent(n, cps.map(markupSafe).mkString)
+    }
     m
   }
 
   /** The names this decoder resolves (spec/doc surface). */
-  def knownEntities: Set[String] = defs.map(_._1).toSet
+  def knownEntities: Set[String] =
+    defs.map(_._1).toSet ++ XmlEntitiesExt.defs.map(_._1)
 
   /** Markup-significant codepoints re-encoded (never inlined) when reached
     * through a NUMERIC reference, keeping the post-decode string parseable. */

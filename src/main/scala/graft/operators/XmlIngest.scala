@@ -139,11 +139,21 @@ object XmlIngest {
     * and hex numeric refs, and a builtin (&amp;) the parser must resolve —
     * the reference resolves the same names through its DTD entity tables. */
   val EntityProbe: String =
-    " &alpha;&beta;-blocker, 37&deg;C, &#955;=280nm, &#x3BC;M &amp; &le;5%"
+    " &alpha;&beta;-blocker, 37&deg;C, &#955;=280nm, &#x3BC;M &amp; &le;5%" +
+      // ISO 9573-13 / MathML names (XmlEntitiesExt): invisible function
+      // application, script letters (plane-1), a tailed arrow, the
+      // multi-codepoint nvlt (whose '<' must survive markup-safely through
+      // the pre-parse decode), and a dotted isogrk4 name (PUA E700).
+      " f&af;(x) &Ascr;&rarrtl;&Bscr; x&nvlt;y &b.alpha;-helix"
 
-  /** What [[EntityProbe]] must decode to after parse. */
+  /** What [[EntityProbe]] must decode to after parse. The second segment is
+    * (in codepoints): f U+2061 (x), U+1D49C U+21A3 U+212C, x U+003C U+20D2 y,
+    * U+E700 -helix — function application is invisible, the script letters
+    * are plane-1, nvlt's '<' arrives via markup-safe re-encoding, and
+    * b.alpha lands in the PUA exactly as the reference's DTD tables map it. */
   val EntityProbeDecoded: String =
-    " αβ-blocker, 37°C, λ=280nm, μM & ≤5%"
+    " αβ-blocker, 37°C, λ=280nm, μM & ≤5%" +
+      " f⁡(x) 𝒜↣ℬ x<⃒y -helix"
 
   /** Medline XML whose titles carry [[EntityProbe]] — the entity-bearing
     * corpus medline_entities parses back (MedlineXmlToTextPipeline faces

@@ -53,6 +53,22 @@ class XmlEntitiesSpec extends SparkSpec {
     assert(got.toSeq == Seq("bad &#xD800; ref", "also &#55296; bad", "edge &#xDFFF;"))
   }
 
+  test("ISO 9573-13 / MathML extension names resolve (incl. multi-codepoint)") {
+    // plane-1 script/fraktur/open-face letters arrive as surrogate pairs
+    assert(dec("&Ascr;&Afr;&Aopf;") ==
+      new String(Character.toChars(0x1D49C)) + new String(Character.toChars(0x1D504)) +
+        new String(Character.toChars(0x1D538)))
+    assert(dec("f&af;(x)") == "f⁡(x)")          // invisible function application
+    assert(dec("a&rarrtl;b") == "a↣b")          // isoamsa tailed arrow
+    assert(dec("&b.alpha;-helix") == "-helix") // dotted isogrk4 name, PUA
+    // multi-codepoint expansion with a markup char: '<' re-encodes to &lt;
+    assert(dec("x&nvlt;y") == "x&lt;⃒y")
+    // the 93 names shared with ISO-8879/HTML4 keep the HTML value (phi is
+    // the only one whose ISO value differs)
+    assert(dec("&phi;") == "φ")
+    assert(XmlEntityDecoder.knownEntities.size > 1800)
+  }
+
   test("medline round trip decodes the injected entity probe") {
     val docs = Seq((1L, "one two three four five six seven eight nine ten " * 3))
       .toDF("doc_id", "text")
