@@ -79,6 +79,46 @@ object TextOps {
       .where(length(col("sent_text")) > 0)
       .select(col("doc_id"), col("pos").cast("long").as("sent_id"), col("sent_text"))
 
+  /** Model-backed sentence-segmentation slot (reference:
+    * fn/OpenNLPSentenceSegmentFn.java:64-130 — each document's text goes to
+    * an OpenNLP maxent SentenceDetector, sentence Spans come back). The
+    * segmenter runs as a per-partition subprocess kernel (infra/SubProcess —
+    * ONE warm child per partition, framed stdin/stdout, same lifecycle as
+    * Conllu.depParseKernel): the child answers one `start\tend` line per
+    * sentence, the span list a real segmenter emits. The sandbox has no
+    * model artifacts, so the deterministic stand-in serializes the engine's
+    * own segmentation ([[sentences]]) and echoes it through /bin/cat — byte
+    * identity, real framing, real child reuse; a cluster swaps `cmd` for an
+    * OpenNLP wrapper and the payload column for the raw text bytes.
+    * Sentence rows are rebuilt from the RETURNED spans alone (substring
+    * against the doc text, token count re-derived), so a real child's
+    * differing spans flow through unchanged. Output schema = [[sentences]]. */
+  def sentencesKernel(docs: DataFrame,
+                      cmd: Seq[String] = Seq("/bin/cat")): DataFrame = {
+    import docs.sparkSession.implicits._
+    val payloads = sentences(docs)
+      .groupBy("doc_id")
+      .agg(Agg.orderedStringAgg(col("sent_id"),
+        concat(col("char_start").cast("string"), lit("\t"),
+          col("char_end").cast("string")), "\n").as("spans"))
+      .select(col("doc_id"), col("spans")).as[(Long, String)]
+      .map { case (id, s) => (id, s.getBytes(java.nio.charset.StandardCharsets.UTF_8)) }
+    val returned = graft.infra.SubProcess.pipeFramed(payloads, cmd)
+      .map { case (id, b) => (id, new String(b, java.nio.charset.StandardCharsets.UTF_8)) }
+      .toDF("doc_id", "spans")
+    returned
+      .select(col("doc_id"), posexplode(split(col("spans"), "\n")).as(Seq("pos", "line")))
+      .select(col("doc_id"), col("pos").cast("long").as("sent_id"),
+        split(col("line"), "\t").getItem(0).cast("long").as("char_start"),
+        split(col("line"), "\t").getItem(1).cast("long").as("char_end"))
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .withColumn("sent_text",
+        expr("substring(text, char_start + 1, char_end - char_start)"))
+      .withColumn("n_tokens", size(split(col("sent_text"), " ")).cast("long"))
+      .select(col("doc_id"), col("sent_id"), col("sent_text"), col("n_tokens"),
+        col("char_start"), col("char_end"))
+  }
+
   /** Filter unactionable documents and strip the trailing unactionable marker
     * section ('dup' marker plays the role of the reference's REF/SUPPL/ACK
     * trailing sections). */

@@ -34,6 +34,27 @@ class TextOpsSpec extends SparkSpec {
     assert(s.map(_.getAs[Long]("n_tokens")).toSeq == Seq(10L, 10L, 5L))
   }
 
+  test("sentencesKernel: kernel-returned spans rebuild the direct segmentation") {
+    val d = docs((1 to 25).map(i => s"w$i").mkString(" "), "alpha beta gamma")
+    val direct = TextOps.sentences(d).orderBy("doc_id", "sent_id").collect().toSeq
+    val viaKernel = TextOps.sentencesKernel(d).orderBy("doc_id", "sent_id").collect().toSeq
+    assert(viaKernel == direct)
+    assert(viaKernel.nonEmpty)
+  }
+
+  test("sentencesKernel launches one segmenter child per non-empty partition") {
+    val pidFile = java.nio.file.Files.createTempFile("graft-sentseg-pids", ".txt")
+    val cmd = Seq("/bin/sh", "-c", s"echo $$$$ >> $pidFile; exec /bin/cat")
+    val many = (0 until 40).map(i => (i.toLong, "alpha beta gamma", "en", "s", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars").repartition(4)
+    assert(TextOps.sentencesKernel(many, cmd).count() > 0)
+    val pids = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(pidFile)).asScala.filter(_.nonEmpty)
+    assert(pids.distinct.size == pids.size)
+    assert(pids.size <= 4, s"expected at most one child per partition, saw: $pids")
+    assert(pids.nonEmpty)
+  }
+
   test("punctuation segmentation splits on sentence enders and line breaks") {
     val d = docs("One sentence. Two here! Three?\nFour after break")
     val s = TextOps.sentencesByPunct(d).orderBy("sent_id").select("sent_text").as[String].collect()
