@@ -51,6 +51,7 @@ object SparkEntry {
     // A. ingest & prep
     "tokens" -> ((s, d) => TextOps.tokens(docs(s, d))),
     "sentences" -> ((s, d) => TextOps.sentences(docs(s, d))),
+    "sentences_kernel" -> ((s, d) => TextOps.sentencesKernel(docs(s, d))),
     "doc_filter" -> ((s, d) => TextOps.filterUnactionable(docs(s, d))),
     "collection_assign" -> ((s, d) => TextOps.collectionAssign(docs(s, d))),
     "doc_augment" -> ((s, d) => TextOps.augment(docs(s, d))),
@@ -217,6 +218,12 @@ object SparkEntry {
       val prev = sents.where(pmod(col("doc_id"), lit(7L)) === 0L)
         .select(sha2(col("sent_text"), 256).as("sent_hash"))
       Exports.annotationBatch(sents, prev)
+    }),
+    "annotation_batch_files" -> ((s, d) => {
+      val sents = TextOps.sentences(docs(s, d))
+      val prev = sents.where(pmod(col("doc_id"), lit(7L)) === 0L)
+        .select(sha2(col("sent_text"), 256).as("sent_hash"))
+      Exports.annotationBatchFiles(Exports.annotationBatch(sents, prev), sents, pp(s, d))
     }),
     "ivf_topk" -> ((s, d) => Embeddings.ivfTopK(Tables.embeddings(s, d))),
     "sentences_punct" -> ((s, d) => TextOps.sentencesByPunct(TextOps.punctuated(docs(s, d)), "punct_text")),

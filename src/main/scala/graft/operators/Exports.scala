@@ -233,6 +233,64 @@ object Exports {
       .select("pos", "page", "ann_file", "sent_hash", "doc_id", "sent_id", "sent_text")
   }
 
+  /** Per-page brat FILE BODIES for an annotation batch (reference:
+    * relation_extraction/ElasticsearchToBratExporter.java:214-254 and
+    * writeSentenceToBratFiles at 260-301) — each page of the batch gets an
+    * `.ann`/`.txt` file pair: the `.txt` carries one sentence per line and
+    * closes with the reference's `DONE` marker; the `.ann` carries
+    * `T{n}\t{type} {start} {end}\t{text}` lines whose span offsets and
+    * T-numbering run CONTINUOUSLY within the page (offset advances by
+    * sentence length + 1 per sentence, annIndex restarts at 1 per page,
+    * annotations sorted by span within a sentence) and whose duplicate
+    * (type, span, text) lines within one sentence are skipped. The entity
+    * type is the lowercased ontology prefix — the analog of the reference's
+    * `biolinkClass.name().toLowerCase()`. Composes [[annotationBatch]]
+    * (page assignment) with the sentence table and annotation stream.
+    *
+    * Output: page, file, line_no, line — a distributed file-content table a
+    * partitioned text sink lays onto disk verbatim. Scale shape: the batch
+    * is ≤ batchSize rows by construction, so it broadcasts into the two
+    * corpus-side joins and every window below partitions by page over that
+    * bounded input — nothing here is corpus-global. */
+  def annotationBatchFiles(batch: DataFrame, sents: DataFrame,
+                           annots: DataFrame): DataFrame = {
+    val w = TextOps.SentWindow
+    val wOff = Window.partitionBy("page").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val b = broadcast(
+      batch.withColumn("off",
+        coalesce(sum(length(col("sent_text")) + 1).over(wOff), lit(0L))))
+    val txtFile = concat(lit("batch_"), col("page"), lit(".txt"))
+    val txtLines = b.select(col("page"), txtFile.as("file"),
+      row_number().over(Window.partitionBy("page").orderBy("pos"))
+        .cast("long").as("line_no"),
+      col("sent_text").as("line"))
+    val doneLines = b.groupBy("page").agg((count(lit(1)) + 1).as("line_no"))
+      .select(col("page"), txtFile.as("file"), col("line_no"),
+        lit("DONE").as("line"))
+    val annLines = b
+      .join(sents.select(col("doc_id"), col("sent_id"),
+        col("char_start").as("sent_start")), Seq("doc_id", "sent_id"))
+      .join(annots.withColumn("sent_id", expr(s"(ord - 1) div $w")),
+        Seq("doc_id", "sent_id"))
+      .select(col("page"), col("pos"),
+        lower(substring_index(col("concept_id"), ":", 1)).as("typ"),
+        (col("char_start") - col("sent_start") + col("off")).as("a_start"),
+        (col("char_end") - col("sent_start") + col("off")).as("a_end"),
+        col("tok"))
+      .distinct()
+      .withColumn("t_num", row_number().over(
+        Window.partitionBy("page")
+          .orderBy("pos", "a_start", "a_end", "typ", "tok")).cast("long"))
+      .select(col("page"),
+        concat(lit("batch_"), col("page"), lit(".ann")).as("file"),
+        col("t_num").as("line_no"),
+        concat(lit("T"), col("t_num"), lit("\t"), col("typ"), lit(" "),
+          col("a_start"), lit(" "), col("a_end"), lit("\t"), col("tok"))
+          .as("line"))
+    annLines.unionByName(txtLines).unionByName(doneLines)
+  }
+
   /** doc_id, rebuilt_text, matches — reconstruct doc text from sentences and
     * prove span discipline (the reference validates spans the same way). */
   def textExport(docs: DataFrame): DataFrame =

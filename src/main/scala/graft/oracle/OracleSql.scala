@@ -627,6 +627,57 @@ object OracleSql {
        |  sent_hash, doc_id, sent_id, sent_text
        |FROM pos""".stripMargin
 
+  /** Exports.annotationBatchFiles twin: replays the batch/page assignment,
+    * then the page-continuous span offsets (running sum of sentence
+    * length + 1), the page-scoped T numbering over span-sorted deduped
+    * annotation lines, and the DONE-terminated txt bodies. */
+  val annotationBatchFiles: String =
+    s"""WITH $tokCte,
+       |$conCte,
+       |$ppCte,
+       |sent AS (SELECT doc_id, (ord - 1) // $W AS sent_id,
+       |    string_agg(tok, ' ' ORDER BY ord) AS sent_text,
+       |    min(char_start) AS sent_start
+       |  FROM tok GROUP BY 1, 2),
+       |h AS (SELECT sha256(sent_text) AS sent_hash, doc_id, sent_id, sent_text FROM sent),
+       |canon AS (SELECT sent_hash, min({'d': doc_id, 's': sent_id}) AS mn,
+       |    min(sent_text) AS sent_text
+       |  FROM h GROUP BY 1),
+       |prev AS (SELECT DISTINCT sha256(sent_text) AS sent_hash FROM sent WHERE doc_id % 7 = 0),
+       |batch AS (SELECT c.sent_hash, CAST(c.mn.d AS BIGINT) AS doc_id,
+       |    CAST(c.mn.s AS BIGINT) AS sent_id, c.sent_text
+       |  FROM canon c LEFT JOIN prev p ON c.sent_hash = p.sent_hash
+       |  WHERE p.sent_hash IS NULL
+       |  ORDER BY c.sent_hash LIMIT 100),
+       |pos0 AS (SELECT *, CAST(row_number() OVER (ORDER BY sent_hash) AS BIGINT) AS pos FROM batch),
+       |b AS (SELECT pos, (pos - 1) // 20 AS page, doc_id, sent_id, sent_text,
+       |    coalesce(sum(length(sent_text) + 1) OVER (PARTITION BY (pos - 1) // 20
+       |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM pos0),
+       |txt AS (SELECT page, 'batch_' || CAST(page AS VARCHAR) || '.txt' AS file,
+       |    CAST(row_number() OVER (PARTITION BY page ORDER BY pos) AS BIGINT) AS line_no,
+       |    sent_text AS line FROM b),
+       |done AS (SELECT page, 'batch_' || CAST(page AS VARCHAR) || '.txt' AS file,
+       |    CAST(count(*) + 1 AS BIGINT) AS line_no, 'DONE' AS line FROM b GROUP BY page),
+       |cand AS (SELECT DISTINCT b.page, b.pos,
+       |    lower(string_split(p.concept_id, ':')[1]) AS typ,
+       |    p.char_start - s.sent_start + b.off AS a_start,
+       |    p.char_end - s.sent_start + b.off AS a_end, p.tok
+       |  FROM b JOIN sent s ON b.doc_id = s.doc_id AND b.sent_id = s.sent_id
+       |    JOIN pp p ON b.doc_id = p.doc_id AND (p.ord - 1) // $W = b.sent_id),
+       |ann AS (SELECT page, CAST(row_number() OVER (PARTITION BY page
+       |      ORDER BY pos, a_start, a_end, typ, tok) AS BIGINT) AS t_num,
+       |    typ, a_start, a_end, tok
+       |  FROM cand)
+       |SELECT page, 'batch_' || CAST(page AS VARCHAR) || '.ann' AS file,
+       |  t_num AS line_no,
+       |  'T' || CAST(t_num AS VARCHAR) || chr(9) || typ || ' ' ||
+       |    CAST(a_start AS VARCHAR) || ' ' || CAST(a_end AS VARCHAR) ||
+       |    chr(9) || tok AS line
+       |FROM ann
+       |UNION ALL SELECT page, file, line_no, line FROM txt
+       |UNION ALL SELECT page, file, line_no, line FROM done""".stripMargin
+
   val conceptsPpStrict: String =
     docPipeline(
       s"""noisy AS (
@@ -1980,9 +2031,12 @@ object OracleSql {
     // identity kernel child ⇒ same rows as the build→parse round trip
     "dep_parse_kernel" -> conlluTokens,
     "annotation_batch" -> annotationBatch,
+    "annotation_batch_files" -> annotationBatchFiles,
     "dedup_keep_best" -> dedupKeepBest,
     "tokens" -> tokens,
     "sentences" -> sentences,
+    // the kernel round trip must reproduce the direct segmentation exactly
+    "sentences_kernel" -> sentences,
     "doc_filter" -> docFilter,
     "collection_assign" -> collectionAssign,
     "doc_augment" -> docAugment,
