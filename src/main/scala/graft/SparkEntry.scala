@@ -17,7 +17,9 @@ object SparkEntry {
   /** Post-processed concept annotations — the shared prefix of most queries.
     * persist() registers the plan with the CacheManager, so ALL queries in a
     * session (Verify/Bench run them back to back) reuse one materialization
-    * instead of recomputing the tokenize→recognize→post-process chain. */
+    * instead of recomputing the tokenize→recognize→post-process chain.
+    * Session-lifetime by design; infra.Caches.unpersistAll releases every
+    * such registration in a long-lived service embedding. */
   private def pp(s: SparkSession, dir: String): DataFrame =
     Concepts.postProcess(Concepts.recognize(docs(s, dir))).persist()
 

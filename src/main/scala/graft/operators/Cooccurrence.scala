@@ -94,7 +94,9 @@ object Cooccurrence {
         Num.r6(pmi / (-lit(1.0) * log(greatest(px, py) + 1e-9))).as("npmim"),
         Num.r6(md).as("md"),
         Num.r6(md + log(pxy)).as("lfmd"))
-      .persist() // shared by cooccur_metrics_doc, kg_edges, distant_supervision
+      .persist() // shared by cooccur_metrics_doc, kg_edges, distant_supervision;
+                 // session-lifetime by design — infra.Caches.unpersistAll
+                 // releases it in service embeddings
   }
 
   /** The reference counts cooccurrence at DOCUMENT/SENTENCE/TITLE/ABSTRACT

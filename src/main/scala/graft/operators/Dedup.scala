@@ -118,7 +118,10 @@ object Dedup {
     * from 12 longs per doc instead of the full shingle sets. At 100 TB this
     * is the pruning stage between banding and the exact confirm join
     * (ngramJaccard) — signatures are what the candidate join already
-    * carries, so estimation adds no extra corpus scan. */
+    * carries, so estimation adds no extra corpus scan. The persist() below
+    * is session-lifetime by design (shared across the driver suite's
+    * queries); a long-lived service calls infra.Caches.unpersistAll between
+    * workloads. */
   def minhashEstimate(docs: DataFrame): DataFrame = {
     val sets = shingleSets(docs).persist()
     val mh = minhashValues(sets)

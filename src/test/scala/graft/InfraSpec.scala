@@ -50,6 +50,17 @@ class InfraSpec extends SparkSpec {
     assert(r.toSeq == Seq((1L, "a"), (2L, "B!"), (3L, "c"), (4L, "d")))
   }
 
+  test("Caches.unpersistAll releases CacheManager registrations (the persist() sites' manager)") {
+    // operator persist() sites register with the session CacheManager —
+    // the same registry a direct Dataset.persist goes through, which is
+    // what makes this probe observe the hook's effect on them
+    val probe = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "v").persist()
+    probe.count()
+    assert(probe.storageLevel.useMemory)
+    graft.infra.Caches.unpersistAll(spark)
+    assert(probe.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("sinks write parquet (partitioned), tsv and jsonl that read back") {
     val dir = Files.createTempDirectory("graft-sinks").toString
     val df = Seq((1L, "en", "x"), (2L, "de", "y")).toDF("id", "lang", "v")
