@@ -257,9 +257,14 @@ object Exports {
     val w = TextOps.SentWindow
     val wOff = Window.partitionBy("page").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // The three union branches below (ann/txt/DONE lines) would each
+    // re-evaluate the batch subtree — two corpus-wide sentence passes per
+    // branch — so materialize the ≤ batchSize rows once. Session-lifetime
+    // like every graft persist() site; infra.Caches.unpersistAll releases.
     val b = broadcast(
       batch.withColumn("off",
-        coalesce(sum(length(col("sent_text")) + 1).over(wOff), lit(0L))))
+        coalesce(sum(length(col("sent_text")) + 1).over(wOff), lit(0L)))
+        .persist())
     val txtFile = concat(lit("batch_"), col("page"), lit(".txt"))
     val txtLines = b.select(col("page"), txtFile.as("file"),
       row_number().over(Window.partitionBy("page").orderBy("pos"))
