@@ -66,7 +66,7 @@ object ScaleBench {
     val perFamily = Families.map { case (fam, qs) =>
       val s = qs.map(atSmall).sum
       val l = qs.map(atLarge).sum
-      s""""$fam":{"t_small":${f3(s)},"t_large":${f3(l)},"ratio":${f3(l / s)}}"""
+      s""""$fam":{"t_small":${f3(s)},"t_large":${f3(l)},"ratio":${f3(l / math.max(s, 1e-9))}}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_ratio","small":"$small","large":"$large","families":$perFamily,"queries":$perQuery}""")
     spark.stop()

@@ -248,7 +248,11 @@ object Exports {
     * (page assignment) with the sentence table and annotation stream.
     *
     * Output: page, file, line_no, line — a distributed file-content table a
-    * partitioned text sink lays onto disk verbatim. Scale shape: the batch
+    * partitioned text sink lays onto disk verbatim. A page whose sentences
+    * carry zero annotations contributes no `.ann` rows here; the sink
+    * materializes that page's empty `.ann` from the batch's `ann_file`
+    * column (the reference's writer likewise opens the file before knowing
+    * whether any annotation line will land in it). Scale shape: the batch
     * is ≤ batchSize rows by construction, so it broadcasts into the two
     * corpus-side joins and every window below partitions by page over that
     * bounded input — nothing here is corpus-global. */
@@ -278,17 +282,17 @@ object Exports {
         col("char_start").as("sent_start")), Seq("doc_id", "sent_id"))
       .join(annots.withColumn("sent_id", expr(s"(ord - 1) div $w")),
         Seq("doc_id", "sent_id"))
-      .select(col("page"), col("pos"),
+      .select(col("page"), col("ann_file"), col("pos"),
         lower(substring_index(col("concept_id"), ":", 1)).as("typ"),
         (col("char_start") - col("sent_start") + col("off")).as("a_start"),
         (col("char_end") - col("sent_start") + col("off")).as("a_end"),
         col("tok"))
-      .distinct()
+      .distinct() // ann_file is functionally dependent on page — no widening
       .withColumn("t_num", row_number().over(
         Window.partitionBy("page")
           .orderBy("pos", "a_start", "a_end", "typ", "tok")).cast("long"))
       .select(col("page"),
-        concat(lit("batch_"), col("page"), lit(".ann")).as("file"),
+        col("ann_file").as("file"), // the batch's own name — one naming site
         col("t_num").as("line_no"),
         concat(lit("T"), col("t_num"), lit("\t"), col("typ"), lit(" "),
           col("a_start"), lit(" "), col("a_end"), lit("\t"), col("tok"))

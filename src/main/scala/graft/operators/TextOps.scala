@@ -108,6 +108,10 @@ object TextOps {
       .toDF("doc_id", "spans")
     returned
       .select(col("doc_id"), posexplode(split(col("spans"), "\n")).as(Seq("pos", "line")))
+      // tolerate a line-printing child that terminates its output with a
+      // trailing newline: split keeps the trailing empty string, which would
+      // otherwise become a phantom null-span row
+      .where(col("line") =!= "")
       .select(col("doc_id"), col("pos").cast("long").as("sent_id"),
         split(col("line"), "\t").getItem(0).cast("long").as("char_start"),
         split(col("line"), "\t").getItem(1).cast("long").as("char_end"))
