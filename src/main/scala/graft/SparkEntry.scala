@@ -244,6 +244,7 @@ object SparkEntry {
     "concept_idf" -> ((s, d) => Cooccurrence.idf(pp(s, d))),
     "concept_count_dist" -> ((s, d) => Cooccurrence.countDistribution(pp(s, d))),
     "tfidf" -> ((s, d) => Cooccurrence.tfidf(pp(s, d))),
+    "bm25_scores" -> ((s, d) => Cooccurrence.bm25(pp(s, d))),
     // D. sentence pairs
     "sentence_pairs" -> ((s, d) => SentencePairs.extractWithBlinded(docs(s, d), pp(s, d))),
     "classified_sentences" -> ((s, d) => SentencePairs.classified(pp(s, d))),
@@ -282,6 +283,23 @@ object SparkEntry {
         Tables.nation(s, d))),
     "q14_promo" -> ((s, d) =>
       Relational.q14Promo(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q4_priority" -> ((s, d) =>
+      Relational.q4OrderPriority(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q12_priority_class" -> ((s, d) =>
+      Relational.q12PriorityClass(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q13_order_dist" -> ((s, d) =>
+      Relational.q13OrderDistribution(Tables.customer(s, d), Tables.orders(s, d))),
+    "q15_top_supplier" -> ((s, d) =>
+      Relational.q15TopSupplier(Tables.supplier(s, d), Tables.lineitem(s, d))),
+    "q17_small_qty" -> ((s, d) =>
+      Relational.q17SmallQty(Tables.part(s, d), Tables.lineitem(s, d))),
+    "q22_inactive" -> ((s, d) =>
+      Relational.q22Inactive(Tables.customer(s, d), Tables.orders(s, d))),
+    "q8_market_share" -> ((s, d) =>
+      Relational.q8MarketShare(Tables.part(s, d), Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q19_discounted" -> ((s, d) =>
+      Relational.q19Discounted(Tables.part(s, d), Tables.lineitem(s, d))),
     "events_funnel" -> ((s, d) => Relational.eventsFunnel(Tables.events(s, d), FunnelCutoffNs)),
     "session_metrics" -> ((s, d) => Relational.sessionMetrics(Tables.events(s, d))),
     "skew_join" -> ((s, d) => {
@@ -343,6 +361,8 @@ object SparkEntry {
     "semantic_clusters" -> ((s, d) => Embeddings.semanticClusters(Tables.embeddings(s, d))),
     "corpus_mix" -> ((s, d) => TextStats.corpusMix(docs(s, d))),
     "stratified_sample" -> ((s, d) => TextStats.stratifiedSample(docs(s, d))),
+    "source_caps" -> ((s, d) => TextStats.sourceCaps(docs(s, d))),
+    "length_histogram" -> ((s, d) => TextStats.lengthHistogram(docs(s, d))),
     "orc_roundtrip" -> ((s, d) => {
       // alternate columnar interchange: documents → ORC → scan (written
       // once per sf dir; repeat invocations exercise the ORC reader)
@@ -383,6 +403,8 @@ object SparkEntry {
     }),
     "annot_agreement" -> ((s, d) =>
       Eval.spanAgreement(pp(s, d), Concepts.crfAnnots(docs(s, d)))),
+    "annot_kappa" -> ((s, d) =>
+      Eval.tokenKappa(TextOps.tokens(docs(s, d)), pp(s, d), Concepts.crfAnnots(docs(s, d)))),
     "simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d))),
     "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),

@@ -167,4 +167,30 @@ object Cooccurrence {
       .select(col("doc_id"), col("concept_id"), col("tf"),
         col("idf"), Num.r6(col("tf").cast("double") * col("idf")).as("tfidf"))
   }
+
+  /** Okapi BM25 term weights per (doc, concept) — TF-IDF's
+    * retrieval-grade sibling (tf saturation via k1, length normalization
+    * via b), the scoring an Elasticsearch index applies to the concept
+    * fields the E3 docs carry. One shuffle on (doc, concept) for tf; the
+    * per-doc length table rides the same doc_id key; df and the corpus
+    * constants (N, avgdl) are dimension-sized broadcasts / a 1-row
+    * in-plan aggregate. Every formula input is an exact integer except
+    * avgdl, which is display-rounded (6dp) before use so per-row math is
+    * accumulation-order independent. */
+  def bm25(annots: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = annots.groupBy("doc_id", "concept_id").agg(count(lit(1)).as("tf"))
+    val dl = annots.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val df = annots.select("doc_id", "concept_id").distinct()
+      .groupBy("concept_id").agg(count(lit(1)).as("df"))
+    val tot = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      Num.r6(avg(col("dl"))).as("avgdl"))
+    val idfB = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(dl, "doc_id")
+      .join(broadcast(df), "concept_id")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("concept_id"), col("tf"), col("df"),
+        Num.r6(idfB * tfNorm).as("bm25"))
+  }
 }

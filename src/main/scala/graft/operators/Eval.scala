@@ -51,4 +51,46 @@ object Eval {
         when(col("precision") + col("recall") === 0.0, 0.0)
           .otherwise(lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))))
   }
+
+  /** Per-document Cohen's kappa between two annotation sets, measured at
+    * the token level — the chance-corrected companion to [[spanAgreement]]
+    * (P/R/F1 ignores that two annotators can agree by luck; kappa doesn't,
+    * and token-level labeling gives the well-defined "both said nothing"
+    * cell that span sets lack). A token counts as labeled by a set when it
+    * lies fully inside one of its spans.
+    *
+    * Shape: one equi-join on doc_id fans each token out to the doc's
+    * (system ∪ gold) spans — per-doc bounded, the bio_tags family's
+    * envelope — then max-flags collapse it back to one row per token and
+    * two grouped aggregations derive the kappa inputs. All formula inputs
+    * are exact integers, so po/pe/kappa are accumulation-order independent.
+    * Convention: kappa = 0.0 where pe = 1 (the degenerate all-one-label
+    * document, where chance correction is undefined). */
+  def tokenKappa(tokens: DataFrame, system: DataFrame, gold: DataFrame): DataFrame = {
+    val s = system.select(col("doc_id"), col("char_start").as("a_start"),
+      col("char_end").as("a_end"), lit(1L).as("sf"), lit(0L).as("gf"))
+    val g = gold.select(col("doc_id"), col("char_start").as("a_start"),
+      col("char_end").as("a_end"), lit(0L).as("sf"), lit(1L).as("gf"))
+    tokens.select("doc_id", "ord", "char_start", "char_end")
+      .join(s.unionByName(g),
+        Seq("doc_id"), "left_outer")
+      .groupBy("doc_id", "ord")
+      .agg(
+        max(when(col("char_start") >= col("a_start") && col("char_end") <= col("a_end"),
+          col("sf")).otherwise(0L)).as("in_s"),
+        max(when(col("char_start") >= col("a_start") && col("char_end") <= col("a_end"),
+          col("gf")).otherwise(0L)).as("in_g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_s") === col("in_g"), 1L).otherwise(0L)).as("n_agree"),
+        sum(col("in_s")).as("s_pos"), sum(col("in_g")).as("g_pos"))
+      .withColumn("po", col("n_agree").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("pe",
+        (col("s_pos") * col("g_pos") + (col("n_tokens") - col("s_pos")) * (col("n_tokens") - col("g_pos")))
+          .cast("double") / (col("n_tokens") * col("n_tokens")).cast("double"))
+      .select(col("doc_id"), col("n_tokens"), col("n_agree"), col("s_pos"), col("g_pos"),
+        Num.r6(col("po")).as("po"), Num.r6(col("pe")).as("pe"),
+        Num.r6(when(col("pe") === 1.0, 0.0)
+          .otherwise((col("po") - col("pe")) / (lit(1.0) - col("pe")))).as("kappa"))
+  }
 }

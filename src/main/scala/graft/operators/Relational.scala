@@ -253,6 +253,165 @@ object Relational {
         Num.r2(col("o_totalprice")).as("o_totalprice"), col("total_qty"))
   }
 
+  /** TPC-H Q4-shaped: order-priority checking — count orders in a quarter
+    * with at least one lineitem shipped after the order date. The EXISTS
+    * plans as a LEFT SEMI join: the fact shuffles once on its join key and
+    * each order emits at most once regardless of how many lineitems match
+    * (a plain inner join + distinct would materialize every match first). */
+  def q4OrderPriority(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .join(lineitem.select("l_orderkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+
+  /** TPC-H Q12-shaped: two-way conditional aggregation — per returnflag,
+    * how many line items belong to high- vs low-priority orders in a ship
+    * year. One fact shuffle; the CASE counters fold into the same partial
+    * aggregate, so adding priority classes costs columns, not passes. */
+  def q12PriorityClass(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_returnflag")
+      .join(orders.select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q13-shaped: customer order-count distribution INCLUDING the
+    * zero-order bucket — which forces a LEFT OUTER join (an inner join
+    * silently drops inactive customers; `count(col)` then counts only
+    * matched rows). Two grouped aggregations: per-customer, then histogram. */
+  def q13OrderDistribution(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select("c_custkey")
+      .join(orders.where(col("o_orderstatus") =!= "F").select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q15-shaped: supplier(s) with the maximum quarterly revenue. The
+    * global max is a 1-row broadcast aggregate folded into the plan — never
+    * a driver-side collect or a global sort — and revenue accumulates in
+    * integer cents so "equals the max" is an exact comparison, not a float
+    * one (ties surface as multiple rows, identically in both engines). */
+  def q15TopSupplier(supplier: DataFrame, lineitem: DataFrame): DataFrame = {
+    val rev = lineitem
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0) + lit(0.5))
+        .cast("long")).as("revenue_cents"))
+    rev
+      .crossJoin(broadcast(rev.agg(max(col("revenue_cents")).as("max_cents"))))
+      .where(col("revenue_cents") === col("max_cents"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("revenue_cents") / lit(100.0)).as("total_revenue"))
+  }
+
+  /** TPC-H Q8-shaped: a supplier nation's market share, per order year,
+    * among one region's customers for one part type. The deepest star here
+    * (two nation copies + region + part + customer + supplier all
+    * broadcast, the fact shuffles once for the final per-year aggregate);
+    * numerator and denominator both accumulate in integer cents, so the
+    * share is a single deterministic double division per group. */
+  def q8MarketShare(part: DataFrame, lineitem: DataFrame, orders: DataFrame,
+                    customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+                    region: DataFrame, partType: String = "STANDARD",
+                    custRegion: String = "AMERICA", suppNation: String = "NATION_5"): DataFrame = {
+    val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0) + lit(0.5))
+      .cast("long")
+    val n1 = nation.select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+    val n2 = nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    lineitem
+      .join(broadcast(part.where(col("p_type") === partType).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders.select("o_orderkey", "o_custkey", "o_orderdate")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(region.where(col("r_name") === custRegion).select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(when(col("supp_nation") === suppNation, cents).otherwise(0L)).as("nation_cents"),
+        sum(cents).as("total_cents"))
+      .select(col("o_year"),
+        Num.r6(col("nation_cents").cast("double") / col("total_cents").cast("double")).as("mkt_share"))
+  }
+
+  /** TPC-H Q19-shaped: disjunctive join predicates — each brand admits its
+    * own quantity band. The OR rides the broadcast hash join as a residual
+    * filter on the equi key (never a nested-loop join); revenue accumulates
+    * in integer cents. */
+  def q19Discounted(part: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part.select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#12" && col("l_quantity") >= 1 && col("l_quantity") <= 11) ||
+          (col("p_brand") === "Brand#23" && col("l_quantity") >= 10 && col("l_quantity") <= 20) ||
+          (col("p_brand") === "Brand#34" && col("l_quantity") >= 20 && col("l_quantity") <= 30)))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0) + lit(0.5))
+        .cast("long")).as("cents"),
+        count(lit(1)).as("n_items"))
+      .select((col("cents") / lit(100.0)).as("revenue"), col("n_items"))
+
+  /** TPC-H Q17-shaped: revenue lost to small-quantity orders of one brand —
+    * the correlated `avg(l_quantity) per part` subquery becomes a grouped
+    * aggregate over the SAME brand-filtered fact slice, joined back by
+    * broadcast (one brand ≈ 1/|brands| of parts, always dimension-sized).
+    * The per-part average is display-rounded (6dp) before the threshold
+    * compare so the cut is accumulation-order independent; the final sum
+    * accumulates in integer cents for the same reason. */
+  def q17SmallQty(part: DataFrame, lineitem: DataFrame, brand: String = "Brand#23"): DataFrame = {
+    val li = lineitem
+      .join(broadcast(part.where(col("p_brand") === brand).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .select("p_partkey", "l_quantity", "l_extendedprice")
+    val avgQty = li.groupBy("p_partkey").agg(Num.r6(avg(col("l_quantity"))).as("avg_qty"))
+    li.join(broadcast(avgQty), "p_partkey")
+      .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long"))
+        .cast("double") / lit(100.0) / lit(7.0)).as("avg_yearly_cents"))
+      .select(Num.r2(col("avg_yearly_cents")).as("avg_yearly"))
+  }
+
+  /** TPC-H Q22-shaped: well-funded customers gone quiet — above-average
+    * balance AND no order since the cutoff. Two classic shapes in one
+    * query: a scalar threshold as a 1-row broadcast (never a driver
+    * collect) and a LEFT ANTI join against the recent-order keys. Balances
+    * compare and total in integer cents, so both the threshold cut and the
+    * group totals are exact regardless of accumulation order. */
+  def q22Inactive(customer: DataFrame, orders: DataFrame,
+                  sinceDate: String = "1999-01-01"): DataFrame = {
+    val cents = floor(col("c_acctbal") * lit(100.0) + lit(0.5)).cast("long")
+    val withCents = customer.select(col("c_custkey"), col("c_mktsegment"), cents.as("bal_cents"))
+    val avgBal = withCents.where(col("bal_cents") > 0L)
+      .agg((sum(col("bal_cents")).cast("double") / count(lit(1)).cast("double")).as("avg_cents"))
+    withCents
+      .crossJoin(broadcast(avgBal))
+      .where(col("bal_cents").cast("double") > col("avg_cents"))
+      .join(orders.where(col("o_orderdate") >= lit(sinceDate).cast("timestamp"))
+        .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"),
+        (sum(col("bal_cents")) / lit(100.0)).as("totacctbal"))
+  }
+
   /** As-of join: each `leftType` event picks the most recent `refType` event
     * of the same user strictly before it in (time, event_id) order — e.g.
     * the click a purchase gets attributed to. Spark has no ASOF JOIN

@@ -178,6 +178,40 @@ object TextStats {
       .limit(k)
   }
 
+  /** Quality-ranked per-source capping — the domain-balancing step of a
+    * corpus mix: no source may contribute more than `cap` documents, and
+    * when one is over budget its BEST documents survive (stratifiedSample
+    * draws uniformly; this ranks). Partition-local window per source with
+    * a rounded-quality / low-doc_id tie-break, so the cut is deterministic
+    * cross-engine; at 100 TB a skewed mega-source is exactly the window's
+    * partition and never a global sort. Output keeps every doc with its
+    * rank and keep flag, so the drop set is auditable. */
+  def sourceCaps(docs: DataFrame, cap: Int = 100): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id"))
+    quality(docs).select(col("doc_id"), col("quality"))
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .withColumn("source_rank", row_number().over(win).cast("long"))
+      .select(col("doc_id"), col("source"), col("quality"), col("source_rank"),
+        (col("source_rank") <= cap).as("keep"))
+  }
+
+  /** Sequence-length distribution — the data-card histogram of document
+    * sizes in approximate BPE tokens, bucketed by power of two. The bucket
+    * is the integer bit length minus one (≡ floor(log2) for n ≥ 1) — pure
+    * integer string ops, because floor(log2(x)) through floating point
+    * returns bucket−1 at exact powers of two in engines that compute it as
+    * a log ratio. One map-side-combined aggregation on a ≤64-value key. */
+  def lengthHistogram(docs: DataFrame): DataFrame =
+    docs
+      .select(ceil(col("n_chars") / lit(4.0)).cast("long").as("approx_bpe_tokens"))
+      .select((length(bin(col("approx_bpe_tokens"))) - 1).cast("long").as("len_bucket"),
+        col("approx_bpe_tokens"))
+      .groupBy("len_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("approx_bpe_tokens")).as("n_tokens"),
+        Num.r6(sum(col("approx_bpe_tokens")).cast("double") / count(lit(1)).cast("double")).as("mean_tokens"))
+
   /** Deterministic reproducible sampling: keep docs whose multiplicative
     * hash falls in the lowest `permille` buckets — stable across runs and
     * engines (pure integer math), the sampling discipline a training-data

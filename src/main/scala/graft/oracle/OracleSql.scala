@@ -415,6 +415,25 @@ object OracleSql {
         |  floor((CAST(tf.tf AS DOUBLE) * idf.idf) * 1000000 + 0.5) / 1000000 AS tfidf
         |FROM tf JOIN idf ON tf.concept_id = idf.concept_id""".stripMargin
 
+  /** Okapi BM25 with k1 = 1.2, b = 0.75; every input integer except the
+    * 6dp-rounded avgdl, and the literal arithmetic (2.2 = k1+1, 0.25 = 1-b)
+    * resolves to the identical doubles in both engines. */
+  val bm25Scores: String =
+    docPipeline(
+      """btf AS (SELECT doc_id, concept_id, CAST(count(*) AS BIGINT) AS tf FROM pp GROUP BY 1, 2),
+        |bdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM pp GROUP BY 1),
+        |bdf AS (SELECT concept_id, CAST(count(*) AS BIGINT) AS df
+        |  FROM (SELECT DISTINCT doc_id, concept_id FROM pp) GROUP BY 1),
+        |btot AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |  floor(avg(dl) * 1000000 + 0.5) / 1000000 AS avgdl FROM bdl)""".stripMargin) +
+      """SELECT btf.doc_id, btf.concept_id, btf.tf, bdf.df,
+        |  floor((ln((t.n_docs - bdf.df + 0.5) / (bdf.df + 0.5) + 1.0) *
+        |    ((btf.tf * 2.2) / (btf.tf + 1.2 * (0.25 + 0.75 * bdl.dl / t.avgdl)))) * 1000000 + 0.5) / 1000000 AS bm25
+        |FROM btf
+        |JOIN bdl ON btf.doc_id = bdl.doc_id
+        |JOIN bdf ON btf.concept_id = bdf.concept_id
+        |CROSS JOIN btot t""".stripMargin
+
   // ---------- D. sentence pairs ----------
 
   private val pairsCte =
@@ -926,6 +945,113 @@ object OracleSql {
       |JOIN part ON l_partkey = p_partkey
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""".stripMargin
+
+  val q4Priority: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY 1""".stripMargin
+
+  val q12PriorityClass: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY 1""".stripMargin
+
+  val q13OrderDist: String =
+    """WITH c_orders AS (
+      |  SELECT c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT JOIN (
+      |    SELECT o_custkey, o_orderkey FROM orders WHERE o_orderstatus <> 'F') o
+      |    ON c_custkey = o.o_custkey
+      |  GROUP BY 1)
+      |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM c_orders GROUP BY 1""".stripMargin
+
+  /** Revenue accumulates in integer cents (q7 discipline), so the
+    * max-equality filter is exact and tie rows match across engines. */
+  val q15TopSupplier: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, revenue_cents / 100.0 AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)""".stripMargin
+
+  /** The per-part average is 6dp-rounded before the threshold compare and
+    * the final sum runs in integer cents — both cuts exact cross-engine. */
+  val q17SmallQty: String =
+    """WITH li AS (
+      |  SELECT p_partkey, l_quantity, l_extendedprice
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#23'),
+      |avgq AS (
+      |  SELECT p_partkey, floor(avg(l_quantity) * 1000000 + 0.5) / 1000000 AS avg_qty
+      |  FROM li GROUP BY 1)
+      |SELECT floor((CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 / 7.0) * 100 + 0.5) / 100 AS avg_yearly
+      |FROM li JOIN avgq USING (p_partkey)
+      |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
+
+  /** Balances threshold and total in integer cents; the average is an
+    * exact-integer sum over cents divided once, so the scalar cut is
+    * accumulation-order independent. */
+  val q22Inactive: String =
+    """WITH wc AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+      |  FROM customer),
+      |ab AS (
+      |  SELECT CAST(sum(bal_cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_cents
+      |  FROM wc WHERE bal_cents > 0)
+      |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+      |  CAST(sum(bal_cents) AS BIGINT) / 100.0 AS totacctbal
+      |FROM wc CROSS JOIN ab
+      |WHERE CAST(bal_cents AS DOUBLE) > avg_cents
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey
+      |      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+      |GROUP BY 1""".stripMargin
+
+  /** Numerator and denominator both in integer cents; the share is one
+    * double division per group. */
+  val q8MarketShare: String =
+    """WITH f AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, n2.n_name AS supp_nation,
+      |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT) AS cents
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE p_type = 'STANDARD' AND r_name = 'AMERICA'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+      |SELECT o_year,
+      |  floor((CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN cents ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(cents) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS mkt_share
+      |FROM f GROUP BY 1""".stripMargin
+
+  val q19Discounted: String =
+    """SELECT
+      |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND l_quantity >= 1 AND l_quantity <= 11)
+      |   OR (p_brand = 'Brand#23' AND l_quantity >= 10 AND l_quantity <= 20)
+      |   OR (p_brand = 'Brand#34' AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
 
   /** The salted join must aggregate identically to the plain join. */
   val skewJoin: String =
@@ -1840,6 +1966,42 @@ object OracleSql {
          |    ELSE floor((2.0 * prec * rec / (prec + rec)) * 1000000 + 0.5) / 1000000 END AS f1
          |FROM pr""".stripMargin
 
+  /** Token-level Cohen's kappa between pp (system) and the CRF stand-in
+    * (gold). po/pe derive from exact integer tallies; kappa is computed
+    * from the UNROUNDED po/pe (the displayed columns round separately),
+    * mirroring the Spark expression structure. */
+  val annotKappa: String =
+    docPipeline(
+      """crf AS (SELECT doc_id, char_start, char_end FROM tok
+        |  WHERE regexp_matches(tok, '^(customer|part|order|line|spark)')),
+        |ann AS (
+        |  SELECT doc_id, char_start AS a_start, char_end AS a_end, 1 AS sf, 0 AS gf FROM pp
+        |  UNION ALL
+        |  SELECT doc_id, char_start, char_end, 0, 1 FROM crf),
+        |ktk AS (
+        |  SELECT t.doc_id, t.ord,
+        |    CAST(max(CASE WHEN t.char_start >= a.a_start AND t.char_end <= a.a_end THEN a.sf ELSE 0 END) AS BIGINT) AS in_s,
+        |    CAST(max(CASE WHEN t.char_start >= a.a_start AND t.char_end <= a.a_end THEN a.gf ELSE 0 END) AS BIGINT) AS in_g
+        |  FROM tok t LEFT JOIN ann a ON t.doc_id = a.doc_id
+        |  GROUP BY 1, 2),
+        |kag AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN in_s = in_g THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        |    CAST(sum(in_s) AS BIGINT) AS s_pos, CAST(sum(in_g) AS BIGINT) AS g_pos
+        |  FROM ktk GROUP BY 1),
+        |kpr AS (
+        |  SELECT doc_id, n_tokens, n_agree, s_pos, g_pos,
+        |    CAST(n_agree AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS po,
+        |    CAST(s_pos * g_pos + (n_tokens - s_pos) * (n_tokens - g_pos) AS DOUBLE)
+        |      / CAST(n_tokens * n_tokens AS DOUBLE) AS pe
+        |  FROM kag)""".stripMargin) +
+      """SELECT doc_id, n_tokens, n_agree, s_pos, g_pos,
+        |  floor(po * 1000000 + 0.5) / 1000000 AS po,
+        |  floor(pe * 1000000 + 0.5) / 1000000 AS pe,
+        |  CASE WHEN pe = 1.0 THEN 0.0
+        |    ELSE floor(((po - pe) / (1.0 - pe)) * 1000000 + 0.5) / 1000000 END AS kappa
+        |FROM kpr""".stripMargin
+
   val decontaminateFuzzy: String =
     s"""WITH $tokCte,
        |sh0 AS (SELECT doc_id, ord, tok,
@@ -1894,6 +2056,38 @@ object OracleSql {
        |  FROM f),
        |thr AS (SELECT floor(quantile_cont(quality, 0.75) * 1000000 + 0.5) / 1000000 AS threshold FROM q)
        |SELECT doc_id, quality, threshold FROM q, thr WHERE quality >= threshold""".stripMargin
+
+  /** Quality-ranked per-source cap: rank on (rounded quality desc, doc_id)
+    * within source — deterministic because the compare is over the rounded
+    * value, never raw float sums. */
+  val sourceCaps: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       |    CAST($stopCountSql AS BIGINT) AS n_stop
+       |  FROM documents),
+       |q AS (SELECT doc_id, source,
+       |    floor((least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+       |      * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |      * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS quality
+       |  FROM f)
+       |SELECT doc_id, source, quality,
+       |  CAST(row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS BIGINT) AS source_rank,
+       |  row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) <= 100 AS keep
+       |FROM q""".stripMargin
+
+  /** Power-of-two length histogram; the bucket is bit length − 1 in BOTH
+    * engines (integer ≡ floor(log2), no float log ratio at the boundary). */
+  val lengthHistogram: String =
+    """WITH t AS (
+      |  SELECT CAST(ceil(n_chars / 4.0) AS BIGINT) AS approx_bpe_tokens
+      |  FROM documents)
+      |SELECT CAST(length(bin(approx_bpe_tokens)) - 1 AS BIGINT) AS len_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(approx_bpe_tokens) AS BIGINT) AS n_tokens,
+      |  floor((CAST(sum(approx_bpe_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS mean_tokens
+      |FROM t GROUP BY 1""".stripMargin
 
   val eventsRetention: String =
     """WITH a AS (SELECT DISTINCT user_id,
@@ -2107,6 +2301,7 @@ object OracleSql {
     "concept_idf" -> conceptIdf,
     "concept_count_dist" -> conceptCountDist,
     "tfidf" -> tfidf,
+    "bm25_scores" -> bm25Scores,
     "sentence_pairs" -> sentencePairs,
     "classified_sentences" -> classifiedSentences,
     "relation_paths" -> relationPaths,
@@ -2123,6 +2318,14 @@ object OracleSql {
     "q3_top_orders" -> q3TopOrders,
     "q10_returns" -> q10Returns,
     "q14_promo" -> q14Promo,
+    "q4_priority" -> q4Priority,
+    "q12_priority_class" -> q12PriorityClass,
+    "q13_order_dist" -> q13OrderDist,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q17_small_qty" -> q17SmallQty,
+    "q22_inactive" -> q22Inactive,
+    "q8_market_share" -> q8MarketShare,
+    "q19_discounted" -> q19Discounted,
     "events_funnel" -> eventsFunnel,
     "session_metrics" -> sessionMetrics,
     // run-to-completion keyed-state fold ≡ the batch funnel
@@ -2160,6 +2363,9 @@ object OracleSql {
     "tsv_roundtrip" -> orcRoundtrip,
     "zorder_key" -> zorderKey,
     "annot_agreement" -> annotAgreement,
+    "annot_kappa" -> annotKappa,
+    "source_caps" -> sourceCaps,
+    "length_histogram" -> lengthHistogram,
     "ngram_jaccard" -> ngramJaccard,
     "dedup_simhash" -> dedupSimhash,
     "doc_fingerprint" -> docFingerprint,

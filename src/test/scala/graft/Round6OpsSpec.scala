@@ -1,0 +1,178 @@
+package graft
+
+import graft.operators.{Cooccurrence, Eval, Relational, TextStats}
+import org.apache.spark.sql.functions._
+
+/** Round-6 operators: the semi/anti/outer-join TPC-H shapes (Q4/Q12/Q13/
+  * Q15/Q17/Q22 adapted to the synthetic schema), Okapi BM25 weights, and
+  * token-level Cohen's kappa.
+  */
+class Round6OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+
+  test("q4 counts an order once no matter how many late lineitems it has") {
+    val orders = Seq(
+      (1L, ts("1996-02-01"), "1-URGENT"),
+      (2L, ts("1996-02-01"), "1-URGENT"), // no late shipment → excluded
+      (3L, ts("1995-06-01"), "5-LOW") // outside the quarter
+    ).toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (1L, ts("1996-03-01")), (1L, ts("1996-03-05")), // two late shipments, one order
+      (2L, ts("1996-01-15")), // shipped before the order date
+      (3L, ts("1995-07-01"))
+    ).toDF("l_orderkey", "l_shipdate")
+    val r = Relational.q4OrderPriority(orders, li).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[String]("o_orderpriority") == "1-URGENT")
+    assert(r.head.getAs[Long]("order_count") == 1L)
+  }
+
+  test("q13 keeps the zero-order customer bucket via the outer join") {
+    val customer = Seq(1L, 2L, 3L).toDF("c_custkey")
+    val orders = Seq(
+      (1L, 10L, "O"), (1L, 11L, "O"), (2L, 12L, "F") // cust 2's only order filtered
+    ).toDF("o_custkey", "o_orderkey", "o_orderstatus")
+    val r = Relational.q13OrderDistribution(customer, orders)
+      .orderBy("c_count").collect()
+      .map(x => (x.getAs[Long]("c_count"), x.getAs[Long]("custdist")))
+    assert(r.toSeq == Seq((0L, 2L), (2L, 1L))) // custs 2 and 3 land in the 0 bucket
+  }
+
+  test("q15 returns every supplier tied at the maximum cents revenue") {
+    val supplier = Seq((1L, "s1"), (2L, "s2"), (3L, "s3")).toDF("s_suppkey", "s_name")
+    val li = Seq(
+      (1L, 100.0, 0.0, ts("1996-02-01")),
+      (2L, 50.0, 0.0, ts("1996-02-01")), (2L, 50.0, 0.0, ts("1996-02-02")), // ties supplier 1
+      (3L, 10.0, 0.0, ts("1996-02-01"))
+    ).toDF("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val r = Relational.q15TopSupplier(supplier, li).orderBy("s_suppkey").collect()
+    assert(r.map(_.getAs[Long]("s_suppkey")).toSeq == Seq(1L, 2L))
+    assert(r.forall(_.getAs[Double]("total_revenue") == 100.0))
+  }
+
+  test("q22 cuts on the above-average balance and drops recently active customers") {
+    val customer = Seq(
+      (1L, 1000.0, "A"), // above avg, inactive → kept
+      (2L, 1000.0, "A"), // above avg but ordered recently → dropped
+      (3L, 10.0, "B") // below avg
+    ).toDF("c_custkey", "c_acctbal", "c_mktsegment")
+    val orders = Seq((2L, ts("1999-06-01")), (1L, ts("1998-06-01")))
+      .toDF("o_custkey", "o_orderdate")
+    val r = Relational.q22Inactive(customer, orders).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[String]("c_mktsegment") == "A")
+    assert(r.head.getAs[Long]("numcust") == 1L)
+    assert(r.head.getAs[Double]("totacctbal") == 1000.0)
+  }
+
+  test("bm25 matches the Okapi formula on a two-doc corpus") {
+    // doc 1: A A B (dl 3) · doc 2: B (dl 1) → avgdl 2, N 2
+    val annots = Seq(
+      (1L, "A"), (1L, "A"), (1L, "B"), (2L, "B")
+    ).toDF("doc_id", "concept_id")
+    val r = Cooccurrence.bm25(annots).collect()
+      .map(x => ((x.getAs[Long]("doc_id"), x.getAs[String]("concept_id")),
+        (x.getAs[Long]("tf"), x.getAs[Long]("df"), x.getAs[Double]("bm25")))).toMap
+    def okapi(tf: Long, df: Long, dl: Long): Double = {
+      val idf = math.log((2.0 - df + 0.5) / (df + 0.5) + 1.0)
+      val w = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 2.0))
+      math.floor(w * 1e6 + 0.5) / 1e6
+    }
+    assert(r((1L, "A")) == ((2L, 1L, okapi(2, 1, 3))))
+    assert(r((1L, "B")) == ((1L, 2L, okapi(1, 2, 3))))
+    assert(r((2L, "B")) == ((1L, 2L, okapi(1, 2, 1))))
+    // rarer term outweighs the more frequent one at equal tf and dl
+    assert(r((1L, "A"))._3 > r((1L, "B"))._3)
+  }
+
+  test("token kappa: perfect agreement → 1, complementary halves → negative") {
+    def tok(doc: Long, n: Int) = (0 until n).map(i =>
+      (doc, (i + 1).toLong, i * 10L, i * 10L + 5L))
+    val tokens = (tok(1L, 4) ++ tok(2L, 4)).toDF("doc_id", "ord", "char_start", "char_end")
+    // doc 1: both sets cover tokens 1-2 → perfect agreement
+    // doc 2: system covers 1-2, gold covers 3-4 → agreement never, kappa < 0
+    val sys = Seq((1L, 0L, 15L), (2L, 0L, 15L)).toDF("doc_id", "char_start", "char_end")
+    val gold = Seq((1L, 0L, 15L), (2L, 20L, 35L)).toDF("doc_id", "char_start", "char_end")
+    val r = Eval.tokenKappa(tokens, sys, gold).orderBy("doc_id").collect()
+    assert(r(0).getAs[Double]("po") == 1.0 && r(0).getAs[Double]("kappa") == 1.0)
+    assert(r(1).getAs[Double]("po") == 0.0 && r(1).getAs[Double]("kappa") == -1.0)
+  }
+
+  test("token kappa: a doc with no annotations on either side is all-negative agreement") {
+    val tokens = (0 until 3).map(i => (9L, (i + 1).toLong, i * 10L, i * 10L + 5L))
+      .toDF("doc_id", "ord", "char_start", "char_end")
+    val empty = Seq.empty[(Long, Long, Long)].toDF("doc_id", "char_start", "char_end")
+    val r = Eval.tokenKappa(tokens, empty, empty).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_agree") == 3L)
+    assert(r.head.getAs[Double]("po") == 1.0)
+    assert(r.head.getAs[Double]("pe") == 1.0)
+    assert(r.head.getAs[Double]("kappa") == 0.0) // pe = 1 convention
+  }
+
+  test("q19 admits a lineitem only through its own brand's quantity band") {
+    val part = Seq((1L, "Brand#12"), (2L, "Brand#23"), (3L, "Brand#99"))
+      .toDF("p_partkey", "p_brand")
+    val li = Seq(
+      (1L, 5.0, 100.0, 0.0), // Brand#12 in band [1,11] → kept
+      (1L, 15.0, 100.0, 0.0), // Brand#12 outside its band → dropped
+      (2L, 15.0, 200.0, 0.5), // Brand#23 in band [10,20] → kept at half price
+      (3L, 5.0, 999.0, 0.0) // brand not in any disjunct → dropped
+    ).toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val r = Relational.q19Discounted(part, li).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Double]("revenue") == 200.0)
+    assert(r.head.getAs[Long]("n_items") == 2L)
+  }
+
+  test("source caps keep each source's best docs and flag the overflow") {
+    // source A: three docs of descending quality (more distinct tokens =
+    // higher type-token ratio); source B: one doc — under any cap
+    val rich = (1 to 30).map(i => s"w$i").mkString(" ")
+    val mid = (1 to 15).map(i => s"w$i").mkString(" ") + " " + (1 to 15).map(_ => "x").mkString(" ")
+    val poor = (1 to 30).map(_ => "x").mkString(" ")
+    val docs = Seq(
+      (1L, rich, "en", "A", rich.length.toLong),
+      (2L, mid, "en", "A", mid.length.toLong),
+      (3L, poor, "en", "A", poor.length.toLong),
+      (4L, rich, "en", "B", rich.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextStats.sourceCaps(docs, cap = 2).orderBy("doc_id").collect()
+    assert(r.map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("source_rank"), x.getAs[Boolean]("keep"))).toSeq ==
+      Seq((1L, 1L, true), (2L, 2L, true), (3L, 3L, false), (4L, 1L, true)))
+  }
+
+  test("length histogram buckets exact powers of two into their own bucket") {
+    // n_chars 4 → 1 token → bucket 0; 8 → 2 tokens → bucket 1;
+    // 16 → 4 tokens → bucket 2 (the floor(log2) fp trap case); 20 → 5 → bucket 2
+    val docs = Seq(4L, 8L, 16L, 20L).zipWithIndex.map { case (n, i) =>
+      (i.toLong, "x", "en", "s", n)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextStats.lengthHistogram(docs).orderBy("len_bucket").collect()
+      .map(x => (x.getAs[Long]("len_bucket"), x.getAs[Long]("n_docs"), x.getAs[Double]("mean_tokens")))
+    assert(r.toSeq == Seq((0L, 1L, 1.0), (1L, 1L, 2.0), (2L, 2L, 4.5)))
+  }
+
+  test("q12/q17 slice correctly on a tiny fixture") {
+    val orders = Seq((1L, "1-URGENT"), (2L, "5-LOW")).toDF("o_orderkey", "o_orderpriority")
+    val li = Seq(
+      (1L, "N", ts("1996-05-01")), (2L, "N", ts("1996-06-01")),
+      (1L, "N", ts("1995-01-01")) // outside the ship year
+    ).toDF("l_orderkey", "l_returnflag", "l_shipdate")
+    val r12 = Relational.q12PriorityClass(orders, li).collect()
+    assert(r12.length == 1)
+    assert(r12.head.getAs[Long]("high_line_count") == 1L)
+    assert(r12.head.getAs[Long]("low_line_count") == 1L)
+
+    val part = Seq((1L, "Brand#23"), (2L, "Brand#9")).toDF("p_partkey", "p_brand")
+    val li17 = (Seq.fill(9)((1L, 10.0, 700.0)) ++ Seq((1L, 1.0, 700.0), (2L, 1.0, 999.0)))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    // avg qty for part 1 = 9.1 → threshold 1.82 → only the qty-1 row counts;
+    // part 2 is the wrong brand
+    val r17 = Relational.q17SmallQty(part, li17).collect()
+    assert(r17.length == 1)
+    assert(r17.head.getAs[Double]("avg_yearly") == 100.0)
+  }
+}
