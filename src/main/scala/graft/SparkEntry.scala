@@ -245,6 +245,7 @@ object SparkEntry {
     "concept_count_dist" -> ((s, d) => Cooccurrence.countDistribution(pp(s, d))),
     "tfidf" -> ((s, d) => Cooccurrence.tfidf(pp(s, d))),
     "bm25_scores" -> ((s, d) => Cooccurrence.bm25(pp(s, d))),
+    "bm25_topk" -> ((s, d) => Cooccurrence.bm25TopK(pp(s, d))),
     // D. sentence pairs
     "sentence_pairs" -> ((s, d) => SentencePairs.extractWithBlinded(docs(s, d), pp(s, d))),
     "classified_sentences" -> ((s, d) => SentencePairs.classified(pp(s, d))),

@@ -193,4 +193,19 @@ object Cooccurrence {
       .select(col("doc_id"), col("concept_id"), col("tf"), col("df"),
         Num.r6(idfB * tfNorm).as("bm25"))
   }
+
+  /** Sparse retrieval: top-k documents per concept by BM25 — the inverted-
+    * index query dual of the dense ANN ladder (emb_topk/IVF/PQ). One
+    * window partitioned by concept (its width is the term's df — bounded
+    * by the posting list, never corpus-global); rank compares the ROUNDED
+    * score with a doc_id tie-break, so the cut is deterministic
+    * cross-engine. */
+  def bm25TopK(annots: DataFrame, k: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("concept_id").orderBy(col("bm25").desc, col("doc_id"))
+    bm25(annots)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("concept_id"), col("rk"), col("doc_id"), col("bm25"))
+  }
 }

@@ -418,21 +418,35 @@ object OracleSql {
   /** Okapi BM25 with k1 = 1.2, b = 0.75; every input integer except the
     * 6dp-rounded avgdl, and the literal arithmetic (2.2 = k1+1, 0.25 = 1-b)
     * resolves to the identical doubles in both engines. */
+  private val bm25Cte =
+    """btf AS (SELECT doc_id, concept_id, CAST(count(*) AS BIGINT) AS tf FROM pp GROUP BY 1, 2),
+      |bdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM pp GROUP BY 1),
+      |bdf AS (SELECT concept_id, CAST(count(*) AS BIGINT) AS df
+      |  FROM (SELECT DISTINCT doc_id, concept_id FROM pp) GROUP BY 1),
+      |btot AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+      |  floor(avg(dl) * 1000000 + 0.5) / 1000000 AS avgdl FROM bdl),
+      |bmw AS (
+      |  SELECT btf.doc_id, btf.concept_id, btf.tf, bdf.df,
+      |    floor((ln((t.n_docs - bdf.df + 0.5) / (bdf.df + 0.5) + 1.0) *
+      |      ((btf.tf * 2.2) / (btf.tf + 1.2 * (0.25 + 0.75 * bdl.dl / t.avgdl)))) * 1000000 + 0.5) / 1000000 AS bm25
+      |  FROM btf
+      |  JOIN bdl ON btf.doc_id = bdl.doc_id
+      |  JOIN bdf ON btf.concept_id = bdf.concept_id
+      |  CROSS JOIN btot t)""".stripMargin
+
   val bm25Scores: String =
-    docPipeline(
-      """btf AS (SELECT doc_id, concept_id, CAST(count(*) AS BIGINT) AS tf FROM pp GROUP BY 1, 2),
-        |bdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM pp GROUP BY 1),
-        |bdf AS (SELECT concept_id, CAST(count(*) AS BIGINT) AS df
-        |  FROM (SELECT DISTINCT doc_id, concept_id FROM pp) GROUP BY 1),
-        |btot AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-        |  floor(avg(dl) * 1000000 + 0.5) / 1000000 AS avgdl FROM bdl)""".stripMargin) +
-      """SELECT btf.doc_id, btf.concept_id, btf.tf, bdf.df,
-        |  floor((ln((t.n_docs - bdf.df + 0.5) / (bdf.df + 0.5) + 1.0) *
-        |    ((btf.tf * 2.2) / (btf.tf + 1.2 * (0.25 + 0.75 * bdl.dl / t.avgdl)))) * 1000000 + 0.5) / 1000000 AS bm25
-        |FROM btf
-        |JOIN bdl ON btf.doc_id = bdl.doc_id
-        |JOIN bdf ON btf.concept_id = bdf.concept_id
-        |CROSS JOIN btot t""".stripMargin
+    docPipeline(bm25Cte) +
+      "SELECT doc_id, concept_id, tf, df, bm25 FROM bmw"
+
+  /** Rank over the ROUNDED score with the doc_id tie-break. */
+  val bm25TopK: String =
+    docPipeline(bm25Cte,
+      """bmr AS (
+        |  SELECT concept_id,
+        |    CAST(row_number() OVER (PARTITION BY concept_id ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rk,
+        |    doc_id, bm25
+        |  FROM bmw)""".stripMargin) +
+      "SELECT concept_id, rk, doc_id, bm25 FROM bmr WHERE rk <= 10"
 
   // ---------- D. sentence pairs ----------
 
@@ -2302,6 +2316,7 @@ object OracleSql {
     "concept_count_dist" -> conceptCountDist,
     "tfidf" -> tfidf,
     "bm25_scores" -> bm25Scores,
+    "bm25_topk" -> bm25TopK,
     "sentence_pairs" -> sentencePairs,
     "classified_sentences" -> classifiedSentences,
     "relation_paths" -> relationPaths,

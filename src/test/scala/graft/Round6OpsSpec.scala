@@ -87,6 +87,18 @@ class Round6OpsSpec extends SparkSpec {
     assert(r((1L, "A"))._3 > r((1L, "B"))._3)
   }
 
+  test("bm25 top-k ranks by rounded score with doc_id tie-break and honors k") {
+    // concept C appears once in each of 3 equal-length docs → identical
+    // scores, tie broken by doc_id; k=2 cuts the third
+    val annots = Seq(
+      (1L, "C"), (1L, "Z1"), (2L, "C"), (2L, "Z2"), (3L, "C"), (3L, "Z3")
+    ).toDF("doc_id", "concept_id")
+    val r = Cooccurrence.bm25TopK(annots, k = 2)
+      .where(col("concept_id") === "C").orderBy("rk").collect()
+    assert(r.map(x => (x.getAs[Long]("rk"), x.getAs[Long]("doc_id"))).toSeq ==
+      Seq((1L, 1L), (2L, 2L)))
+  }
+
   test("token kappa: perfect agreement → 1, complementary halves → negative") {
     def tok(doc: Long, n: Int) = (0 until n).map(i =>
       (doc, (i + 1).toLong, i * 10L, i * 10L + 5L))
