@@ -364,6 +364,9 @@ object SparkEntry {
     "stratified_sample" -> ((s, d) => TextStats.stratifiedSample(docs(s, d))),
     "source_caps" -> ((s, d) => TextStats.sourceCaps(docs(s, d))),
     "length_histogram" -> ((s, d) => TextStats.lengthHistogram(docs(s, d))),
+    "corpus_cube" -> ((s, d) => TextStats.corpusCube(docs(s, d))),
+    "table_profile" -> ((s, d) =>
+      TextStats.tableProfile(docs(s, d), Seq("doc_id", "lang", "source", "n_chars"))),
     "orc_roundtrip" -> ((s, d) => {
       // alternate columnar interchange: documents → ORC → scan (written
       // once per sf dir; repeat invocations exercise the ORC reader)

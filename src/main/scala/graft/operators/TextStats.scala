@@ -212,6 +212,46 @@ object TextStats {
         sum(col("approx_bpe_tokens")).as("n_tokens"),
         Num.r6(sum(col("approx_bpe_tokens")).cast("double") / count(lit(1)).cast("double")).as("mean_tokens"))
 
+  /** Multi-dimensional data-card rollup in ONE pass: `CUBE(source, lang)`
+    * computes the (source, lang), (source), (lang) and grand-total
+    * aggregates inside a single grouping-sets aggregation — one shuffle,
+    * versus four separate groupBys each rescanning the corpus. `grp`
+    * encodes which dimensions are rolled up (grouping(source)*2 +
+    * grouping(lang)); rolled-up keys display as 'ALL' (the synthetic
+    * corpus has no null source/lang to collide with). */
+  def corpusCube(docs: DataFrame): DataFrame =
+    docs.cube(col("source"), col("lang"))
+      .agg((grouping(col("source")) * 2 + grouping(col("lang"))).cast("long").as("grp"),
+        count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      .select(coalesce(col("source"), lit("ALL")).as("source"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("grp"), col("n_docs"), col("n_chars"))
+
+  /** Generic one-pass table profile — the ANALYZE-style data card a
+    * pipeline publishes per table: per column, null count, exact distinct
+    * count, and min/max (stringified after the typed compare, so numeric
+    * columns keep numeric order). All aggregates fold into a single
+    * logical aggregation (Spark plans the multi-distinct via Expand — the
+    * standard exact-distinct cost; swap count_distinct for
+    * approx_count_distinct at 100 TB when exactness isn't contractual),
+    * then `stack` unpivots the 1-row result — driver-free end to end. */
+  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max").mkString(", ")
+    one.select(col("n_rows"),
+      expr(s"stack(${cols.length}, $stackArgs) AS (column_name, n_nulls, n_distinct, min_s, max_s)"))
+      .select(col("column_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+        col("min_s"), col("max_s"))
+  }
+
   /** Deterministic reproducible sampling: keep docs whose multiplicative
     * hash falls in the lowest `permille` buckets — stable across runs and
     * engines (pure integer math), the sampling discipline a training-data

@@ -2103,6 +2103,37 @@ object OracleSql {
       |  floor((CAST(sum(approx_bpe_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS mean_tokens
       |FROM t GROUP BY 1""".stripMargin
 
+  /** CUBE ≡ the four grouping sets; grp = grouping(source)*2+grouping(lang). */
+  val corpusCube: String =
+    """SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+      |  CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS grp,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+      |FROM documents GROUP BY CUBE(source, lang)""".stripMargin
+
+  /** One aggregate row unpivoted to a row per profiled column; min/max
+    * compare typed, stringify after. */
+  val tableProfile: String =
+    """WITH a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS doc_id_nulls,
+      |    CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_id_distinct,
+      |    CAST(min(doc_id) AS VARCHAR) AS doc_id_min, CAST(max(doc_id) AS VARCHAR) AS doc_id_max,
+      |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS lang_distinct,
+      |    CAST(min(lang) AS VARCHAR) AS lang_min, CAST(max(lang) AS VARCHAR) AS lang_max,
+      |    CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS source_nulls,
+      |    CAST(count(DISTINCT source) AS BIGINT) AS source_distinct,
+      |    CAST(min(source) AS VARCHAR) AS source_min, CAST(max(source) AS VARCHAR) AS source_max,
+      |    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_nulls,
+      |    CAST(count(DISTINCT n_chars) AS BIGINT) AS n_chars_distinct,
+      |    CAST(min(n_chars) AS VARCHAR) AS n_chars_min, CAST(max(n_chars) AS VARCHAR) AS n_chars_max
+      |  FROM documents)
+      |SELECT 'doc_id' AS column_name, n_rows, doc_id_nulls AS n_nulls, doc_id_distinct AS n_distinct, doc_id_min AS min_s, doc_id_max AS max_s FROM a
+      |UNION ALL SELECT 'lang', n_rows, lang_nulls, lang_distinct, lang_min, lang_max FROM a
+      |UNION ALL SELECT 'source', n_rows, source_nulls, source_distinct, source_min, source_max FROM a
+      |UNION ALL SELECT 'n_chars', n_rows, n_chars_nulls, n_chars_distinct, n_chars_min, n_chars_max FROM a""".stripMargin
+
   val eventsRetention: String =
     """WITH a AS (SELECT DISTINCT user_id,
       |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
@@ -2381,6 +2412,8 @@ object OracleSql {
     "annot_kappa" -> annotKappa,
     "source_caps" -> sourceCaps,
     "length_histogram" -> lengthHistogram,
+    "corpus_cube" -> corpusCube,
+    "table_profile" -> tableProfile,
     "ngram_jaccard" -> ngramJaccard,
     "dedup_simhash" -> dedupSimhash,
     "doc_fingerprint" -> docFingerprint,

@@ -167,6 +167,33 @@ class Round6OpsSpec extends SparkSpec {
     assert(r.toSeq == Seq((0L, 1L, 1.0), (1L, 1L, 2.0), (2L, 2L, 4.5)))
   }
 
+  test("corpus cube emits all four grouping sets with correct grp codes") {
+    val docs = Seq(
+      (1L, "x", "en", "A", 10L), (2L, "x", "de", "A", 20L), (3L, "x", "en", "B", 30L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextStats.corpusCube(docs).collect()
+      .map(x => ((x.getAs[String]("source"), x.getAs[String]("lang")),
+        (x.getAs[Long]("grp"), x.getAs[Long]("n_docs"), x.getAs[Long]("n_chars")))).toMap
+    assert(r(("ALL", "ALL")) == ((3L, 3L, 60L)))
+    assert(r(("A", "ALL")) == ((1L, 2L, 30L)))
+    assert(r(("ALL", "en")) == ((2L, 2L, 40L)))
+    assert(r(("A", "en")) == ((0L, 1L, 10L)))
+    assert(r.size == 8) // 1 total + 2 sources + 2 langs + 3 observed combos
+  }
+
+  test("table profile reports nulls, distincts, and typed min/max per column") {
+    val docs = Seq(
+      (1L, "x", "en", "A", 100L), (2L, "x", null, "B", 99L), (3L, "x", "en", "A", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextStats.tableProfile(docs, Seq("lang", "n_chars")).collect()
+      .map(x => x.getAs[String]("column_name") ->
+        ((x.getAs[Long]("n_rows"), x.getAs[Long]("n_nulls"), x.getAs[Long]("n_distinct"),
+          x.getAs[String]("min_s"), x.getAs[String]("max_s")))).toMap
+    assert(r("lang") == ((3L, 1L, 1L, "en", "en")))
+    // typed compare: numeric min is 5, not lexicographic "100"
+    assert(r("n_chars") == ((3L, 0L, 3L, "5", "100")))
+  }
+
   test("q12/q17 slice correctly on a tiny fixture") {
     val orders = Seq((1L, "1-URGENT"), (2L, "5-LOW")).toDF("o_orderkey", "o_orderpriority")
     val li = Seq(
