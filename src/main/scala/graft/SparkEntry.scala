@@ -301,6 +301,20 @@ object SparkEntry {
         Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q19_discounted" -> ((s, d) =>
       Relational.q19Discounted(Tables.part(s, d), Tables.lineitem(s, d))),
+    "q2_min_cost_supplier" -> ((s, d) =>
+      Relational.q2MinCostSupplier(Tables.part(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.lineitem(s, d))),
+    "q9_profit" -> ((s, d) =>
+      Relational.q9ProfitByNation(Tables.part(s, d), Tables.supplier(s, d), Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.nation(s, d))),
+    "q11_important_parts" -> ((s, d) =>
+      Relational.q11ImportantParts(Tables.supplier(s, d), Tables.nation(s, d), Tables.lineitem(s, d))),
+    "q20_excess_suppliers" -> ((s, d) =>
+      Relational.q20ExcessSuppliers(Tables.part(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.lineitem(s, d))),
+    "q21_waiting_suppliers" -> ((s, d) =>
+      Relational.q21WaitingSuppliers(Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.lineitem(s, d), Tables.orders(s, d))),
     "events_funnel" -> ((s, d) => Relational.eventsFunnel(Tables.events(s, d), FunnelCutoffNs)),
     "session_metrics" -> ((s, d) => Relational.sessionMetrics(Tables.events(s, d))),
     "skew_join" -> ((s, d) => {

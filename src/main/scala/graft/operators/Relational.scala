@@ -412,6 +412,141 @@ object Relational {
         (sum(col("bal_cents")) / lit(100.0)).as("totacctbal"))
   }
 
+  /** TPC-H Q2-shaped: cheapest supplier per part — the correlated
+    * `min(cost) per part` subquery decorrelated into a grouped aggregate
+    * joined back by broadcast (part-dimension-sized, never a driver
+    * collect). The schema has no partsupp, so each supplier's offer is its
+    * best observed unit price (min over its lineitems); unit prices are
+    * display-rounded (6dp) per line BEFORE the min, so "equals the part
+    * minimum" is an exact compare in both engines, and ties surface as
+    * multiple rows identically. */
+  def q2MinCostSupplier(part: DataFrame, supplier: DataFrame, nation: DataFrame,
+                        lineitem: DataFrame, partType: String = "STANDARD"): DataFrame = {
+    val offers = lineitem
+      .join(broadcast(part.where(col("p_type") === partType).select("p_partkey", "p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
+      .agg(min(Num.r6(col("l_extendedprice") / col("l_quantity"))).as("unit_price"))
+    val minPrice = offers.groupBy(col("p_partkey").as("mp_partkey"))
+      .agg(min(col("unit_price")).as("min_price"))
+    offers
+      .join(broadcast(minPrice),
+        col("p_partkey") === col("mp_partkey") && col("unit_price") === col("min_price"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        Num.r2(col("s_acctbal")).as("s_acctbal"), col("supp_nation"), col("unit_price"))
+  }
+
+  /** TPC-H Q9-shaped: product-line profit by supplier nation and order
+    * year. The schema has no partsupp supply cost, so cost is modeled as
+    * 10% of the part's retail price per unit — the plan shape (name-LIKE
+    * part slice, every dimension broadcast, one fact-fact shuffle with
+    * orders, nation×year aggregate) is the point. Revenue and cost each
+    * round to integer cents per line before the subtraction, so per-group
+    * sums are exact longs regardless of accumulation order. */
+  def q9ProfitByNation(part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+                       orders: DataFrame, nation: DataFrame,
+                       namePattern: String = "%red%"): DataFrame = {
+    val profitCents =
+      (floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0) + lit(0.5)).cast("long")
+        - floor(col("p_retailprice") * col("l_quantity") * lit(10.0) + lit(0.5)).cast("long"))
+    lineitem
+      .join(broadcast(part.where(col("p_name").like(namePattern))
+        .select("p_partkey", "p_retailprice")), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(orders.select("o_orderkey", "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("supp_nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(profitCents).as("profit_cents"))
+      .select(col("supp_nation"), col("o_year"),
+        (col("profit_cents") / lit(100.0)).as("sum_profit"))
+  }
+
+  /** TPC-H Q11-shaped: important parts in one nation's supply flow — the
+    * same aggregate computed twice, once per group and once as the global
+    * total, with the total folded back as a 1-row broadcast threshold
+    * (never a driver collect). Value accumulates in integer cents; only
+    * the final fraction compare is floating. */
+  def q11ImportantParts(supplier: DataFrame, nation: DataFrame, lineitem: DataFrame,
+                        nationName: String = "NATION_7", fraction: Double = 0.001): DataFrame = {
+    val nationSupps = supplier
+      .join(broadcast(nation.where(col("n_name") === nationName).select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val values = lineitem
+      .join(broadcast(nationSupps), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")).as("value_cents"))
+    values
+      .crossJoin(broadcast(values.agg(sum(col("value_cents")).as("total_cents"))))
+      .where(col("value_cents").cast("double") > lit(fraction) * col("total_cents").cast("double"))
+      .select(col("l_partkey"), (col("value_cents") / lit(100.0)).as("part_value"))
+  }
+
+  /** TPC-H Q20-shaped: suppliers who dominate a part's flow — a nested
+    * semi-join chain: (part-name slice) → per-(part,supplier) quantity →
+    * per-part total joined back by broadcast → qualifying supplier keys
+    * semi-join the supplier dimension. No availqty in this schema, so
+    * "excess" is shipping more than `threshold` of the part's total for
+    * the year. Quantities are small integers stored as double — their sums
+    * are exact (≪ 2^53), so the threshold compare is deterministic. */
+  def q20ExcessSuppliers(part: DataFrame, supplier: DataFrame, nation: DataFrame,
+                         lineitem: DataFrame, namePrefix: String = "red %",
+                         shipYear: Int = 1997, threshold: Double = 0.3): DataFrame = {
+    val li = lineitem
+      .where(year(col("l_shipdate")) === shipYear)
+      .join(broadcast(part.where(col("p_name").like(namePrefix)).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+    val perSupp = li.groupBy("l_partkey", "l_suppkey").agg(sum(col("l_quantity")).as("supp_qty"))
+    val perPart = perSupp.groupBy(col("l_partkey").as("pp_partkey"))
+      .agg(sum(col("supp_qty")).as("part_qty"))
+    val qualifying = perSupp
+      .join(broadcast(perPart), col("l_partkey") === col("pp_partkey"))
+      .where(col("supp_qty") > lit(threshold) * col("part_qty"))
+      .select("l_suppkey")
+    supplier
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("supp_nation"))
+  }
+
+  /** TPC-H Q21-shaped: the double-correlated EXISTS / NOT EXISTS — per
+    * supplier, returned lineitems on finished multi-supplier orders where
+    * no OTHER supplier's line was returned. The schema has no
+    * commit/receipt dates, so returnflag 'R' is the fault marker; the
+    * correlation decorrelates to one LEFT SEMI and one LEFT ANTI join on
+    * the order key with a supplier-inequality residual — the fact shuffles
+    * on l_orderkey for all three legs, dimensions broadcast. */
+  def q21WaitingSuppliers(supplier: DataFrame, nation: DataFrame, lineitem: DataFrame,
+                          orders: DataFrame): DataFrame = {
+    val others = lineitem.select(col("l_orderkey").as("o2_orderkey"),
+      col("l_suppkey").as("o2_suppkey"), col("l_returnflag").as("o2_flag"))
+    lineitem
+      .where(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey")
+      .join(orders.where(col("o_orderstatus") === "F").select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(others,
+        col("l_orderkey") === col("o2_orderkey") && col("o2_suppkey") =!= col("l_suppkey"),
+        "left_semi")
+      .join(others.where(col("o2_flag") === "R"),
+        col("l_orderkey") === col("o2_orderkey") && col("o2_suppkey") =!= col("l_suppkey"),
+        "left_anti")
+      .groupBy("supp_nation", "s_name")
+      .agg(count(lit(1)).as("numwait"))
+  }
+
   /** As-of join: each `leftType` event picks the most recent `refType` event
     * of the same user strictly before it in (time, event_id) order — e.g.
     * the click a purchase gets attributed to. Spark has no ASOF JOIN

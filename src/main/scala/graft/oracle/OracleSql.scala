@@ -1058,6 +1058,86 @@ object OracleSql {
       |    / CAST(sum(cents) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS mkt_share
       |FROM f GROUP BY 1""".stripMargin
 
+  /** Cheapest supplier per part: correlated min over per-supplier best
+    * offers; unit prices r6-rounded per line BEFORE the min on both sides. */
+  val q2MinCostSupplier: String =
+    """WITH offers AS (
+      |  SELECT p_partkey, p_name, l_suppkey,
+      |    min(floor((l_extendedprice / l_quantity) * 1000000 + 0.5) / 1000000) AS unit_price
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_type = 'STANDARD'
+      |  GROUP BY 1, 2, 3)
+      |SELECT o.p_partkey, o.p_name, s_suppkey, s_name,
+      |  floor(s_acctbal * 100 + 0.5) / 100 AS s_acctbal,
+      |  n_name AS supp_nation, o.unit_price
+      |FROM offers o
+      |JOIN supplier ON o.l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o.unit_price = (SELECT min(o2.unit_price) FROM offers o2
+      |                      WHERE o2.p_partkey = o.p_partkey)""".stripMargin
+
+  /** Profit by nation × order year; cost modeled as 10% of retail per
+    * unit; revenue and cost each floor to cents before the subtraction. */
+  val q9ProfitByNation: String =
+    """SELECT n_name AS supp_nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)
+      |         - CAST(floor(p_retailprice * l_quantity * 10.0 + 0.5) AS BIGINT)) AS BIGINT)
+      |    / 100.0 AS sum_profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Same aggregate at two granularities; the total is the threshold. */
+  val q11ImportantParts: String =
+    """WITH v AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_7'
+      |  GROUP BY 1)
+      |SELECT l_partkey, value_cents / 100.0 AS part_value FROM v
+      |WHERE CAST(value_cents AS DOUBLE) >
+      |  0.001 * (SELECT CAST(sum(value_cents) AS DOUBLE) FROM v)""".stripMargin
+
+  /** Nested semi-join chain: dominant suppliers of red-prefixed parts. */
+  val q20ExcessSuppliers: String =
+    """WITH li AS (
+      |  SELECT l_partkey, l_suppkey, l_quantity
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE 'red %' AND year(l_shipdate) = 1997),
+      |ps AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty FROM li GROUP BY 1, 2),
+      |pt AS (SELECT l_partkey, sum(supp_qty) AS part_qty FROM ps GROUP BY 1)
+      |SELECT s_suppkey, s_name, n_name AS supp_nation
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM ps JOIN pt USING (l_partkey)
+      |  WHERE supp_qty > 0.3 * part_qty)""".stripMargin
+
+  /** EXISTS + NOT EXISTS double correlation; returnflag 'R' as the fault
+    * marker (schema has no commit/receipt dates). */
+  val q21WaitingSuppliers: String =
+    """WITH base AS (
+      |  SELECT l_orderkey, l_suppkey, s_name, n_name AS supp_nation
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE l_returnflag = 'R' AND o_orderstatus = 'F')
+      |SELECT supp_nation, s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM base b
+      |WHERE EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = b.l_orderkey AND l2.l_suppkey <> b.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = b.l_orderkey AND l3.l_suppkey <> b.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY 1, 2""".stripMargin
+
   val q19Discounted: String =
     """SELECT
       |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
@@ -2372,6 +2452,11 @@ object OracleSql {
     "q22_inactive" -> q22Inactive,
     "q8_market_share" -> q8MarketShare,
     "q19_discounted" -> q19Discounted,
+    "q2_min_cost_supplier" -> q2MinCostSupplier,
+    "q9_profit" -> q9ProfitByNation,
+    "q11_important_parts" -> q11ImportantParts,
+    "q20_excess_suppliers" -> q20ExcessSuppliers,
+    "q21_waiting_suppliers" -> q21WaitingSuppliers,
     "events_funnel" -> eventsFunnel,
     "session_metrics" -> sessionMetrics,
     // run-to-completion keyed-state fold ≡ the batch funnel

@@ -3,9 +3,10 @@ package graft
 import graft.operators.{Cooccurrence, Eval, Relational, TextStats}
 import org.apache.spark.sql.functions._
 
-/** Round-6 operators: the semi/anti/outer-join TPC-H shapes (Q4/Q12/Q13/
-  * Q15/Q17/Q22 adapted to the synthetic schema), Okapi BM25 weights, and
-  * token-level Cohen's kappa.
+/** Round-6 operators: the remaining TPC-H shapes (Q2/Q4/Q9/Q11/Q12/Q13/
+  * Q15/Q17/Q20/Q21/Q22 adapted to the synthetic schema — completing all 22
+  * plan shapes), Okapi BM25 weights, token-level Cohen's kappa, and the
+  * data-card rollups (CUBE, table profile).
   */
 class Round6OpsSpec extends SparkSpec {
   import spark.implicits._
@@ -213,5 +214,90 @@ class Round6OpsSpec extends SparkSpec {
     val r17 = Relational.q17SmallQty(part, li17).collect()
     assert(r17.length == 1)
     assert(r17.head.getAs[Double]("avg_yearly") == 100.0)
+  }
+
+  test("q2 picks the cheapest supplier per part from its best offer") {
+    val part = Seq((1L, "red widget", "STANDARD"), (2L, "blue bolt", "PROMO"))
+      .toDF("p_partkey", "p_name", "p_type")
+    val supplier = Seq((10L, "S10", 123.456, 0L), (20L, "S20", 50.0, 1L))
+      .toDF("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    val nation = Seq((0L, "N0"), (1L, "N1")).toDF("n_nationkey", "n_name")
+    val li = Seq(
+      (1L, 10L, 100.0, 10.0), (1L, 10L, 90.0, 10.0), // supp10 best offer: 9.0
+      (1L, 20L, 95.0, 10.0), // supp20: 9.5
+      (2L, 20L, 1.0, 1.0) // wrong p_type
+    ).toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    val r = Relational.q2MinCostSupplier(part, supplier, nation, li).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("s_suppkey") == 10L)
+    assert(r.head.getAs[Double]("unit_price") == 9.0)
+    assert(r.head.getAs[Double]("s_acctbal") == 123.46)
+    assert(r.head.getAs[String]("supp_nation") == "N0")
+  }
+
+  test("q9 computes nation x year profit net of the modeled supply cost") {
+    val part = Seq((1L, "red widget", 50.0), (2L, "blue bolt", 10.0))
+      .toDF("p_partkey", "p_name", "p_retailprice")
+    val supplier = Seq((10L, 0L)).toDF("s_suppkey", "s_nationkey")
+    val nation = Seq((0L, "N0")).toDF("n_nationkey", "n_name")
+    val orders = Seq((100L, ts("1996-05-01"))).toDF("o_orderkey", "o_orderdate")
+    val li = Seq(
+      (100L, 1L, 10L, 2.0, 200.0, 0.0), // revenue 20000c - cost 50*2*10=1000c
+      (100L, 2L, 10L, 1.0, 99.0, 0.0) // name misses %red%
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount")
+    val r = Relational.q9ProfitByNation(part, supplier, li, orders, nation).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[String]("supp_nation") == "N0")
+    assert(r.head.getAs[Long]("o_year") == 1996L)
+    assert(r.head.getAs[Double]("sum_profit") == 190.0)
+  }
+
+  test("q11 keeps only parts above the broadcast total-value threshold") {
+    val nation = Seq((0L, "NATION_7"), (1L, "OTHER")).toDF("n_nationkey", "n_name")
+    val supplier = Seq((10L, 0L), (20L, 1L)).toDF("s_suppkey", "s_nationkey")
+    val li = Seq(
+      (1L, 10L, 99.0), // 9900 cents, above 0.001 * 9905
+      (2L, 10L, 0.05), // 5 cents, below threshold
+      (3L, 20L, 999.0) // wrong nation
+    ).toDF("l_partkey", "l_suppkey", "l_extendedprice")
+    val r = Relational.q11ImportantParts(supplier, nation, li).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("l_partkey") == 1L)
+    assert(r.head.getAs[Double]("part_value") == 99.0)
+  }
+
+  test("q20 qualifies only suppliers dominating a part's yearly flow") {
+    val part = Seq((1L, "red widget"), (2L, "blue bolt")).toDF("p_partkey", "p_name")
+    val supplier = Seq((10L, "S10", 0L), (20L, "S20", 0L))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val nation = Seq((0L, "N0")).toDF("n_nationkey", "n_name")
+    val li = Seq(
+      (1L, 10L, 8.0, ts("1997-03-01")), // 80% of part 1's 1997 flow
+      (1L, 20L, 2.0, ts("1997-04-01")), // 20% — below threshold
+      (1L, 20L, 100.0, ts("1996-03-01")), // wrong year
+      (2L, 20L, 50.0, ts("1997-05-01")) // wrong name prefix
+    ).toDF("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+    val r = Relational.q20ExcessSuppliers(part, supplier, nation, li).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("s_suppkey") == 10L)
+    assert(r.head.getAs[String]("supp_nation") == "N0")
+  }
+
+  test("q21 isolates the sole faulting supplier on multi-supplier orders") {
+    val supplier = Seq((10L, "S10", 0L), (20L, "S20", 0L), (30L, "S30", 0L))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val nation = Seq((0L, "N0")).toDF("n_nationkey", "n_name")
+    val orders = Seq((1L, "F"), (2L, "F"), (3L, "O"), (4L, "F"))
+      .toDF("o_orderkey", "o_orderstatus")
+    val li = Seq(
+      (1L, 10L, "R"), (1L, 20L, "N"), // order 1: only supp10 faulted → counts
+      (2L, 10L, "R"), (2L, 20L, "R"), // order 2: both faulted → NOT EXISTS fails
+      (3L, 10L, "R"), (3L, 20L, "N"), // order 3: status O → filtered
+      (4L, 30L, "R") // order 4: single-supplier → EXISTS fails
+    ).toDF("l_orderkey", "l_suppkey", "l_returnflag")
+    val r = Relational.q21WaitingSuppliers(supplier, nation, li, orders).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[String]("s_name") == "S10")
+    assert(r.head.getAs[Long]("numwait") == 1L)
   }
 }
