@@ -425,6 +425,7 @@ object SparkEntry {
       Eval.tokenKappa(TextOps.tokens(docs(s, d)), pp(s, d), Concepts.crfAnnots(docs(s, d)))),
     "simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d))),
     "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
+    "dedup_source_matrix" -> ((s, d) => Dedup.sourceOverlapMatrix(docs(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
     "doc_fingerprint" -> ((s, d) => Dedup.rollingFingerprint(docs(s, d))),
     "emb_topk" -> ((s, d) => Embeddings.cosineTopK(Tables.embeddings(s, d))),

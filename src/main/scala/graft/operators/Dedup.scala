@@ -183,6 +183,29 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Cross-source duplicate-overlap matrix — the data-card cell that says
+    * which sources duplicate into which (crawl-snapshot contamination, a
+    * mirrored site ingested twice, a source that is a subset of another).
+    * Confirmed near-dup pairs (ngramJaccard ≥ threshold) pick up each
+    * side's source and aggregate per unordered source pair (least/greatest
+    * canonicalization, so A→B and B→A land in one cell regardless of
+    * doc-id order). Pair volume is band-bounded, so the source joins are
+    * pairs-vs-corpus equi-joins, never all-pairs; the mean Jaccard goes
+    * through exact integer micro-units (floor(j*1e6+0.5) as long) so the
+    * per-cell average is accumulation-order independent. */
+  def sourceOverlapMatrix(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    ngramJaccard(docs, threshold)
+      .withColumn("jac_micro", floor(col("jaccard") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .groupBy(least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        Num.r6(sum(col("jac_micro")).cast("double") / count(lit(1)).cast("double") / lit(1000000.0))
+          .as("mean_jaccard"))
+  }
+
   /** doc_id, simhash — 60-bit SimHash over token hashes (with multiplicity).
     * Token hash = Hash60 directly: per-row, no vocabulary build. 60 bits
     * (real deployments use 64) keeps every shifted weight positive in a

@@ -511,7 +511,11 @@ object Relational {
       .where(col("supp_qty") > lit(threshold) * col("part_qty"))
       .select("l_suppkey")
     supplier
-      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      // qualifying is bounded by (name-slice parts × suppliers-per-part) —
+      // dimension-sized however large the fact is, so broadcast explicitly
+      // (derived from aggregates, its size is opaque to the planner, which
+      // otherwise sort-merges the whole supplier dim against it)
+      .join(broadcast(qualifying), col("s_suppkey") === col("l_suppkey"), "left_semi")
       .join(broadcast(nation.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("supp_nation"))

@@ -2214,6 +2214,37 @@ object OracleSql {
       |UNION ALL SELECT 'source', n_rows, source_nulls, source_distinct, source_min, source_max FROM a
       |UNION ALL SELECT 'n_chars', n_rows, n_chars_nulls, n_chars_distinct, n_chars_min, n_chars_max FROM a""".stripMargin
 
+  /** ngramJaccard's confirmed pairs rolled up per unordered source pair;
+    * mean Jaccard via exact integer micro-units. */
+  val sourceOverlapMatrix: String =
+    s"""WITH $tokCte,
+       |$minhashCtes,
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+       |  FROM cand c
+       |  JOIN ss sa ON sa.doc_id = c.doc_a
+       |  JOIN ss sb ON sb.doc_id = c.doc_b AND sa.sid = sb.sid
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT * FROM (
+       |    SELECT i.doc_a, i.doc_b,
+       |      floor((CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS jaccard
+       |    FROM inter i
+       |    JOIN sizes na ON na.doc_id = i.doc_a
+       |    JOIN sizes nb ON nb.doc_id = i.doc_b)
+       |  WHERE jaccard >= 0.6),
+       |src AS (SELECT doc_id, source FROM documents)
+       |SELECT least(sa.source, sb.source) AS source_lo,
+       |  greatest(sa.source, sb.source) AS source_hi,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  floor(((CAST(sum(CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE)) / 1000000.0) * 1000000 + 0.5) / 1000000 AS mean_jaccard
+       |FROM jac
+       |JOIN src sa ON sa.doc_id = jac.doc_a
+       |JOIN src sb ON sb.doc_id = jac.doc_b
+       |GROUP BY 1, 2""".stripMargin
+
   val eventsRetention: String =
     """WITH a AS (SELECT DISTINCT user_id,
       |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
@@ -2500,6 +2531,7 @@ object OracleSql {
     "corpus_cube" -> corpusCube,
     "table_profile" -> tableProfile,
     "ngram_jaccard" -> ngramJaccard,
+    "dedup_source_matrix" -> sourceOverlapMatrix,
     "dedup_simhash" -> dedupSimhash,
     "doc_fingerprint" -> docFingerprint,
     "emb_topk" -> embTopK,

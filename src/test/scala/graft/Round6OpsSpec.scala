@@ -283,6 +283,23 @@ class Round6OpsSpec extends SparkSpec {
     assert(r.head.getAs[String]("supp_nation") == "N0")
   }
 
+  test("source overlap matrix canonicalizes unordered source pairs") {
+    // three identical docs → three confirmed pairs; (1,2) and (2,3) straddle
+    // sources A/B (landing in ONE cell despite opposite doc-id order), (1,3)
+    // stays within A
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "A"),
+      (2L, "the quick brown fox jumps over the lazy dog", "B"),
+      (3L, "the quick brown fox jumps over the lazy dog", "A")
+    ).toDF("doc_id", "text", "source")
+    val r = graft.operators.Dedup.sourceOverlapMatrix(docs).collect()
+      .map(x => (x.getAs[String]("source_lo"), x.getAs[String]("source_hi")) ->
+        ((x.getAs[Long]("n_pairs"), x.getAs[Double]("mean_jaccard")))).toMap
+    assert(r.size == 2)
+    assert(r(("A", "B")) == ((2L, 1.0)))
+    assert(r(("A", "A")) == ((1L, 1.0)))
+  }
+
   test("q21 isolates the sole faulting supplier on multi-supplier orders") {
     val supplier = Seq((10L, "S10", 0L), (20L, "S20", 0L), (30L, "S30", 0L))
       .toDF("s_suppkey", "s_name", "s_nationkey")
