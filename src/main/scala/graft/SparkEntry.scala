@@ -228,6 +228,7 @@ object SparkEntry {
       Exports.annotationBatchFiles(Exports.annotationBatch(sents, prev), sents, pp(s, d))
     }),
     "ivf_topk" -> ((s, d) => Embeddings.ivfTopK(Tables.embeddings(s, d))),
+    "ann_recall" -> ((s, d) => Embeddings.annRecall(Tables.embeddings(s, d))),
     "sentences_punct" -> ((s, d) => TextOps.sentencesByPunct(TextOps.punctuated(docs(s, d)), "punct_text")),
     "cooccur_counts_title_annot" -> ((s, d) =>
       Cooccurrence.pairCounts(
@@ -449,6 +450,7 @@ object SparkEntry {
     "text_normalize" -> ((s, d) => TextStats.normalizeText(docs(s, d))),
     "ngram_counts" -> ((s, d) => TextStats.ngramCounts(docs(s, d))),
     "unigram_logprob" -> ((s, d) => TextStats.unigramLogprob(docs(s, d))),
+    "bigram_logprob" -> ((s, d) => TextStats.bigramLogprob(docs(s, d))),
     "doc_sample" -> ((s, d) => TextStats.sampleDocs(docs(s, d))),
     "decontaminate" -> ((s, d) => {
       val base = docs(s, d)

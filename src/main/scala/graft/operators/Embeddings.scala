@@ -140,6 +140,27 @@ object Embeddings {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** query_id, n_hit, recall_at_k — ANN quality evaluation: recall@k of
+    * the IVF path against the brute-force ground truth (the FAISS-style
+    * index-quality measure, as a first-class query — the number a pipeline
+    * publishes before swapping brute for approximate at scale). The truth
+    * set is Q·k rows (numQueries is a parameter, not the corpus), so the
+    * hit join is tiny however large the corpus; queries with zero hits are
+    * kept through the outer join. */
+  def annRecall(embeddings: DataFrame, numQueries: Int = 8, k: Int = 5): DataFrame = {
+    val truth = cosineTopK(embeddings, numQueries, k).select("query_id", "neighbor_id")
+    val approx = ivfTopK(embeddings, numQueries, k)
+      .select(col("query_id").as("a_qid"), col("neighbor_id").as("a_nid"))
+    val hits = truth
+      .join(approx, col("query_id") === col("a_qid") && col("neighbor_id") === col("a_nid"),
+        "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    truth.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        Num.r6(coalesce(col("n_hit"), lit(0L)).cast("double") / lit(k.toDouble)).as("recall_at_k"))
+  }
+
   /** query_id, rank, neighbor_id, cosine — IVF-SQ8, the production
     * composite (FAISS's IVF,SQ index shape): IVF cells prune the candidate
     * set, SQ8 codes stand in for the candidate vectors, and only the

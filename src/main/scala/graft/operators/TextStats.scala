@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.Num
 import graft.functions.ConceptDict
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis + multimodal-column plumbing for training-data pipelines.
@@ -120,6 +121,38 @@ object TextStats {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         Num.r6(avg(log(col("cnt").cast("double") / col("total").cast("double")))).as("avg_logprob"))
+  }
+
+  /** doc_id, n_bigrams, avg_logprob — interpolated bigram LM score, the
+    * next perplexity-proxy rung above [[unigramLogprob]] (garbled text that
+    * reuses common tokens in uncommon ORDER scores low here but fine on
+    * unigrams). p = λ·P(w2|w1) + (1−λ)·P(w2), corpus-self-trained, so every
+    * observed bigram has count ≥ 1 and no zero-prob guard is needed. The
+    * conditional denominator re-aggregates the bigram counts (no second
+    * corpus pass); both LM tables are vocabulary-sized equi-join sides and
+    * the grand total folds in as a broadcast 1-row aggregate. λ enters the
+    * plan as 1.0−λ computed IN-PLAN (not a pre-rounded literal), so both
+    * engines evaluate the identical double. */
+  def bigramLogprob(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
+    val toks = TextOps.tokens(docs).select("doc_id", "ord", "tok")
+    val bg = toks
+      .withColumn("w2", lead("tok", 1).over(Window.partitionBy("doc_id").orderBy("ord")))
+      .where(col("w2").isNotNull)
+      .select(col("doc_id"), col("tok").as("w1"), col("w2"))
+    val bgCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("bcnt"))
+    val leftCounts = bgCounts.groupBy("w1").agg(sum("bcnt").as("lcnt"))
+    val uniCounts = toks.groupBy("tok").agg(count(lit(1)).as("ucnt"))
+    val uniTotal = uniCounts.agg(sum("ucnt").as("utotal"))
+    bg.join(bgCounts, Seq("w1", "w2"))
+      .join(leftCounts, Seq("w1"))
+      .join(uniCounts.select(col("tok").as("w2"), col("ucnt")), Seq("w2"))
+      .crossJoin(broadcast(uniTotal))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        Num.r6(avg(log(
+          lit(lambda) * col("bcnt").cast("double") / col("lcnt").cast("double")
+            + (lit(1.0) - lit(lambda)) * col("ucnt").cast("double") / col("utotal").cast("double"))))
+          .as("avg_logprob"))
   }
 
   /** doc_id, n_tokens, avg_llr — DSIR-style importance weights (Xie et al.

@@ -1680,6 +1680,21 @@ object OracleSql {
        |  FROM sc)
        |SELECT query_id, rank, neighbor_id, cosine FROM rk WHERE rank <= 5""".stripMargin
 
+  /** Embeddings.annRecall twin: the brute-force and IVF top-k oracles
+    * composed as subqueries (each carries its own WITH), hit-joined per
+    * query; zero-hit queries kept via the outer join. */
+  val annRecall: String =
+    s"""WITH truth AS (SELECT query_id, neighbor_id FROM ($embTopK)),
+       |approx AS (SELECT query_id, neighbor_id FROM ($ivfTopK)),
+       |hits AS (SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM truth t JOIN approx a
+       |    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+       |  GROUP BY 1)
+       |SELECT q.query_id, coalesce(h.n_hit, 0) AS n_hit,
+       |  floor((CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5.0) * 1000000 + 0.5) / 1000000 AS recall_at_k
+       |FROM (SELECT DISTINCT query_id FROM truth) q
+       |LEFT JOIN hits h USING (query_id)""".stripMargin
+
   /** Embeddings.ivfSqTopK twin: the ivf_topk candidate CTEs composed with
     * the sq_topk reconstruction — raw queries, reconstructed neighbors. */
   val ivfSqTopK: String =
@@ -1927,6 +1942,28 @@ object OracleSql {
        |  floor(avg(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS avg_logprob
        |FROM tok JOIN c USING (tok) CROSS JOIN t
        |GROUP BY doc_id""".stripMargin
+
+  /** TextStats.bigramLogprob twin: λ and 1.0−λ written as the same in-plan
+    * arithmetic (never a pre-rounded 0.3 literal — 1.0−0.7 ≠ 0.3 in
+    * binary). */
+  val bigramLogprob: String =
+    s"""WITH $tokCte,
+       |bg0 AS (SELECT doc_id, tok AS w1,
+       |    lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS w2 FROM tok),
+       |b AS (SELECT doc_id, w1, w2 FROM bg0 WHERE w2 IS NOT NULL),
+       |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS bcnt FROM b GROUP BY 1, 2),
+       |lc AS (SELECT w1, CAST(sum(bcnt) AS BIGINT) AS lcnt FROM bc GROUP BY 1),
+       |uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS ucnt FROM tok GROUP BY 1),
+       |ut AS (SELECT CAST(sum(ucnt) AS BIGINT) AS utotal FROM uc)
+       |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  floor(avg(ln(0.7 * CAST(bcnt AS DOUBLE) / CAST(lcnt AS DOUBLE)
+       |    + (1.0 - 0.7) * CAST(ucnt AS DOUBLE) / CAST(utotal AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS avg_logprob
+       |FROM b
+       |JOIN bc USING (w1, w2)
+       |JOIN lc USING (w1)
+       |JOIN uc ON uc.tok = b.w2
+       |CROSS JOIN ut
+       |GROUP BY 1""".stripMargin
 
   val ngramCounts: String =
     s"""WITH $tokCte,
@@ -2423,6 +2460,7 @@ object OracleSql {
     "abbrev" -> abbrev,
     "brat_to_bert" -> sentencePairs,
     "ivf_topk" -> ivfTopK,
+    "ann_recall" -> annRecall,
     "sentences_punct" -> sentencesPunct,
     "cooccur_counts_title_annot" -> cooccurCountsTitleAnnot,
     "sentence_pairs_kw" -> sentencePairsKw,
@@ -2442,6 +2480,7 @@ object OracleSql {
     "text_normalize" -> textNormalize,
     "ngram_counts" -> ngramCounts,
     "unigram_logprob" -> unigramLogprob,
+    "bigram_logprob" -> bigramLogprob,
     "doc_sample" -> docSample,
     "decontaminate" -> decontaminate,
     "contamination_report" -> contaminationReport,

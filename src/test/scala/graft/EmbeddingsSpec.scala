@@ -144,4 +144,22 @@ class EmbeddingsSpec extends SparkSpec {
     val top = Embeddings.sqTopK(vs, numQueries = 1, k = 3).orderBy("rank").collect()
     assert(top.head.getAs[Long]("neighbor_id") == 1L)
   }
+
+  test("ann recall@k equals the hand-computed truth/ivf intersection per query") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val truth = sets(Embeddings.cosineTopK(emb))
+    val approx = sets(Embeddings.ivfTopK(emb))
+    val r = Embeddings.annRecall(emb).collect()
+      .map(x => x.getAs[Long]("query_id") ->
+        ((x.getAs[Long]("n_hit"), x.getAs[Double]("recall_at_k")))).toMap
+    assert(r.keySet == truth.keySet) // zero-hit queries must not vanish
+    for ((q, ts) <- truth) {
+      val hit = (ts intersect approx.getOrElse(q, Set.empty)).size.toLong
+      assert(r(q)._1 == hit, s"query $q: n_hit ${r(q)._1} != $hit")
+      assert(math.abs(r(q)._2 - hit / 5.0) < 1e-9)
+    }
+  }
 }

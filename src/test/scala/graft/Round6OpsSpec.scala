@@ -283,6 +283,20 @@ class Round6OpsSpec extends SparkSpec {
     assert(r.head.getAs[String]("supp_nation") == "N0")
   }
 
+  test("bigram logprob matches the hand-computed interpolated probability") {
+    // corpus "a b" / "a c": bigrams (a,b) and (a,c) each once, left count
+    // c(a·)=2; unigrams a:2 b:1 c:1, total 4.
+    // p(b|a) = 0.7*(1/2) + 0.3*(1/4) = 0.425 → each doc's single-bigram
+    // score is ln(0.425) (identical for (a,c))
+    val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val r = TextStats.bigramLogprob(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_bigrams"), x.getAs[Double]("avg_logprob")))).toMap
+    val want = math.floor(math.log(0.7 * 0.5 + (1.0 - 0.7) * 0.25) * 1e6 + 0.5) / 1e6
+    assert(r(1L) == ((1L, want)))
+    assert(r(2L) == ((1L, want)))
+  }
+
   test("source overlap matrix canonicalizes unordered source pairs") {
     // three identical docs → three confirmed pairs; (1,2) and (2,3) straddle
     // sources A/B (landing in ONE cell despite opposite doc-id order), (1,3)
