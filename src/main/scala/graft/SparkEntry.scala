@@ -438,6 +438,7 @@ object SparkEntry {
     "ivfsq_topk" -> ((s, d) => Embeddings.ivfSqTopK(Tables.embeddings(s, d))),
     "kmeans_cells" -> ((s, d) => Embeddings.kmeansCells(Tables.embeddings(s, d))),
     "pq_topk" -> ((s, d) => Embeddings.pqTopK(Tables.embeddings(s, d))),
+    "pq_distortion" -> ((s, d) => Embeddings.pqDistortion(Tables.embeddings(s, d))),
     "emb_dup_pairs" -> ((s, d) => Embeddings.dupPairs(Tables.embeddings(s, d))),
     "concepts_promoted" -> ((s, d) => Concepts.promote(pp(s, d))),
     "text_redact" -> ((s, d) =>

@@ -207,7 +207,7 @@ object Embeddings {
       yield (s, k, d,
         (((s * 131L + k) * 2654435761L + d * 97003L) % 2003L).toDouble / 1001.5 - 1.0)
 
-  private val pqCodebookFlat: Seq[Seq[Double]] =
+  val pqCodebookFlat: Seq[Seq[Double]] =
     pqCodebook.grouped(EmbDim / PqM).map(_.map(_._4)).toSeq
 
   /** vec_id, code_key — PQ codes per vector ('|'-joined for cross-engine
@@ -248,6 +248,34 @@ object Embeddings {
         Window.partitionBy("query_id").orderBy(col("adc_dist"), col("neighbor_id"))).cast("long"))
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "adc_dist")
+  }
+
+  /** sub, n_vecs, mse — per-subspace PQ quantization distortion (the
+    * FAISS-style index diagnostic published alongside [[annRecall]]: mean
+    * squared reconstruction error of each subquantizer, the number that
+    * tells you WHICH subspace's codebook underfits before you ship the
+    * index). Codes come from the same codegen'd kernel as `pq_codes`; the
+    * selected-centroid residual is recomputed per (vector, subspace) with
+    * HOF arithmetic over the flat codebook literal — no 64-way dim
+    * explode, only the bounded ×PqM posexplode of the per-subspace error
+    * array. Each residual rounds to 6dp (exactly the kernel's argmin
+    * rounding) before the cross-engine-stable rounded mean. */
+  def pqDistortion(embeddings: DataFrame): DataFrame = {
+    val cb = MatVec.matrixLit(pqCodebookFlat)
+    val subDim = EmbDim / PqM
+    val diff =
+      s"""(element_at(ve, s * $subDim + d + 1)
+         |   - element_at(cbf, (s * $PqK + element_at(codes, s + 1)) * $subDim + d + 1))""".stripMargin
+    embeddings
+      .select(asDouble(col("embedding")).as("ve"),
+        MatVec.pqCodes(asDouble(col("embedding")), cb, PqM, PqK).as("codes"))
+      .withColumn("cbf", cb)
+      .withColumn("errs", expr(
+        s"""transform(sequence(0, ${PqM - 1}), s ->
+           |  aggregate(sequence(0, ${subDim - 1}), 0D, (acc, d) -> acc + $diff * $diff))""".stripMargin))
+      .select(posexplode(col("errs")).as(Seq("sub", "err")))
+      .groupBy(col("sub").cast("long").as("sub"))
+      .agg(count(lit(1)).as("n_vecs"), Num.r6(avg(Num.r6(col("err")))).as("mse"))
   }
 
   /** vec_id, mn, scale, code_key — int8 SCALAR quantization (SQ8): each

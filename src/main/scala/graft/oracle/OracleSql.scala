@@ -1598,6 +1598,17 @@ object OracleSql {
        |SELECT vec_id, string_agg(CAST(code AS VARCHAR), '|' ORDER BY sub) AS code_key
        |FROM code GROUP BY vec_id""".stripMargin
 
+  /** Embeddings.pqDistortion twin: the pq_codes CTE already carries every
+    * (vec, sub, k) distance at 6dp, so the selected-centroid residual is
+    * just the argmin row joined back — averaged per subspace. */
+  val pqDistortion: String =
+    s"""WITH $pqCodesCte
+       |SELECT CAST(sub AS BIGINT) AS sub, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  floor(avg(d2) * 1000000 + 0.5) / 1000000 AS mse
+       |FROM dist JOIN code USING (vec_id, sub)
+       |WHERE dist.k = code.code
+       |GROUP BY 1""".stripMargin
+
   val pqTopK: String =
     s"""WITH $pqCodesCte,
        |qex AS (SELECT vec_id AS query_id, dim // $pqSubDim AS sub, dim % $pqSubDim AS d, e
@@ -2582,6 +2593,7 @@ object OracleSql {
     "ivfsq_topk" -> ivfSqTopK,
     "kmeans_cells" -> kmeansCellsSql,
     "pq_topk" -> pqTopK,
+    "pq_distortion" -> pqDistortion,
     "emb_dup_pairs" -> embDupPairs,
     "lang_id" -> langId,
     "quality_score" -> qualityScore,

@@ -145,6 +145,26 @@ class EmbeddingsSpec extends SparkSpec {
     assert(top.head.getAs[Long]("neighbor_id") == 1L)
   }
 
+  test("pq distortion per-vector totals equal the independent ADC self-distance kernel") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val rows = Embeddings.pqDistortion(emb).collect()
+    assert(rows.map(_.getAs[Long]("sub")).sorted.toSeq == (0L until Embeddings.PqM.toLong))
+    assert(rows.forall(_.getAs[Long]("n_vecs") == n))
+    // independent cross-check: mean over vectors of the ADC distance of a
+    // vector to its OWN codes (total reconstruction error, separate codegen
+    // kernel) must equal the sum over subspaces of the per-sub UNROUNDED
+    // mse — compare loosely since pq_distortion rounds per (vec, sub)
+    val cb = graft.functions.MatVec.matrixLit(Embeddings.pqCodebookFlat)
+    val e = col("embedding").cast("array<double>")
+    val adcMean = emb.select(graft.functions.MatVec.pqAdcDistance(
+        e, graft.functions.MatVec.pqCodes(e, cb, Embeddings.PqM, Embeddings.PqK), cb).as("d"))
+      .agg(avg("d")).head().getDouble(0)
+    val mseSum = rows.map(_.getAs[Double]("mse")).sum
+    assert(math.abs(adcMean - mseSum) < 1e-4, s"adc mean $adcMean vs mse sum $mseSum")
+  }
+
   test("ann recall@k equals the hand-computed truth/ivf intersection per query") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
