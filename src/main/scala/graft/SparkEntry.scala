@@ -362,6 +362,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(docs(s, d))),
     "minhash_est" -> ((s, d) => Dedup.minhashEstimate(docs(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(docs(s, d))),
+    "dedup_cluster_stats" -> ((s, d) => Dedup.clusterStats(docs(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.clusterKeepBest(docs(s, d))),
     "window_dup" -> ((s, d) => Dedup.windowDupPairs(docs(s, d))),
     "decontaminate_fuzzy" -> ((s, d) => {
@@ -439,6 +440,7 @@ object SparkEntry {
     "kmeans_cells" -> ((s, d) => Embeddings.kmeansCells(Tables.embeddings(s, d))),
     "pq_topk" -> ((s, d) => Embeddings.pqTopK(Tables.embeddings(s, d))),
     "pq_distortion" -> ((s, d) => Embeddings.pqDistortion(Tables.embeddings(s, d))),
+    "ivf_balance" -> ((s, d) => Embeddings.ivfBalance(Tables.embeddings(s, d))),
     "emb_dup_pairs" -> ((s, d) => Embeddings.dupPairs(Tables.embeddings(s, d))),
     "concepts_promoted" -> ((s, d) => Concepts.promote(pp(s, d))),
     "text_redact" -> ((s, d) =>

@@ -381,6 +381,19 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
+  /** cluster_size, n_clusters, n_docs — near-dup cluster size distribution
+    * (the dedup data-card number: how much of the corpus sits in dup
+    * clusters of each size, i.e. what keep-one-per-cluster will delete).
+    * Two cheap aggregations over [[clusters]] — one shuffle on cluster_id,
+    * then a size-cardinality groupBy whose key space is at most the
+    * largest cluster size. */
+  def clusterStats(docs: DataFrame, threshold: Double = 0.6): DataFrame =
+    clusters(docs, threshold)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
   /** doc_id, cluster_id, quality, keep — quality-aware canonical selection
     * over near-dup clusters (RefinedWeb/FineWeb practice: when a near-dup
     * cluster collapses to one survivor, keep the HIGHEST-QUALITY member,

@@ -250,6 +250,26 @@ object Embeddings {
       .select("query_id", "rank", "neighbor_id", "adc_dist")
   }
 
+  /** cell, n_vecs, frac, imbalance — IVF cell-occupancy report (the other
+    * FAISS index diagnostic beside [[annRecall]]/[[pqDistortion]]: the
+    * imbalance factor K·Σ(n_c/N)² is 1.0 for perfectly even cells and grows
+    * toward K as vectors pile into one cell — at 100 TB a hot cell IS the
+    * straggler partition, so this is the number that predicts probe-time
+    * skew before the index ships). One groupBy on the kernel-assigned cell;
+    * the grand totals fold back as a broadcast 1-row aggregate, and both
+    * engines divide the same exact integers so the 6dp rounding agrees. */
+  def ivfBalance(embeddings: DataFrame): DataFrame = {
+    val counts = cellRanks(embeddings).where(col("rnk") === 1)
+      .groupBy(col("cell").cast("long").as("cell")).agg(count(lit(1)).as("n_vecs"))
+    val tot = counts.agg(sum("n_vecs").as("n_total"),
+      (lit(NumCells.toLong) * sum(col("n_vecs") * col("n_vecs"))).as("wsum"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        Num.r6(col("n_vecs").cast("double") / col("n_total").cast("double")).as("frac"),
+        Num.r6(col("wsum").cast("double")
+          / (col("n_total").cast("double") * col("n_total").cast("double"))).as("imbalance"))
+  }
+
   /** sub, n_vecs, mse — per-subspace PQ quantization distortion (the
     * FAISS-style index diagnostic published alongside [[annRecall]]: mean
     * squared reconstruction error of each subquantizer, the number that

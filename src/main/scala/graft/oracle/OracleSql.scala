@@ -1403,6 +1403,15 @@ object OracleSql {
 
   /** Dedup.clusterKeepBest twin: per-cluster argmax over (rounded quality,
     * lowest doc_id) marks the surviving member. */
+  /** Dedup.clusterStats twin: cluster sizes over the recursive-CC labels,
+    * then the size-cardinality rollup. */
+  val dedupClusterStats: String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM cl GROUP BY 1)
+       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+       |FROM sz GROUP BY 1""".stripMargin
+
   val dedupKeepBest: String =
     s"""WITH RECURSIVE $clusterCtes,
        |fq AS (
@@ -1666,8 +1675,11 @@ object OracleSql {
     Embeddings.centroids.map { case (k, d, w) => s"($k, $d, $w)" }
       .mkString("(VALUES ", ", ", ") AS cen(cell, dim, w)")
 
-  val ivfTopK: String =
-    s"""WITH ex AS (SELECT vec_id,
+  /** Shared IVF cell-rank CTE chain (`r` = vec_id, cell, rnk) — the DuckDB
+    * twin of Embeddings.cellRanks, used by ivf_topk, ivf_balance and (via
+    * composition) ann_recall. */
+  private val ivfRankCtes: String =
+    s"""ex AS (SELECT vec_id,
        |    CAST(unnest(range(0, len(embedding))) AS BIGINT) AS dim,
        |    unnest(CAST(embedding AS DOUBLE[])) AS e
        |  FROM embeddings),
@@ -1677,7 +1689,23 @@ object OracleSql {
        |r AS (SELECT vec_id, cell,
        |    CAST(row_number() OVER (PARTITION BY vec_id
        |      ORDER BY floor((dot / (sqrt(n2) * sqrt(c2))) * 1000000 + 0.5) / 1000000 DESC, cell) AS BIGINT) AS rnk
-       |  FROM s),
+       |  FROM s)""".stripMargin
+
+  /** Embeddings.ivfBalance twin: both engines divide the same exact
+    * integers (K·Σn², N²), so the 6dp rounding agrees bit-for-bit. */
+  val ivfBalance: String =
+    s"""WITH $ivfRankCtes,
+       |cnt AS (SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n_vecs
+       |  FROM r WHERE rnk = 1 GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total,
+       |    CAST(${Embeddings.NumCells} * sum(n_vecs * n_vecs) AS BIGINT) AS wsum FROM cnt)
+       |SELECT cell, n_vecs,
+       |  floor((CAST(n_vecs AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS frac,
+       |  floor((CAST(wsum AS DOUBLE) / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS imbalance
+       |FROM cnt CROSS JOIN t""".stripMargin
+
+  val ivfTopK: String =
+    s"""WITH $ivfRankCtes,
        |cells AS (SELECT vec_id AS neighbor_id, cell FROM r WHERE rnk = 1),
        |qp AS (SELECT vec_id AS query_id, cell FROM r WHERE vec_id < 8 AND rnk <= ${Embeddings.NumProbes}),
        |cand AS (SELECT DISTINCT qp.query_id, c.neighbor_id
@@ -2594,6 +2622,8 @@ object OracleSql {
     "kmeans_cells" -> kmeansCellsSql,
     "pq_topk" -> pqTopK,
     "pq_distortion" -> pqDistortion,
+    "ivf_balance" -> ivfBalance,
+    "dedup_cluster_stats" -> dedupClusterStats,
     "emb_dup_pairs" -> embDupPairs,
     "lang_id" -> langId,
     "quality_score" -> qualityScore,

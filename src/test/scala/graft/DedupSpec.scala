@@ -53,6 +53,16 @@ class DedupSpec extends SparkSpec {
     assert(nd.nonEmpty && nd.forall(e => e > 0.0 && e < 1.0), est.toString)
   }
 
+  test("cluster stats roll a 3-doc cluster and singletons into the size histogram") {
+    // base ×3 → one size-3 cluster; two unrelated docs → two size-1 clusters
+    val r = Dedup.clusterStats(docs(base, base, base,
+        "completely different content with many other tokens in this string ok",
+        "another unrelated document about nothing in particular at all")).collect()
+      .map(x => x.getAs[Long]("cluster_size") ->
+        ((x.getAs[Long]("n_clusters"), x.getAs[Long]("n_docs")))).toMap
+    assert(r == Map(3L -> ((1L, 3L)), 1L -> ((2L, 2L))))
+  }
+
   test("identical docs get identical simhash; different docs differ") {
     val r = Dedup.simhash(docs(base, base, "other words entirely unrelated zebra"))
       .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("simhash")).toMap

@@ -145,6 +145,21 @@ class EmbeddingsSpec extends SparkSpec {
     assert(top.head.getAs[Long]("neighbor_id") == 1L)
   }
 
+  test("ivf balance covers every vector once and its imbalance matches the closed form") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val rows = Embeddings.ivfBalance(emb).collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == n)
+    assert(rows.map(_.getAs[Long]("cell")).distinct.length == rows.length)
+    val want = Embeddings.NumCells.toDouble *
+      rows.map(r => math.pow(r.getAs[Long]("n_vecs").toDouble / n, 2)).sum
+    val got = rows.head.getAs[Double]("imbalance")
+    assert(rows.forall(_.getAs[Double]("imbalance") == got)) // one global number
+    assert(math.abs(got - want) < 1e-5, s"imbalance $got vs closed-form $want")
+    assert(got >= 1.0 - 1e-9 && got <= Embeddings.NumCells + 1e-9)
+  }
+
   test("pq distortion per-vector totals equal the independent ADC self-distance kernel") {
     import org.apache.spark.sql.functions._
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
