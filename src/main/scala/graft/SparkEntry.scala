@@ -38,11 +38,12 @@ object SparkEntry {
   private val tsvStage = scala.collection.mutable.Map[String, String]()
 
   /** Funnel window end for the events_funnel / streaming_funnel queries:
-    * 2024-01-04T00:00:00Z in raw epoch-ns. This is WIRING, not library
-    * semantics — the synthetic events table spans a month, and a bounded
-    * window is what makes the funnel discriminate. The operator itself
-    * (Relational.eventsFunnel) takes the cutoff as a parameter. */
-  val FunnelCutoffNs: Long = 1704326400000000000L
+    * 2024-01-04T00:00:00Z in canonical epoch-µs (the Tables.events `ts`
+    * representation). This is WIRING, not library semantics — the synthetic
+    * events table spans a month, and a bounded window is what makes the
+    * funnel discriminate. The operator itself (Relational.eventsFunnel)
+    * takes the cutoff as a parameter. */
+  val FunnelCutoffUs: Long = 1704326400000000L
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -157,6 +158,7 @@ object SparkEntry {
     "jats_ingest" -> ((s, d) => XmlIngest.jatsRoundTrip(docs(s, d))),
     "bioc_ingest" -> ((s, d) => XmlIngest.biocRoundTrip(docs(s, d))),
     "webanno_export" -> ((s, d) => Exports.webanno(docs(s, d), pp(s, d))),
+    "inception_export" -> ((s, d) => Exports.inception(docs(s, d), pp(s, d))),
     "bio_tags" -> ((s, d) => Conllu.bioTags(docs(s, d), pp(s, d))),
     "streaming_hourly" -> ((s, d) => graft.streaming.EventStreams.hourlyViaStream(s, d)),
     "streaming_dedup" -> ((s, d) => graft.streaming.EventStreams.dedupViaStream(s, d)),
@@ -167,7 +169,7 @@ object SparkEntry {
     "streaming_upsert" -> ((s, d) => graft.streaming.DocStreams.upsertViaStream(s, d)),
     "streaming_quality" -> ((s, d) => graft.streaming.DocStreams.qualityFilterViaStream(s, d)),
     "streaming_funnel" -> ((s, d) =>
-      graft.streaming.EventStreams.funnelViaStream(s, d, FunnelCutoffNs)),
+      graft.streaming.EventStreams.funnelViaStream(s, d, FunnelCutoffUs)),
     "brat_import" -> ((s, d) => Exports.bratImport(Exports.brat(pp(s, d)))),
     "bionlp_source" -> ((s, d) => {
       // round-trip through the standoff storage layout: export → per-doc
@@ -251,6 +253,7 @@ object SparkEntry {
     "sentence_pairs" -> ((s, d) => SentencePairs.extractWithBlinded(docs(s, d), pp(s, d))),
     "classified_sentences" -> ((s, d) => SentencePairs.classified(pp(s, d))),
     "relation_paths" -> ((s, d) => SentencePairs.relationPaths(docs(s, d), pp(s, d))),
+    "dp_input_export" -> ((s, d) => SentencePairs.dpInput(docs(s, d), pp(s, d))),
     "distant_supervision" -> ((s, d) => SentencePairs.distantSupervision(pp(s, d))),
     "doc_upsert" -> ((s, d) => {
       val base = docs(s, d)
@@ -316,7 +319,7 @@ object SparkEntry {
     "q21_waiting_suppliers" -> ((s, d) =>
       Relational.q21WaitingSuppliers(Tables.supplier(s, d), Tables.nation(s, d),
         Tables.lineitem(s, d), Tables.orders(s, d))),
-    "events_funnel" -> ((s, d) => Relational.eventsFunnel(Tables.events(s, d), FunnelCutoffNs)),
+    "events_funnel" -> ((s, d) => Relational.eventsFunnel(Tables.events(s, d), FunnelCutoffUs)),
     "session_metrics" -> ((s, d) => Relational.sessionMetrics(Tables.events(s, d))),
     "skew_join" -> ((s, d) => {
       // salted equi-join (8-way key scatter) must produce exactly the plain

@@ -67,10 +67,18 @@ object ConceptDict {
 
   /** Concept promotion map (reference: util/NcbiTaxonPromotionMapFactory,
     * MondoToHpEquivalenceMapFileFactory — canonicalize specific ids before
-    * counting). */
+    * counting; util/PrPromotionMapFactory.java:29-72 — promote a
+    * species-specific protein class to its LOWEST gene-level ancestor).
+    * The PR rule here is the OP rows: join/merge promote to their
+    * mid-level OP:JOINLIKE ancestor (the "gene level" of this hierarchy),
+    * not all the way to OP:ROOT — same lowest-category-ancestor semantics.
+    * One broadcast table for all three reference factories; the promotion
+    * operator is map data, not code. */
   val promotions: Seq[(String, String)] = Seq(
     "ENT:spark" -> "ENT:engine",
-    "SZ:big" -> "SZ:large")
+    "SZ:big" -> "SZ:large",
+    "OP:join" -> "OP:JOINLIKE",
+    "OP:merge" -> "OP:JOINLIKE")
 
   def promotionsDF(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -300,6 +300,71 @@ object Exports {
     annLines.unionByName(txtLines).unionByName(doneLines)
   }
 
+  /** Inception annotation-tool input (reference:
+    * relation_extraction/InceptionInputFileCreator.java:55-95 createNewSubset
+    * + :184-229 updateSentenceData): the third annotation-tool format beside
+    * brat and WebAnno. From the WebAnno-style sentence/token stream it
+    * (1) prepends the TSV 3.3 header block, (2) selects a bounded,
+    * hash-deduped sentence subset (the reference samples randomly and skips
+    * already-annotated hashes; here hash-ordered selection keeps the query
+    * deterministic for the oracle — same bounded-batch discipline as
+    * [[annotationBatch]]), (3) renumbers the selected sentences 1..n, and
+    * (4) re-bases character offsets so they run CONSECUTIVELY through the
+    * whole file (each sentence shifted by the running sum of prior sentence
+    * lengths + 1 — the reference's globalCharacterOffset := lastSpanEnd+1).
+    * The reference's multi-token entity re-indexing (updateEntityStr,
+    * :233-252) is identity here: annotations are single-token, so no `[n]`
+    * suffixes occur. A blank separator line follows every sentence block
+    * except the last (reference:85-88 avoids the final line break).
+    *
+    * Output: pos (0 = header block), block_line, line — a distributed
+    * file-content table like [[annotationBatchFiles]]; the batch is ≤
+    * batchSize rows, so every window below runs over that bounded set and
+    * the corpus-side token join broadcasts the batch. */
+  def inception(docs: DataFrame, annots: DataFrame, batchSize: Int = 50): DataFrame = {
+    val w = TextOps.SentWindow
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val canonical = TextOps.sentences(docs)
+      .withColumn("sent_hash", sha2(col("sent_text"), 256))
+      .groupBy("sent_hash")
+      .agg(min(struct(col("doc_id"), col("sent_id"))).as("c"), min("sent_text").as("sent_text"),
+        min("char_start").as("sent_start"))
+      .select(col("sent_hash"), col("c.doc_id").as("doc_id"),
+        col("c.sent_id").as("sent_id"), col("sent_text"), col("sent_start"))
+    val wPos = Window.orderBy("sent_hash")
+    val wOff = wPos.rowsBetween(Window.unboundedPreceding, -1)
+    // ≤ batchSize rows from here down: the partition-less windows are over
+    // the bounded batch, never the corpus (annotationBatch discipline)
+    val batch = broadcast(
+      canonical.orderBy("sent_hash").limit(batchSize)
+        .withColumn("pos", row_number().over(wPos).cast("long"))
+        .withColumn("off", coalesce(sum(length(col("sent_text")) + 1).over(wOff), lit(0L)))
+        .withColumn("n_batch", count(lit(1)).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .persist())
+    val header = Seq(
+      (0L, 1L, "#FORMAT=WebAnno TSV 3.3"),
+      (0L, 2L, "#T_SP=custom.Span|label"),
+      (0L, 3L, ""), (0L, 4L, "")).toDF("pos", "block_line", "line")
+    val textLines = batch.select(col("pos"), lit(1L).as("block_line"),
+      concat(lit("#Text="), col("sent_text")).as("line"))
+    val sepLines = batch.where(col("pos") < col("n_batch"))
+      .select(col("pos"), lit(2L + w).as("block_line"), lit("").as("line"))
+    val labels = annots.groupBy("doc_id", "ord").agg(min("concept_id").as("label"))
+    val tokLines = batch
+      .join(TextOps.tokens(docs).withColumn("sent_id", expr(s"(ord - 1) div $w")),
+        Seq("doc_id", "sent_id"))
+      .join(labels, Seq("doc_id", "ord"), "left")
+      .withColumn("tnum", expr(s"(ord - 1) % $w + 1"))
+      .select(col("pos"), (col("tnum") + 1L).as("block_line"),
+        concat(col("pos"), lit("-"), col("tnum"), lit("\t"),
+          col("char_start") - col("sent_start") + col("off"), lit("-"),
+          col("char_end") - col("sent_start") + col("off"), lit("\t"),
+          col("tok"), lit("\t"), coalesce(col("label"), lit("_"))).as("line"))
+    header.unionByName(textLines).unionByName(tokLines).unionByName(sepLines)
+  }
+
   /** doc_id, rebuilt_text, matches — reconstruct doc text from sentences and
     * prove span discipline (the reference validates spans the same way). */
   def textExport(docs: DataFrame): DataFrame =

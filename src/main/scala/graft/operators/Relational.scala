@@ -103,14 +103,14 @@ object Relational {
     * later µs timestamps, so same-instant events cannot satisfy two
     * steps; the fold only compares times, so the (tus, event_id) sort
     * tie-break cannot change the outcome. */
-  /** @param cutoffNs funnel window end (exclusive) in raw epoch-ns; events
-    * at or past it are ignored. The caller owns this — a bounded window is
-    * what makes a funnel discriminate (unbounded, every active user
-    * eventually completes every step). */
-  def eventsFunnel(events: DataFrame, cutoffNs: Long): DataFrame =
-    events.where(col("ts") < lit(cutoffNs))
+  /** @param cutoffUs funnel window end (exclusive) in canonical epoch-µs
+    * (the Tables.events `ts` column); events at or past it are ignored. The
+    * caller owns this — a bounded window is what makes a funnel discriminate
+    * (unbounded, every active user eventually completes every step). */
+  def eventsFunnel(events: DataFrame, cutoffUs: Long): DataFrame =
+    events.where(col("ts") < lit(cutoffUs))
       .select(col("user_id"),
-        struct(expr("(ts div 1000)").as("tus"), col("event_id"),
+        struct(col("ts").as("tus"), col("event_id"),
           col("event_type").as("et")).as("ev"))
       .groupBy("user_id").agg(array_sort(collect_list(col("ev"))).as("evs"))
       .withColumn("step", expr(
@@ -121,10 +121,10 @@ object Relational {
           "ELSE acc END, acc -> acc.s)").cast("long"))
       .groupBy("step").agg(count(lit(1)).as("n_users"))
 
-  /** Tumbling 1h windows per event type: hour_bucket (ns-epoch / 3600e9). */
+  /** Tumbling 1h windows per event type: hour_bucket (µs-epoch / 3600e6). */
   def eventsHourly(events: DataFrame): DataFrame =
     events
-      .groupBy(expr(s"(ts div 1000) div $UsPerHour").as("hour_bucket"), col("event_type"))
+      .groupBy(expr(s"ts div $UsPerHour").as("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), Num.r2(sum(col("value"))).as("sum_value"))
 
   /** Cohort retention: users cohorted by their first-active day; one row
@@ -135,7 +135,7 @@ object Relational {
   def eventsRetention(events: DataFrame): DataFrame = {
     val usPerDay = UsPerHour * 24
     val active = events.select(col("user_id"),
-      expr(s"(ts div 1000) div $usPerDay").as("day")).distinct()
+      expr(s"ts div $usPerDay").as("day")).distinct()
     val cohorts = active.groupBy("user_id").agg(min("day").as("cohort_day"))
     val sizes = cohorts.groupBy("cohort_day").agg(countDistinct("user_id").as("cohort_size"))
     active.join(cohorts, "user_id")
@@ -564,7 +564,7 @@ object Relational {
                  refType: String = "click"): DataFrame = {
     val ev = events
       .where(col("event_type").isin(leftType, refType))
-      .select(col("user_id"), col("event_id"), col("event_type"), expr("ts div 1000").as("tus"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts").as("tus"))
     val tagged = ev
       .withColumn("ref_tus", when(col("event_type") === refType, col("tus")))
       .withColumn("ref_id", when(col("event_type") === refType, col("event_id")))
@@ -587,7 +587,7 @@ object Relational {
     * equi on the bin, and the exact range predicate refines the candidates.
     * Work is O(pairs-within-lag), not O(n²). */
   def rangeJoinBinned(events: DataFrame, maxLagUs: Long = 60000000L): DataFrame = {
-    val ev = events.select(col("event_id"), expr("ts div 1000").as("tus"), col("event_type"))
+    val ev = events.select(col("event_id"), col("ts").as("tus"), col("event_type"))
     val nbrs = ev.where(col("event_type") =!= "error")
       .withColumn("bin", expr(s"tus div ${maxLagUs}L"))
     val errs = ev.where(col("event_type") === "error")
@@ -608,7 +608,7 @@ object Relational {
   def eventsSessions(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
     events
-      .withColumn("tus", expr("ts div 1000"))
+      .withColumn("tus", col("ts"))
       .withColumn("prev_ts", lag(col("tus"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull || (col("tus") - col("prev_ts")) > SessionGapUs, 1L).otherwise(0L))
@@ -665,7 +665,7 @@ object Relational {
     * merges it — the oracle encodes `>=`. */
   def eventsSessionsNative(events: DataFrame): DataFrame =
     events
-      .withColumn("tus", expr("ts div 1000"))
+      .withColumn("tus", col("ts"))
       .groupBy(col("user_id"),
         session_window(timestamp_micros(col("tus")), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"),

@@ -141,4 +141,49 @@ object SentencePairs {
         countDistinct(concat_ws("|", col("concept_x"), col("concept_y"))).as("n_distinct_pairs"))
       .where(col("support") >= 2)
   }
+
+  /** Dependency-parser input serialization (reference:
+    * etl/fn/SentenceDpInputBuilderFn.java:85-123 getSentenceWithComments +
+    * TextExtractionPipeline.java:50 COMMENT_INDICATOR): each extracted
+    * sentence pair becomes a multi-line block the Turku parser consumes —
+    * a `###C: SENTENCE` comment carrying (doc id, sentence id, sentence
+    * span start), one `###C: ENTITY` comment per mention carrying
+    * (concept id, start|end span string, covered text), then the sentence
+    * itself with multi-token concept mentions underscore-joined
+    * (`red blood cells → red_blood_cells`, reference
+    * ExtractedSentence.java:386-413). The reference's OTHER_ENTITY lines
+    * currently duplicate the two mention lines (its own comment says so)
+    * and are omitted.
+    *
+    * All row-local string assembly over the same joins extract() already
+    * does — one extra equi-join per mention side to recover span/covered
+    * text, one to the per-sentence token array. Nothing corpus-global. */
+  def dpInput(docs: DataFrame, annots: DataFrame,
+              xPrefix: String = "OP", yPrefix: String = "DS"): DataFrame = {
+    val s = withSent(annots)
+    def mention(side: String, concept: String, ord: String) = s.select(
+      col("doc_id"), col("sent_id"), col("concept_id").as(concept), col("ord").as(ord),
+      col("tok").as(s"${side}_tok"), col("char_start").as(s"${side}_start"),
+      col("char_end").as(s"${side}_end"))
+    val sentToks = TextOps.tokens(docs)
+      .withColumn("sent_id", expr(s"(ord - 1) div ${TextOps.SentWindow}"))
+      .groupBy("doc_id", "sent_id")
+      .agg(array_sort(collect_list(struct(col("ord").as("o"), col("tok").as("v")))).as("toks"),
+        min(col("char_start")).as("sent_start"))
+    val underscored = array_join(transform(col("toks"), t =>
+      when(t("o") === col("x_ord") || t("o") === col("y_ord"),
+        regexp_replace(t("v"), " ", "_")).otherwise(t("v"))), " ")
+    extract(annots, xPrefix, yPrefix)
+      .join(mention("x", "concept_x", "x_ord"), Seq("doc_id", "sent_id", "concept_x", "x_ord"))
+      .join(mention("y", "concept_y", "y_ord"), Seq("doc_id", "sent_id", "concept_y", "y_ord"))
+      .join(sentToks, Seq("doc_id", "sent_id"))
+      .select(col("doc_id"), col("sent_id"), col("concept_x"), col("concept_y"),
+        concat_ws("\n",
+          concat_ws("\t", lit("###C: SENTENCE"), col("doc_id"), col("sent_id"), col("sent_start")),
+          concat_ws("\t", lit("###C: ENTITY"), col("concept_x"),
+            concat(col("x_start"), lit("|"), col("x_end")), col("x_tok")),
+          concat_ws("\t", lit("###C: ENTITY"), col("concept_y"),
+            concat(col("y_start"), lit("|"), col("y_end")), col("y_tok")),
+          underscored).as("dp_input"))
+  }
 }

@@ -498,6 +498,28 @@ object OracleSql {
         |  GROUP BY 1, 2, 3, 4, 5, 6)
         |GROUP BY path HAVING count(*) >= 2""".stripMargin
 
+  /** SentencePairs.dpInput twin: the dependency-parser comment-block
+    * serialization, assembled with the same tab/newline joins and the same
+    * underscore rule at the mention ordinals. */
+  val dpInputExport: String =
+    docPipeline(pairsCte) +
+      s"""SELECT p.doc_id, p.sent_id, p.concept_x, p.concept_y,
+         |  '###C: SENTENCE' || chr(9) || CAST(p.doc_id AS VARCHAR) || chr(9) ||
+         |    CAST(p.sent_id AS VARCHAR) || chr(9) || CAST(min(t.char_start) AS VARCHAR) || chr(10) ||
+         |  '###C: ENTITY' || chr(9) || p.concept_x || chr(9) ||
+         |    CAST(xm.char_start AS VARCHAR) || '|' || CAST(xm.char_end AS VARCHAR) || chr(9) || xm.tok || chr(10) ||
+         |  '###C: ENTITY' || chr(9) || p.concept_y || chr(9) ||
+         |    CAST(ym.char_start AS VARCHAR) || '|' || CAST(ym.char_end AS VARCHAR) || chr(9) || ym.tok || chr(10) ||
+         |  string_agg(CASE WHEN t.ord = p.x_ord OR t.ord = p.y_ord
+         |                  THEN replace(t.tok, ' ', '_') ELSE t.tok END, ' ' ORDER BY t.ord)
+         |  AS dp_input
+         |FROM prs p
+         |JOIN pp xm ON xm.doc_id = p.doc_id AND xm.concept_id = p.concept_x AND xm.ord = p.x_ord
+         |JOIN pp ym ON ym.doc_id = p.doc_id AND ym.concept_id = p.concept_y AND ym.ord = p.y_ord
+         |JOIN tok t ON t.doc_id = p.doc_id AND (t.ord - 1) // $W = p.sent_id
+         |GROUP BY p.doc_id, p.sent_id, p.concept_x, p.concept_y,
+         |  xm.char_start, xm.char_end, xm.tok, ym.char_start, ym.char_end, ym.tok""".stripMargin
+
   val distantSupervision: String =
     docPipeline(unitsDocCte, pairCountsSql("units_doc", Seq("doc_id")),
       """singles AS (SELECT concept_id, CAST(count(*) AS BIGINT) AS unit_count FROM units_doc GROUP BY 1),
@@ -659,6 +681,46 @@ object OracleSql {
        |  'batch_' || CAST((pos - 1) // 20 AS VARCHAR) || '.ann' AS ann_file,
        |  sent_hash, doc_id, sent_id, sent_text
        |FROM pos""".stripMargin
+
+  /** Exports.inception twin: header block + hash-ordered bounded batch,
+    * sentences renumbered 1..n, char offsets re-based to run consecutively
+    * through the file, blank separator after every sentence but the last. */
+  val inceptionExport: String =
+    s"""WITH $tokCte,
+       |$conCte,
+       |$ppCte,
+       |sent AS (SELECT doc_id, (ord - 1) // $W AS sent_id,
+       |    string_agg(tok, ' ' ORDER BY ord) AS sent_text,
+       |    min(char_start) AS sent_start
+       |  FROM tok GROUP BY 1, 2),
+       |h AS (SELECT sha256(sent_text) AS sent_hash, doc_id, sent_id, sent_text, sent_start FROM sent),
+       |canon AS (SELECT sent_hash, min({'d': doc_id, 's': sent_id}) AS mn,
+       |    min(sent_text) AS sent_text, min(sent_start) AS sent_start
+       |  FROM h GROUP BY 1),
+       |batch AS (SELECT sent_hash, CAST(mn.d AS BIGINT) AS doc_id,
+       |    CAST(mn.s AS BIGINT) AS sent_id, sent_text, sent_start
+       |  FROM canon ORDER BY sent_hash LIMIT 50),
+       |b AS (SELECT *, CAST(row_number() OVER (ORDER BY sent_hash) AS BIGINT) AS pos,
+       |    CAST(coalesce(sum(length(sent_text) + 1) OVER (ORDER BY sent_hash
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off,
+       |    CAST(count(*) OVER () AS BIGINT) AS n_batch
+       |  FROM batch),
+       |lab AS (SELECT doc_id, ord, min(concept_id) AS label FROM pp GROUP BY 1, 2),
+       |hdr AS (SELECT * FROM (VALUES
+       |  (CAST(0 AS BIGINT), CAST(1 AS BIGINT), '#FORMAT=WebAnno TSV 3.3'),
+       |  (CAST(0 AS BIGINT), CAST(2 AS BIGINT), '#T_SP=custom.Span|label'),
+       |  (CAST(0 AS BIGINT), CAST(3 AS BIGINT), ''),
+       |  (CAST(0 AS BIGINT), CAST(4 AS BIGINT), '')) AS v(pos, block_line, line))
+       |SELECT pos, block_line, line FROM hdr
+       |UNION ALL SELECT pos, CAST(1 AS BIGINT), '#Text=' || sent_text FROM b
+       |UNION ALL SELECT b.pos, CAST((t.ord - 1) % $W + 1 + 1 AS BIGINT),
+       |  CAST(b.pos AS VARCHAR) || '-' || CAST((t.ord - 1) % $W + 1 AS VARCHAR)
+       |    || chr(9) || CAST(t.char_start - b.sent_start + b.off AS VARCHAR)
+       |    || '-' || CAST(t.char_end - b.sent_start + b.off AS VARCHAR)
+       |    || chr(9) || t.tok || chr(9) || coalesce(lab.label, '_')
+       |  FROM b JOIN tok t ON t.doc_id = b.doc_id AND (t.ord - 1) // $W = b.sent_id
+       |  LEFT JOIN lab ON t.doc_id = lab.doc_id AND t.ord = lab.ord
+       |UNION ALL SELECT pos, CAST($W + 2 AS BIGINT), '' FROM b WHERE pos < n_batch""".stripMargin
 
   /** Exports.annotationBatchFiles twin: replays the batch/page assignment,
     * then the page-continuous span offsets (running sum of sentence
@@ -2482,6 +2544,7 @@ object OracleSql {
     "jats_ingest" -> jatsIngest,
     "bioc_ingest" -> biocIngest,
     "webanno_export" -> webannoExport,
+    "inception_export" -> inceptionExport,
     "bio_tags" -> bioTags,
     "streaming_hourly" -> eventsHourly,
     "streaming_dedup" -> streamingDedup,
@@ -2540,6 +2603,7 @@ object OracleSql {
     "sentence_pairs" -> sentencePairs,
     "classified_sentences" -> classifiedSentences,
     "relation_paths" -> relationPaths,
+    "dp_input_export" -> dpInputExport,
     "doc_upsert" -> docUpsert,
     "distant_supervision" -> distantSupervision,
     "bionlp_export" -> bionlpExport,

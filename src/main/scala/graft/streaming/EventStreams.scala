@@ -39,15 +39,23 @@ object EventStreams {
     * Relational.eventsHourly — so the same DuckDB oracle checks a plan that
     * actually executed as Structured Streaming. */
   /** Stage the events parquet into a fresh directory and open it as a
-    * file-source stream (µs timestamps, full event columns). */
+    * file-source stream (µs-precision TIMESTAMP `ts`, full event columns).
+    *
+    * The file source needs a declared schema, so we take it from the staged
+    * file itself (one batch-read of the footer) — NEVER a hand-asserted one:
+    * a user schema of `ts BIGINT` over a parquet TIMESTAMP column silently
+    * yields the raw int64 in whatever unit the writer chose, which is a
+    * precision landmine. Whatever the file carries, `ts` is normalized to
+    * the same canonical epoch-µs as Tables.events and re-expressed as a
+    * TIMESTAMP for the watermark/window operators. */
   private def stagedEventsStream(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
     val dir = graft.infra.Staging.tempDir("graft-stream-q")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"), dir.resolve("events.parquet"))
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-    spark.readStream.schema(schema).parquet(dir.toString)
-      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+    val fileSchema = spark.read.parquet(dir.toString).schema
+    val raw = spark.readStream.schema(fileSchema).parquet(dir.toString)
+    graft.sources.Tables.canonicalizeEventTs(raw)
+      .select(col("event_id"), timestamp_micros(col("ts")).as("ts"),
         col("user_id"), col("event_type"), col("value"))
   }
 
@@ -194,10 +202,10 @@ object EventStreams {
     * user counts aggregate over the emitted progress log (max per user —
     * monotone), matching the batch events_funnel oracle. */
   def funnelViaStream(spark: org.apache.spark.sql.SparkSession, sfDir: String,
-                      cutoffNs: Long): DataFrame = {
+                      cutoffUs: Long): DataFrame = {
     import spark.implicits._
     val ev = stagedEventsStream(spark, sfDir)
-      .where(unix_micros(col("ts")) * 1000 < cutoffNs)
+      .where(unix_micros(col("ts")) < cutoffUs)
       .select(col("user_id"), unix_micros(col("ts")).as("tus"),
         col("event_id"), col("event_type")).as[StepEvent]
     runToFiles(funnelSteps(ev).toDF())

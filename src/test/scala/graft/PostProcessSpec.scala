@@ -9,12 +9,16 @@ class PostProcessSpec extends SparkSpec {
   private val annots = Seq(
     (0L, "ENT:spark", 1L, "spark", 0L, 5L),
     (0L, "SZ:big", 2L, "big", 6L, 9L),
-    (0L, "OP:join", 3L, "join", 10L, 14L))
+    (0L, "OP:join", 3L, "join", 10L, 14L),
+    (0L, "OP:scan", 4L, "scan", 15L, 19L))
     .toDF("doc_id", "concept_id", "ord", "tok", "char_start", "char_end")
 
   test("promote canonicalizes mapped ids and leaves others alone") {
+    // ENT/SZ rows: NCBITaxon/Mondo-HP-style equivalence promotion;
+    // OP:join → OP:JOINLIKE: the PrPromotionMapFactory rule (specific class
+    // to its lowest category-level ancestor); OP:scan: unmapped → identity.
     val r = Concepts.promote(annots).orderBy("ord").select("concept_id").as[String].collect()
-    assert(r.toSeq == Seq("ENT:engine", "SZ:large", "OP:join"))
+    assert(r.toSeq == Seq("ENT:engine", "SZ:large", "OP:JOINLIKE", "OP:scan"))
   }
 
   test("strictFilters drops bracket-broken, stopword, short, and excluded-pair annots") {

@@ -61,12 +61,12 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("events.parquet"))
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir.toString)
-      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"), col("value"))
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = graft.sources.Tables.canonicalizeEventTs(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(dir.toString))
+      .select(timestamp_micros(col("ts")).as("ts"), col("event_type"), col("value"))
     val q = EventStreams.windowedCounts(stream, windowLen = "1 day", watermark = "2 days")
       .writeStream.format("memory").queryName("filewc").outputMode("complete").start()
     q.processAllAvailable()
@@ -81,10 +81,10 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("events.parquet"))
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"), col("value"))
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = graft.sources.Tables.canonicalizeEventTs(
+        spark.readStream.schema(schema).parquet(dir.toString))
+      .select(timestamp_micros(col("ts")).as("ts"), col("event_type"), col("value"))
     val q = graft.streaming.EventStreams.windowedCounts(stream, "1 hour", "100 days")
       .writeStream.format("memory").queryName("equiv").outputMode("complete").start()
     q.processAllAvailable()
