@@ -134,6 +134,7 @@ object SparkEntry {
     }),
     "conll03_export" -> ((s, d) => Conllu.conll03(docs(s, d))),
     "dict_export" -> ((s, _) => graft.functions.ConceptDict.dictExport(s)),
+    "ontology_labels" -> ((s, _) => graft.functions.ConceptDict.labelMapDF(s)),
     "abbrev" -> ((s, d) => Abbreviations.partAbbreviations(Tables.part(s, d))),
     // C. cooccurrence & corpus stats
     "cooccur_counts_doc" -> ((s, d) =>

@@ -94,6 +94,37 @@ object ConceptDict {
     entries.toDF("tok", "concept_id")
   }
 
+  /** Ontology class → label rows BEFORE normalization (reference:
+    * util/OntologyClassLabelMapFactory.java:26-52 — every class in the
+    * ontology, label from rdfs:label, `_null` when absent). The class
+    * universe is everything the hierarchy knows: dictionary classes (label =
+    * their lexical token), plus the non-lexical mid/root/promotion-target
+    * classes, which carry no rdfs:label here and emit the reference's
+    * `_null` placeholder. Deterministic order. */
+  def labelEntries: Seq[(String, String)] = {
+    val dictLabels = entries.map { case (t, c) => (c, t) }.toMap
+    val allClasses = (entries.map(_._2) ++
+      ancestors.flatMap { case (c, a) => Seq(c, a) } ++
+      promotions.flatMap { case (c, p) => Seq(c, p) }).distinct.sorted
+    allClasses.map(c => (c, dictLabels.getOrElse(c, "_null")))
+  }
+
+  /** The label map as a DataFrame, with the reference's one-trailing-quote
+    * strip (`label.endsWith("\"") → drop last char`) applied as a column
+    * expression — the normalization is part of the map derivation, not of
+    * the static data. */
+  def labelMapDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    labelEntries.toDF("concept_id", "raw_label")
+      .select(col("concept_id"),
+        regexp_replace(col("raw_label"), "\"$", "").as("label"))
+  }
+
+  def labelValuesSql: String =
+    labelEntries.map { case (c, l) => s"('$c','${l.replace("'", "''")}')" }
+      .mkString("(VALUES ", ", ", ") AS lbl(concept_id, raw_label)")
+
   /** Dictionary-file export (reference: oger/dict OgerDictFileFactory family
     * builds normalized label→class dictionaries from ontologies). Emits the
     * normalized dictionary as rows: concept_id, label, label_norm, group. */

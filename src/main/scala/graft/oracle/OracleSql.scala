@@ -270,6 +270,12 @@ object OracleSql {
        |  split_part(dict.concept_id, ':', 1) AS "group"
        |FROM ${ConceptDict.dictValuesSql}""".stripMargin
 
+  /** ConceptDict.labelMapDF twin: same class universe, same one-trailing-
+    * quote strip applied in SQL. */
+  val ontologyLabels: String =
+    s"""SELECT concept_id, regexp_replace(raw_label, '"$$', '') AS label
+       |FROM ${ConceptDict.labelValuesSql}""".stripMargin
+
   // ---------- C. cooccurrence & corpus stats ----------
 
   private def pairCountsSql(units: String, unitKeys: Seq[String]): String = {
@@ -2569,6 +2575,7 @@ object OracleSql {
     "brat_export" -> bratExport,
     "conll03_export" -> conll03Export,
     "dict_export" -> dictExport,
+    "ontology_labels" -> ontologyLabels,
     "kg_nodes" -> kgNodes,
     "kg_edges" -> kgEdges,
     "trapi_nodes" -> trapiNodes,

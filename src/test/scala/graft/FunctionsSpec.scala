@@ -80,4 +80,28 @@ class FunctionsSpec extends SparkSpec {
     val viaHof = df.select(col("vec_id"), hofBucket.as("b")).as[(Long, Long)].collect().toMap
     assert(viaExpr == viaHof)
   }
+
+  test("ontology label map covers the full class universe with _null for unlabeled") {
+    import graft.functions.ConceptDict
+    val m = ConceptDict.labelMapDF(spark).as[(String, String)].collect().toMap
+    // every dictionary class labels with its token; every hierarchy-only
+    // class (roots, mid-levels, promotion targets) emits the _null marker
+    assert(m("OP:join") == "join" && m("DS:table") == "table")
+    for (c <- Seq("OP:ROOT", "OP:JOINLIKE", "ENT:engine", "SZ:large"))
+      assert(m(c) == "_null", s"$c should be unlabeled")
+    val universe = (ConceptDict.entries.map(_._2) ++
+      ConceptDict.ancestors.flatMap(e => Seq(e._1, e._2)) ++
+      ConceptDict.promotions.flatMap(e => Seq(e._1, e._2))).toSet
+    assert(m.keySet == universe)
+  }
+
+  test("label map strips exactly one trailing quote (reference rule)") {
+    import spark.implicits._
+    // the rule lives in the DF derivation; exercise it on raw rows directly
+    val out = Seq(("X:a", "plain"), ("X:b", "quoted\""), ("X:c", "double\"\""))
+      .toDF("concept_id", "raw_label")
+      .select(col("concept_id"), regexp_replace(col("raw_label"), "\"$", "").as("label"))
+      .as[(String, String)].collect().toMap
+    assert(out == Map("X:a" -> "plain", "X:b" -> "quoted", "X:c" -> "double\""))
+  }
 }
