@@ -15,6 +15,7 @@ object BucketedCooccurDemo {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ so bucketing matters
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -37,6 +37,9 @@ object SparkEntry {
   /** Per-sf-dir staging dirs for the TSV round trip (same discipline). */
   private val tsvStage = scala.collection.mutable.Map[String, String]()
 
+  /** Per-sf-dir staging dirs for the JSONL round trip (same discipline). */
+  private val jsonlStage = scala.collection.mutable.Map[String, String]()
+
   /** Funnel window end for the events_funnel / streaming_funnel queries:
     * 2024-01-04T00:00:00Z in canonical epoch-µs (the Tables.events `ts`
     * representation). This is WIRING, not library semantics — the synthetic
@@ -424,6 +427,22 @@ object SparkEntry {
       s.read.option("sep", "\t").option("header", "true")
         .schema("doc_id BIGINT, source STRING, n_chars BIGINT, text_len BIGINT")
         .csv(dir)
+    }),
+    "jsonl_roundtrip" -> ((s, d) => {
+      // JSON Lines interchange (the Elasticsearch bulk / PubAnnotation load
+      // shape): documents → Sinks.jsonl → JSON reader with an explicit
+      // schema — schema'd reads skip Spark's whole-dataset inference pass,
+      // the 100 TB requirement (written once per sf dir, like orc_roundtrip)
+      val dir = jsonlStage.synchronized(jsonlStage.getOrElseUpdate(d, {
+        val out = graft.infra.Staging.tempDir("graft-jsonl").toString
+        graft.sources.Sinks.jsonl(
+          docs(s, d).select(col("doc_id"), col("source"), col("n_chars"),
+            length(col("text")).cast("long").as("text_len")), out)
+        out
+      }))
+      s.read.schema("doc_id BIGINT, source STRING, n_chars BIGINT, text_len BIGINT")
+        .json(dir)
+        .select("doc_id", "source", "n_chars", "text_len")
     }),
     "annot_agreement" -> ((s, d) =>
       Eval.spanAgreement(pp(s, d), Concepts.crfAnnots(docs(s, d)))),

@@ -2672,6 +2672,7 @@ object OracleSql {
     "streaming_upsert" -> docUpsert,
     "orc_roundtrip" -> orcRoundtrip,
     "tsv_roundtrip" -> orcRoundtrip,
+    "jsonl_roundtrip" -> orcRoundtrip,
     "zorder_key" -> zorderKey,
     "annot_agreement" -> annotAgreement,
     "annot_kappa" -> annotKappa,

@@ -39,6 +39,47 @@ class TablesSpec extends SparkSpec {
       s"ts range [$lo, $hi] is not epoch-µs for a 2024 corpus — precision drift")
   }
 
+  test("every table loads with the schema the engine was built against") {
+    // The generalization of the events.ts lesson: any driver-side testdata
+    // layout drift should fail HERE with a named per-table diff, not as
+    // scattered downstream analysis errors. Timestamp-typed columns may
+    // arrive as TIMESTAMP or TIMESTAMP_NTZ (parquet isAdjustedToUTC flips
+    // have happened); both normalize identically under the UTC sessions all
+    // correctness-gated mains pin, so the assertion accepts either.
+    val expected = Map(
+      "region" -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+      "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "string", "n_regionkey" -> "int"),
+      "customer" -> Seq("c_custkey" -> "bigint", "c_name" -> "string",
+        "c_nationkey" -> "int", "c_acctbal" -> "double", "c_mktsegment" -> "string"),
+      "supplier" -> Seq("s_suppkey" -> "bigint", "s_name" -> "string",
+        "s_nationkey" -> "int", "s_acctbal" -> "double"),
+      "part" -> Seq("p_partkey" -> "bigint", "p_name" -> "string", "p_brand" -> "string",
+        "p_type" -> "string", "p_size" -> "int", "p_retailprice" -> "double"),
+      "orders" -> Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+        "o_orderstatus" -> "string", "o_totalprice" -> "double",
+        "o_orderdate" -> "timestamp*", "o_orderpriority" -> "string"),
+      "lineitem" -> Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+        "l_suppkey" -> "bigint", "l_linenumber" -> "int", "l_quantity" -> "double",
+        "l_extendedprice" -> "double", "l_discount" -> "double", "l_tax" -> "double",
+        "l_returnflag" -> "string", "l_linestatus" -> "string", "l_shipdate" -> "timestamp*"),
+      "events" -> Seq("event_id" -> "bigint", "ts" -> "bigint" /* canonicalized */,
+        "user_id" -> "bigint", "event_type" -> "string", "value" -> "double",
+        "props" -> "string"),
+      "documents" -> Seq("doc_id" -> "bigint", "text" -> "string", "lang" -> "string",
+        "source" -> "string", "n_chars" -> "bigint"),
+      "embeddings" -> Seq("vec_id" -> "bigint", "embedding" -> "array<float>",
+        "label" -> "int"))
+    for ((name, cols) <- expected) {
+      val got = Tables.table(spark, sfDirs.head, name).schema
+        .map(f => f.name -> f.dataType.simpleString)
+      val ok = got.size == cols.size && got.zip(cols).forall {
+        case ((gn, gt), (en, et)) =>
+          gn == en && (if (et == "timestamp*") gt.startsWith("timestamp") else gt == et)
+      }
+      assert(ok, s"$name schema drifted: got $got, expected $cols")
+    }
+  }
+
   test("canonicalizeEventTs handles each source representation identically") {
     import spark.implicits._
     val us = 1704326400123456L
