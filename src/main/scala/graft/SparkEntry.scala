@@ -403,6 +403,7 @@ object SparkEntry {
         length(col("text")).cast("long").as("text_len"))
     }),
     "zorder_key" -> ((s, d) => Layout.zorderKey(docs(s, d))),
+    "corpus_shuffle" -> ((s, d) => Layout.corpusShuffle(docs(s, d))),
     // the zlib ratio has no DuckDB twin, so the ratio column is staged once
     // and the oracle checks the both-tails gate derivation over it
     "compression_quality" -> ((s, d) => TextStats.compressionQualityStaged(docs(s, d), d)),
@@ -460,6 +461,7 @@ object SparkEntry {
     "sq_codes" -> ((s, d) => Embeddings.sqCodes(Tables.embeddings(s, d))),
     "sq_topk" -> ((s, d) => Embeddings.sqTopK(Tables.embeddings(s, d))),
     "ivfsq_topk" -> ((s, d) => Embeddings.ivfSqTopK(Tables.embeddings(s, d))),
+    "ivfpq_topk" -> ((s, d) => Embeddings.ivfPqTopK(Tables.embeddings(s, d))),
     "kmeans_cells" -> ((s, d) => Embeddings.kmeansCells(Tables.embeddings(s, d))),
     "pq_topk" -> ((s, d) => Embeddings.pqTopK(Tables.embeddings(s, d))),
     "pq_distortion" -> ((s, d) => Embeddings.pqDistortion(Tables.embeddings(s, d))),

@@ -92,16 +92,24 @@ object Dedup {
       .select(col("doc_id"), (Hash60.id(col("shingle")) % MinhashP).as("sid"))
       .distinct()
 
-  /** doc_id, j, mh — the raw MinHash signature components. */
+  /** doc_id, j, mh — the raw MinHash signature components.
+    *
+    * All k hash minima are computed as k columns of ONE map-side-combinable
+    * aggregation over the shingle stream — the k hash evaluations happen
+    * inline per input row inside whole-stage codegen, so nothing ever
+    * materializes k× the shingle rows (the previous crossJoin-with-params
+    * shape shuffled k rows per (doc, j) group; at 100 TB that k× explosion
+    * IS the signature-build cost). The shuffle now carries one k-wide row
+    * per doc per partition; the long (doc_id, j, mh) format downstream
+    * consumers expect is a posexplode AFTER aggregation, over k× |docs|
+    * rows, not k× |shingles|. Same arithmetic, identical signatures. */
   def minhashValues(shingleSets: DataFrame): DataFrame = {
-    val spark = shingleSets.sparkSession
-    import spark.implicits._
-    val params = broadcast(minhashParams.toDF("j", "a", "b"))
-    shingleSets
-      .crossJoin(params)
-      .withColumn("h", (col("a") * col("sid") + col("b")) % MinhashP)
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min("h").as("mh"))
+    val aggs = minhashParams.map { case (j, a, b) =>
+      min((lit(a) * col("sid") + lit(b)) % MinhashP).as(s"mh$j") }
+    shingleSets.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array(minhashParams.map { case (j, _, _) => col(s"mh$j") }: _*)))
+      .select(col("doc_id"), col("pos").as("j"), col("col").as("mh"))
   }
 
   /** doc_id, band, band_key — LSH band buckets from MinHash signatures. */

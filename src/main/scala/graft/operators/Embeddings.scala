@@ -250,6 +250,50 @@ object Embeddings {
       .select("query_id", "rank", "neighbor_id", "adc_dist")
   }
 
+  /** query_id, rank, neighbor_id, adc_dist — IVF-PQ with RESIDUAL encoding
+    * (Jégou, Douze & Schmid TPAMI 2011 §IV-B; the FAISS `IVFx,PQy` shape —
+    * the standard billion-scale index): each vector PQ-encodes its residual
+    * from its cell centroid (residuals concentrate near zero, so one shared
+    * codebook spends its codes where the mass actually is), and a query
+    * probing a cell compares its PER-CELL residual against the candidates'
+    * codes via ADC. Completes the compression ladder beside ivf_topk
+    * (cells, full vectors), pq_topk (codes, no cells) and ivfsq_topk
+    * (cells, SQ8): candidate generation stays cell-bounded, the scan side
+    * carries PqM bytes per vector, and the query-residual table is
+    * (queries × probes) rows — a broadcast. The residual subtraction is a
+    * codegen'd array transform against the centroid-matrix literal; codes
+    * come from the same one-pass PQ kernel as pq_codes. */
+  def ivfPqTopK(embeddings: DataFrame, numQueries: Int = 8, k: Int = 5,
+                probes: Int = NumProbes): DataFrame = {
+    val cm = MatVec.matrixLit(centroidMatrix)
+    val cb = MatVec.matrixLit(pqCodebookFlat)
+    def residual(vec: Column, cell: Column): Column =
+      transform(vec, (x, i) =>
+        x - element_at(cm, (cell * EmbDim).cast("int") + i + 1))
+    val ranks = cellRanks(embeddings).persist()
+    val cells = ranks.where(col("rnk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cell"))
+    val nCodes = embeddings
+      .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("ne"))
+      .join(cells, "neighbor_id")
+      .select(col("neighbor_id"), col("cell"),
+        MatVec.pqCodes(residual(col("ne"), col("cell")), cb, PqM, PqK).as("codes"))
+    val q = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+    val qres = ranks.where(col("vec_id") < numQueries && col("rnk") <= probes)
+      .select(col("vec_id").as("query_id"), col("cell"))
+      .join(q, "query_id")
+      .select(col("query_id"), col("cell"), residual(col("qe"), col("cell")).as("qr"))
+    broadcast(qres).join(nCodes, "cell")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Num.r6(MatVec.pqAdcDistance(col("qr"), col("codes"), cb)).as("adc_dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc_dist"), col("neighbor_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc_dist")
+  }
+
   /** cell, n_vecs, frac, imbalance — IVF cell-occupancy report (the other
     * FAISS index diagnostic beside [[annRecall]]/[[pqDistortion]]: the
     * imbalance factor K·Σ(n_c/N)² is 1.0 for perfectly even cells and grows

@@ -64,4 +64,24 @@ object Layout {
       .repartitionByRange(partitions, col("zval"))
       .sortWithinPartitions(col("zval"))
       .drop("zval")
+
+  /** doc_id, shard, pos — deterministic pseudorandom corpus shuffle: the
+    * write-path operation every pretraining pipeline runs before
+    * serializing examples (training order must be random-looking, seeded
+    * reproducible, and balanced across output shards). Each doc gets a
+    * seeded hash key; shard = key mod nShards (balanced in expectation),
+    * pos = the doc's rank within its shard in key order. Scale shape: one
+    * per-row hash, one shuffle on the shard key (the same exchange the
+    * sharded write needs anyway), and per-SHARD local sorts — never a
+    * corpus-global sort. Re-running with the same seed reproduces the
+    * exact order; changing the seed is a fresh epoch permutation. */
+  def corpusShuffle(docs: DataFrame, nShards: Int = 64, seed: Long = 42L): DataFrame = {
+    val byShard = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("skey"), col("doc_id"))
+    docs.select(col("doc_id"),
+        Hash60.id(concat(lit(s"$seed:"), col("doc_id"))).as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(byShard).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
 }

@@ -1787,6 +1787,50 @@ object OracleSql {
        |  FROM sc)
        |SELECT query_id, rank, neighbor_id, cosine FROM rk WHERE rank <= 5""".stripMargin
 
+  /** Embeddings.ivfPqTopK twin: residual-encoded IVF-PQ. Residuals are
+    * (e − own-cell centroid) for the stored side and (e − probed-cell
+    * centroid) per (query, cell) for the query side; codes replay the
+    * pq-codes argmin (6dp distances, low-k ties) over the residuals; ADC
+    * sums the per-subspace query-residual table entries at the candidate's
+    * codes, rounded at the pair like pq_topk. */
+  val ivfPqTopK: String =
+    s"""WITH $ivfRankCtes,
+       |cells AS (SELECT vec_id, cell FROM r WHERE rnk = 1),
+       |res AS (SELECT ex.vec_id, ex.dim, ex.e - cen.w AS e
+       |  FROM ex JOIN cells cl ON ex.vec_id = cl.vec_id
+       |  JOIN $centroidsSql ON cen.cell = cl.cell AND cen.dim = ex.dim),
+       |rsd AS (SELECT vec_id, dim // $pqSubDim AS sub, dim % $pqSubDim AS d, e FROM res),
+       |rdist AS (SELECT vec_id, rsd.sub, cb.k,
+       |    floor(sum((e - cb.w) * (e - cb.w)) * 1000000 + 0.5) / 1000000 AS d2
+       |  FROM rsd JOIN $pqCodebookSql ON rsd.sub = cb.sub AND rsd.d = cb.d
+       |  GROUP BY 1, 2, 3),
+       |rcode AS (SELECT vec_id, sub, k AS code FROM (
+       |    SELECT vec_id, sub, k,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, k) AS rn
+       |    FROM rdist) WHERE rn = 1),
+       |qp AS (SELECT vec_id AS query_id, cell FROM r
+       |  WHERE vec_id < 8 AND rnk <= ${Embeddings.NumProbes}),
+       |qres AS (SELECT qp.query_id, qp.cell, ex.dim, ex.e - cen.w AS e
+       |  FROM qp JOIN ex ON ex.vec_id = qp.query_id
+       |  JOIN $centroidsSql ON cen.cell = qp.cell AND cen.dim = ex.dim),
+       |qsd AS (SELECT query_id, cell, dim // $pqSubDim AS sub, dim % $pqSubDim AS d, e FROM qres),
+       |qd AS (SELECT query_id, cell, qsd.sub, cb.k,
+       |    sum((e - cb.w) * (e - cb.w)) AS d2
+       |  FROM qsd JOIN $pqCodebookSql ON qsd.sub = cb.sub AND qsd.d = cb.d
+       |  GROUP BY 1, 2, 3, 4),
+       |pairs AS (SELECT qd.query_id, cl.vec_id AS neighbor_id,
+       |    floor(sum(qd.d2) * 1000000 + 0.5) / 1000000 AS adc_dist
+       |  FROM cells cl
+       |  JOIN rcode co ON co.vec_id = cl.vec_id
+       |  JOIN qd ON qd.cell = cl.cell AND qd.sub = co.sub AND qd.k = co.code
+       |  WHERE cl.vec_id <> qd.query_id
+       |  GROUP BY 1, 2),
+       |rk AS (SELECT query_id, neighbor_id, adc_dist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
+       |  FROM pairs)
+       |SELECT query_id, rank, neighbor_id, adc_dist FROM rk WHERE rank <= 5""".stripMargin
+
   /** Embeddings.annRecall twin: the brute-force and IVF top-k oracles
     * composed as subqueries (each carries its own WITH), hit-joined per
     * query; zero-hit queries kept via the outer join. */
@@ -2439,6 +2483,16 @@ object OracleSql {
        |s4 AS (SELECT doc_id, (a | (a << 1)) & 1431655765 AS a, (bb | (bb << 1)) & 1431655765 AS bb FROM s3)
        |SELECT doc_id, CAST(a | (bb << 1) AS BIGINT) AS zval FROM s4""".stripMargin
 
+  /** Layout.corpusShuffle twin: same seeded Hash60 key, shard = key mod
+    * nShards, rank within shard in (key, doc_id) order. */
+  val corpusShuffle: String =
+    s"""WITH k AS (SELECT doc_id,
+       |    ${Hash60.sql("('42:' || CAST(doc_id AS VARCHAR))")} AS skey
+       |  FROM documents)
+       |SELECT doc_id, skey % 64 AS shard,
+       |  CAST(row_number() OVER (PARTITION BY skey % 64 ORDER BY skey, doc_id) AS BIGINT) AS pos
+       |FROM k""".stripMargin
+
   val orcRoundtrip: String =
     """SELECT doc_id, source, n_chars,
       |  CAST(length(text) AS BIGINT) AS text_len FROM documents""".stripMargin
@@ -2674,6 +2728,7 @@ object OracleSql {
     "tsv_roundtrip" -> orcRoundtrip,
     "jsonl_roundtrip" -> orcRoundtrip,
     "zorder_key" -> zorderKey,
+    "corpus_shuffle" -> corpusShuffle,
     "annot_agreement" -> annotAgreement,
     "annot_kappa" -> annotKappa,
     "source_caps" -> sourceCaps,
@@ -2691,6 +2746,7 @@ object OracleSql {
     "sq_codes" -> sqCodesSql,
     "sq_topk" -> sqTopKSql,
     "ivfsq_topk" -> ivfSqTopK,
+    "ivfpq_topk" -> ivfPqTopK,
     "kmeans_cells" -> kmeansCellsSql,
     "pq_topk" -> pqTopK,
     "pq_distortion" -> pqDistortion,

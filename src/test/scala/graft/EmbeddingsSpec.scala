@@ -124,6 +124,33 @@ class EmbeddingsSpec extends SparkSpec {
     assert(top.head.getAs[Long]("neighbor_id") == 1L)
   }
 
+  test("ivf-pq ranks an exact duplicate first (same cell, identical residual codes)") {
+    // an exact duplicate lands in the query's own cell with an identical
+    // residual, so its codes match the query's residual argmin codes and
+    // ADC distance is the per-subspace minimum — rank 1
+    val dim = Embeddings.EmbDim
+    val vs = vecs(Seq(unit(dim, 0), unit(dim, 0), unit(dim, 5), unit(dim, 9)))
+    val top = Embeddings.ivfPqTopK(vs, numQueries = 1, k = 3).orderBy("rank").collect()
+    assert(top.nonEmpty && top.head.getAs[Long]("neighbor_id") == 1L)
+  }
+
+  test("ivf-pq candidates are cell-bounded (only probed-cell members appear)") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Embeddings.ivfPqTopK(emb, numQueries = 4, k = 50, probes = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // with probes=1 every returned neighbor must share the query's top cell
+    val cellOf = emb.select(col("vec_id"),
+        graft.functions.MatVec.centroidRanks(col("embedding").cast("array<double>"),
+          graft.functions.MatVec.matrixLit(
+            Embeddings.centroids.grouped(Embeddings.EmbDim).map(_.map(_._3).toSeq).toSeq))(0)
+          .as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    for ((q, ns) <- got; n <- ns)
+      assert(cellOf(n) == cellOf(q), s"neighbor $n of query $q from unprobed cell")
+  }
+
   test("sq8 reconstruction preserves brute-force rank-1 on the real corpus") {
     // 8-bit per-dim quantization error (~scale/2 per dim) barely perturbs a
     // 64-dim cosine — rank-1 agreement with the exact scan is the cheap,

@@ -57,4 +57,27 @@ class LayoutSpec extends SparkSpec {
     assert("Exchange rangepartitioning".r.findAllIn(plan).length == 1, plan.take(2000))
     assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty, plan.take(2000))
   }
+
+  test("corpusShuffle is a seeded permutation: balanced shards, dense ranks, reproducible") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = docs.count()
+    val a = Layout.corpusShuffle(docs, nShards = 8, seed = 42L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // every doc appears exactly once
+    assert(a.length == n && a.map(_._1).distinct.length == n)
+    // shards are balanced within 3x of ideal (hash-mod balance on 500 docs)
+    val sizes = a.groupBy(_._2).values.map(_.length)
+    assert(sizes.max <= 3 * (n / 8).toInt, s"skewed shards: $sizes")
+    // ranks are dense 1..size within each shard
+    for ((_, rows) <- a.groupBy(_._2))
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    // same seed reproduces; a different seed permutes differently
+    val b = Layout.corpusShuffle(docs, nShards = 8, seed = 42L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    val c = Layout.corpusShuffle(docs, nShards = 8, seed = 7L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq != c.toSeq)
+  }
 }
