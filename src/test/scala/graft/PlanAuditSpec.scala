@@ -132,4 +132,25 @@ class PlanAuditSpec extends SparkSpec {
     val tk = scanText("tokens")
     assert(tk.contains("doc_id") && !tk.contains("source"), tk)
   }
+
+  test("event-family shuffle budget survives the ts canonicalization") {
+    // The epoch-µs canonicalization is a Project over the scan; it must not
+    // cost an exchange. Pin each repaired query's shuffle count at the
+    // single-shuffle shape the r6 audit approved (funnel's second exchange
+    // carries ≤4 per-step rows; range_join_binned is broadcast-only).
+    val budget = Map(
+      "events_sessions" -> 1, "events_sessions_native" -> 1,
+      "events_hourly" -> 1, "events_asof" -> 1,
+      "events_funnel" -> 2, "range_join_binned" -> 0)
+    for ((q, maxEx) <- budget) {
+      val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+      val n = "Exchange hashpartitioning".r.findAllIn(plan).length +
+        "Exchange rangepartitioning".r.findAllIn(plan).length
+      assert(n <= maxEx, s"$q: $n shuffle exchanges (budget $maxEx)\n${plan.take(1500)}")
+      // pushdown must also survive: the canonicalization project sits
+      // between the filter and the scan only logically, never physically
+      if (q == "events_asof")
+        assert(plan.contains("PushedFilters: [In(event_type"), plan.take(2000))
+    }
+  }
 }
