@@ -23,9 +23,10 @@ object ScaleBench {
       "minhash_est", "ngram_jaccard", "dedup_simhash", "simhash_pairs",
       "window_dup", "doc_fingerprint"),
     "ann" -> Seq("emb_topk", "emb_topk_native", "emb_lsh", "ivf_topk",
-      "pq_codes", "pq_topk", "sq_codes", "sq_topk", "ivfsq_topk",
+      "pq_codes", "pq_topk", "sq_codes", "sq_topk", "ivfsq_topk", "ivfpq_topk",
       "kmeans_cells", "emb_dup_pairs", "semantic_dedup"),
-    "cc" -> Seq("dedup_clusters", "semantic_clusters", "dedup_keep_best"))
+    "cc" -> Seq("dedup_clusters", "semantic_clusters", "dedup_keep_best"),
+    "layout" -> Seq("corpus_shuffle", "zorder_key"))
 
   def main(args: Array[String]): Unit = {
     val small = args.lift(0).getOrElse("/root/testdata/sf0.01")
