@@ -100,6 +100,7 @@ object SparkEntry {
       Concepts.strictFilters(pp(s, d).unionByName(noisy))
     }),
     "conllu_tokens" -> ((s, d) => Conllu.roundTrip(docs(s, d))),
+    "dp_sentences" -> ((s, d) => Conllu.dpSentences(docs(s, d))),
     "conllu_files" -> ((s, d) => {
       // real file-based CoNLL-U ingest (DependencyParseStoragePipeline
       // reads Turku-parser .conllu output from storage): stage one

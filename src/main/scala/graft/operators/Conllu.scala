@@ -56,6 +56,30 @@ object Conllu {
   /** Round-trip query: build then parse (proves both directions). */
   def roundTrip(docs: DataFrame): DataFrame = parse(build(docs))
 
+  /** doc_id, line — BioNLP-format SENTENCE annotations whose boundaries come
+    * from the dependency-parse CoNLL-U blocks, not from a segmenter run on
+    * the text (reference: etl/DependencyParseToSentencePipeline.java +
+    * fn/DependencyParseConlluToSentenceFn.java:98-141 — the parser's
+    * sentence breaks are authoritative, and covered text is re-anchored on
+    * the document because the CoNLL-U reader returns spans without it).
+    * The engine path really flows text → CoNLL-U → parsed blocks → spans:
+    * parsed tokens rejoin the document token stream by ordinal to recover
+    * char offsets, then one per-sentence aggregation emits
+    * `T{n}\tsentence {start} {end}\t{covered}`. */
+  def dpSentences(docs: DataFrame): DataFrame = {
+    val w = TextOps.SentWindow
+    val parsed = parse(build(docs))
+      .select(col("doc_id"), col("sent_id"),
+        (col("sent_id") * w + col("tok_id")).as("ord"))
+    parsed.join(TextOps.tokens(docs), Seq("doc_id", "ord"))
+      .groupBy("doc_id", "sent_id")
+      .agg(min("char_start").as("s"), max("char_end").as("e"),
+        Agg.orderedStringAgg(col("ord"), col("tok"), " ").as("covered"))
+      .select(col("doc_id"),
+        concat(lit("T"), col("sent_id") + 1, lit("\tsentence "),
+          col("s"), lit(" "), col("e"), lit("\t"), col("covered")).as("line"))
+  }
+
   /** CoNLL03 training-row export (reference:
     * etl/DependencyParseToConll03Pipeline.java + DependencyParseConlluToConll03Fn:
     * `token POS chunk NER-tag` lines for BERT NER training). NER tags come

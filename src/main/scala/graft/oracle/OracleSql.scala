@@ -134,6 +134,19 @@ object OracleSql {
        |  ${uposCaseSql("tok")} AS upos
        |FROM tok""".stripMargin
 
+  /** Conllu.dpSentences twin: sentence spans and covered text per CoNLL-U
+    * sentence block, serialized as BioNLP `T{n}\tsentence {s} {e}\t{text}`
+    * lines (the engine derives the blocks through a real build→parse cycle;
+    * block boundaries equal the fixed token windows, so the oracle
+    * aggregates the token stream directly). */
+  val dpSentences: String =
+    s"""WITH $tokCte
+       |SELECT doc_id,
+       |  'T' || CAST((ord - 1) // $W + 1 AS VARCHAR) || chr(9) || 'sentence ' ||
+       |  CAST(min(char_start) AS VARCHAR) || ' ' || CAST(max(char_end) AS VARCHAR) ||
+       |  chr(9) || string_agg(tok, ' ' ORDER BY ord) AS line
+       |FROM tok GROUP BY doc_id, (ord - 1) // $W""".stripMargin
+
   /** conlluTokens restricted to the 1-in-20 staged-file sample — the
     * file-based ingest (conllu_files) parses real `<doc_id>.conllu` files
     * back to the same token rows. */
@@ -2593,6 +2606,7 @@ object OracleSql {
     "concepts_pp" -> conceptsPp,
     "crf_overlap" -> crfOverlap,
     "conllu_tokens" -> conlluTokens,
+    "dp_sentences" -> dpSentences,
     "conllu_files" -> conlluFilesSql,
     "cooccur_counts_doc" -> cooccurCountsDoc,
     "cooccur_counts_sent" -> cooccurCountsSent,

@@ -218,11 +218,62 @@ object EventStreams {
                            n_events: Long, sum_value: Double)
   case class SessionState(startMs: Long, endMs: Long, n: Long, sum: Double)
 
+  /** [[sessionize]] plus the production piece it documents as missing: an
+    * EVENT-TIME TIMEOUT flushes the open session of a key that goes quiet.
+    * Without it, a user who stops emitting events holds state forever and
+    * their last session never closes — at scale that is both a state leak
+    * and a correctness gap (the batch dual closes every session). The
+    * watermark (set by the caller via `.withWatermark` on the input) drives
+    * the timeout: after each batch the open session arms a timeout at
+    * (session end + gap); when the watermark passes it, the state fires
+    * once more with an empty row iterator and the session flushes. Same
+    * state machine otherwise — [[sessionize]] stays the run-to-completion
+    * oracle surface (its no-timeout semantics equal batch-minus-final-
+    * session), this is the deployment surface, spec-driven. */
+  def sessionizeWithTimeout(events: Dataset[Event],
+                            gapMs: Long = 30L * 60 * 1000): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // quiescent key: the watermark passed end+gap — flush and clear
+            val flushed = state.getOption.map(s =>
+              SessionUpdate(userId, s.startMs, s.endMs, s.n, s.sum))
+            state.remove()
+            flushed.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionUpdate]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  cur = Some(SessionState(s.startMs, math.max(s.endMs, t), s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed ::= SessionUpdate(userId, s.startMs, s.endMs, s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Gap-based sessionization with custom keyed state (streaming dual of
     * Relational.eventsSessions): a session closes when a later event for the
-    * same key arrives past the gap. (A production deployment would add an
-    * event-time timeout on the watermark to flush sessions of quiescent keys;
-    * the state-machine logic is identical.) */
+    * same key arrives past the gap. The run-to-completion oracle surface;
+    * [[sessionizeWithTimeout]] adds the watermark-driven flush a deployment
+    * needs. */
   def sessionize(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     events

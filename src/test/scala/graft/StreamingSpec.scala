@@ -114,4 +114,28 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.length == 1)
     assert(sessions.head.n_events == 2L && sessions.head.sum_value == 3.0)
   }
+
+  test("event-time timeout flushes the open session of a quiescent key") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val input = mem.toDS().withWatermark("ts", "1 second").as[EventStreams.Event]
+    val q = EventStreams.sessionizeWithTimeout(input, gapMs = 10 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessto").outputMode("append").start()
+    // user 7 emits a burst then goes quiet FOREVER — no later same-key event
+    // ever arrives to close the session (the case plain sessionize leaks)
+    mem.addData(EventStreams.Event(7L, ts(1), 1.0), EventStreams.Event(7L, ts(5), 2.0))
+    q.processAllAvailable()
+    // a different key advances the watermark past user 7's end+gap ...
+    mem.addData(EventStreams.Event(8L, ts(50), 9.0))
+    q.processAllAvailable()
+    // ... and the next trigger fires the armed timeout
+    mem.addData(EventStreams.Event(8L, ts(52), 1.0))
+    q.processAllAvailable()
+    val sessions = spark.table("sessto").as[EventStreams.SessionUpdate].collect()
+    q.stop()
+    val u7 = sessions.filter(_.user_id == 7L)
+    assert(u7.length == 1, s"expected user 7's session flushed by timeout, got ${sessions.toSeq}")
+    assert(u7.head.n_events == 2L && u7.head.sum_value == 3.0)
+    assert(u7.head.session_start_ms == ts(1).getTime && u7.head.session_end_ms == ts(5).getTime)
+  }
 }
