@@ -464,6 +464,7 @@ object SparkEntry {
     "ivfsq_topk" -> ((s, d) => Embeddings.ivfSqTopK(Tables.embeddings(s, d))),
     "ivfpq_topk" -> ((s, d) => Embeddings.ivfPqTopK(Tables.embeddings(s, d))),
     "kmeans_cells" -> ((s, d) => Embeddings.kmeansCells(Tables.embeddings(s, d))),
+    "kmeans_purity" -> ((s, d) => Embeddings.kmeansPurity(Tables.embeddings(s, d))),
     "pq_topk" -> ((s, d) => Embeddings.pqTopK(Tables.embeddings(s, d))),
     "pq_distortion" -> ((s, d) => Embeddings.pqDistortion(Tables.embeddings(s, d))),
     "ivf_balance" -> ((s, d) => Embeddings.ivfBalance(Tables.embeddings(s, d))),

@@ -450,6 +450,29 @@ object Embeddings {
         asDouble(col("embedding")), trained, 1, k), 1).as("cell"))
   }
 
+  /** cell, n_vecs, majority_label, n_majority, purity — cluster-vs-label
+    * contingency report over the trained k-means assignment: the third
+    * index-quality telemetry beside [[annRecall]] (retrieval) and
+    * [[ivfBalance]] (skew). When embeddings carry a supervision column,
+    * per-cluster label purity is the standard external cluster-quality
+    * measure (and, in a training-data pipeline, the audit that a
+    * cluster-balanced sampling scheme samples what it claims). Two keyed
+    * aggregations over the assignment — the contingency table is
+    * |cells|×|labels| rows, the per-cell majority a window over that tiny
+    * table, nothing corpus-global. */
+  def kmeansPurity(embeddings: DataFrame, k: Int = NumCells, iters: Int = 2): DataFrame = {
+    val byCell = Window.partitionBy("cell").orderBy(col("n").desc, col("label"))
+    kmeansCells(embeddings, k, iters)
+      .join(embeddings.select(col("vec_id"), col("label").cast("long").as("label")), "vec_id")
+      .groupBy("cell", "label").agg(count(lit(1)).as("n"))
+      .withColumn("n_vecs", sum(col("n")).over(Window.partitionBy("cell")))
+      .withColumn("rk", row_number().over(byCell))
+      .where(col("rk") === 1)
+      .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+        col("label").as("majority_label"), col("n").as("n_majority"),
+        Num.r6(col("n").cast("double") / col("n_vecs").cast("double")).as("purity"))
+  }
+
   /** vec_a, vec_b, cosine — near-duplicate embedding pairs, candidate-limited
     * to shared LSH buckets (never all-pairs). */
   def dupPairs(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {

@@ -1752,6 +1752,23 @@ object OracleSql {
        |SELECT vec_id, CAST(cell AS INT) AS cell FROM a2""".stripMargin
   }
 
+  /** Embeddings.kmeansPurity twin: the k-means assignment replay composed
+    * with the label column — contingency counts, per-cell majority by
+    * (count desc, label asc), 6dp purity. */
+  val kmeansPurity: String =
+    s"""WITH asg AS (SELECT vec_id, cell FROM ($kmeansCellsSql)),
+       |c AS (SELECT a.cell, CAST(e.label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n
+       |  FROM asg a JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+       |t AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_vecs FROM c GROUP BY 1),
+       |m AS (SELECT cell, label, n FROM (
+       |    SELECT cell, label, n,
+       |      row_number() OVER (PARTITION BY cell ORDER BY n DESC, label) AS rk
+       |    FROM c) WHERE rk = 1)
+       |SELECT CAST(m.cell AS BIGINT) AS cell, t.n_vecs,
+       |  m.label AS majority_label, m.n AS n_majority,
+       |  floor((CAST(m.n AS DOUBLE) / CAST(t.n_vecs AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS purity
+       |FROM m JOIN t USING (cell)""".stripMargin
+
   private val centroidsSql: String =
     Embeddings.centroids.map { case (k, d, w) => s"($k, $d, $w)" }
       .mkString("(VALUES ", ", ", ") AS cen(cell, dim, w)")
@@ -2762,6 +2779,7 @@ object OracleSql {
     "ivfsq_topk" -> ivfSqTopK,
     "ivfpq_topk" -> ivfPqTopK,
     "kmeans_cells" -> kmeansCellsSql,
+    "kmeans_purity" -> kmeansPurity,
     "pq_topk" -> pqTopK,
     "pq_distortion" -> pqDistortion,
     "ivf_balance" -> ivfBalance,
