@@ -260,6 +260,7 @@ object SparkEntry {
     "relation_paths" -> ((s, d) => SentencePairs.relationPaths(docs(s, d), pp(s, d))),
     "dp_input_export" -> ((s, d) => SentencePairs.dpInput(docs(s, d), pp(s, d))),
     "distant_supervision" -> ((s, d) => SentencePairs.distantSupervision(pp(s, d))),
+    "ds_train_split" -> ((s, d) => SentencePairs.dsTrainSplit(pp(s, d))),
     "doc_upsert" -> ((s, d) => {
       val base = docs(s, d)
       val updates = base.where(pmod(col("doc_id") * 2654435761L, lit(1000L)) < 100)

@@ -105,6 +105,22 @@ object SentencePairs {
         coalesce(col("kb_npmi"), lit(0.0)).as("kb_npmi"))
   }
 
+  /** Balanced training split over the distant-supervision silver labels —
+    * the step between silver labeling and BERT fine-tuning in the
+    * reference's relation-classification loop: keep every positive, and a
+    * deterministic 1-in-`negMod` hash subsample of the (far more numerous)
+    * negatives so the classes are trainable. The subsample key is integer
+    * arithmetic on (doc_id, sent_id), so the split is reproducible and
+    * engine/oracle-exact — never a `rand()` (nondeterministic across
+    * retries/partitions, the classic training-data-provenance bug).
+    * Output: doc_id, sent_id, concept_x, concept_y, y∈{0,1}. */
+  def dsTrainSplit(annots: DataFrame, minNpmi: Double = 0.1, negMod: Long = 4L): DataFrame =
+    distantSupervision(annots, minNpmi)
+      .where(col("silver_positive") ||
+        pmod(col("doc_id") * 31 + col("sent_id"), lit(negMod)) === 0)
+      .select(col("doc_id"), col("sent_id"), col("concept_x"), col("concept_y"),
+        col("silver_positive").cast("long").as("y"))
+
   /** Deterministic surrogate classification score in [0,1): integer math only,
     * so engine and oracle agree bit-for-bit. */
   private def score = pmod(col("doc_id") * 31 + col("sent_id") * 17 + col("x_ord") * 7 + col("y_ord"), lit(1000L)).cast("double") / 1000.0

@@ -564,6 +564,15 @@ object OracleSql {
         |LEFT JOIN kb ON least(p.concept_x, p.concept_y) = kb.concept1
         |  AND greatest(p.concept_x, p.concept_y) = kb.concept2""".stripMargin
 
+  /** SentencePairs.dsTrainSplit twin: the distant-supervision oracle
+    * filtered to positives plus the deterministic 1-in-4 negative hash
+    * subsample, labels as 0/1. */
+  val dsTrainSplit: String =
+    s"""SELECT doc_id, sent_id, concept_x, concept_y,
+       |  CAST(silver_positive AS BIGINT) AS y
+       |FROM ($distantSupervision)
+       |WHERE silver_positive OR (doc_id * 31 + sent_id) % 4 = 0""".stripMargin
+
   val docUpsert: String =
     """WITH upd AS (
       |  SELECT doc_id, text, 'xx' AS lang, 'updated' AS source, n_chars
@@ -2698,6 +2707,7 @@ object OracleSql {
     "dp_input_export" -> dpInputExport,
     "doc_upsert" -> docUpsert,
     "distant_supervision" -> distantSupervision,
+    "ds_train_split" -> dsTrainSplit,
     "bionlp_export" -> bionlpExport,
     "pubannotation_export" -> pubannotationExport,
     "q6_forecast" -> q6Forecast,
