@@ -369,6 +369,7 @@ object SparkEntry {
     "dedup_norm" -> ((s, d) => Dedup.normalized(docs(s, d))),
     "span_dedup" -> ((s, d) => Dedup.spanDedup(docs(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(docs(s, d))),
+    "dedup_incremental" -> ((s, d) => Dedup.minhashIncremental(docs(s, d))),
     "minhash_est" -> ((s, d) => Dedup.minhashEstimate(docs(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(docs(s, d))),
     "dedup_cluster_stats" -> ((s, d) => Dedup.clusterStats(docs(s, d))),

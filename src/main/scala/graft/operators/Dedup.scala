@@ -171,6 +171,27 @@ object Dedup {
       .agg(count(lit(1)).as("shared_bands"))
   }
 
+  /** new_id, old_id, shared_bands — INCREMENTAL near-dup check: a new
+    * ingest batch probes the band index of the EXISTING corpus instead of
+    * re-deduplicating everything (the nightly-ingest shape; here the "new
+    * batch" is the deterministic doc_id mod `batchMod` slice). The join is
+    * asymmetric by construction — a small probe side against the large
+    * stored index — which is the whole point at 100 TB: the corpus band
+    * table is computed once and persisted (bucketed by (band, band_key) so
+    * this probe join is shuffle-free on the index side), and each ingest
+    * bands only its own documents. Candidates then flow to the same exact
+    * Jaccard confirm as the batch path. */
+  def minhashIncremental(docs: DataFrame, batchMod: Long = 10L): DataFrame = {
+    val isNew = pmod(col("doc_id"), lit(batchMod)) === 0
+    val bands = minhashBands(shingleSets(docs)).persist()
+    val newBands = bands.where(isNew)
+      .select(col("band"), col("band_key"), col("doc_id").as("new_id"))
+    val oldBands = bands.where(!isNew)
+      .select(col("band"), col("band_key"), col("doc_id").as("old_id"))
+    newBands.join(oldBands, Seq("band", "band_key"))
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("shared_bands"))
+  }
+
   /** doc_a, doc_b, jaccard — exact shingle-set Jaccard, evaluated ONLY on LSH
     * candidate pairs (integer counts → deterministic division, round 6). */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.6): DataFrame = {

@@ -1425,6 +1425,17 @@ object OracleSql {
   val dedupMinhash: String =
     s"WITH $tokCte,\n$minhashCtes\nSELECT doc_a, doc_b, shared_bands FROM cand"
 
+  /** Dedup.minhashIncremental twin: the same band table, asymmetric
+    * new-batch (doc_id % 10 = 0) vs stored-index (rest) candidate join. */
+  val minhashIncremental: String =
+    s"""WITH $tokCte,
+       |$minhashCtes
+       |SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+       |  CAST(count(*) AS BIGINT) AS shared_bands
+       |FROM bands n JOIN bands o ON n.band = o.band AND n.band_key = o.band_key
+       |WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
+       |GROUP BY 1, 2""".stripMargin
+
   /** Dedup.minhashEstimate twin: matching-signature-component fraction. */
   val minhashEstimate: String =
     s"""WITH $tokCte,
@@ -2755,6 +2766,7 @@ object OracleSql {
     "dedup_exact" -> dedupExact,
     "dedup_norm" -> dedupNorm,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_incremental" -> minhashIncremental,
     "window_dup" -> windowDup,
     "span_dedup" -> spanDedup,
     "decontaminate_fuzzy" -> decontaminateFuzzy,
