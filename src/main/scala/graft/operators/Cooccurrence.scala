@@ -195,17 +195,25 @@ object Cooccurrence {
   }
 
   /** Sparse retrieval: top-k documents per concept by BM25 — the inverted-
-    * index query dual of the dense ANN ladder (emb_topk/IVF/PQ). One
-    * window partitioned by concept (its width is the term's df — bounded
-    * by the posting list, never corpus-global); rank compares the ROUNDED
-    * score with a doc_id tie-break, so the cut is deterministic
+    * index query dual of the dense ANN ladder (emb_topk/IVF/PQ).
+    *
+    * Computed with the bounded-heap aggregate (functions/TopKAgg.scala),
+    * not a per-concept window: a `row_number` window partition is as wide
+    * as the term's document frequency, and a hot term's posting list is
+    * O(corpus) — at 100× one stop-word-like concept becomes a single
+    * straggler partition doing a full sort for a top-10 answer. The
+    * TypedImperativeAggregate instead carries ≤ k (score, doc) pairs per
+    * concept through partial aggregation, so each map task ships at most
+    * k rows per concept into the shuffle and no df-wide sort ever runs.
+    * The DuckDB oracle keeps the window formulation as the independent
+    * twin (same engine/oracle split as top_parts_agg). Ranks compare the
+    * ROUNDED score with a doc_id tie-break, so the cut is deterministic
     * cross-engine. */
-  def bm25TopK(annots: DataFrame, k: Int = 10): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("concept_id").orderBy(col("bm25").desc, col("doc_id"))
+  def bm25TopK(annots: DataFrame, k: Int = 10): DataFrame =
     bm25(annots)
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .where(col("rk") <= k)
-      .select(col("concept_id"), col("rk"), col("doc_id"), col("bm25"))
-  }
+      .groupBy("concept_id")
+      .agg(graft.functions.TopKAgg.topK(col("bm25"), col("doc_id"), k).as("tk"))
+      .select(col("concept_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("concept_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("e.id").as("doc_id"), col("e.score").as("bm25"))
 }

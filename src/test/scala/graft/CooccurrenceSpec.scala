@@ -99,6 +99,23 @@ class CooccurrenceSpec extends SparkSpec {
     assert(idf("OP:ROOT")._2 == 0.0)
   }
 
+  test("bm25 top-k via the bounded-heap aggregate matches the window formulation") {
+    // the engine runs TopKAgg (≤k pairs per concept through partial agg);
+    // the window-ranked twin is the oracle's formulation — identical output
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val k = 2
+    val w = Window.partitionBy("concept_id").orderBy(col("bm25").desc, col("doc_id"))
+    val windowed = Cooccurrence.bm25(annots)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select("concept_id", "rk", "doc_id", "bm25")
+      .collect().map(_.toSeq).toSet
+    val agged = Cooccurrence.bm25TopK(annots, k)
+      .collect().map(_.toSeq).toSet
+    assert(agged == windowed)
+  }
+
   test("ancestor expansion adds JOINLIKE + ROOT for join/merge") {
     val units = Cooccurrence.unitConcepts(annots, Seq("doc_id"))
     val c0 = units.where($"doc_id" === 0).select("concept_id").as[String].collect().toSet

@@ -133,6 +133,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(tk.contains("doc_id") && !tk.contains("source"), tk)
   }
 
+  test("bm25_topk runs through the bounded-heap aggregate, not a df-wide window") {
+    // r7 weak plan: row_number over partitionBy(concept_id) is as wide as the
+    // term's document frequency — a hot term is one straggler partition at
+    // 100×. The TypedImperativeAggregate carries ≤k pairs per concept through
+    // partial aggregation instead; pin the partial phase and the absence of
+    // any Window in the optimized plan.
+    val qe = SparkEntry.queries("bm25_topk")(spark, sfDir).queryExecution
+    assert(qe.optimizedPlan.collect { case w: Window => w }.isEmpty,
+      s"bm25_topk still plans a Window:\n${qe.optimizedPlan}")
+    assert(qe.executedPlan.toString.contains("partial_top_k_agg"),
+      qe.executedPlan.toString.take(2000))
+  }
+
   test("event-family shuffle budget survives the ts canonicalization") {
     // The epoch-µs canonicalization is a Project over the scan; it must not
     // cost an exchange. Pin each repaired query's shuffle count at the
