@@ -370,6 +370,8 @@ object SparkEntry {
     "span_dedup" -> ((s, d) => Dedup.spanDedup(docs(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(docs(s, d))),
     "dedup_incremental" -> ((s, d) => Dedup.minhashIncremental(docs(s, d))),
+    "dedup_incremental_staged" -> ((s, d) => Dedup.minhashIncrementalStaged(docs(s, d), d)),
+    "dedup_minhash_hashed" -> ((s, d) => Dedup.minhashCandidatesHashedStaged(docs(s, d), d)),
     "minhash_est" -> ((s, d) => Dedup.minhashEstimate(docs(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(docs(s, d))),
     "dedup_cluster_stats" -> ((s, d) => Dedup.clusterStats(docs(s, d))),
@@ -532,5 +534,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. */
   def oracleSql: Map[String, String] =
-    OracleSql.all + ("compression_quality" -> TextStats.compressionOracleSql)
+    OracleSql.all +
+      ("compression_quality" -> TextStats.compressionOracleSql) +
+      ("dedup_minhash_hashed" -> OracleSql.dedupMinhashHashed)
 }

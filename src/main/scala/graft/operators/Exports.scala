@@ -325,13 +325,19 @@ object Exports {
     val w = TextOps.SentWindow
     val spark = docs.sparkSession
     import spark.implicits._
+    // sent_start must come from the SAME canonical (doc_id, sent_id) instance
+    // — an independent min(char_start) over all instances of the hash would
+    // shift token offsets off the #Text line whenever the canonical instance
+    // is not the one with the smallest offset, so char_start rides inside the
+    // canonical struct
     val canonical = TextOps.sentences(docs)
       .withColumn("sent_hash", sha2(col("sent_text"), 256))
       .groupBy("sent_hash")
-      .agg(min(struct(col("doc_id"), col("sent_id"))).as("c"), min("sent_text").as("sent_text"),
-        min("char_start").as("sent_start"))
+      .agg(min(struct(col("doc_id"), col("sent_id"), col("char_start"))).as("c"),
+        min("sent_text").as("sent_text"))
       .select(col("sent_hash"), col("c.doc_id").as("doc_id"),
-        col("c.sent_id").as("sent_id"), col("sent_text"), col("sent_start"))
+        col("c.sent_id").as("sent_id"), col("sent_text"),
+        col("c.char_start").as("sent_start"))
     val wPos = Window.orderBy("sent_hash")
     val wOff = wPos.rowsBetween(Window.unboundedPreceding, -1)
     // ≤ batchSize rows from here down: the partition-less windows are over

@@ -722,11 +722,11 @@ object OracleSql {
        |    min(char_start) AS sent_start
        |  FROM tok GROUP BY 1, 2),
        |h AS (SELECT sha256(sent_text) AS sent_hash, doc_id, sent_id, sent_text, sent_start FROM sent),
-       |canon AS (SELECT sent_hash, min({'d': doc_id, 's': sent_id}) AS mn,
-       |    min(sent_text) AS sent_text, min(sent_start) AS sent_start
+       |canon AS (SELECT sent_hash, min({'d': doc_id, 's': sent_id, 'cs': sent_start}) AS mn,
+       |    min(sent_text) AS sent_text
        |  FROM h GROUP BY 1),
        |batch AS (SELECT sent_hash, CAST(mn.d AS BIGINT) AS doc_id,
-       |    CAST(mn.s AS BIGINT) AS sent_id, sent_text, sent_start
+       |    CAST(mn.s AS BIGINT) AS sent_id, sent_text, CAST(mn.cs AS BIGINT) AS sent_start
        |  FROM canon ORDER BY sent_hash LIMIT 50),
        |b AS (SELECT *, CAST(row_number() OVER (ORDER BY sent_hash) AS BIGINT) AS pos,
        |    CAST(coalesce(sum(length(sent_text) + 1) OVER (ORDER BY sent_hash
@@ -1405,14 +1405,11 @@ object OracleSql {
       .mkString("(VALUES ", ", ", ") AS par(j, a, b)")
 
   /** shingle sets + minhash bands, shared by minhash + jaccard oracles */
-  private val minhashCtes =
-    s"""sh0 AS (SELECT doc_id, ord, tok,
-       |    lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS t2,
-       |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS t3
-       |  FROM tok),
-       |sh AS (SELECT doc_id, tok || ' ' || t2 || ' ' || t3 AS shingle FROM sh0 WHERE t3 IS NOT NULL),
-       |ss AS (SELECT DISTINCT doc_id, ${Hash60.sql("shingle")} % ${Dedup.MinhashP} AS sid FROM sh),
-       |mh AS (SELECT doc_id, par.j, min((par.a * sid + par.b) % ${Dedup.MinhashP}) AS mh
+  // signature → band → candidate CTEs from any `ss(doc_id, sid)` relation —
+  // shared between the md5-id path (ss derived from tok below) and the
+  // staged xxhash64-id path (ss read from the staged parquet)
+  private val minhashFromSsCtes =
+    s"""mh AS (SELECT doc_id, par.j, min((par.a * sid + par.b) % ${Dedup.MinhashP}) AS mh
        |  FROM ss CROSS JOIN $minhashParamsSql GROUP BY 1, 2),
        |bands AS (SELECT doc_id, CAST(j // ${Dedup.RowsPerBand} AS BIGINT) AS band,
        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS band_key
@@ -1421,6 +1418,24 @@ object OracleSql {
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared_bands
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)""".stripMargin
+
+  private val minhashCtes =
+    s"""sh0 AS (SELECT doc_id, ord, tok,
+       |    lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS t2,
+       |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS t3
+       |  FROM tok),
+       |sh AS (SELECT doc_id, tok || ' ' || t2 || ' ' || t3 AS shingle FROM sh0 WHERE t3 IS NOT NULL),
+       |ss AS (SELECT DISTINCT doc_id, ${Hash60.sql("shingle")} % ${Dedup.MinhashP} AS sid FROM sh),
+       |$minhashFromSsCtes""".stripMargin
+
+  /** Dedup.minhashCandidatesHashedStaged twin: DuckDB has no xxhash64, so
+    * both engines read the staged id sets and the banding arithmetic
+    * downstream is what gets verified. Built per dump (the staged path is
+    * recorded when the query runs; Verify runs queries before dumping SQL). */
+  def dedupMinhashHashed: String =
+    s"""WITH ss AS (SELECT doc_id, sid FROM read_parquet('${Dedup.lastHashedSetsStage}/*.parquet')),
+       |$minhashFromSsCtes
+       |SELECT doc_a, doc_b, shared_bands FROM cand""".stripMargin
 
   val dedupMinhash: String =
     s"WITH $tokCte,\n$minhashCtes\nSELECT doc_a, doc_b, shared_bands FROM cand"
@@ -2767,6 +2782,7 @@ object OracleSql {
     "dedup_norm" -> dedupNorm,
     "dedup_minhash" -> dedupMinhash,
     "dedup_incremental" -> minhashIncremental,
+    "dedup_incremental_staged" -> minhashIncremental,
     "window_dup" -> windowDup,
     "span_dedup" -> spanDedup,
     "decontaminate_fuzzy" -> decontaminateFuzzy,

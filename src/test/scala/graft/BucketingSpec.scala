@@ -43,6 +43,48 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("staged band-index probe join plans zero exchanges and zero sorts on the index side") {
+    // the nightly-ingest contract (Dedup.minhashIncrementalStaged): the
+    // corpus band table is persisted bucketed+sorted by (band, band_key), so
+    // the probe SMJ reads the index straight from its buckets — only the
+    // small new-batch side shuffles/sorts to meet them
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ: bucketing must carry it
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // plain plan tree for the walk
+    // since SPARK-28595 a bucketed scan ignores its sortBy metadata unless
+    // this opt-in is set — safe here because the index write guarantees one
+    // file per bucket (the condition the default guards against)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val df = operators.Dedup.minhashIncrementalStaged(docs, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan
+      val smj = plan.collect { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, s"expected a sort-merge probe join:\n$plan")
+      def indexSide(p: SparkPlan): Boolean =
+        p.collect { case s: FileSourceScanExec => s }
+          .exists(_.tableIdentifier.exists(_.table.startsWith("graft_band_index")))
+      val idx = Seq(smj.head.left, smj.head.right).filter(indexSide)
+      assert(idx.size == 1, s"expected exactly one index side:\n$plan")
+      assert(idx.head.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"index side shuffled:\n${idx.head}")
+      assert(idx.head.collect { case s: SortExec => s }.isEmpty,
+        s"index side re-sorted (bucket sortBy not honored):\n${idx.head}")
+      // parity with the single-plan formulation on the same corpus
+      val expect = operators.Dedup.minhashIncremental(docs)
+        .collect().map(_.toSeq).toSet
+      assert(df.collect().map(_.toSeq).toSet == expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    }
+  }
+
   test("bucketed table round-trips data intact") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "v")
     Sinks.bucketedTable(df, "graft_bucket_rt", "doc_id", buckets = 4)
