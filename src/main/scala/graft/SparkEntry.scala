@@ -343,7 +343,8 @@ object SparkEntry {
     "events_asof" -> ((s, d) => Relational.eventsAsof(Tables.events(s, d))),
     "range_join_binned" -> ((s, d) => Relational.rangeJoinBinned(Tables.events(s, d))),
     "multimodal_decode" -> ((s, d) => TextStats.decodeBatched(
-      docs(s, d).select(col("doc_id"), col("text").cast("binary").as("payload")))),
+      docs(s, d).select(col("doc_id"), col("text").cast("binary").as("payload")),
+      TextStats.DecodeWorkerCmd)),
     "events_sessions" -> ((s, d) => Relational.eventsSessions(Tables.events(s, d))),
     "events_sessions_native" -> ((s, d) => Relational.eventsSessionsNative(Tables.events(s, d))),
     "events_retention" -> ((s, d) => Relational.eventsRetention(Tables.events(s, d))),

@@ -567,12 +567,31 @@ object TextStats {
         (pmod(floor(col("byte_len") / 64).cast("long"), lit(64L)) + 1).as("fake_height"),
         (pmod(col("byte_len"), lit(7L)) + 1).as("fake_n_frames"))
 
+  /** A REAL (non-identity) decode worker: a python3 child that rewrites
+    * every payload — uppercases the bytes and strips the vowels — so both
+    * the bytes AND the frame lengths coming back differ from what went in.
+    * Deterministic and oracle-expressible (DuckDB:
+    * regexp_replace(upper(text), '[AEIOU]', '', 'g')), it proves the kernel
+    * framing survives a child that actually transforms data, not just
+    * /bin/cat echo. Pure byte arithmetic (no encoding assumption beyond
+    * the corpus's ASCII payloads, which TablesSpec's schema contract and
+    * the oracle share). */
+  val DecodeWorkerCmd: Seq[String] = Seq("python3", "-c",
+    """import sys
+      |for line in sys.stdin:
+      |    i, h = line.split('\t')
+      |    raw = bytes.fromhex(h.strip())
+      |    out = bytes(c for c in raw.upper() if c not in b'AEIOU')
+      |    sys.stdout.write(i + '\t' + out.hex() + '\n')
+      |""".stripMargin)
+
   /** The per-partition decode shape used for real multimodal decode at
     * scale: binary payloads streamed through a REAL external worker process
     * (graft.infra.SubProcess — one child per partition, framed stdin/stdout,
     * deadlock-free concurrent writer, task-lifecycle cleanup). The sandbox
-    * ships no codec binaries, so the default worker is /bin/cat (byte
-    * identity) and the "decode" of the returned payload is the deterministic
+    * ships no codec binaries, so the stand-in worker is [[DecodeWorkerCmd]]
+    * — a python3 child that genuinely rewrites payload bytes and lengths —
+    * and the "decode" of the returned payload is the deterministic
     * byte-stat stub; a cluster swaps `cmd` for the codec and parses its real
     * output here instead. */
   def decodeBatched(payloads: DataFrame,

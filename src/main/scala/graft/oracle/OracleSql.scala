@@ -2022,10 +2022,16 @@ object OracleSql {
 
   /** The batched-decode stub emits (byte length, first byte) per payload;
     * payloads are the ASCII doc text, so both are SQL-replayable. */
+  /** TextStats.decodeBatched + DecodeWorkerCmd twin: the python3 child
+    * uppercases the payload bytes and strips vowels, so the oracle applies
+    * the same transform to the source text before the byte stats. */
   val multimodalDecode: String =
-    """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
-      |  CAST(CASE WHEN length(text) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS first_byte
-      |FROM documents""".stripMargin
+    """WITH dec AS (SELECT doc_id,
+      |    regexp_replace(upper(text), '[AEIOU]', '', 'g') AS decoded
+      |  FROM documents)
+      |SELECT doc_id, CAST(length(decoded) AS BIGINT) AS byte_len,
+      |  CAST(CASE WHEN length(decoded) = 0 THEN 0 ELSE ascii(substr(decoded, 1, 1)) END AS BIGINT) AS first_byte
+      |FROM dec""".stripMargin
 
   val multimodalMeta: String =
     """SELECT doc_id,

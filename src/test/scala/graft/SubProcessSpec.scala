@@ -56,6 +56,19 @@ class SubProcessSpec extends SparkSpec {
     assert(viaChild.nonEmpty)
   }
 
+  test("the python3 decode worker rewrites payload bytes AND frame lengths") {
+    // the driver query's stand-in codec: upper + strip vowels. Both content
+    // and length change, so the framing can't get away with echoing input
+    // lengths anywhere.
+    val in = Seq((1L, "hello world".getBytes("ASCII")),
+                 (2L, "aeiou".getBytes("ASCII")),
+                 (3L, Array.empty[Byte])).toDF("doc_id", "payload")
+    val out = SubProcess.pipeFramed(
+        in.as[(Long, Array[Byte])], graft.operators.TextStats.DecodeWorkerCmd)
+      .collect().map { case (id, b) => id -> new String(b, "ASCII") }.toMap
+    assert(out == Map(1L -> "HLL WRLD", 2L -> "", 3L -> ""))
+  }
+
   test("empty partitions launch no child and emit no rows") {
     val in = spark.emptyDataset[(Long, Array[Byte])].repartition(4)
     assert(SubProcess.pipeFramed(in, Seq("/bin/cat")).count() == 0)
