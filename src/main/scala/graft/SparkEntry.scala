@@ -144,6 +144,7 @@ object SparkEntry {
     "cooccur_counts_doc" -> ((s, d) =>
       Cooccurrence.pairCounts(Cooccurrence.unitConcepts(pp(s, d), Seq("doc_id")), Seq("doc_id"))
         .select(col("concept1"), col("concept2"), col("pair_count"))),
+    "cooccur_counts_bucketed" -> ((s, d) => Cooccurrence.pairCountsBucketed(pp(s, d), d)),
     "cooccur_counts_sent" -> ((s, d) => {
       val annots = pp(s, d).withColumn("sent_id", expr(s"(ord - 1) div ${TextOps.SentWindow}"))
       Cooccurrence.pairCounts(Cooccurrence.unitConcepts(annots, Seq("doc_id", "sent_id")), Seq("doc_id", "sent_id"))

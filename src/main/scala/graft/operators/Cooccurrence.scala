@@ -48,6 +48,37 @@ object Cooccurrence {
       .agg(count(lit(1)).as("pair_count"))
   }
 
+  // per-process staging of the doc_id-bucketed unit-concepts table
+  private val unitsBucketed = scala.collection.mutable.Map[String, String]()
+  val UnitsBuckets = 8
+
+  /** [[pairCounts]] over a PERSISTED doc_id-bucketed unit-concepts table —
+    * the storage layout the 100 TB cooccurrence family reads (the in-session
+    * `repartition + persist` in [[unitConcepts]] is this layout's transient
+    * analog; BucketedCooccurDemo measured the difference at 17→1 exchanges /
+    * 29.4→3.6 s). With both sides of the pair self-join coming from the same
+    * bucketed table, the join plans with ZERO exchanges — only the final
+    * (concept1, concept2) aggregation shuffles. Same result and oracle as
+    * `cooccur_counts_doc`; BucketingSpec pins the plan shape. */
+  def pairCountsBucketed(annots: DataFrame, sfDir: String): DataFrame = {
+    val spark = annots.sparkSession
+    val table = unitsBucketed.synchronized {
+      unitsBucketed.getOrElseUpdate(sfDir, {
+        val t = f"graft_units_doc_${sfDir.hashCode & 0x7fffffff}%x"
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val dir = graft.infra.Staging.tempDir("graft-units-bucketed")
+        unitConcepts(annots, Seq("doc_id"))
+          .write.mode("overwrite")
+          .option("path", dir.resolve(t).toString)
+          .bucketBy(UnitsBuckets, "doc_id")
+          .format("parquet").saveAsTable(t)
+        t
+      })
+    }
+    pairCounts(spark.table(table), Seq("doc_id"))
+      .select(col("concept1"), col("concept2"), col("pair_count"))
+  }
+
   /** concept_id, unit_count (number of units containing the concept). */
   def singletonCounts(units: DataFrame): DataFrame =
     units.groupBy("concept_id").agg(count(lit(1)).as("unit_count"))

@@ -2667,6 +2667,7 @@ object OracleSql {
     "dp_sentences" -> dpSentences,
     "conllu_files" -> conlluFilesSql,
     "cooccur_counts_doc" -> cooccurCountsDoc,
+    "cooccur_counts_bucketed" -> cooccurCountsDoc,
     "cooccur_counts_sent" -> cooccurCountsSent,
     "cooccur_counts_title" -> cooccurCountsTitle,
     "cooccur_counts_abstract" -> cooccurCountsAbstract,

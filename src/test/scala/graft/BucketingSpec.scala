@@ -85,6 +85,41 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("bucketed unit-concepts pair self-join plans zero join exchanges") {
+    // cooccur_counts_bucketed: both sides of the pair self-join read the
+    // same doc_id-bucketed table, so the only Exchange in the whole plan is
+    // the final (concept1, concept2) aggregation — the cooccurrence family's
+    // 100 TB layout (BucketedCooccurDemo measured 17→1 exchanges)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val annots = operators.Concepts.postProcess(operators.Concepts.recognize(docs))
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = operators.Cooccurrence.pairCountsBucketed(annots, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan
+      val joins = plan.collect { case j: SortMergeJoinExec => j }
+      assert(joins.nonEmpty, s"expected a sort-merge pair join:\n$plan")
+      assert(joins.forall(j =>
+        j.collect { case e: ShuffleExchangeExec => e }.isEmpty),
+        s"pair join shuffled despite bucketing:\n$plan")
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.size == 1,
+        s"expected only the final aggregation exchange:\n$plan")
+      // parity with the shuffled formulation
+      val expect = operators.Cooccurrence.pairCounts(
+          operators.Cooccurrence.unitConcepts(annots, Seq("doc_id")), Seq("doc_id"))
+        .select("concept1", "concept2", "pair_count")
+        .collect().map(_.toSeq).toSet
+      assert(df.collect().map(_.toSeq).toSet == expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("bucketed table round-trips data intact") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "v")
     Sinks.bucketedTable(df, "graft_bucket_rt", "doc_id", buckets = 4)
