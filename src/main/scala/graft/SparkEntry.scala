@@ -350,6 +350,8 @@ object SparkEntry {
     "events_sessions_native" -> ((s, d) => Relational.eventsSessionsNative(Tables.events(s, d))),
     "events_retention" -> ((s, d) => Relational.eventsRetention(Tables.events(s, d))),
     "events_quantiles" -> ((s, d) => Relational.eventsQuantiles(Tables.events(s, d))),
+    "events_quantile_buckets" -> ((s, d) => Relational.eventsQuantileBuckets(Tables.events(s, d), d)),
+    "events_users_hll" -> ((s, d) => Relational.hllUsersBound(Tables.events(s, d), d)),
     "top_parts_per_brand" -> ((s, d) => Relational.topPartsPerBrand(Tables.part(s, d))),
     "top_parts_agg" -> ((s, d) =>
       // same result as top_parts_per_brand, computed by the custom bounded
@@ -538,5 +540,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     OracleSql.all +
       ("compression_quality" -> TextStats.compressionOracleSql) +
-      ("dedup_minhash_hashed" -> OracleSql.dedupMinhashHashed)
+      ("dedup_minhash_hashed" -> OracleSql.dedupMinhashHashed) +
+      ("events_quantile_buckets" -> Relational.quantileBucketsOracleSql) +
+      ("events_users_hll" -> Relational.hllUsersOracleSql)
 }

@@ -189,6 +189,91 @@ object Relational {
     events.groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"))
 
+  // per-process staging of sketch outputs (deterministic paths outside the
+  // exit-cleaned temp staging: the driver's DuckDB compare reads them after
+  // this JVM exits — same discipline as the compression-ratio stage)
+  private val sketchStaged = scala.collection.mutable.Set[String]()
+  private def sketchStagePath(kind: String, sfDir: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-oracle-stage",
+      kind + "_" + new java.io.File(sfDir).getName).toString
+  @volatile var lastQuantileSketchStage: String = ""
+  @volatile var lastHllStage: String = ""
+  private def stageOnce(path: String)(write: => Unit): Unit =
+    sketchStaged.synchronized {
+      if (!sketchStaged.contains(path)) { write; sketchStaged.add(path) }
+    }
+
+  /** The sketch-quantile path under the FULL oracle: the
+    * [[eventsQuantilesApprox]] summary is staged to parquet (sketch
+    * internals aren't cross-engine reproducible, but the staged thresholds
+    * are plain data both engines share), then every event is bucketed
+    * against its type's staged p50/p90/p99 and counted per bucket. The
+    * bucketing decisions — what a 100 TB pipeline actually consumes
+    * sketch quantiles FOR — are deterministic and hash-compared row by
+    * row. Threshold table is dimension-sized → broadcast; one shuffle for
+    * the final (type, bucket) count. */
+  def eventsQuantileBuckets(events: DataFrame, sfDir: String): DataFrame = {
+    val path = sketchStagePath("quantile_sketch", sfDir)
+    stageOnce(path) {
+      eventsQuantilesApprox(events).coalesce(1).write.mode("overwrite").parquet(path)
+    }
+    lastQuantileSketchStage = path
+    val th = events.sparkSession.read.parquet(path)
+      .select("event_type", "p50", "p90", "p99")
+    events.join(broadcast(th), "event_type")
+      .withColumn("bucket",
+        when(col("value") <= col("p50"), "low")
+          .when(col("value") <= col("p90"), "mid")
+          .when(col("value") <= col("p99"), "high")
+          .otherwise("top"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  /** Oracle twin of [[eventsQuantileBuckets]], rebuilt per dump. */
+  def quantileBucketsOracleSql: String =
+    s"""WITH th AS (SELECT event_type, p50, p90, p99
+       |  FROM read_parquet('$lastQuantileSketchStage/*.parquet'))
+       |SELECT e.event_type,
+       |  CASE WHEN e.value <= th.p50 THEN 'low'
+       |       WHEN e.value <= th.p90 THEN 'mid'
+       |       WHEN e.value <= th.p99 THEN 'high'
+       |       ELSE 'top' END AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_events
+       |FROM events e JOIN th USING (event_type)
+       |GROUP BY 1, 2""".stripMargin
+
+  /** The HLL path under the FULL oracle, same staging trick: the
+    * [[distinctUsersApprox]] estimates are staged, then compared against
+    * the exact per-type distinct count with an INTEGER error-bound
+    * decision (10·|err| ≤ exact + 10, i.e. within 10% + 1 — integer math
+    * so both engines decide identically). The estimate, the exact count,
+    * and the bound verdict all land in the correctness hash. */
+  def hllUsersBound(events: DataFrame, sfDir: String): DataFrame = {
+    val path = sketchStagePath("hll_users", sfDir)
+    stageOnce(path) {
+      distinctUsersApprox(events).coalesce(1).write.mode("overwrite").parquet(path)
+    }
+    lastHllStage = path
+    val est = events.sparkSession.read.parquet(path)
+    events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users_exact"))
+      .join(broadcast(est), "event_type")
+      .select(col("event_type"), col("n_users_exact"), col("n_users_approx"),
+        (abs(col("n_users_approx") - col("n_users_exact")) * 10 <=
+          col("n_users_exact") + 10).as("within_bound"))
+  }
+
+  /** Oracle twin of [[hllUsersBound]], rebuilt per dump. */
+  def hllUsersOracleSql: String =
+    s"""WITH est AS (SELECT event_type, n_users_approx
+       |  FROM read_parquet('$lastHllStage/*.parquet')),
+       |ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact
+       |  FROM events GROUP BY 1)
+       |SELECT ex.event_type, ex.n_users_exact, est.n_users_approx,
+       |  abs(est.n_users_approx - ex.n_users_exact) * 10 <= ex.n_users_exact + 10 AS within_bound
+       |FROM ex JOIN est USING (event_type)""".stripMargin
+
   /** Top-3 parts per brand by retail price — the generic windowed top-N per
     * group shape (rank inside partition, no global sort). */
   def topPartsPerBrand(part: DataFrame, k: Int = 3): DataFrame =
