@@ -3,18 +3,29 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Scaling probe: times the dedup / ANN / connected-components families at
-  * two scale factors in ONE JVM and reports per-query time ratios against
-  * the data-size ratio — the measured evidence behind SURVEY §8's
-  * linear-in-bytes claims (band/bucket/cell-bounded pair generation). A
-  * family whose time ratio tracks ≲ the bytes ratio scales linearly; one
-  * that outgrows it is quadratic somewhere and failed its design.
+  * SEVERAL scale factors in ONE JVM and fits a per-family scaling exponent
+  * — the measured evidence behind SURVEY §8's linear-in-bytes claims
+  * (band/bucket/cell-bounded pair generation). A family whose fitted
+  * exponent stays ≲ 1 scales linearly; one above 1 is superlinear
+  * somewhere and failed its design. Three points (not two) so a knee —
+  * flat in the overhead-dominated regime, then bending upward — can't
+  * hide inside a single ratio.
   *
-  * Usage: runMain graft.ScaleBench [smallSfDir largeSfDir]
-  * (defaults: /root/testdata/sf0.01 → /root/testdata/sf0.1, a 10x step).
+  * Usage: runMain graft.ScaleBench [sfDir1 sfDir2 sfDir3 ...]
+  * (defaults: /root/testdata/sf0.001 → sf0.01 → sf0.1, two 10x steps).
   * Same timing discipline as [[Bench]]: cold pass to warm codegen/caches,
   * then min-of-2 timed passes; GC quiesce between queries. Caches are
-  * dropped between scale factors (infra.Caches.unpersistAll) so the large
+  * dropped between scale factors (infra.Caches.unpersistAll) so each
   * scale's storage starts clean.
+  *
+  * The exponent is the least-squares slope of log(t) vs log(sf), with sf
+  * parsed from the directory name (sfX → X); when a name doesn't parse,
+  * points fall back to 10x-spaced positions. At the small end, fixed
+  * per-query overhead (job scheduling, codegen) floors the times, which
+  * BIASES THE FIT LOW — so the report also prints the per-step ratios,
+  * where the LAST step (largest data, least floored) is the honest
+  * linearity check: a family is linear-in-bytes when its last-step ratio
+  * stays at or under the bytes ratio of that step.
   */
 object ScaleBench {
 
@@ -28,9 +39,28 @@ object ScaleBench {
     "cc" -> Seq("dedup_clusters", "semantic_clusters", "dedup_keep_best"),
     "layout" -> Seq("corpus_shuffle", "zorder_key"))
 
+  /** sf parsed from a ".../sf0.01"-style dir name; None when absent. */
+  private def sfOf(dir: String): Option[Double] = {
+    val m = """sf(\d+(?:\.\d+)?)""".r.findAllMatchIn(dir).toSeq.lastOption
+    m.flatMap(x => scala.util.Try(x.group(1).toDouble).toOption)
+  }
+
+  /** Least-squares slope of log(t) vs log(x). */
+  private def fitExponent(xs: Seq[Double], ts: Seq[Double]): Double = {
+    val lx = xs.map(math.log)
+    val lt = ts.map(t => math.log(math.max(t, 1e-9)))
+    val n = lx.size.toDouble
+    val mx = lx.sum / n
+    val mt = lt.sum / n
+    val cov = lx.zip(lt).map { case (a, b) => (a - mx) * (b - mt) }.sum
+    val varx = lx.map(a => (a - mx) * (a - mx)).sum
+    if (varx == 0) 0.0 else cov / varx
+  }
+
   def main(args: Array[String]): Unit = {
-    val small = args.lift(0).getOrElse("/root/testdata/sf0.01")
-    val large = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val dirs: Seq[String] =
+      if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -55,21 +85,34 @@ object ScaleBench {
     }
 
     val names = Families.flatMap(_._2)
-    val atSmall = names.map(n => n -> timed(n, small)).toMap
-    graft.infra.Caches.unpersistAll(spark)
-    val atLarge = names.map(n => n -> timed(n, large)).toMap
+    // position of each dir on the fit's x axis: parsed sf, else 10x steps
+    val sfs: Seq[Double] = {
+      val parsed = dirs.map(sfOf)
+      if (parsed.forall(_.isDefined)) parsed.map(_.get)
+      else dirs.indices.map(i => math.pow(10.0, i.toDouble))
+    }
+    val byDir: Seq[Map[String, Double]] = dirs.map { d =>
+      val m = names.map(n => n -> timed(n, d)).toMap
+      graft.infra.Caches.unpersistAll(spark)
+      m
+    }
 
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val perQuery = names.map { n =>
-      val r = atLarge(n) / math.max(atSmall(n), 1e-9)
-      s""""$n":{"t_small":${f3(atSmall(n))},"t_large":${f3(atLarge(n))},"ratio":${f3(r)}}"""
+      val ts = byDir.map(_(n))
+      val steps = ts.sliding(2).map { case Seq(a, b) => b / math.max(a, 1e-9) }.toSeq
+      val exp = fitExponent(sfs, ts)
+      s""""$n":{"t":[${ts.map(f3).mkString(",")}],"step_ratios":[${steps.map(f3).mkString(",")}],"exponent":${f3(exp)}}"""
     }.mkString("{", ",", "}")
     val perFamily = Families.map { case (fam, qs) =>
-      val s = qs.map(atSmall).sum
-      val l = qs.map(atLarge).sum
-      s""""$fam":{"t_small":${f3(s)},"t_large":${f3(l)},"ratio":${f3(l / math.max(s, 1e-9))}}"""
+      val ts = byDir.map(m => qs.map(m).sum)
+      val steps = ts.sliding(2).map { case Seq(a, b) => b / math.max(a, 1e-9) }.toSeq
+      val exp = fitExponent(sfs, ts)
+      s""""$fam":{"t":[${ts.map(f3).mkString(",")}],"step_ratios":[${steps.map(f3).mkString(",")}],"exponent":${f3(exp)}}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_ratio","small":"$small","large":"$large","families":$perFamily,"queries":$perQuery}""")
+    val dirsJson = dirs.map(d => s""""$d"""").mkString("[", ",", "]")
+    val sfsJson = sfs.map(f3).mkString("[", ",", "]")
+    println(s"""{"metric":"scale_curve","dirs":$dirsJson,"sfs":$sfsJson,"families":$perFamily,"queries":$perQuery}""")
     spark.stop()
   }
 }
