@@ -37,7 +37,11 @@ object ScaleBench {
       "pq_codes", "pq_topk", "sq_codes", "sq_topk", "ivfsq_topk", "ivfpq_topk",
       "kmeans_cells", "emb_dup_pairs", "semantic_dedup"),
     "cc" -> Seq("dedup_clusters", "semantic_clusters", "dedup_keep_best"),
-    "layout" -> Seq("corpus_shuffle", "zorder_key"))
+    "layout" -> Seq("corpus_shuffle", "zorder_key"),
+    "text" -> Seq("lang_id", "quality_score", "token_packing", "unigram_logprob",
+      "dsir_weights", "repetition_stats", "decontaminate"),
+    "retrieval" -> Seq("tfidf", "bm25_scores", "bm25_topk", "concept_idf",
+      "cooccur_counts_doc", "cooccur_metrics_doc"))
 
   /** sf parsed from a ".../sf0.01"-style dir name; None when absent. */
   private def sfOf(dir: String): Option[Double] = {
