@@ -372,6 +372,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
     "dedup_norm" -> ((s, d) => Dedup.normalized(docs(s, d))),
     "span_dedup" -> ((s, d) => Dedup.spanDedup(docs(s, d))),
+    "span_dedup_apply" -> ((s, d) => Dedup.spanDedupApply(docs(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(docs(s, d))),
     "dedup_incremental" -> ((s, d) => Dedup.minhashIncremental(docs(s, d))),
     "dedup_incremental_staged" -> ((s, d) => Dedup.minhashIncrementalStaged(docs(s, d), d)),
@@ -393,6 +394,7 @@ object SparkEntry {
     "semantic_dedup" -> ((s, d) => Embeddings.semanticDedup(Tables.embeddings(s, d))),
     "semantic_clusters" -> ((s, d) => Embeddings.semanticClusters(Tables.embeddings(s, d))),
     "corpus_mix" -> ((s, d) => TextStats.corpusMix(docs(s, d))),
+    "source_temperature" -> ((s, d) => TextStats.sourceTemperature(docs(s, d))),
     "stratified_sample" -> ((s, d) => TextStats.stratifiedSample(docs(s, d))),
     "source_caps" -> ((s, d) => TextStats.sourceCaps(docs(s, d))),
     "length_histogram" -> ((s, d) => TextStats.lengthHistogram(docs(s, d))),

@@ -63,6 +63,35 @@ object Dedup {
       .select("doc_id", "sent_id", "canonical_doc", "canonical_sent", "group_size")
   }
 
+  /** doc_id, clean_text, n_kept, n_removed — the EXECUTABLE form of
+    * [[spanDedup]]: the C4 recipe doesn't just flag repeated spans, it
+    * deletes every non-canonical occurrence and re-assembles the document
+    * (training-data extension; no reference counterpart). A sentence window
+    * survives iff it is unique in the corpus or it IS the canonical
+    * (lexicographically smallest (doc, sent)) occurrence of its duplicate
+    * group; survivors are stitched back in sent_id order. Same single hash
+    * groupBy as spanDedup plus one dup-group equi-join and one per-doc
+    * aggregation — the collect_list is bounded by document length (the doc
+    * already fit in one row upstream), and the ordering is an in-row
+    * array_sort, never a corpus-global sort. */
+  def spanDedupApply(docs: DataFrame): DataFrame = {
+    val sents = TextOps.sentences(docs).select("doc_id", "sent_id", "sent_text")
+    val g = sents.groupBy("sent_text")
+      .agg(min(struct(col("doc_id"), col("sent_id"))).as("mn"), count(lit(1)).as("n"))
+      .where(col("n") > 1)
+      .select(col("sent_text"), col("mn.doc_id").as("cd"), col("mn.sent_id").as("cs"))
+    sents.join(g, Seq("sent_text"), "left")
+      .withColumn("keep",
+        col("cd").isNull || (col("cd") === col("doc_id") && col("cs") === col("sent_id")))
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"), struct(col("sent_id"), col("sent_text"))))),
+          s => s("sent_text")), " ").as("clean_text"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
+  }
+
   /** Normalized-form dedup: sorted token multiset with the near-dup marker
     * token removed; emits members of groups with >1 doc. */
   def normalized(docs: DataFrame): DataFrame = {

@@ -306,6 +306,33 @@ object TextStats {
       .where(col("draw_rank") <= k)
   }
 
+  /** source, n_docs, n_tokens, p_raw, p_temp, boost — temperature /
+    * alpha-sampling mixture weights (the multilingual-corpus recipe of
+    * XLM-R / mC4: sample source i with probability ∝ p_i^alpha, which
+    * up-weights small sources and flattens the head; training-data
+    * extension, no reference counterpart). p_raw is each source's token
+    * share; p_temp its renormalized alpha-damped share; boost =
+    * p_temp/p_raw is the up/down-sampling multiplier a sampler applies per
+    * source. One groupBy on source (key space = source cardinality,
+    * dimension-sized) plus two broadcast 1-row totals — no window, no
+    * driver action. All compared floats are display-rounded (6dp) BEFORE
+    * reuse per the suite's cross-engine convention, so the pow/divide
+    * chain is reproducible in DuckDB. */
+  def sourceTemperature(docs: DataFrame, alpha: Double = 0.3): DataFrame = {
+    val per = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("source").agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").as("tot_tokens"))
+    val raw = per.join(broadcast(tot))
+      .withColumn("p_raw", Num.r6(col("n_tokens").cast("double") / col("tot_tokens")))
+      .withColumn("w", Num.r6(pow(col("p_raw"), lit(alpha))))
+    val wtot = raw.agg(sum("w").as("w_tot"))
+    raw.join(broadcast(wtot))
+      .withColumn("p_temp", Num.r6(col("w") / col("w_tot")))
+      .withColumn("boost", Num.r6(col("p_temp") / col("p_raw")))
+      .select("source", "n_docs", "n_tokens", "p_raw", "p_temp", "boost")
+  }
+
   /** Token-budget corpus mixing: pick documents per source so the mixed
     * corpus hits a target token budget at prescribed source proportions —
     * the "data mixture" step of a training-data pipeline (e.g. the

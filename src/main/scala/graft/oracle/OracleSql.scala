@@ -2531,6 +2531,46 @@ object OracleSql {
        |  CAST(mn.s AS BIGINT) AS canonical_sent, group_size
        |FROM sent s JOIN g USING (sent_text)""".stripMargin
 
+  /** Dedup.spanDedupApply twin: same dup-group struct-min canonicalization
+    * as [[spanDedup]], then survivors re-stitched in sent_id order; the
+    * CASE inside string_agg drops removed windows (string_agg skips NULL),
+    * and coalesce matches Spark's empty-array → '' for all-dup docs. */
+  val spanDedupApply: String =
+    s"""WITH $tokCte,
+       |sent AS (SELECT doc_id, (ord - 1) // $W AS sent_id,
+       |    string_agg(tok, ' ' ORDER BY ord) AS sent_text
+       |  FROM tok GROUP BY 1, 2),
+       |g AS (SELECT sent_text, min({'d': doc_id, 's': sent_id}) AS mn
+       |  FROM sent GROUP BY sent_text HAVING count(*) > 1),
+       |k AS (SELECT s.doc_id, s.sent_id, s.sent_text,
+       |    (g.sent_text IS NULL OR (mn.d = s.doc_id AND mn.s = s.sent_id)) AS keep
+       |  FROM sent s LEFT JOIN g USING (sent_text))
+       |SELECT doc_id,
+       |  coalesce(string_agg(CASE WHEN keep THEN sent_text END, ' ' ORDER BY sent_id), '') AS clean_text,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+       |FROM k GROUP BY doc_id""".stripMargin
+
+  /** TextStats.sourceTemperature twin: every float is rounded (6dp) at the
+    * SAME points as the Spark plan — p_raw before pow, w before the
+    * normalizing sum, p_temp before the boost divide. */
+  val sourceTemperature: String =
+    """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM per),
+      |raw AS (SELECT source, n_docs, n_tokens,
+      |    floor((CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS p_raw
+      |  FROM per, tot),
+      |w AS (SELECT *, floor(power(p_raw, 0.3) * 1000000 + 0.5) / 1000000 AS w FROM raw),
+      |wt AS (SELECT sum(w) AS w_tot FROM w),
+      |pt AS (SELECT source, n_docs, n_tokens, p_raw,
+      |    floor((w / w_tot) * 1000000 + 0.5) / 1000000 AS p_temp
+      |  FROM w, wt)
+      |SELECT source, n_docs, n_tokens, p_raw, p_temp,
+      |  floor((p_temp / p_raw) * 1000000 + 0.5) / 1000000 AS boost
+      |FROM pt""".stripMargin
+
   val stratifiedSample: String =
     """WITH r AS (SELECT doc_id, source,
       |    CAST(row_number() OVER (PARTITION BY source
@@ -2792,6 +2832,8 @@ object OracleSql {
     "dedup_incremental_staged" -> minhashIncremental,
     "window_dup" -> windowDup,
     "span_dedup" -> spanDedup,
+    "span_dedup_apply" -> spanDedupApply,
+    "source_temperature" -> sourceTemperature,
     "decontaminate_fuzzy" -> decontaminateFuzzy,
     "dsir_weights" -> dsirWeights,
     "quality_cut" -> qualityCut,

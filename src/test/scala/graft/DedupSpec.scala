@@ -110,6 +110,24 @@ class DedupSpec extends SparkSpec {
     assert(!r.exists { case (n, o) => Set(n, o) == Set(10L, 20L) })
   }
 
+  test("span dedup apply removes non-canonical windows and reassembles in order") {
+    // w (10 tokens = exactly one sentence window) duplicated across docs:
+    // doc0 owns the canonical occurrence, doc1's copy is removed, doc2 is
+    // untouched, doc3 is ALL duplicate → empty clean_text, not null
+    val w = "a b c d e f g h i j"
+    val r = Dedup.spanDedupApply(docs(
+      w + " k l m n o p q r s t",
+      w + " u1 u2 u3 u4 u5 u6 u7 u8 u9 u10",
+      "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10",
+      w))
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("clean_text"), x.getAs[Long]("n_kept"), x.getAs[Long]("n_removed")))).toMap
+    assert(r(0L) == ((w + " k l m n o p q r s t", 2L, 0L)))
+    assert(r(1L) == (("u1 u2 u3 u4 u5 u6 u7 u8 u9 u10", 1L, 1L)))
+    assert(r(2L) == (("z1 z2 z3 z4 z5 z6 z7 z8 z9 z10", 1L, 0L)))
+    assert(r(3L) == (("", 0L, 1L)))
+  }
+
   test("rolling fingerprint is stable and order-sensitive") {
     val r = Dedup.rollingFingerprint(docs(base, base)).collect()
       .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("fingerprint")).toMap

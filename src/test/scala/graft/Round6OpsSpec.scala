@@ -157,6 +157,25 @@ class Round6OpsSpec extends SparkSpec {
       Seq((1L, 1L, true), (2L, 2L, true), (3L, 3L, false), (4L, 1L, true)))
   }
 
+  test("temperature sampling up-weights the small source and down-weights the big one") {
+    // source A: 9x the tokens of source B → alpha=0.3 damping must pull
+    // p_temp toward the middle: boost(A) < 1 < boost(B), masses still sum to 1
+    val big = (1 to 90).map(i => s"a$i").mkString(" ")
+    val small = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, big, "en", "A", big.length.toLong),
+      (2L, small, "en", "B", small.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextStats.sourceTemperature(docs).collect()
+      .map(x => x.getAs[String]("source") ->
+        ((x.getAs[Double]("p_raw"), x.getAs[Double]("p_temp"), x.getAs[Double]("boost")))).toMap
+    assert(r("A")._1 == 0.9 && r("B")._1 == 0.1)
+    assert(r("A")._3 < 1.0 && r("B")._3 > 1.0, r.toString)
+    assert(math.abs(r("A")._2 + r("B")._2 - 1.0) < 1e-5, r.toString)
+    // alpha damping is monotone: the big source still has the larger share
+    assert(r("A")._2 > r("B")._2)
+  }
+
   test("length histogram buckets exact powers of two into their own bucket") {
     // n_chars 4 → 1 token → bucket 0; 8 → 2 tokens → bucket 1;
     // 16 → 4 tokens → bucket 2 (the floor(log2) fp trap case); 20 → 5 → bucket 2
