@@ -92,6 +92,33 @@ object Dedup {
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
   }
 
+  /** doc_id, clean_text, n_kept, n_removed — corpus-frequency boilerplate
+    * removal (the CCNet/RefinedWeb recipe): a sentence window is boilerplate
+    * when it occurs in ≥ minDocs DISTINCT documents (header/footer/nav
+    * chrome repeated across the corpus, not merely duplicated once), and
+    * ALL of its occurrences are deleted everywhere — unlike
+    * [[spanDedupApply]], which keeps the canonical occurrence of each dup
+    * group. One hash groupBy computes the distinct-doc frequency (map-side
+    * combinable), the flagged set is corpus-chrome-sized (tiny relative to
+    * the corpus, AQE broadcasts it), and survivors re-stitch with a per-doc
+    * aggregation bounded by document length — no corpus-global sort. */
+  def boilerplateStrip(docs: DataFrame, minDocs: Int = 3): DataFrame = {
+    val sents = TextOps.sentences(docs).select("doc_id", "sent_id", "sent_text")
+    val bp = sents.groupBy("sent_text")
+      .agg(countDistinct("doc_id").as("df"))
+      .where(col("df") >= minDocs)
+      .select(col("sent_text"), lit(true).as("bp"))
+    sents.join(bp, Seq("sent_text"), "left")
+      .withColumn("keep", col("bp").isNull)
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"), struct(col("sent_id"), col("sent_text"))))),
+          s => s("sent_text")), " ").as("clean_text"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
+  }
+
   /** Normalized-form dedup: sorted token multiset with the near-dup marker
     * token removed; emits members of groups with >1 doc. */
   def normalized(docs: DataFrame): DataFrame = {

@@ -158,4 +158,33 @@ object TextOps {
         explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
       .select(col("doc_id"), col("chunk_id"),
         expr(s"substring(text, CAST(chunk_id * $chunkChars + 1 AS INT), $chunkChars)").as("chunk"))
+
+  /** chunkStride window/stride (tokens): chunk c covers ordinals
+    * [c·s + 1, c·s + w], so consecutive chunks overlap by w − s tokens. */
+  val StrideWindow = 8
+  val StrideStep = 4
+
+  /** doc_id, chunk_id, chunk_text, n_tokens, char_start, char_end —
+    * overlapping token windows (window w, stride s), the RAG / pretraining
+    * chunker that preserves context across chunk boundaries (the
+    * fixed-char [[chunkContent]] severs it; cf. reference
+    * `PipelineMain.chunkContent` which chunks for a storage limit, not for
+    * retrieval). Each token fans out in-row to the ≤⌈w/s⌉ chunks containing
+    * it (a bounded `sequence`+`explode`, never a self-join), then one
+    * (doc, chunk) aggregation — the same single-shuffle shape as
+    * [[sentences]], so the 100 TB cost is the w/s duplication factor and
+    * nothing else. The lo-bound CASE keeps the integer division strictly
+    * positive-operand, where Spark `div` and DuckDB `//` agree. */
+  def chunkStride(docs: DataFrame, window: Int = StrideWindow, stride: Int = StrideStep): DataFrame =
+    tokens(docs)
+      .withColumn("chunk_id", explode(sequence(
+        when(col("ord") <= window, lit(0L))
+          .otherwise(expr(s"(ord - $window + $stride - 1) div $stride")),
+        expr(s"(ord - 1) div $stride"))))
+      .groupBy("doc_id", "chunk_id")
+      .agg(
+        Agg.orderedStringAgg(col("ord"), col("tok"), " ").as("chunk_text"),
+        count(lit(1)).as("n_tokens"),
+        min("char_start").as("char_start"),
+        max("char_end").as("char_end"))
 }

@@ -100,6 +100,46 @@ object TextStats {
       .groupBy("doc_id", "bucket")
       .agg(count(lit(1)).as("tf"))
 
+  /** qualityClassifier feature space / weight constants. The weights are a
+    * fixed pseudo-random linear model derived from the bucket id by a
+    * Knuth-style multiplicative hash — integer-exact in both engines, so
+    * the classifier is a stand-in with the real model's exact plan shape
+    * (swap the derived weight for a broadcast weight-table join when a
+    * trained model ships). */
+  val ClfBuckets = 256L
+  val ClfWeightMod = 1000001L
+  val ClfWeightScale = 500000L
+
+  /** doc_id, n_feats, score_raw, score, keep — fastText-style linear quality
+    * classifier over hashing-trick features (the CCNet/LLaMA wiki-reference
+    * filter shape): unigram + bigram features → Hash60 mod [[ClfBuckets]],
+    * each bucket carrying a deterministic integer weight in
+    * [−[[ClfWeightScale]], [[ClfWeightScale]]]; score is the mean bucket
+    * weight (rational arithmetic end to end — no exp/sigmoid, so engine and
+    * oracle agree bit-for-bit; the sigmoid is monotone, so thresholding the
+    * linear score IS thresholding the probability). Bigrams come from a
+    * doc-partitioned `lead` (bounded by document length); scoring is one
+    * map-side-combinable groupBy — a scan-shaped plan at 100 TB. */
+  def qualityClassifier(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("ord")
+    val toks = TextOps.tokens(docs).select("doc_id", "ord", "tok")
+    val bigrams = toks
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .select(col("doc_id"), concat(col("tok"), lit(" "), col("nxt")).as("feat"))
+    val feats = toks.select(col("doc_id"), col("tok").as("feat")).unionByName(bigrams)
+    feats
+      .select(col("doc_id"),
+        pmod(graft.functions.Hash60.id(col("feat")), lit(ClfBuckets)).as("bucket"))
+      .withColumn("wgt", pmod(col("bucket") * lit(2654435761L), lit(ClfWeightMod)) - lit(ClfWeightScale))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("wgt").as("score_raw"))
+      .select(col("doc_id"), col("n_feats"), col("score_raw"),
+        Num.r6(col("score_raw").cast("double")
+          / (col("n_feats") * lit(ClfWeightScale)).cast("double")).as("score"),
+        (col("score_raw") > 0).as("keep"))
+  }
+
   /** Corpus vocabulary statistics: token, n_occurrences, doc_freq. */
   def vocabStats(docs: DataFrame): DataFrame =
     TextOps.tokens(docs)

@@ -2551,6 +2551,66 @@ object OracleSql {
        |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
        |FROM k GROUP BY doc_id""".stripMargin
 
+  /** Dedup.boilerplateStrip twin: windows in ≥ minDocs DISTINCT docs are
+    * boilerplate; ALL occurrences removed (no canonical survivor — that is
+    * [[spanDedupApply]]'s rule), survivors re-stitched in sent_id order. */
+  val boilerplateStrip: String =
+    s"""WITH $tokCte,
+       |sent AS (SELECT doc_id, (ord - 1) // $W AS sent_id,
+       |    string_agg(tok, ' ' ORDER BY ord) AS sent_text
+       |  FROM tok GROUP BY 1, 2),
+       |bp AS (SELECT sent_text FROM sent GROUP BY sent_text
+       |  HAVING count(DISTINCT doc_id) >= 3),
+       |k AS (SELECT s.doc_id, s.sent_id, s.sent_text,
+       |    (bp.sent_text IS NULL) AS keep
+       |  FROM sent s LEFT JOIN bp USING (sent_text))
+       |SELECT doc_id,
+       |  coalesce(string_agg(CASE WHEN keep THEN sent_text END, ' ' ORDER BY sent_id), '') AS clean_text,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+       |FROM k GROUP BY doc_id""".stripMargin
+
+  /** TextOps.chunkStride twin: identical per-token chunk-range fan-out
+    * (positive-operand integer division only, where Spark `div` ≡ DuckDB
+    * `//`), then the same (doc, chunk) aggregation. */
+  val chunkStride: String = {
+    val (w, s) = (TextOps.StrideWindow, TextOps.StrideStep)
+    s"""WITH $tokCte,
+       |x AS (SELECT doc_id, ord, tok, char_start, char_end,
+       |    CAST(unnest(generate_series(
+       |      CASE WHEN ord <= $w THEN 0 ELSE (ord - $w + $s - 1) // $s END,
+       |      (ord - 1) // $s)) AS BIGINT) AS chunk_id
+       |  FROM tok)
+       |SELECT doc_id, chunk_id,
+       |  string_agg(tok, ' ' ORDER BY ord) AS chunk_text,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  min(char_start) AS char_start, max(char_end) AS char_end
+       |FROM x GROUP BY 1, 2""".stripMargin
+  }
+
+  /** TextStats.qualityClassifier twin: same unigram+bigram feature stream
+    * (lead over the doc token order — a NULL next-token nulls the concat in
+    * both engines and is filtered), same Hash60-mod bucketing and integer
+    * weight derivation; the only float op is the final mean, with identical
+    * expression structure. */
+  val qualityClassifier: String = {
+    val (b, m, sc) = (TextStats.ClfBuckets, TextStats.ClfWeightMod, TextStats.ClfWeightScale)
+    s"""WITH $tokCte,
+       |big AS (SELECT doc_id,
+       |    tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS feat
+       |  FROM tok),
+       |feats AS (SELECT doc_id, tok AS feat FROM tok
+       |  UNION ALL SELECT doc_id, feat FROM big WHERE feat IS NOT NULL),
+       |sc AS (SELECT doc_id,
+       |    (${Hash60.sql("feat")} % $b) * 2654435761 % $m - $sc AS wgt
+       |  FROM feats)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |  CAST(sum(wgt) AS BIGINT) AS score_raw,
+       |  floor((CAST(sum(wgt) AS DOUBLE) / CAST(count(*) * $sc AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS score,
+       |  (sum(wgt) > 0) AS keep
+       |FROM sc GROUP BY doc_id""".stripMargin
+  }
+
   /** TextStats.sourceTemperature twin: every float is rounded (6dp) at the
     * SAME points as the Spark plan — p_raw before pow, w before the
     * normalizing sum, p_temp before the boost divide. */
@@ -2833,6 +2893,9 @@ object OracleSql {
     "window_dup" -> windowDup,
     "span_dedup" -> spanDedup,
     "span_dedup_apply" -> spanDedupApply,
+    "boilerplate_strip" -> boilerplateStrip,
+    "chunk_stride" -> chunkStride,
+    "quality_classifier" -> qualityClassifier,
     "source_temperature" -> sourceTemperature,
     "decontaminate_fuzzy" -> decontaminateFuzzy,
     "dsir_weights" -> dsirWeights,
