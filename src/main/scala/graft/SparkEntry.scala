@@ -255,6 +255,7 @@ object SparkEntry {
     "tfidf" -> ((s, d) => Cooccurrence.tfidf(pp(s, d))),
     "bm25_scores" -> ((s, d) => Cooccurrence.bm25(pp(s, d))),
     "bm25_topk" -> ((s, d) => Cooccurrence.bm25TopK(pp(s, d))),
+    "hybrid_rrf" -> ((s, d) => Cooccurrence.hybridRrf(docs(s, d), pp(s, d))),
     // D. sentence pairs
     "sentence_pairs" -> ((s, d) => SentencePairs.extractWithBlinded(docs(s, d), pp(s, d))),
     "classified_sentences" -> ((s, d) => SentencePairs.classified(pp(s, d))),
@@ -471,6 +472,7 @@ object SparkEntry {
     "emb_topk" -> ((s, d) => Embeddings.cosineTopK(Tables.embeddings(s, d))),
     "emb_topk_native" -> ((s, d) => Embeddings.cosineTopKNative(Tables.embeddings(s, d))),
     "emb_lsh" -> ((s, d) => Embeddings.lshBuckets(Tables.embeddings(s, d))),
+    "knn_graph" -> ((s, d) => Embeddings.knnGraph(Tables.embeddings(s, d))),
     "pq_codes" -> ((s, d) => Embeddings.pqCodes(Tables.embeddings(s, d))),
     "sq_codes" -> ((s, d) => Embeddings.sqCodes(Tables.embeddings(s, d))),
     "sq_topk" -> ((s, d) => Embeddings.sqTopK(Tables.embeddings(s, d))),

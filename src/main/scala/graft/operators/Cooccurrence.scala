@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.Num
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Concept cooccurrence counts + metrics, IDF, count distribution, TF-IDF.
@@ -247,4 +248,30 @@ object Cooccurrence {
       .select(col("concept_id"), posexplode(col("tk")).as(Seq("pos", "e")))
       .select(col("concept_id"), (col("pos") + 1).cast("long").as("rk"),
         col("e.id").as("doc_id"), col("e.score").as("bm25"))
+
+  /** concept_id, rank, doc_id, rrf, bm25_rank, quality_rank — hybrid
+    * retrieval by reciprocal-rank fusion (Cormack et al. 2009): each
+    * concept's BM25 top-k pool re-ranked by RRF(60) over its BM25 rank and
+    * a document-quality prior rank. The prior rank is computed WITHIN the
+    * retrieved pool (the standard rerank contract: score the candidates,
+    * don't re-sort the corpus), so every window here partitions a ≤ k-row
+    * group — candidate generation stays the bounded-heap [[bm25TopK]]
+    * aggregate and no df-wide or corpus-wide sort appears at any scale.
+    * 1/(60+r) sums are identical IEEE double chains in both engines. */
+  def hybridRrf(docs: DataFrame, annots: DataFrame, k: Int = 10): DataFrame = {
+    val pool = bm25TopK(annots, k)
+      .join(TextStats.quality(docs).select(col("doc_id"), col("quality")), "doc_id")
+    val byQuality = Window.partitionBy("concept_id")
+      .orderBy(col("quality").desc, col("doc_id"))
+    val fused = pool
+      .withColumn("q_rk", row_number().over(byQuality).cast("long"))
+      .withColumn("rrf", Num.r6(
+        lit(1.0) / (lit(60.0) + col("rk").cast("double"))
+          + lit(1.0) / (lit(60.0) + col("q_rk").cast("double"))))
+    fused
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("concept_id").orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .select(col("concept_id"), col("rank"), col("doc_id"), col("rrf"),
+        col("rk").as("bm25_rank"), col("q_rk").as("quality_rank"))
+  }
 }

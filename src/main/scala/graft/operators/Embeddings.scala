@@ -530,4 +530,38 @@ object Embeddings {
       .join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), coalesce(col("dup"), lit(false)).as("is_dup"))
   }
+
+  /** vec_id, rank, neighbor_id, cosine, mutual — approximate k-NN graph over
+    * the whole corpus (the structure SemDeDup-style diversity pruning,
+    * graph-based label propagation, and hubness analysis consume; no
+    * reference counterpart — training-data extension). Candidates are
+    * bounded to shared LSH buckets (never all-pairs); each node's top-k is
+    * the bounded-heap aggregate (graft.functions.TopKAgg), so no
+    * bucket-width ranking window exists — a hot bucket ships ≤ k pairs per
+    * node per map task, the bm25_topk lesson applied from the start. The
+    * mutual flag (reverse edge also survived its node's top-k) is one
+    * self-equi-join of the n·k edge list on the swapped key — mutual-kNN is
+    * the standard symmetrization, since one-way edges from hub nodes
+    * distort neighborhoods. */
+  val KnnGraphK = 3
+
+  def knnGraph(embeddings: DataFrame, k: Int = KnnGraphK): DataFrame = {
+    val bv = lshBuckets(embeddings)
+      .join(embeddings.select(col("vec_id"), asDouble(col("embedding")).as("ve")), "vec_id")
+    val edges = bv.select(col("bucket"), col("vec_id").as("src"), col("ve").as("sv"))
+      .join(bv.select(col("bucket"), col("vec_id").as("dst"), col("ve").as("dv")), Seq("bucket"))
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), Num.r6(cosine(col("sv"), col("dv"))).as("cosine"))
+      .groupBy("src")
+      .agg(graft.functions.TopKAgg.topK(col("cosine"), col("dst"), k).as("tk"))
+      .select(col("src"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("src").as("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("neighbor_id"), col("e.score").as("cosine"))
+      .persist() // referenced twice: as the edge list and as its own reverse
+    val rev = edges.select(col("neighbor_id").as("vec_id"),
+      col("vec_id").as("neighbor_id"), lit(true).as("rev"))
+    edges.join(rev, Seq("vec_id", "neighbor_id"), "left")
+      .select(col("vec_id"), col("rank"), col("neighbor_id"), col("cosine"),
+        coalesce(col("rev"), lit(false)).as("mutual"))
+  }
 }

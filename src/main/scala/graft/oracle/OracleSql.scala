@@ -467,6 +467,35 @@ object OracleSql {
         |  FROM bmw)""".stripMargin) +
       "SELECT concept_id, rk, doc_id, bm25 FROM bmr WHERE rk <= 10"
 
+  /** Cooccurrence.hybridRrf twin: BM25 pool via the window formulation,
+    * quality-prior rank WITHIN the pool, identical 1/(60+r) double chain. */
+  val hybridRrf: String =
+    docPipeline(bm25Cte,
+      s"""bmr AS (SELECT concept_id,
+        |    CAST(row_number() OVER (PARTITION BY concept_id ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rk,
+        |    doc_id FROM bmw),
+        |pool AS (SELECT * FROM bmr WHERE rk <= 10),
+        |fq AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |    CAST($stopCountSql AS BIGINT) AS n_stop
+        |  FROM documents),
+        |kq AS (SELECT doc_id,
+        |    floor((least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+        |      * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |      * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS quality
+        |  FROM fq),
+        |qr AS (SELECT p.concept_id, p.rk, p.doc_id,
+        |    CAST(row_number() OVER (PARTITION BY p.concept_id ORDER BY kq.quality DESC, p.doc_id) AS BIGINT) AS q_rk
+        |  FROM pool p JOIN kq USING (doc_id)),
+        |fr AS (SELECT concept_id, doc_id, rk, q_rk,
+        |    floor((1.0 / (60.0 + CAST(rk AS DOUBLE)) + 1.0 / (60.0 + CAST(q_rk AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS rrf
+        |  FROM qr)""".stripMargin) +
+      """SELECT concept_id,
+        |  CAST(row_number() OVER (PARTITION BY concept_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+        |  doc_id, rrf, rk AS bm25_rank, q_rk AS quality_rank
+        |FROM fr""".stripMargin
+
   // ---------- D. sentence pairs ----------
 
   private val pairsCte =
@@ -1660,6 +1689,24 @@ object OracleSql {
   val embLsh: String =
     s"WITH $bucketsCte\nSELECT vec_id, bucket FROM bk"
 
+  /** Embeddings.knnGraph twin: same LSH-bucket candidate bound, window
+    * top-k over the ROUNDED cosine with dst tie-break (the TopKAgg
+    * ordering), mutual = reverse edge also survived its node's top-k. */
+  val knnGraph: String =
+    s"""WITH $bucketsCte,
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    floor((list_dot_product(x.ve, y.ve) / (sqrt(list_dot_product(x.ve, x.ve)) * sqrt(list_dot_product(y.ve, y.ve)))) * 1000000 + 0.5) / 1000000 AS cosine
+       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  JOIN v x ON a.vec_id = x.vec_id JOIN v y ON b.vec_id = y.vec_id),
+       |e AS (SELECT src, dst, cosine,
+       |    CAST(row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS BIGINT) AS rnk
+       |  FROM p),
+       |t AS (SELECT * FROM e WHERE rnk <= ${Embeddings.KnnGraphK})
+       |SELECT t.src AS vec_id, t.rnk AS rank, t.dst AS neighbor_id, t.cosine,
+       |  (r.src IS NOT NULL) AS mutual
+       |FROM t LEFT JOIN t r ON r.src = t.dst AND r.dst = t.src""".stripMargin
+
   val embDupPairs: String =
     s"""WITH $bucketsCte,
        |prs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -2834,6 +2881,8 @@ object OracleSql {
     "tfidf" -> tfidf,
     "bm25_scores" -> bm25Scores,
     "bm25_topk" -> bm25TopK,
+    "hybrid_rrf" -> hybridRrf,
+    "knn_graph" -> knnGraph,
     "sentence_pairs" -> sentencePairs,
     "classified_sentences" -> classifiedSentences,
     "relation_paths" -> relationPaths,

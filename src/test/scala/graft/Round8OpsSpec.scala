@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, TextOps, TextStats}
+import graft.operators.{Cooccurrence, Dedup, Embeddings, TextOps, TextStats}
 
 /** Round-8 operators: corpus-frequency boilerplate removal, sliding-window
   * RAG chunking, and the fastText-shaped hashing-trick quality classifier.
@@ -68,5 +68,39 @@ class Round8OpsSpec extends SparkSpec {
     }
     // same text => identical score on both docs
     assert(r.map(_.getAs[Double]("score")).distinct.length == 1)
+  }
+
+  test("knn graph ranks same-bucket neighbors by cosine and flags mutual edges") {
+    import org.apache.spark.sql.functions.col
+    // three near-identical vectors (same LSH bucket) + base direction copies
+    val dim = Embeddings.EmbDim
+    def vec(eps: Double) = Array.tabulate(dim)(i => (math.sin(i + 1) + (if (i == 0) eps else 0.0)).toFloat)
+    val df = Seq(
+      (0L, vec(0.0), 0), (1L, vec(0.01), 0), (2L, vec(0.02), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val g = Embeddings.knnGraph(df, k = 2).collect()
+    // every node has 2 neighbors, all cosines ~1, and all edges mutual
+    assert(g.length == 6)
+    assert(g.forall(_.getAs[Double]("cosine") > 0.99))
+    assert(g.forall(_.getAs[Boolean]("mutual")))
+    val ranks = g.groupBy(_.getAs[Long]("vec_id")).view.mapValues(_.map(_.getAs[Long]("rank")).sorted.toSeq)
+    assert(ranks.values.forall(_ == Seq(1L, 2L)))
+  }
+
+  test("rrf fusion boosts a high-quality doc above a slightly better bm25 doc") {
+    import org.apache.spark.sql.functions.col
+    val base = docs(
+      "spark spark spark plus filler words to give this document some length",
+      "spark alpha beta gamma delta epsilon zeta eta theta iota kappa lambda")
+    val annots = graft.operators.Concepts.postProcess(graft.operators.Concepts.recognize(base))
+    val r = Cooccurrence.hybridRrf(base, annots).collect()
+    assert(r.nonEmpty)
+    // per concept: ranks are 1..n dense, rrf non-increasing in rank
+    r.groupBy(_.getAs[String]("concept_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length).toSeq)
+      val rrfs = sorted.map(_.getAs[Double]("rrf")).toSeq
+      assert(rrfs == rrfs.sorted.reverse)
+    }
   }
 }
