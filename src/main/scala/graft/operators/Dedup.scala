@@ -267,10 +267,14 @@ object Dedup {
     * That asymmetry is the nightly-ingest contract at 100 TB: ingest cost
     * scales with the batch, not the corpus. BucketingSpec asserts the
     * index-side plan shape mechanically. */
-  def minhashIncrementalStaged(docs: DataFrame, sfDir: String, batchMod: Long = 10L): DataFrame = {
+  /** Stage (once per process+sfDir) the existing-corpus band table as a
+    * parquet table bucketed AND sorted by (band, band_key); returns the
+    * table name. Shared by the batch probe ([[minhashIncrementalStaged]])
+    * and the streaming ingest gate (DocStreams.neardupViaStream). */
+  def stageBandIndex(docs: DataFrame, sfDir: String, batchMod: Long = 10L): String = {
     val spark = docs.sparkSession
     val isNew = pmod(col("doc_id"), lit(batchMod)) === 0
-    val table = bandIndexStaged.synchronized {
+    bandIndexStaged.synchronized {
       bandIndexStaged.getOrElseUpdate(sfDir, {
         val t = f"graft_band_index_${sfDir.hashCode & 0x7fffffff}%x"
         spark.sql(s"DROP TABLE IF EXISTS $t")
@@ -291,6 +295,12 @@ object Dedup {
         t
       })
     }
+  }
+
+  def minhashIncrementalStaged(docs: DataFrame, sfDir: String, batchMod: Long = 10L): DataFrame = {
+    val spark = docs.sparkSession
+    val isNew = pmod(col("doc_id"), lit(batchMod)) === 0
+    val table = stageBandIndex(docs, sfDir, batchMod)
     val newBands = minhashBands(shingleSets(docs.where(isNew)))
       .select(col("band"), col("band_key"), col("doc_id").as("new_id"))
     val index = spark.table(table)

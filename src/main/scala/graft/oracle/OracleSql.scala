@@ -2990,6 +2990,8 @@ object OracleSql {
     "quality_filter" -> qualityFilter,
     // streaming pass is stateless ⇒ identical to the batch gate
     "streaming_quality" -> qualityFilter,
+    // run-to-completion stream-static band probe ≡ the batch incremental probe
+    "streaming_neardup" -> minhashIncremental,
     "training_pipeline" -> trainingPipeline,
     "multimodal_meta" -> multimodalMeta)
 }

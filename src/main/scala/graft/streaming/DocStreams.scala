@@ -129,6 +129,67 @@ object DocStreams {
     EventStreams.runToFiles(gated)
   }
 
+  /** Row-local streaming dual of Dedup.minhashBands: doc_id, band,
+    * band_key, with band keys IDENTICAL to the batch path. The batch chain
+    * (lead-window shingling → distinct-shingle groupBy → k-min signature
+    * aggregation → band-key string agg) is three stateful shapes deep; here
+    * every step collapses into the row, which is what makes it
+    * streaming-legal: shingles by indexed `transform` over the token array,
+    * shingle ids by the same Hash60-mod-P arithmetic inside the lambda,
+    * each signature component an `array_min` over one hash's transform, and
+    * band keys a `concat_ws` over [[graft.operators.Dedup.RowsPerBand]]
+    * consecutive components. Docs with fewer than 3 tokens have no complete
+    * shingle and emit nothing — same as the batch `t3 IS NOT NULL` drop. */
+  def streamBands(docs: DataFrame): DataFrame = {
+    import graft.operators.Dedup._
+    import graft.functions.Hash60
+    val numBands = NumHashes / RowsPerBand
+    val withSids = docs
+      .where(size(split(col("text"), " ")) >= 3)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", expr(
+        "transform(sequence(1, size(toks) - 2), i -> " +
+          "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"))
+      .withColumn("sids", array_distinct(
+        transform(col("shingles"), x => Hash60.id(x) % MinhashP)))
+    val mhArr = array(minhashParams.map { case (_, a, b) =>
+      array_min(transform(col("sids"), s => (lit(a) * s + lit(b)) % lit(MinhashP))) }: _*)
+    val bandStructs = array((0 until numBands).map { bnd =>
+      struct(lit(bnd.toLong).as("band"),
+        concat_ws(",", (0 until RowsPerBand).map(r =>
+          element_at(col("mhs"), bnd * RowsPerBand + r + 1).cast("string")): _*).as("band_key"))
+    }: _*)
+    withSids
+      .withColumn("mhs", mhArr)
+      .select(col("doc_id"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** The nightly near-dup ingest gate as Structured Streaming: new
+    * documents STREAM in, each derives its band keys in-row
+    * ([[streamBands]]), and the band stream probes the SAME persisted
+    * bucketed band index the batch path stages
+    * (Dedup.stageBandIndex) — a stream-STATIC equi-join: stateless, no
+    * watermark or join state, the index side planned from its bucketed
+    * on-disk layout every micro-batch. The shared-band count is the one
+    * stateful aggregation. Run-to-completion equals the batch incremental
+    * probe (`dedup_incremental`) and shares its oracle; at 100 TB this is
+    * the shape where ingest admission cost scales with the batch, never
+    * the corpus. */
+  def neardupViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = graft.operators.Dedup.stageBandIndex(
+      graft.sources.Tables.documents(spark, sfDir), sfDir)
+    val newBands = streamBands(
+      stagedDocsStream(spark, sfDir).where(pmod(col("doc_id"), lit(10L)) === 0))
+      .select(col("band"), col("band_key"), col("doc_id").as("new_id"))
+    val index = spark.table(table)
+      .select(col("band"), col("band_key"), col("doc_id").as("old_id"))
+    EventStreams.runToTable(
+      newBands.join(index, Seq("band", "band_key"))
+        .groupBy("new_id", "old_id").agg(count(lit(1)).as("shared_bands")),
+      OutputMode.Complete())
+  }
+
   /** Streaming corpus upsert — the reference's incremental update pipeline
     * (update/UpdateMedlineEntitiesPipeline) as continuous ingestion: update
     * documents stream through a real exactly-once parquet file sink (the

@@ -70,6 +70,19 @@ class Round8OpsSpec extends SparkSpec {
     assert(r.map(_.getAs[Double]("score")).distinct.length == 1)
   }
 
+  test("row-local streaming band derivation equals the batch minhash bands") {
+    val d = docs(
+      "the quick fox jumps over a lazy dog near the old red barn today",
+      "a completely different document with its own distinct shingle stream here",
+      "tiny doc") // < 3 tokens -> no bands on either path
+    val batch = Dedup.minhashBands(Dedup.shingleSets(d)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("band"), r.getAs[String]("band_key"))).toSet
+    val stream = graft.streaming.DocStreams.streamBands(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("band"), r.getAs[String]("band_key"))).toSet
+    assert(stream == batch)
+    assert(!batch.exists(_._1 == 2L))
+  }
+
   test("knn graph ranks same-bucket neighbors by cosine and flags mutual edges") {
     import org.apache.spark.sql.functions.col
     // three near-identical vectors (same LSH bucket) + base direction copies
