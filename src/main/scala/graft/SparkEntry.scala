@@ -474,6 +474,7 @@ object SparkEntry {
     "emb_topk_native" -> ((s, d) => Embeddings.cosineTopKNative(Tables.embeddings(s, d))),
     "emb_lsh" -> ((s, d) => Embeddings.lshBuckets(Tables.embeddings(s, d))),
     "knn_graph" -> ((s, d) => Embeddings.knnGraph(Tables.embeddings(s, d))),
+    "emb_mmr" -> ((s, d) => Embeddings.mmrRerank(Tables.embeddings(s, d))),
     "pq_codes" -> ((s, d) => Embeddings.pqCodes(Tables.embeddings(s, d))),
     "sq_codes" -> ((s, d) => Embeddings.sqCodes(Tables.embeddings(s, d))),
     "sq_topk" -> ((s, d) => Embeddings.sqTopK(Tables.embeddings(s, d))),

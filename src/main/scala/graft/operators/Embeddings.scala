@@ -543,6 +543,70 @@ object Embeddings {
     * self-equi-join of the n·k edge list on the swapped key — mutual-kNN is
     * the standard symmetrization, since one-way edges from hub nodes
     * distort neighborhoods. */
+  /** MMR pool size (candidates re-ranked) and output size. λ = 0.7 enters
+    * as the integer pair (7, 3): all MMR score comparisons happen in
+    * ×10⁷-scaled integer micro-units, so the greedy argmax can never
+    * disagree across engines on a floating-point boundary. */
+  val MmrPool = 10
+  val MmrK = 5
+
+  /** query_id, rank, neighbor_id, cosine — Maximal Marginal Relevance
+    * diversified top-k (Carbonell & Goldstein 1998): greedily select k of
+    * the m retrieved candidates maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — the standard rerank
+    * that stops near-duplicate neighbors from crowding a result list (and
+    * the selection step of MMR-style diverse training-data subset pickers).
+    *
+    * Scale shape: candidate generation is the existing top-k machinery
+    * (bounded pool of m per query); the m·(m−1) candidate-pair similarities
+    * are two bounded equi-joins; the greedy loop — inherently sequential —
+    * runs ENTIRELY IN-ROW over the collected pool (one array fold per
+    * query, k·m struct comparisons), so the plan has no iterative stage,
+    * no driver loop, and no per-step shuffle: per query the cost is
+    * O(k·m²) integer ops inside one task. Scores are integer micro-units
+    * (7·rel_u − 3·max_sim_u, ties to the smaller id via struct sort). */
+  def mmrRerank(embeddings: DataFrame, numQueries: Int = 8,
+                m: Int = MmrPool, k: Int = MmrK): DataFrame = {
+    val pool = cosineTopK(embeddings, numQueries, m)
+      .withColumn("rel_u", floor(col("cosine") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .persist() // pool, pair sims, and the final cosine join all read it
+    val v = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("ve"))
+    val sims = pool.select(col("query_id"), col("neighbor_id").as("ida"))
+      .join(pool.select(col("query_id"), col("neighbor_id").as("idb")), Seq("query_id"))
+      .where(col("ida") =!= col("idb"))
+      .join(v.select(col("vec_id").as("ida"), col("ve").as("va")), Seq("ida"))
+      .join(v.select(col("vec_id").as("idb"), col("ve").as("vb")), Seq("idb"))
+      .select(col("query_id"),
+        concat(col("ida").cast("string"), lit(":"), col("idb").cast("string")).as("pk"),
+        floor(cosine(col("va"), col("vb")) * lit(1000000.0) + lit(0.5)).cast("long").as("sim_u"))
+    val cands = pool.groupBy("query_id")
+      .agg(collect_list(struct(col("neighbor_id").as("id"), col("rel_u"))).as("cands"))
+    val smaps = sims.groupBy("query_id")
+      .agg(map_from_entries(collect_list(struct(col("pk"), col("sim_u")))).as("smap"))
+    val selected = cands.join(smaps, "query_id")
+      .withColumn("sel", expr(
+        s"""aggregate(
+           |  sequence(1, $k),
+           |  cast(array() as array<bigint>),
+           |  (sel, step) -> array_append(sel,
+           |    element_at(
+           |      array_sort(transform(
+           |        filter(cands, c -> NOT array_contains(sel, c.id)),
+           |        c -> struct(
+           |          -(7L * c.rel_u - 3L * coalesce(
+           |              array_max(transform(sel, s ->
+           |                element_at(smap, concat(cast(c.id as string), ':', cast(s as string))))),
+           |              0L)) AS negmmr,
+           |          c.id AS id))),
+           |      1).id))""".stripMargin))
+      .select(col("query_id"), posexplode(col("sel")).as(Seq("pos", "neighbor_id")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"), col("neighbor_id"))
+    selected
+      .join(pool.select(col("query_id"), col("neighbor_id"), col("cosine")),
+        Seq("query_id", "neighbor_id"))
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   val KnnGraphK = 3
 
   def knnGraph(embeddings: DataFrame, k: Int = KnnGraphK): DataFrame = {

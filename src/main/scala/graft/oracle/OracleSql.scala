@@ -1633,6 +1633,58 @@ object OracleSql {
       |  FROM s)
       |SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""".stripMargin
 
+  /** Embeddings.mmrRerank twin: the greedy MMR selection unrolled into k
+    * CTE stages (k is a fixed constant, so the "loop" is mechanical SQL —
+    * generated here by a Scala loop). Every score is the same ×10⁷
+    * integer-micro-unit arithmetic as the engine (7·rel_u − 3·max_sim_u,
+    * ties to the smaller id), so step argmaxes agree exactly. */
+  val embMmr: String = {
+    val (m, k) = (Embeddings.MmrPool, Embeddings.MmrK)
+    val head =
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 8),
+         |nb AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings),
+         |s AS (
+         |  SELECT query_id, neighbor_id,
+         |    floor((list_dot_product(qe, ne) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ne, ne)))) * 1000000 + 0.5) / 1000000 AS cosine
+         |  FROM q CROSS JOIN nb WHERE neighbor_id <> query_id),
+         |r AS (SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM s),
+         |pool AS (SELECT query_id, neighbor_id, cosine,
+         |    CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS rel_u
+         |  FROM r WHERE rank <= $m),
+         |vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         |ps AS (SELECT p1.query_id, p1.neighbor_id AS a, p2.neighbor_id AS b,
+         |    CAST(floor((list_dot_product(x.ve, y.ve) / (sqrt(list_dot_product(x.ve, x.ve)) * sqrt(list_dot_product(y.ve, y.ve)))) * 1000000 + 0.5) AS BIGINT) AS sim_u
+         |  FROM pool p1 JOIN pool p2
+         |    ON p1.query_id = p2.query_id AND p1.neighbor_id <> p2.neighbor_id
+         |  JOIN vv x ON p1.neighbor_id = x.vec_id
+         |  JOIN vv y ON p2.neighbor_id = y.vec_id),
+         |sel1 AS (SELECT query_id, neighbor_id AS id, CAST(1 AS BIGINT) AS ord FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY 7 * rel_u DESC, neighbor_id) AS rn
+         |    FROM pool) WHERE rn = 1)""".stripMargin
+    val steps = (2 to k).map { n =>
+      s"""c$n AS (SELECT p.query_id, p.neighbor_id AS cand, p.rel_u, max(ps.sim_u) AS ms
+         |  FROM pool p
+         |  JOIN sel${n - 1} s ON s.query_id = p.query_id
+         |  JOIN ps ON ps.query_id = p.query_id AND ps.a = p.neighbor_id AND ps.b = s.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${n - 1} x
+         |    WHERE x.query_id = p.query_id AND x.id = p.neighbor_id)
+         |  GROUP BY 1, 2, 3),
+         |p$n AS (SELECT query_id, cand,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY 7 * rel_u - 3 * ms DESC, cand) AS rn
+         |  FROM c$n),
+         |sel$n AS (SELECT * FROM sel${n - 1}
+         |  UNION ALL SELECT query_id, cand AS id, CAST($n AS BIGINT) AS ord FROM p$n WHERE rn = 1)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    head + steps +
+      s"""
+         |SELECT f.query_id, f.ord AS rank, f.id AS neighbor_id, pool.cosine
+         |FROM sel$k f JOIN pool
+         |  ON pool.query_id = f.query_id AND pool.neighbor_id = f.id""".stripMargin
+  }
+
   /** Shared SQ8 quantizer CTEs (per-vector min/scale + per-dim codes). */
   private val sqCtes: String =
     """ex AS (SELECT vec_id,
@@ -2883,6 +2935,7 @@ object OracleSql {
     "bm25_topk" -> bm25TopK,
     "hybrid_rrf" -> hybridRrf,
     "knn_graph" -> knnGraph,
+    "emb_mmr" -> embMmr,
     "sentence_pairs" -> sentencePairs,
     "classified_sentences" -> classifiedSentences,
     "relation_paths" -> relationPaths,

@@ -146,6 +146,26 @@ class PlanAuditSpec extends SparkSpec {
       qe.executedPlan.toString.take(2000))
   }
 
+  test("knn_graph tops-k through the bounded-heap aggregate; hybrid_rrf windows stay pool-bounded") {
+    // knn_graph: a hot LSH bucket must never become a ranking-window
+    // partition — same straggler argument as bm25_topk; pin the partial
+    // TopKAgg phase and the absence of a bucket-wide Window.
+    val kg = SparkEntry.queries("knn_graph")(spark, sfDir).queryExecution
+    assert(kg.optimizedPlan.collect { case w: Window => w }.isEmpty,
+      s"knn_graph plans a Window:\n${kg.optimizedPlan}")
+    assert(kg.executedPlan.toString.contains("partial_top_k_agg"),
+      kg.executedPlan.toString.take(2000))
+    // hybrid_rrf: its two windows are legal ONLY because they partition the
+    // ≤k-row retrieved pool; the pool must come from the TopKAgg phase, and
+    // every window must carry a non-empty partitionSpec.
+    val hr = SparkEntry.queries("hybrid_rrf")(spark, sfDir).queryExecution
+    assert(hr.executedPlan.toString.contains("partial_top_k_agg"),
+      hr.executedPlan.toString.take(2000))
+    assert(hr.optimizedPlan.collect {
+      case w: Window if w.partitionSpec.isEmpty => w }.isEmpty,
+      s"hybrid_rrf plans an unpartitioned window:\n${hr.optimizedPlan}")
+  }
+
   test("event-family shuffle budget survives the ts canonicalization") {
     // The epoch-µs canonicalization is a Project over the scan; it must not
     // cost an exchange. Pin each repaired query's shuffle count at the

@@ -100,6 +100,26 @@ class Round8OpsSpec extends SparkSpec {
     assert(ranks.values.forall(_ == Seq(1L, 2L)))
   }
 
+  test("mmr rerank swaps a redundant second hit for a diverse one") {
+    val dim = Embeddings.EmbDim
+    def planar(deg: Double) = {
+      val rad = math.toRadians(deg)
+      Array.tabulate(dim)(i =>
+        (if (i == 0) math.cos(rad) else if (i == 1) math.sin(rad) else 0.0).toFloat)
+    }
+    // query along dim0; a1/a2 nearly coincident at ~24-25 deg; b on the
+    // other side at -28 deg (slightly less relevant, far from the a's)
+    val df = Seq(
+      (0L, planar(0), 0), (1L, planar(24), 0), (2L, planar(25), 0), (3L, planar(-28), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val plain = Embeddings.cosineTopK(df, numQueries = 1, k = 2)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    val mmr = Embeddings.mmrRerank(df, numQueries = 1, m = 3, k = 2)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(plain == Seq(1L, 2L)) // pure relevance keeps the near-duplicate
+    assert(mmr == Seq(1L, 3L)) // MMR trades it for the diverse candidate
+  }
+
   test("rrf fusion boosts a high-quality doc above a slightly better bm25 doc") {
     import org.apache.spark.sql.functions.col
     val base = docs(
