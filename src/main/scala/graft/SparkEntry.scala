@@ -475,6 +475,8 @@ object SparkEntry {
     "emb_lsh" -> ((s, d) => Embeddings.lshBuckets(Tables.embeddings(s, d))),
     "knn_graph" -> ((s, d) => Embeddings.knnGraph(Tables.embeddings(s, d))),
     "emb_mmr" -> ((s, d) => Embeddings.mmrRerank(Tables.embeddings(s, d))),
+    "ann_ndcg" -> ((s, d) => Embeddings.annNdcg(Tables.embeddings(s, d))),
+    "dedup_soft_weights" -> ((s, d) => Dedup.softDedupWeights(docs(s, d))),
     "pq_codes" -> ((s, d) => Embeddings.pqCodes(Tables.embeddings(s, d))),
     "sq_codes" -> ((s, d) => Embeddings.sqCodes(Tables.embeddings(s, d))),
     "sq_topk" -> ((s, d) => Embeddings.sqTopK(Tables.embeddings(s, d))),

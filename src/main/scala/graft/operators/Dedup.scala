@@ -558,6 +558,21 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
+  /** doc_id, cluster_id, cluster_size, weight — SOFT deduplication
+    * (SoftDeDup: down-weight duplicated content instead of deleting it —
+    * dup groups keep their aggregate sampling mass but no single document
+    * dominates): every member of a near-dup cluster gets sampling weight
+    * 1/cluster_size, singletons weight 1. Two cheap aggregations over
+    * [[clusters]]; the weight column feeds the corpus_mix/doc_sample draw
+    * directly. */
+  def softDedupWeights(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val cl = clusters(docs, threshold)
+    val sizes = cl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    cl.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        Num.r6(lit(1.0) / col("cluster_size").cast("double")).as("weight"))
+  }
+
   /** cluster_size, n_clusters, n_docs — near-dup cluster size distribution
     * (the dedup data-card number: how much of the corpus sits in dup
     * clusters of each size, i.e. what keep-one-per-cluster will delete).

@@ -161,6 +161,35 @@ object Embeddings {
         Num.r6(coalesce(col("n_hit"), lit(0L)).cast("double") / lit(k.toDouble)).as("recall_at_k"))
   }
 
+  /** query_id, dcg_u, idcg_u, ndcg — nDCG@k of the IVF approximate ranking
+    * against the brute-force ground truth (the rank-aware companion of
+    * [[annRecall]]: recall@k says WHAT the index found, nDCG says whether
+    * it kept the order right). Graded relevance = k+1−brute_rank. Each
+    * discount term rel/log2(pos+1) is floored to integer micro-units
+    * BEFORE summation (the repo's integer-sum discipline — double sums are
+    * order-sensitive, integer sums are not), so per-query DCG/IDCG are
+    * exact integers and ndcg is one rounded division. Same bounded join
+    * shapes as annRecall: nothing here outgrows Q·k rows. */
+  def annNdcg(embeddings: DataFrame, numQueries: Int = 8, k: Int = 5): DataFrame = {
+    def termU(rel: Column, pos: Column): Column =
+      floor(rel.cast("double")
+        / (log(pos.cast("double") + lit(1.0)) / log(lit(2.0)))
+        * lit(1000000.0) + lit(0.5)).cast("long")
+    val truth = cosineTopK(embeddings, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("t_rank"))
+    val approx = ivfTopK(embeddings, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("a_rank"))
+    val dcg = approx.join(truth, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("rel", coalesce(lit((k + 1).toLong) - col("t_rank"), lit(0L)))
+      .groupBy("query_id")
+      .agg(sum(termU(col("rel"), col("a_rank"))).as("dcg_u"))
+    val idcg = truth.groupBy("query_id")
+      .agg(sum(termU(lit((k + 1).toLong) - col("t_rank"), col("t_rank"))).as("idcg_u"))
+    dcg.join(idcg, "query_id")
+      .select(col("query_id"), col("dcg_u"), col("idcg_u"),
+        Num.r6(col("dcg_u").cast("double") / col("idcg_u").cast("double")).as("ndcg"))
+  }
+
   /** query_id, rank, neighbor_id, cosine — IVF-SQ8, the production
     * composite (FAISS's IVF,SQ index shape): IVF cells prune the candidate
     * set, SQ8 codes stand in for the candidate vectors, and only the

@@ -1546,6 +1546,15 @@ object OracleSql {
     s"""WITH RECURSIVE $clusterCtes
        |SELECT doc_id, cluster_id FROM cl""".stripMargin
 
+  /** Dedup.softDedupWeights twin: member weight = 1/cluster_size. */
+  val softDedupWeights: String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |szs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM cl GROUP BY 1)
+       |SELECT cl.doc_id, cl.cluster_id, szs.cluster_size,
+       |  floor((1.0 / CAST(szs.cluster_size AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS weight
+       |FROM cl JOIN szs USING (cluster_id)""".stripMargin
+
   /** Dedup.clusterKeepBest twin: per-cluster argmax over (rounded quality,
     * lowest doc_id) marks the surviving member. */
   /** Dedup.clusterStats twin: cluster sizes over the recursive-CC labels,
@@ -2009,6 +2018,27 @@ object OracleSql {
        |  floor((CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5.0) * 1000000 + 0.5) / 1000000 AS recall_at_k
        |FROM (SELECT DISTINCT query_id FROM truth) q
        |LEFT JOIN hits h USING (query_id)""".stripMargin
+
+  /** Embeddings.annNdcg twin: brute/IVF oracles as subqueries, graded
+    * relevance k+1−brute_rank, discount terms floored to integer
+    * micro-units before summation (identical expression structure). */
+  val annNdcg: String =
+    s"""WITH truth AS (SELECT query_id, neighbor_id, rank AS t_rank FROM ($embTopK)),
+       |approx AS (SELECT query_id, neighbor_id, rank AS a_rank FROM ($ivfTopK)),
+       |d AS (SELECT a.query_id,
+       |    CAST(sum(CAST(floor(CAST(coalesce(6 - t.t_rank, 0) AS DOUBLE)
+       |      / (ln(CAST(a.a_rank AS DOUBLE) + 1.0) / ln(2.0))
+       |      * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS dcg_u
+       |  FROM approx a LEFT JOIN truth t USING (query_id, neighbor_id)
+       |  GROUP BY 1),
+       |i AS (SELECT query_id,
+       |    CAST(sum(CAST(floor(CAST(6 - t_rank AS DOUBLE)
+       |      / (ln(CAST(t_rank AS DOUBLE) + 1.0) / ln(2.0))
+       |      * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS idcg_u
+       |  FROM truth GROUP BY 1)
+       |SELECT d.query_id, d.dcg_u, i.idcg_u,
+       |  floor((CAST(d.dcg_u AS DOUBLE) / CAST(i.idcg_u AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS ndcg
+       |FROM d JOIN i USING (query_id)""".stripMargin
 
   /** Embeddings.ivfSqTopK twin: the ivf_topk candidate CTEs composed with
     * the sq_topk reconstruction — raw queries, reconstructed neighbors. */
@@ -2936,6 +2966,8 @@ object OracleSql {
     "hybrid_rrf" -> hybridRrf,
     "knn_graph" -> knnGraph,
     "emb_mmr" -> embMmr,
+    "ann_ndcg" -> annNdcg,
+    "dedup_soft_weights" -> softDedupWeights,
     "sentence_pairs" -> sentencePairs,
     "classified_sentences" -> classifiedSentences,
     "relation_paths" -> relationPaths,

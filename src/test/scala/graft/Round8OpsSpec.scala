@@ -100,6 +100,33 @@ class Round8OpsSpec extends SparkSpec {
     assert(ranks.values.forall(_ == Seq(1L, 2L)))
   }
 
+  test("soft dedup weights split a cluster's mass and leave singletons whole") {
+    val base = "the quick fox jumps over a lazy dog near the old red barn today"
+    val r = Dedup.softDedupWeights(docs(base, base, base,
+      "a completely different document with many other tokens in this string ok"))
+      .orderBy("doc_id").collect()
+    assert(r.length == 4)
+    assert(r.take(3).forall(_.getAs[Long]("cluster_size") == 3L))
+    assert(r.take(3).forall(_.getAs[Double]("weight") == 0.333333))
+    assert(r(3).getAs[Long]("cluster_size") == 1L && r(3).getAs[Double]("weight") == 1.0)
+    // a cluster's total mass stays ~1 regardless of its multiplicity
+    assert(math.abs(r.take(3).map(_.getAs[Double]("weight")).sum - 1.0) < 1e-5)
+  }
+
+  test("ann ndcg is bounded by 1 and its idcg is the fixed ideal-ranking mass") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val r = Embeddings.annNdcg(emb).collect()
+    assert(r.length == 8)
+    // IDCG@5 with graded rel (5,4,3,2,1) in micro-units is a constant
+    val idcg = (1 to 5).map(p => math.floor((6.0 - p) / (math.log(p + 1.0) / math.log(2.0)) * 1e6 + 0.5).toLong).sum
+    r.foreach { row =>
+      assert(row.getAs[Long]("idcg_u") == idcg)
+      assert(row.getAs[Long]("dcg_u") <= row.getAs[Long]("idcg_u"))
+      val n = row.getAs[Double]("ndcg")
+      assert(n >= 0.0 && n <= 1.0)
+    }
+  }
+
   test("mmr rerank swaps a redundant second hit for a diverse one") {
     val dim = Embeddings.EmbDim
     def planar(deg: Double) = {
