@@ -544,7 +544,8 @@ object SparkEntry {
           .where(col("n_overlapping_bigrams") >= 3).select("doc_id"),
           Seq("doc_id"), "left_anti")
     }),
-    "multimodal_meta" -> ((s, d) => TextStats.multimodalMeta(docs(s, d))))
+    "multimodal_meta" -> ((s, d) => TextStats.multimodalMeta(docs(s, d))),
+    "multimodal_batches" -> ((s, d) => TextStats.multimodalBatches(docs(s, d))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. */

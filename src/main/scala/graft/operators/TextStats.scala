@@ -420,6 +420,36 @@ object TextStats {
       .select("doc_id", "source", "n_tokens", "cum_tokens")
   }
 
+  /** doc_id, source, byte_len, batch_id — size-quantized decode-batch
+    * planning over multimodal payloads (the batch layout a GPU decode /
+    * feature-extraction stage consumes: batches of ~batchBytes of payload,
+    * planned per source/modality group). Payloads are laid out in the
+    * seeded permutation order; batch_id = payload's start offset div
+    * batchBytes — the same parallel-friendly quantized packing contract as
+    * [[tokenPacking]]. The per-source running offset is computed TWO-LEVEL
+    * exactly like [[corpusMix]] (per-(source,bucket) subtotals + broadcast
+    * offset table + within-bucket windows), never one source-wide window —
+    * bit-identical to the flat window the oracle states. */
+  def multimodalBatches(docs: DataFrame, batchBytes: Long = 4096L, buckets: Int = 100): DataFrame = {
+    val perm = pmod(col("doc_id") * 2654435761L, lit(1000000L))
+    val sized = docs
+      .select(col("doc_id"), col("source"),
+        length(col("text").cast("binary")).cast("long").as("byte_len"))
+      .withColumn("perm", perm)
+      .withColumn("bucket", expr(s"perm div ${1000000L / buckets}"))
+    val offsetWin = org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("bucket")
+    val offsets = sized.groupBy("source", "bucket").agg(sum("byte_len").as("bb"))
+      .withColumn("bucket_offset", sum("bb").over(offsetWin) - col("bb"))
+      .select("source", "bucket", "bucket_offset")
+    val innerWin = org.apache.spark.sql.expressions.Window.partitionBy("source", "bucket")
+      .orderBy(col("perm"), col("doc_id"))
+    sized
+      .join(broadcast(offsets), Seq("source", "bucket"))
+      .withColumn("cum_bytes", col("bucket_offset") + sum("byte_len").over(innerWin))
+      .withColumn("batch_id", expr(s"(cum_bytes - byte_len) div $batchBytes"))
+      .select("doc_id", "source", "byte_len", "batch_id")
+  }
+
   /** Sequence packing (token-budget chunking): assign each sentence window
     * to a pack so every pack holds ~`budget` tokens of consecutive text.
     * doc_id, sent_id, n_tokens, pack_id. */

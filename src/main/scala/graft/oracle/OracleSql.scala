@@ -2171,6 +2171,20 @@ object OracleSql {
       |  CAST(length(text) % 7 + 1 AS BIGINT) AS fake_n_frames
       |FROM documents""".stripMargin
 
+  /** TextStats.multimodalBatches twin: the flat per-source window over the
+    * same seeded permutation order (engine computes it two-level). */
+  val multimodalBatches: String =
+    """WITH s AS (SELECT doc_id, source,
+      |    CAST(length(text) AS BIGINT) AS byte_len,
+      |    (doc_id * 2654435761) % 1000000 AS perm
+      |  FROM documents),
+      |c AS (SELECT doc_id, source, byte_len,
+      |    sum(byte_len) OVER (PARTITION BY source ORDER BY perm, doc_id) AS cum_bytes
+      |  FROM s)
+      |SELECT doc_id, source, byte_len,
+      |  CAST((cum_bytes - byte_len) // 4096 AS BIGINT) AS batch_id
+      |FROM c""".stripMargin
+
   import graft.operators.KnowledgeGraph
 
   val kgNodes: String =
@@ -3078,5 +3092,6 @@ object OracleSql {
     // run-to-completion stream-static band probe ≡ the batch incremental probe
     "streaming_neardup" -> minhashIncremental,
     "training_pipeline" -> trainingPipeline,
-    "multimodal_meta" -> multimodalMeta)
+    "multimodal_meta" -> multimodalMeta,
+    "multimodal_batches" -> multimodalBatches)
 }

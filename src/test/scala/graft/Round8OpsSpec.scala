@@ -100,6 +100,20 @@ class Round8OpsSpec extends SparkSpec {
     assert(ranks.values.forall(_ == Seq(1L, 2L)))
   }
 
+  test("multimodal batch planning packs ~batchBytes per batch with dense ids per source") {
+    val d = docs((1 to 6).map(i => s"doc number $i " + ("x" * 100)): _*)
+    val r = TextStats.multimodalBatches(d, batchBytes = 200L).collect()
+    assert(r.length == 6)
+    // batch ids start at 0 and are dense per source
+    val ids = r.map(_.getAs[Long]("batch_id")).distinct.sorted.toSeq
+    assert(ids == (0L until ids.length.toLong))
+    // no batch's payload start drifts past its quantized slot: every doc's
+    // batch is its start offset div batchBytes, so per-batch payload stays
+    // within ~batchBytes + one max payload
+    val bySize = r.groupBy(_.getAs[Long]("batch_id")).view.mapValues(_.map(_.getAs[Long]("byte_len")).sum)
+    assert(bySize.values.forall(_ <= 200L + 115L))
+  }
+
   test("soft dedup weights split a cluster's mass and leave singletons whole") {
     val base = "the quick fox jumps over a lazy dog near the old red barn today"
     val r = Dedup.softDedupWeights(docs(base, base, base,
