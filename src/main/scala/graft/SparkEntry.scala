@@ -237,6 +237,8 @@ object SparkEntry {
       Exports.annotationBatchFiles(Exports.annotationBatch(sents, prev), sents, pp(s, d))
     }),
     "ivf_topk" -> ((s, d) => Embeddings.ivfTopK(Tables.embeddings(s, d))),
+    "ivf_probe_sweep" -> ((s, d) => Embeddings.ivfProbeSweep(Tables.embeddings(s, d))),
+    "hard_negatives" -> ((s, d) => Embeddings.hardNegatives(Tables.embeddings(s, d))),
     "ann_recall" -> ((s, d) => Embeddings.annRecall(Tables.embeddings(s, d))),
     "sentences_punct" -> ((s, d) => TextOps.sentencesByPunct(TextOps.punctuated(docs(s, d)), "punct_text")),
     "cooccur_counts_title_annot" -> ((s, d) =>
@@ -368,6 +370,7 @@ object SparkEntry {
     "kg_nodes" -> ((s, _) => KnowledgeGraph.nodes(s)),
     "ontology_closure" -> ((s, _) => KnowledgeGraph.ontologyClosure(s)),
     "kg_edges" -> ((s, d) => KnowledgeGraph.edges(pp(s, d))),
+    "kg_pagerank" -> ((s, d) => KnowledgeGraph.pageRank(pp(s, d))),
     "trapi_nodes" -> ((s, _) => KnowledgeGraph.trapiNodeTriples(s)),
     "trapi_edges" -> ((s, d) => KnowledgeGraph.trapiEdgeTriples(pp(s, d))),
     // G. LLM-data ops

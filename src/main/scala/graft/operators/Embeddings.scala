@@ -190,6 +190,67 @@ object Embeddings {
         Num.r6(col("dcg_u").cast("double") / col("idcg_u").cast("double")).as("ndcg"))
   }
 
+  /** Near-duplicate cosine threshold shared with dupPairs/semanticDedup:
+    * a "hard" negative must stay strictly below it. */
+  val HardNegTau = 0.35
+
+  /** query_id, rank, neighbor_id, cosine — hard-negative mining for
+    * contrastive training (the DPR/ANCE recipe: the best negatives are the
+    * retriever's own most-confident wrong answers): per query, the k
+    * most-similar neighbors whose rounded cosine stays strictly BELOW the
+    * near-duplicate threshold tau — above it a "negative" is likely an
+    * unlabeled positive and poisons the loss (Qu et al. 2021's
+    * false-negative caveat), which is why the same τ=0.35 that defines
+    * near-dup pairs (dupPairs/semanticDedup) caps the band here.
+    *
+    * Scale shape: queries broadcast, neighbor side streamed once, and the
+    * per-query top-k runs through the bounded-heap TopKAgg aggregate — ≤ k
+    * pairs per query survive each map task, so no per-query sort of the
+    * corpus ever exists (the same window-free discipline as bm25_topk).
+    * The oracle keeps the window formulation as the independent twin. */
+  def hardNegatives(embeddings: DataFrame, numQueries: Int = 8, k: Int = 5,
+                    tau: Double = HardNegTau): DataFrame = {
+    val q = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+    val n = embeddings.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("ne"))
+    broadcast(q).crossJoin(n)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Num.r6(cosine(col("qe"), col("ne"))).as("cosine"))
+      .where(col("cosine") < tau)
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topK(col("cosine"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("neighbor_id"), col("e.score").as("cosine"))
+  }
+
+  /** nprobe, n_hit, recall_at_k — the IVF tuning curve: corpus-level
+    * recall@k of the IVF path at every probe width 1..maxProbes against
+    * the brute-force truth (the FAISS nprobe sweep a deployment runs on a
+    * sample before fixing the production operating point — one row per
+    * candidate setting, recall monotone in nprobe). The truth set (Q·k
+    * rows) materializes once and every branch's hit join is against that
+    * tiny set; each IVF branch is cell-bounded candidate generation, so
+    * the sweep costs maxProbes small plans, not maxProbes corpus scans. */
+  def ivfProbeSweep(embeddings: DataFrame, numQueries: Int = 8, k: Int = 5,
+                    maxProbes: Int = NumProbes): DataFrame = {
+    val truth = cosineTopK(embeddings, numQueries, k)
+      .select("query_id", "neighbor_id").persist()
+    (1 to maxProbes).map { p =>
+      val approx = ivfTopK(embeddings, numQueries, k, p)
+        .select(col("query_id").as("a_qid"), col("neighbor_id").as("a_nid"))
+      truth
+        .join(approx,
+          col("query_id") === col("a_qid") && col("neighbor_id") === col("a_nid"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(p.toLong).as("nprobe"), col("n_hit"),
+          Num.r6(col("n_hit").cast("double") / lit((numQueries * k).toDouble))
+            .as("recall_at_k"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** query_id, rank, neighbor_id, cosine — IVF-SQ8, the production
     * composite (FAISS's IVF,SQ index shape): IVF cells prune the candidate
     * set, SQ8 codes stand in for the candidate vectors, and only the

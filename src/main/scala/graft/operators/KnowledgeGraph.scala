@@ -110,6 +110,59 @@ object KnowledgeGraph {
         col("pair_count"), col("ngd"), col("npmi"))
   }
 
+  val PageRankIters = 5
+  val PageRankScale = 1000000L
+
+  /** concept_id, degree, pagerank — damped PageRank (d = 0.85, fixed
+    * [[PageRankIters]] rounds) over the undirected document-cooccurrence
+    * graph, the centrality the reference's KG consumers derive downstream
+    * of the cooccurrence edge export (reference: kg/ontology_kg +
+    * doc/bigquery cooccurrence schema — the graph itself; centrality is
+    * the standard Biolink-graph telemetry over it).
+    *
+    * All arithmetic is integer micro-units so both engines are exact and
+    * order-independent: ranks start at 10⁶ per node; each round a node
+    * sends `rank div degree` to every neighbor and resets to
+    * `0.15·10⁶ + (85·Σ incoming) div 100`. Long sums commute, integral
+    * division is deterministic — no float accumulation anywhere until the
+    * final display division.
+    *
+    * Scale shape: the edge list materializes once (localCheckpoint — also
+    * truncates lineage so the plan doesn't double per round, cf.
+    * Dedup.connectedComponents); each round is ONE equi-join of the edge
+    * list against the (small) rank table plus one groupBy shuffle on the
+    * destination key — the Pregel cost model. Degrees are computed once.
+    * Rounds are a fixed constant, so total cost is O(iters · |E|) with no
+    * driver-side data movement at all. */
+  def pageRank(annots: DataFrame, iterations: Int = PageRankIters): DataFrame = {
+    val pairs = Cooccurrence
+      .pairCounts(Cooccurrence.unitConcepts(annots, Seq("doc_id")), Seq("doc_id"))
+      .select("concept1", "concept2")
+    // concept1 < concept2 by construction, so the two directions are
+    // disjoint — plain unionByName, no distinct
+    val edges = pairs.select(col("concept1").as("src"), col("concept2").as("dst"))
+      .unionByName(pairs.select(col("concept2").as("src"), col("concept1").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    var ranks = deg.select(col("src").as("concept_id"), lit(PageRankScale).as("rank_u"))
+    for (_ <- 1 to iterations) {
+      val incoming = edges.join(deg, "src")
+        .join(ranks.withColumnRenamed("concept_id", "src"), "src")
+        .select(col("dst").as("concept_id"), expr("rank_u div deg").as("c"))
+        .groupBy("concept_id")
+        .agg(sum("c").as("in_u"))
+      ranks = deg.select(col("src").as("concept_id"))
+        .join(incoming, Seq("concept_id"), "left")
+        .select(col("concept_id"),
+          expr("CAST(150000 AS BIGINT) + (85 * coalesce(in_u, CAST(0 AS BIGINT))) div 100")
+            .as("rank_u"))
+        .localCheckpoint()
+    }
+    ranks.join(deg.withColumnRenamed("src", "concept_id"), "concept_id")
+      .select(col("concept_id"), col("deg").cast("long").as("degree"),
+        (col("rank_u") / lit(1000000.0)).as("pagerank"))
+  }
+
   // ---------- TRAPI backend serialization ----------
   // The reference's TRAPI backend renders the KG as Biolink N-Triples
   // (trapi/TrapiBackendSerializer.java constants;

@@ -1945,10 +1945,12 @@ object OracleSql {
        |  floor((CAST(wsum AS DOUBLE) / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS imbalance
        |FROM cnt CROSS JOIN t""".stripMargin
 
-  val ivfTopK: String =
+  /** ivf_topk at an explicit probe width (the NumProbes instance is the
+    * driver query; ivfProbeSweep composes one per width). */
+  private def ivfTopKAt(probes: Int): String =
     s"""WITH $ivfRankCtes,
        |cells AS (SELECT vec_id AS neighbor_id, cell FROM r WHERE rnk = 1),
-       |qp AS (SELECT vec_id AS query_id, cell FROM r WHERE vec_id < 8 AND rnk <= ${Embeddings.NumProbes}),
+       |qp AS (SELECT vec_id AS query_id, cell FROM r WHERE vec_id < 8 AND rnk <= $probes),
        |cand AS (SELECT DISTINCT qp.query_id, c.neighbor_id
        |  FROM qp JOIN cells c USING (cell) WHERE c.neighbor_id <> qp.query_id),
        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
@@ -1959,6 +1961,39 @@ object OracleSql {
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
        |  FROM sc)
        |SELECT query_id, rank, neighbor_id, cosine FROM rk WHERE rank <= 5""".stripMargin
+
+  val ivfTopK: String = ivfTopKAt(Embeddings.NumProbes)
+
+  /** Embeddings.hardNegatives twin: same scored cross join as embTopK with
+    * the sub-τ band filter, window-ranked (the engine uses the bounded-heap
+    * aggregate; ordering and ties are identical). */
+  val hardNegatives: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 8),
+       |nb AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings),
+       |s AS (
+       |  SELECT query_id, neighbor_id,
+       |    floor((list_dot_product(qe, ne) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ne, ne)))) * 1000000 + 0.5) / 1000000 AS cosine
+       |  FROM q CROSS JOIN nb WHERE neighbor_id <> query_id),
+       |f AS (SELECT * FROM s WHERE cosine < ${Embeddings.HardNegTau}),
+       |r AS (SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM f)
+       |SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5""".stripMargin
+
+  /** Embeddings.ivfProbeSweep twin: one ivfTopKAt subquery per probe
+    * width, each hit-joined against the shared brute-force truth. */
+  val ivfProbeSweep: String = {
+    val branches = (1 to Embeddings.NumProbes).map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS nprobe,
+         |  (SELECT CAST(count(*) AS BIGINT)
+         |   FROM truth t JOIN (${ivfTopKAt(p)}) a
+         |     ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id) AS n_hit""".stripMargin
+    }
+    s"""WITH truth AS (SELECT query_id, neighbor_id FROM ($embTopK))
+       |SELECT nprobe, n_hit,
+       |  floor((CAST(n_hit AS DOUBLE) / 40.0) * 1000000 + 0.5) / 1000000 AS recall_at_k
+       |FROM (${branches.mkString("\nUNION ALL\n")})""".stripMargin
+  }
 
   /** Embeddings.ivfPqTopK twin: residual-encoded IVF-PQ. Residuals are
     * (e − own-cell centroid) for the stored side and (e − probed-cell
@@ -2236,6 +2271,33 @@ object OracleSql {
        |FROM (
        |$cooccurMetricsDoc
        |)""".stripMargin
+
+  /** KnowledgeGraph.pageRank twin: the fixed-round damped iteration
+    * unrolled into CTE pairs (c_i = incoming micro-units, r_i = new
+    * ranks), in the engine's exact integer arithmetic — `//` here is
+    * `div` there, both floor on the all-positive values. */
+  val kgPagerank: String = {
+    val head = docPipeline(unitsDocCte, pairCountsSql("units_doc", Seq("doc_id")),
+      """edges AS (
+        |  SELECT concept1 AS src, concept2 AS dst FROM pairs
+        |  UNION ALL SELECT concept2 AS src, concept1 AS dst FROM pairs),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+        |r0 AS (SELECT src AS concept_id, CAST(1000000 AS BIGINT) AS rank_u FROM deg)""".stripMargin)
+    val steps = (1 to KnowledgeGraph.PageRankIters).map { i =>
+      s"""c$i AS (SELECT e.dst AS concept_id, CAST(sum(r.rank_u // d.deg) AS BIGINT) AS in_u
+         |  FROM edges e JOIN deg d ON d.src = e.src
+         |  JOIN r${i - 1} r ON r.concept_id = e.src
+         |  GROUP BY 1),
+         |r$i AS (SELECT d.src AS concept_id,
+         |    CAST(150000 + (85 * coalesce(c.in_u, 0)) // 100 AS BIGINT) AS rank_u
+         |  FROM deg d LEFT JOIN c$i c ON c.concept_id = d.src)""".stripMargin
+    }.mkString(",\n", ",\n", "\n")
+    // docPipeline closes the WITH clause with a newline before the final
+    // SELECT, so splice the iteration CTEs in via a trailing comma
+    head.stripSuffix("\n") + steps +
+      s"""SELECT r.concept_id, d.deg AS degree, r.rank_u / 1000000.0 AS pagerank
+         |FROM r${KnowledgeGraph.PageRankIters} r JOIN deg d ON d.src = r.concept_id""".stripMargin
+  }
 
   val ontologyClosure: String =
     s"""WITH RECURSIVE closure(child, parent) AS (
@@ -2938,6 +3000,8 @@ object OracleSql {
     "abbrev" -> abbrev,
     "brat_to_bert" -> sentencePairs,
     "ivf_topk" -> ivfTopK,
+    "ivf_probe_sweep" -> ivfProbeSweep,
+    "hard_negatives" -> hardNegatives,
     "ann_recall" -> annRecall,
     "sentences_punct" -> sentencesPunct,
     "cooccur_counts_title_annot" -> cooccurCountsTitleAnnot,
@@ -2948,6 +3012,7 @@ object OracleSql {
     "ontology_labels" -> ontologyLabels,
     "kg_nodes" -> kgNodes,
     "kg_edges" -> kgEdges,
+    "kg_pagerank" -> kgPagerank,
     "trapi_nodes" -> trapiNodes,
     "trapi_edges" -> trapiEdges,
     "ontology_closure" -> ontologyClosure,

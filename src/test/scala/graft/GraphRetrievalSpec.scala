@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.{Embeddings, KnowledgeGraph}
+
+/** PageRank centrality, hard-negative mining, and the IVF probe sweep. */
+class GraphRetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def annots(pairs: (Long, String)*) =
+    pairs.toDF("doc_id", "concept_id")
+
+  test("pageRank on a regular graph keeps every rank at exactly 1.0") {
+    // one doc with three concepts -> K3: every node degree 2, perfectly
+    // symmetric, so the damped iteration is a fixpoint at 10^6 micro-units
+    val r = KnowledgeGraph.pageRank(
+      annots((1L, "XX:a"), (1L, "XX:b"), (1L, "XX:c"))).collect()
+    assert(r.length == 3)
+    assert(r.forall(_.getAs[Long]("degree") == 2L))
+    assert(r.forall(_.getAs[Double]("pagerank") == 1.0))
+  }
+
+  test("pageRank concentrates mass on a star center; leaves stay symmetric") {
+    val r = KnowledgeGraph.pageRank(
+      annots((1L, "XX:c"), (1L, "XX:a"),
+             (2L, "XX:c"), (2L, "XX:b"),
+             (3L, "XX:c"), (3L, "XX:d")))
+      .collect().map(x => x.getAs[String]("concept_id") -> x.getAs[Double]("pagerank")).toMap
+    assert(r("XX:c") > r("XX:a"))
+    assert(r("XX:a") == r("XX:b") && r("XX:b") == r("XX:d"))
+    // total mass stays near n (damping redistributes, integer floors leak
+    // at most a few micro-units per node per round)
+    val total = r.values.sum
+    assert(total > 3.5 && total <= 4.0 + 1e-6)
+  }
+
+  private def vecs(vs: Seq[Array[Float]]) =
+    vs.zipWithIndex.map { case (v, i) => (i.toLong, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+
+  private def unit(dim: Int, at: Int): Array[Float] = {
+    val a = Array.fill(dim)(0.01f); a(at) = 1.0f; a
+  }
+
+  test("hardNegatives excludes near-duplicates above tau and ranks the rest") {
+    val dim = Embeddings.EmbDim
+    // vec 1 is an exact dup of the query (cosine 1 > tau: excluded);
+    // 2 and 3 are distant units (cosine ~0.02: kept, id-tie-broken)
+    val vs = vecs(Seq(unit(dim, 0), unit(dim, 0), unit(dim, 5), unit(dim, 9)))
+    val r = Embeddings.hardNegatives(vs, numQueries = 1, k = 3).orderBy("rank").collect()
+    assert(!r.exists(_.getAs[Long]("neighbor_id") == 1L))
+    assert(r.forall(_.getAs[Double]("cosine") < Embeddings.HardNegTau))
+    assert(r.map(_.getAs[Long]("rank")).toSeq == (1L to r.length).toSeq)
+  }
+
+  test("ivfProbeSweep recall is monotone in nprobe and bounded by 1") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = Embeddings.ivfProbeSweep(emb).orderBy("nprobe").collect()
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == (1L to Embeddings.NumProbes).toSeq)
+    val recalls = rows.map(_.getAs[Double]("recall_at_k")).toSeq
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b })
+    assert(recalls.forall(x => x >= 0.0 && x <= 1.0))
+  }
+}
