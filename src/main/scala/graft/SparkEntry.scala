@@ -266,6 +266,15 @@ object SparkEntry {
     "dp_input_export" -> ((s, d) => SentencePairs.dpInput(docs(s, d), pp(s, d))),
     "distant_supervision" -> ((s, d) => SentencePairs.distantSupervision(pp(s, d))),
     "ds_train_split" -> ((s, d) => SentencePairs.dsTrainSplit(pp(s, d))),
+    "gopher_rules" -> ((s, d) => TextStats.gopherRules(docs(s, d))),
+    "doc_history" -> ((s, d) => {
+      val all = docs(s, d)
+      val base = all.select("doc_id", "lang", "source")
+      val updates = all.where(pmod(col("doc_id") * 2654435761L, lit(1000L)) < 100)
+        .select(col("doc_id"), lit("xx").as("lang"), lit("updated").as("source"))
+      graft.infra.Etl.scd2(Seq((0L, base), (1L, updates)), "doc_id")
+        .select("doc_id", "lang", "source", "version", "valid_from", "valid_to", "is_current")
+    }),
     "doc_upsert" -> ((s, d) => {
       val base = docs(s, d)
       val updates = base.where(pmod(col("doc_id") * 2654435761L, lit(1000L)) < 100)

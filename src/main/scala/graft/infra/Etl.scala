@@ -55,4 +55,28 @@ object Etl {
     * win on key collision; pure anti-join + union, no MERGE dependency. */
   def upsert(current: DataFrame, updates: DataFrame, key: String): DataFrame =
     current.join(updates.select(key), Seq(key), "left_anti").unionByName(updates)
+
+  /** SCD-2 history: the versioned dual of [[upsert]] (the reference's
+    * update pipelines overwrite in place; a warehouse keeps the lineage —
+    * which baseline carried which value). Input: (batch_id, rows) in batch
+    * order, all with identical schemas keyed by `key`. Output adds
+    * version (1-based per key), valid_from (batch id), valid_to (next
+    * version's batch id, null while current), is_current.
+    *
+    * The window partitions by key ordered by batch id — partition width is
+    * the number of batches a key appears in (here ≤ #batches, a small
+    * constant), NOT corpus-width: this is the bounded-window shape that is
+    * safe at any corpus size, unlike a global ordering. One shuffle on the
+    * key. */
+  def scd2(batches: Seq[(Long, DataFrame)], key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = batches
+      .map { case (b, df) => df.withColumn("valid_from", lit(b)) }
+      .reduce(_.unionByName(_))
+    val w = Window.partitionBy(key).orderBy("valid_from")
+    all
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

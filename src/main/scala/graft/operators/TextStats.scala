@@ -53,6 +53,45 @@ object TextStats {
             * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens").cast("double"))
             * (col("n_distinct").cast("double") / col("n_tokens").cast("double"))).as("quality"))
 
+  /** Gopher quality rules (Rae et al. 2021, Table A1 — the published
+    * heuristic filter suite MassiveText shipped with) as named boolean
+    * gates per document: word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio, alphabetic-word fraction, and distinct-stopword
+    * presence. The two line-shape rules (bullet starts / ellipsis ends)
+    * are omitted — this corpus carries no line structure; they'd be
+    * constant-true columns, not semantics.
+    *
+    * Every threshold is compared in EXACT INTEGERS (3·n ≤ chars ≤ 10·n
+    * instead of dividing into a float mean), so rule bits are
+    * order-independent and cross-engine identical with no rounding step
+    * anywhere. One narrow projection per document — embarrassingly
+    * parallel, no shuffle at any scale. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stopArr = array(ConceptDict.stopwords.map(lit): _*)
+    docs
+      .withColumn("n_words", size(toks).cast("long"))
+      .withColumn("word_chars", (col("n_chars") - col("n_words") + 1).cast("long"))
+      .withColumn("n_alpha_words",
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("n_symbol_words",
+        size(filter(toks, t => t.rlike("[#…]"))).cast("long"))
+      .withColumn("n_stop_distinct",
+        size(array_intersect(array_distinct(toks), stopArr)).cast("long"))
+      .select(
+        col("doc_id"), col("n_words"), col("word_chars"),
+        col("n_alpha_words"), col("n_symbol_words"), col("n_stop_distinct"),
+        (col("n_words") >= 50 && col("n_words") <= 100000).as("rule_word_count"),
+        (lit(3L) * col("n_words") <= col("word_chars") &&
+          col("word_chars") <= lit(10L) * col("n_words")).as("rule_mean_word_len"),
+        (lit(10L) * col("n_symbol_words") <= col("n_words")).as("rule_symbol_ratio"),
+        (lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words")).as("rule_alpha_words"),
+        (col("n_stop_distinct") >= 2).as("rule_stopwords"))
+      .withColumn("pass_gopher",
+        col("rule_word_count") && col("rule_mean_word_len") &&
+          col("rule_symbol_ratio") && col("rule_alpha_words") && col("rule_stopwords"))
+  }
+
   /** source, n_docs, n_tokens, n_chars, mean_quality — the per-provenance
     * "data card" rollup a corpus release ships with (how much of what, at
     * what quality, from where). One keyed aggregation over the per-doc

@@ -602,6 +602,50 @@ object OracleSql {
        |FROM ($distantSupervision)
        |WHERE silver_positive OR (doc_id * 31 + sent_id) % 4 = 0""".stripMargin
 
+  /** TextStats.gopherRules twin: token aggregates via unnest, rule bits as
+    * the same exact-integer comparisons. */
+  val gopherRules: String =
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |agg AS (SELECT doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_words,
+       |    CAST(sum(CASE WHEN regexp_matches(w, '[#…]') THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol_words,
+       |    CAST(count(DISTINCT CASE WHEN w IN ${ConceptDict.stopwordsInSql} THEN w END) AS BIGINT) AS n_stop_distinct
+       |  FROM w GROUP BY 1)
+       |SELECT d.doc_id, a.n_words,
+       |  CAST(d.n_chars - a.n_words + 1 AS BIGINT) AS word_chars,
+       |  a.n_alpha_words, a.n_symbol_words, a.n_stop_distinct,
+       |  (a.n_words >= 50 AND a.n_words <= 100000) AS rule_word_count,
+       |  (3 * a.n_words <= d.n_chars - a.n_words + 1
+       |    AND d.n_chars - a.n_words + 1 <= 10 * a.n_words) AS rule_mean_word_len,
+       |  (10 * a.n_symbol_words <= a.n_words) AS rule_symbol_ratio,
+       |  (5 * a.n_alpha_words >= 4 * a.n_words) AS rule_alpha_words,
+       |  (a.n_stop_distinct >= 2) AS rule_stopwords,
+       |  ((a.n_words >= 50 AND a.n_words <= 100000)
+       |    AND (3 * a.n_words <= d.n_chars - a.n_words + 1
+       |      AND d.n_chars - a.n_words + 1 <= 10 * a.n_words)
+       |    AND (10 * a.n_symbol_words <= a.n_words)
+       |    AND (5 * a.n_alpha_words >= 4 * a.n_words)
+       |    AND (a.n_stop_distinct >= 2)) AS pass_gopher
+       |FROM documents d JOIN agg a USING (doc_id)""".stripMargin
+
+  /** Etl.scd2 twin over the docUpsert update batch: versions by batch
+    * order, valid_to from lead(). */
+  val docHistory: String =
+    """WITH upd AS (
+      |  SELECT doc_id, 'xx' AS lang, 'updated' AS source
+      |  FROM documents WHERE (doc_id * 2654435761) % 1000 < 100),
+      |hist AS (
+      |  SELECT doc_id, lang, source, CAST(0 AS BIGINT) AS valid_from FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, lang, source, CAST(1 AS BIGINT) AS valid_from FROM upd),
+      |v AS (SELECT doc_id, lang, source, valid_from,
+      |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY valid_from) AS BIGINT) AS version,
+      |    lead(valid_from) OVER (PARTITION BY doc_id ORDER BY valid_from) AS valid_to
+      |  FROM hist)
+      |SELECT doc_id, lang, source, version, valid_from, valid_to,
+      |  valid_to IS NULL AS is_current FROM v""".stripMargin
+
   val docUpsert: String =
     """WITH upd AS (
       |  SELECT doc_id, text, 'xx' AS lang, 'updated' AS source, n_chars
@@ -3052,6 +3096,8 @@ object OracleSql {
     "relation_paths" -> relationPaths,
     "dp_input_export" -> dpInputExport,
     "doc_upsert" -> docUpsert,
+    "doc_history" -> docHistory,
+    "gopher_rules" -> gopherRules,
     "distant_supervision" -> distantSupervision,
     "ds_train_split" -> dsTrainSplit,
     "bionlp_export" -> bionlpExport,

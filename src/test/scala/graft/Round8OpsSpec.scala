@@ -177,4 +177,45 @@ class Round8OpsSpec extends SparkSpec {
       assert(rrfs == rrfs.sorted.reverse)
     }
   }
+
+  test("gopher rules gate on word count, word length, symbols, and stopwords") {
+    val fifty = (1 to 48).map(i => s"word$i").mkString("a the ", " ", "")
+    val r = TextStats.gopherRules(docs(
+      fifty,                        // 50 words, both stopwords: passes
+      "a the short",                // 3 words: fails word count only
+      fifty.replace("a the ", "# # "))) // symbols, no stopwords
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Boolean]("pass_gopher"))
+    assert(!r(1).getAs[Boolean]("rule_word_count") &&
+      r(1).getAs[Boolean]("rule_stopwords") && r(1).getAs[Boolean]("rule_symbol_ratio"))
+    // 2 symbol words in 50 is under the 10% bound; no stopwords left
+    assert(!r(2).getAs[Boolean]("rule_stopwords") &&
+      r(2).getAs[Boolean]("rule_symbol_ratio") &&
+      r(2).getAs[Long]("n_symbol_words") == 2L &&
+      r(2).getAs[Long]("n_alpha_words") == 48L)
+    // 7 symbol words in 50 exceeds the 10% symbol-to-word bound
+    val sym = TextStats.gopherRules(docs(
+      ("# " * 7) + (1 to 43).map(i => s"w$i").mkString(" "))).collect().head
+    assert(!sym.getAs[Boolean]("rule_symbol_ratio"))
+    // mean word length: 50 one-char words fails the >=3 bound
+    val short = TextStats.gopherRules(docs((1 to 50).map(_ => "x").mkString(" ")))
+      .collect().head
+    assert(!short.getAs[Boolean]("rule_mean_word_len"))
+  }
+
+  test("scd2 versions updated keys and leaves untouched keys current at v1") {
+    import org.apache.spark.sql.functions.col
+    val base = Seq((1L, "en"), (2L, "en")).toDF("doc_id", "lang")
+    val upd = Seq((2L, "xx")).toDF("doc_id", "lang")
+    val h = graft.infra.Etl.scd2(Seq((0L, base), (1L, upd)), "doc_id")
+      .orderBy("doc_id", "version").collect()
+    assert(h.length == 3)
+    val d1 = h.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(d1.length == 1 && d1.head.getAs[Boolean]("is_current") &&
+      d1.head.getAs[Long]("version") == 1L)
+    val d2 = h.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(d2.map(_.getAs[Long]("version")).toSeq == Seq(1L, 2L))
+    assert(d2.head.getAs[Long]("valid_to") == 1L && !d2.head.getAs[Boolean]("is_current"))
+    assert(d2.last.getAs[Boolean]("is_current") && d2.last.getAs[String]("lang") == "xx")
+  }
 }
