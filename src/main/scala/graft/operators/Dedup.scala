@@ -200,6 +200,61 @@ object Dedup {
           .as("est_jaccard"))
   }
 
+  /** rows-per-band shapes swept by [[lshBandTuning]] (divisors of the 12
+    * signature components: 6×2 / 4×3 / 3×4 / 2×6 bands×rows). */
+  val BandTuningConfigs: Seq[Int] = Seq(2, 3, 4, 6)
+
+  /** The LSH S-curve's operating point for b bands of r rows — the Jaccard
+    * at which collision probability 1−(1−J^r)^b crosses 1/2 is ≈ (1/b)^(1/r)
+    * (Leskovec/Rajaraman/Ullman, MMDS §3.4.3). 6dp-rounded in Scala so both
+    * engines carry the identical literal. */
+  def sCurveThreshold(b: Int, r: Int): Double =
+    math.floor(math.pow(1.0 / b, 1.0 / r) * 1e6 + 0.5) / 1e6
+
+  /** rows_per_band, n_bands, n_candidates, n_est_dup, sum_match_hashes,
+    * s_curve_threshold — band-shape tuning report: the same 12-component
+    * signatures re-banded at every divisor shape, with per-shape candidate
+    * volume and signature-estimated duplicate yield (est J ≥ 1/2 ⇔
+    * ≥ 6 matching components — exact integer compare, no float gate). This
+    * is the sweep a deployment runs on a sample to pick its (b, r) before
+    * committing the corpus-scale banding: more rows per band → higher
+    * S-curve threshold, fewer (higher-precision) candidates.
+    *
+    * Cost shape: signatures build ONCE (one map-side-combinable aggregation
+    * — the expensive part); each shape then re-bands 12 longs per doc and
+    * its candidate join is band-bucket-bounded exactly like the production
+    * path. Estimates come from the signatures the joins already carry, so
+    * the whole sweep adds zero corpus scans. */
+  def lshBandTuning(docs: DataFrame,
+                    rowsPerBandShapes: Seq[Int] = BandTuningConfigs): DataFrame = {
+    val mh = minhashValues(shingleSets(docs)).persist()
+    rowsPerBandShapes.map { r =>
+      val b = NumHashes / r
+      val bands = mh.withColumn("band", (col("j") / r).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(Agg.orderedStringAgg(col("j"), col("mh").cast("string"), ",").as("band_key"))
+      val cand = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+        .join(bands.select(col("band"), col("band_key"), col("doc_id").as("doc_b")),
+          Seq("band", "band_key"))
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val est = cand
+        .join(mh.select(col("doc_id").as("doc_a"), col("j"), col("mh").as("ma")), "doc_a")
+        .join(mh.select(col("doc_id").as("doc_b"), col("j").as("jb"), col("mh").as("mb")), "doc_b")
+        .where(col("j") === col("jb"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("nm"))
+      est.agg(
+        count(lit(1)).as("n_candidates"),
+        coalesce(sum(when(col("nm") >= NumHashes / 2, 1L).otherwise(0L)), lit(0L))
+          .as("n_est_dup"),
+        coalesce(sum("nm"), lit(0L)).as("sum_match_hashes"))
+        .select(lit(r.toLong).as("rows_per_band"), lit(b.toLong).as("n_bands"),
+          col("n_candidates"), col("n_est_dup"), col("sum_match_hashes"),
+          lit(sCurveThreshold(b, r)).as("s_curve_threshold"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Cheapest-variant shingle ids: xxhash64 reduced mod P — one codegen'd
     * hash call instead of md5+conv. Same plan shape as the default; not
     * under oracle (DuckDB has no xxhash64), covered by DedupSpec. */

@@ -1513,6 +1513,39 @@ object OracleSql {
   val dedupMinhash: String =
     s"WITH $tokCte,\n$minhashCtes\nSELECT doc_a, doc_b, shared_bands FROM cand"
 
+  /** Dedup.lshBandTuning twin: the shared mh CTE re-banded per shape, one
+    * UNION ALL branch per rows-per-band; thresholds are the same
+    * Scala-computed literals the engine emits. */
+  val lshBandTuning: String = {
+    // mh comes from minhashCtes; per-shape CTEs + one aggregate branch each
+    val shapes = Dedup.BandTuningConfigs
+    val ctes = shapes.map { r =>
+      s"""band$r AS (SELECT doc_id, CAST(j // $r AS BIGINT) AS band,
+         |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS band_key
+         |  FROM mh GROUP BY 1, 2),
+         |cand$r AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band$r a JOIN band$r b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |est$r AS (SELECT c.doc_a, c.doc_b,
+         |    CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT) AS nm
+         |  FROM cand$r c
+         |  JOIN mh x ON x.doc_id = c.doc_a
+         |  JOIN mh y ON y.doc_id = c.doc_b AND y.j = x.j
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val branches = shapes.map { r =>
+      val b = Dedup.NumHashes / r
+      s"""SELECT CAST($r AS BIGINT) AS rows_per_band, CAST($b AS BIGINT) AS n_bands,
+         |  CAST(count(*) AS BIGINT) AS n_candidates,
+         |  CAST(coalesce(sum(CASE WHEN nm >= ${Dedup.NumHashes / 2} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_est_dup,
+         |  CAST(coalesce(sum(nm), 0) AS BIGINT) AS sum_match_hashes,
+         |  ${Dedup.sCurveThreshold(b, r)} AS s_curve_threshold
+         |FROM est$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $tokCte,\n$minhashCtes,\n$ctes\n$branches"
+  }
+
   /** Dedup.minhashIncremental twin: the same band table, asymmetric
     * new-batch (doc_id % 10 = 0) vs stored-index (rest) candidate join. */
   val minhashIncremental: String =
@@ -3147,6 +3180,7 @@ object OracleSql {
     "dedup_exact" -> dedupExact,
     "dedup_norm" -> dedupNorm,
     "dedup_minhash" -> dedupMinhash,
+    "lsh_band_tuning" -> lshBandTuning,
     "dedup_incremental" -> minhashIncremental,
     "dedup_incremental_staged" -> minhashIncremental,
     "window_dup" -> windowDup,

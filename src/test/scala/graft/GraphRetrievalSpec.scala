@@ -52,6 +52,28 @@ class GraphRetrievalSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("rank")).toSeq == (1L to r.length).toSeq)
   }
 
+  private def textDocs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("lshBandTuning finds the exact dup at every shape; thresholds rise with rows") {
+    val dup = "the quick fox jumps over a lazy dog near the old red barn today"
+    val r = graft.operators.Dedup.lshBandTuning(textDocs(dup, dup,
+      "a completely different document with many other tokens in this string ok"))
+      .orderBy("rows_per_band").collect()
+    assert(r.map(_.getAs[Long]("rows_per_band")).toSeq == Seq(2L, 3L, 4L, 6L))
+    assert(r.map(_.getAs[Long]("n_bands")).toSeq == Seq(6L, 4L, 3L, 2L))
+    // the identical pair collides in every band of every shape (nm = 12)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_candidates") == 1L)
+      assert(row.getAs[Long]("n_est_dup") == 1L)
+      assert(row.getAs[Long]("sum_match_hashes") == 12L)
+    }
+    // S-curve operating point is monotone in rows-per-band
+    val th = r.map(_.getAs[Double]("s_curve_threshold")).toSeq
+    assert(th.zip(th.tail).forall { case (a, b) => a < b })
+  }
+
   test("ivfProbeSweep recall is monotone in nprobe and bounded by 1") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val rows = Embeddings.ivfProbeSweep(emb).orderBy("nprobe").collect()
