@@ -267,6 +267,18 @@ object SparkEntry {
     "distant_supervision" -> ((s, d) => SentencePairs.distantSupervision(pp(s, d))),
     "ds_train_split" -> ((s, d) => SentencePairs.dsTrainSplit(pp(s, d))),
     "gopher_rules" -> ((s, d) => TextStats.gopherRules(docs(s, d))),
+    "epoch_plan" -> ((s, d) => TextStats.epochPlan(docs(s, d))),
+    "snapshot_diff" -> ((s, d) => {
+      val base = docs(s, d)
+      val h = pmod(col("doc_id") * 2654435761L, lit(1000L))
+      val changed = base.where(h < 100)
+        .withColumn("lang", lit("xx")).withColumn("source", lit("updated"))
+      val kept = base.where(h >= 100 && !(h >= 150 && h < 200))
+      val added = base.where(h >= 100 && h < 150)
+        .withColumn("doc_id", col("doc_id") + 1000000000L)
+      val neu = changed.unionByName(kept).unionByName(added)
+      graft.infra.Etl.snapshotDiff(base, neu, "doc_id", Seq("text", "lang", "source", "n_chars"))
+    }),
     "doc_history" -> ((s, d) => {
       val all = docs(s, d)
       val base = all.select("doc_id", "lang", "source")
@@ -380,6 +392,7 @@ object SparkEntry {
     "ontology_closure" -> ((s, _) => KnowledgeGraph.ontologyClosure(s)),
     "kg_edges" -> ((s, d) => KnowledgeGraph.edges(pp(s, d))),
     "kg_pagerank" -> ((s, d) => KnowledgeGraph.pageRank(pp(s, d))),
+    "kg_khop" -> ((s, d) => KnowledgeGraph.kHop(pp(s, d))),
     "trapi_nodes" -> ((s, _) => KnowledgeGraph.trapiNodeTriples(s)),
     "trapi_edges" -> ((s, d) => KnowledgeGraph.trapiEdgeTriples(pp(s, d))),
     // G. LLM-data ops

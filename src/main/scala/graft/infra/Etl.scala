@@ -68,6 +68,29 @@ object Etl {
     * constant), NOT corpus-width: this is the bounded-window shape that is
     * safe at any corpus size, unlike a global ordering. One shuffle on the
     * key. */
+  /** key + change_type ('added' | 'removed' | 'changed') — snapshot diff:
+    * which keys a new corpus snapshot added, dropped, or modified relative
+    * to the old one (the delta report an update pipeline publishes before
+    * committing a baseline swap; unchanged keys are omitted — they are the
+    * overwhelming mass at scale and carry no information). ONE full-outer
+    * co-partitioned equi-join on the key with null-safe column compares —
+    * no window, no sort, the only scalable diff shape at 100 TB. */
+  def snapshotDiff(old: DataFrame, neu: DataFrame, key: String,
+                   compareCols: Seq[String]): DataFrame = {
+    val o = old.select((key +: compareCols).map(c => col(c).as(s"o_$c")): _*)
+    val n = neu.select((key +: compareCols).map(c => col(c).as(s"n_$c")): _*)
+    val changed = compareCols
+      .map(c => !(col(s"o_$c") <=> col(s"n_$c")))
+      .reduce(_ || _)
+    o.join(n, col(s"o_$key") === col(s"n_$key"), "full_outer")
+      .withColumn("change_type",
+        when(col(s"o_$key").isNull, "added")
+          .when(col(s"n_$key").isNull, "removed")
+          .when(changed, "changed"))
+      .where(col("change_type").isNotNull)
+      .select(coalesce(col(s"o_$key"), col(s"n_$key")).as(key), col("change_type"))
+  }
+
   def scd2(batches: Seq[(Long, DataFrame)], key: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val all = batches

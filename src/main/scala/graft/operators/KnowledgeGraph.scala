@@ -163,6 +163,41 @@ object KnowledgeGraph {
         (col("rank_u") / lit(1000000.0)).as("pagerank"))
   }
 
+  val KHopRounds = 3
+
+  /** concept_id, dist — BFS layers: the shortest-path distance (≤
+    * [[KHopRounds]] hops) from the seed set (concepts of one prefix) over
+    * the undirected cooccurrence graph — the "k-hop neighborhood of a
+    * category" expansion KG consumers run for subgraph extraction. Same
+    * Pregel cost model as [[pageRank]]: the edge list materializes once,
+    * each round is one equi-join of edges against the current distance
+    * table plus a min-groupBy — the frontier never needs to be
+    * distinguished from the settled set because min() is idempotent, so
+    * no driver-side convergence probe exists at all. Distances are exact
+    * integers. */
+  def kHop(annots: DataFrame, seedPrefix: String = "OP",
+           rounds: Int = KHopRounds): DataFrame = {
+    val pairs = Cooccurrence
+      .pairCounts(Cooccurrence.unitConcepts(annots, Seq("doc_id")), Seq("doc_id"))
+      .select("concept1", "concept2")
+    val edges = pairs.select(col("concept1").as("src"), col("concept2").as("dst"))
+      .unionByName(pairs.select(col("concept2").as("src"), col("concept1").as("dst")))
+      .localCheckpoint()
+    var dist = edges.select(col("src").as("concept_id")).distinct()
+      .where(substring_index(col("concept_id"), ":", 1) === seedPrefix)
+      .select(col("concept_id"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val frontier = edges
+        .join(dist.withColumnRenamed("concept_id", "src"), "src")
+        .select(col("dst").as("concept_id"), (col("dist") + lit(1L)).as("dist"))
+      dist = dist.unionByName(frontier)
+        .groupBy("concept_id").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   // ---------- TRAPI backend serialization ----------
   // The reference's TRAPI backend renders the KG as Biolink N-Triples
   // (trapi/TrapiBackendSerializer.java constants;

@@ -412,6 +412,33 @@ object TextStats {
       .select("source", "n_docs", "n_tokens", "p_raw", "p_temp", "boost")
   }
 
+  /** source, n_tokens, w_u, target_tokens, epochs — the epoch plan a
+    * temperature-weighted mixture implies under a fixed token budget: each
+    * source's micro-unit mixture weight (the [[sourceTemperature]]
+    * p_temp^(α) chain, floored to a BIGINT at 10⁻⁶) sizes its target token
+    * draw, and epochs = ⌈target / available⌉ says how many passes over the
+    * source that draw costs (the multi-epoch repetition small high-weight
+    * sources pay in real mixtures — LLaMA/DoReMi-style recipes publish
+    * exactly this table). Division and ceiling run in exact integers; the
+    * only floats are the rounded weight chain shared with
+    * source_temperature. Source-keyed aggregation: one map-side-combined
+    * shuffle on the tiny source dimension, broadcast 1-row totals. */
+  def epochPlan(docs: DataFrame, budget: Long = 50000L, alpha: Double = 0.3): DataFrame = {
+    val per = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").as("tot_tokens"))
+    val raw = per.join(broadcast(tot))
+      .withColumn("p_raw", Num.r6(col("n_tokens").cast("double") / col("tot_tokens")))
+      .withColumn("w", Num.r6(pow(col("p_raw"), lit(alpha))))
+    val wtot = raw.agg(sum("w").as("w_tot"))
+    raw.join(broadcast(wtot))
+      .withColumn("w_u", floor(col("w") / col("w_tot") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("target_tokens", expr(s"(CAST($budget AS BIGINT) * w_u) div 1000000"))
+      .withColumn("epochs", expr("(target_tokens + n_tokens - 1) div n_tokens"))
+      .select("source", "n_tokens", "w_u", "target_tokens", "epochs")
+  }
+
   /** Token-budget corpus mixing: pick documents per source so the mixed
     * corpus hits a target token budget at prescribed source proportions —
     * the "data mixture" step of a training-data pipeline (e.g. the

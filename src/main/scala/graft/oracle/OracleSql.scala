@@ -646,6 +646,46 @@ object OracleSql {
       |SELECT doc_id, lang, source, version, valid_from, valid_to,
       |  valid_to IS NULL AS is_current FROM v""".stripMargin
 
+  /** Etl.snapshotDiff twin over a derived new snapshot: hash-banded
+    * changed/removed/added populations, full-outer join, null-safe
+    * compares. */
+  val snapshotDiff: String =
+    """WITH h AS (SELECT *, (doc_id * 2654435761) % 1000 AS hb FROM documents),
+      |neu AS (
+      |  SELECT doc_id, text, 'xx' AS lang, 'updated' AS source, n_chars FROM h WHERE hb < 100
+      |  UNION ALL
+      |  SELECT doc_id, text, lang, source, n_chars FROM h
+      |  WHERE hb >= 100 AND NOT (hb >= 150 AND hb < 200)
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, text, lang, source, n_chars FROM h
+      |  WHERE hb >= 100 AND hb < 150),
+      |d AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |    CASE WHEN o.doc_id IS NULL THEN 'added'
+      |         WHEN n.doc_id IS NULL THEN 'removed'
+      |         WHEN o.text IS DISTINCT FROM n.text OR o.lang IS DISTINCT FROM n.lang
+      |           OR o.source IS DISTINCT FROM n.source OR o.n_chars IS DISTINCT FROM n.n_chars
+      |           THEN 'changed' END AS change_type
+      |  FROM documents o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id)
+      |SELECT doc_id, change_type FROM d WHERE change_type IS NOT NULL""".stripMargin
+
+  /** TextStats.epochPlan twin: the sourceTemperature weight chain floored
+    * to micro-units, then exact-integer target sizing and epoch ceilings. */
+  val epochPlan: String =
+    """WITH per AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM per),
+      |raw AS (SELECT source, n_tokens,
+      |    floor((CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS p_raw
+      |  FROM per, tot),
+      |w AS (SELECT *, floor(power(p_raw, 0.3) * 1000000 + 0.5) / 1000000 AS w FROM raw),
+      |wt AS (SELECT sum(w) AS w_tot FROM w),
+      |u AS (SELECT source, n_tokens,
+      |    CAST(floor((w / w_tot) * 1000000 + 0.5) AS BIGINT) AS w_u FROM w, wt),
+      |t AS (SELECT *, CAST((50000 * w_u) // 1000000 AS BIGINT) AS target_tokens FROM u)
+      |SELECT source, n_tokens, w_u, target_tokens,
+      |  CAST((target_tokens + n_tokens - 1) // n_tokens AS BIGINT) AS epochs
+      |FROM t""".stripMargin
+
   val docUpsert: String =
     """WITH upd AS (
       |  SELECT doc_id, text, 'xx' AS lang, 'updated' AS source, n_chars
@@ -2376,6 +2416,27 @@ object OracleSql {
          |FROM r${KnowledgeGraph.PageRankIters} r JOIN deg d ON d.src = r.concept_id""".stripMargin
   }
 
+  /** KnowledgeGraph.kHop twin: BFS layers unrolled — each round min-folds
+    * the previous distance table with its one-hop expansion. */
+  val kgKhop: String = {
+    val head = docPipeline(unitsDocCte, pairCountsSql("units_doc", Seq("doc_id")),
+      """edges AS (
+        |  SELECT concept1 AS src, concept2 AS dst FROM pairs
+        |  UNION ALL SELECT concept2 AS src, concept1 AS dst FROM pairs),
+        |d0 AS (SELECT DISTINCT src AS concept_id, CAST(0 AS BIGINT) AS dist
+        |  FROM edges WHERE split_part(src, ':', 1) = 'OP')""".stripMargin)
+    val steps = (1 to KnowledgeGraph.KHopRounds).map { i =>
+      s"""d$i AS (SELECT concept_id, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |    SELECT concept_id, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS concept_id, x.dist + 1 AS dist
+         |    FROM edges e JOIN d${i - 1} x ON x.concept_id = e.src)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n", ",\n", "\n")
+    head.stripSuffix("\n") + steps +
+      s"SELECT concept_id, dist FROM d${KnowledgeGraph.KHopRounds}"
+  }
+
   val ontologyClosure: String =
     s"""WITH RECURSIVE closure(child, parent) AS (
        |  SELECT child, parent FROM ${ConceptDict.directEdgesValuesSql()}
@@ -3090,6 +3151,7 @@ object OracleSql {
     "kg_nodes" -> kgNodes,
     "kg_edges" -> kgEdges,
     "kg_pagerank" -> kgPagerank,
+    "kg_khop" -> kgKhop,
     "trapi_nodes" -> trapiNodes,
     "trapi_edges" -> trapiEdges,
     "ontology_closure" -> ontologyClosure,
@@ -3130,6 +3192,8 @@ object OracleSql {
     "dp_input_export" -> dpInputExport,
     "doc_upsert" -> docUpsert,
     "doc_history" -> docHistory,
+    "snapshot_diff" -> snapshotDiff,
+    "epoch_plan" -> epochPlan,
     "gopher_rules" -> gopherRules,
     "distant_supervision" -> distantSupervision,
     "ds_train_split" -> dsTrainSplit,

@@ -33,6 +33,39 @@ class GraphRetrievalSpec extends SparkSpec {
     assert(total > 3.5 && total <= 4.0 + 1e-6)
   }
 
+  test("kHop layers a path graph by exact hop distance from the seed prefix") {
+    val d = KnowledgeGraph.kHop(
+      annots((1L, "S:a"), (1L, "M:b"), (2L, "M:b"), (2L, "M:c"), (3L, "M:c"), (3L, "M:d")),
+      seedPrefix = "S")
+      .collect().map(r => r.getAs[String]("concept_id") -> r.getAs[Long]("dist")).toMap
+    assert(d == Map("S:a" -> 0L, "M:b" -> 1L, "M:c" -> 2L, "M:d" -> 3L))
+  }
+
+  test("snapshotDiff classifies added, removed, and changed keys and drops unchanged") {
+    import org.apache.spark.sql.functions.col
+    val old = Seq((1L, "x", 3L), (2L, "y", 4L), (3L, "z", 5L)).toDF("doc_id", "text", "n")
+    val neu = Seq((1L, "x", 3L), (2L, "Y", 4L), (4L, "w", 6L)).toDF("doc_id", "text", "n")
+    val d = graft.infra.Etl.snapshotDiff(old, neu, "doc_id", Seq("text", "n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("change_type")).toMap
+    assert(d == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("epochPlan charges small high-weight sources more epochs; targets respect the budget") {
+    val texts = (1 to 40).map(i => (i.toLong, ("tok " * 20).trim, "en", s"src${i % 4}", 80L)) :+
+      (41L, "rare source tiny doc here", "en", "srcRare", 25L)
+    val df = texts.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.operators.TextStats.epochPlan(df, budget = 2000L)
+      .collect().map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("target_tokens"), x.getAs[Long]("epochs"))).toMap
+    // temperature flattening: the rare source's target exceeds its mass -> >1 epoch
+    val (rareN, rareT, rareE) = r("srcRare")
+    assert(rareE > 1L && rareT > rareN)
+    // epochs = ceil(target / available) exactly
+    r.values.foreach { case (n, t, e) => assert(e == (t + n - 1) / n) }
+    // micro-weights target no more than the budget in total (floor rounding only loses)
+    assert(r.values.map(_._2).sum <= 2000L + r.size)
+  }
+
   private def vecs(vs: Seq[Array[Float]]) =
     vs.zipWithIndex.map { case (v, i) => (i.toLong, v, 0) }
       .toDF("vec_id", "embedding", "label")
