@@ -456,6 +456,11 @@ object SparkEntry {
       val dd = docs(s, d)
       Bpe.encodeCounts(dd, Bpe.learnMerges(dd))
     }),
+    "bpe_fertility" -> ((s, d) => {
+      val dd = docs(s, d)
+      TextStats.bpeFertility(dd, Bpe.encodeCounts(dd, Bpe.learnMerges(dd)))
+    }),
+    "vocab_coverage" -> ((s, d) => TextStats.vocabCoverage(docs(s, d))),
     "tsv_roundtrip" -> ((s, d) => {
       // the reference's export interchange IS header'd TSV (TextIO loads);
       // round-trip documents through Sinks.tsv and the csv reader with an

@@ -185,6 +185,52 @@ object TextStats {
       .groupBy("tok")
       .agg(count(lit(1)).as("n_occurrences"), countDistinct("doc_id").as("doc_freq"))
 
+  /** Vocabulary cutoffs swept by [[vocabCoverage]]. */
+  val VocabCutoffs: Seq[Long] = Seq(10L, 100L, 1000L)
+
+  /** cutoff, vocab_size, covered_tokens, total_tokens, coverage — the
+    * vocabulary coverage curve: what fraction of the corpus token mass the
+    * top-N most frequent types capture, per candidate vocabulary size (the
+    * OOV-rate table a tokenizer/vocab decision is made from). Top-N is
+    * ordered (count DESC, token ASC) so the cut is deterministic.
+    *
+    * Scale shape: the type-count table builds once (map-side-combined
+    * groupBy — the only corpus-sized shuffle) and each cutoff's top-N is a
+    * `TakeOrderedAndProject` (per-partition bounded heaps merged at the
+    * driver-side limit) — never a global sort of the vocabulary; totals
+    * fold in as a broadcast 1-row aggregate. */
+  def vocabCoverage(docs: DataFrame, cutoffs: Seq[Long] = VocabCutoffs): DataFrame = {
+    val counts = TextOps.tokens(docs)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .persist()
+    val total = counts.agg(sum("cnt").as("total_tokens"))
+    cutoffs.map { n =>
+      counts.orderBy(col("cnt").desc, col("tok")).limit(n.toInt)
+        .agg(count(lit(1)).as("vocab_size"), sum("cnt").as("covered_tokens"))
+        .crossJoin(broadcast(total))
+        .select(lit(n).as("cutoff"), col("vocab_size"), col("covered_tokens"),
+          col("total_tokens"),
+          Num.r6(col("covered_tokens").cast("double") / col("total_tokens").cast("double"))
+            .as("coverage"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** source, n_words, n_bpe_tokens, fertility — tokenizer fertility per
+    * provenance: BPE tokens emitted per whitespace word (the
+    * tokenizer-evaluation number multilingual corpus reports publish —
+    * high fertility means the learned merges serve that source badly).
+    * One source-keyed aggregation over the per-doc encode counts. */
+  def bpeFertility(docs: DataFrame, encoded: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nw"))
+      .join(encoded, "doc_id")
+      .groupBy("source")
+      .agg(sum("nw").as("n_words"), sum("n_bpe_tokens").as("n_bpe_tokens"))
+      .select(col("source"), col("n_words"), col("n_bpe_tokens"),
+        Num.r6(col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
+
   /** doc_id, n_tokens, avg_logprob — corpus-self-trained unigram LM score,
     * the cheap perplexity proxy LLM-data pipelines use for quality ranking
     * (docs made of rare/garbled tokens score low). The LM is one

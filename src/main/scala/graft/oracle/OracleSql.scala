@@ -3085,9 +3085,44 @@ object OracleSql {
          |SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
          |FROM dw JOIN wf USING (word) GROUP BY doc_id""".stripMargin
 
+  /** TextStats.bpeFertility twin: the bpe_encode oracle as a subquery,
+    * rolled up per source with whitespace word counts. (No outer
+    * stripMargin over the interpolated encode SQL — it would re-strip that
+    * chain's own `||` continuation lines.) */
+  val bpeFertility: String =
+    s"WITH enc AS (SELECT doc_id, n_bpe_tokens FROM ($bpeEncodeSql)),\n" +
+      """dn AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw FROM documents),
+        |agg AS (SELECT source, CAST(sum(nw) AS BIGINT) AS n_words,
+        |    CAST(sum(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens
+        |  FROM dn JOIN enc USING (doc_id) GROUP BY 1)
+        |SELECT source, n_words, n_bpe_tokens,
+        |  floor((CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS fertility
+        |FROM agg""".stripMargin
+
+  /** TextStats.vocabCoverage twin: rank the type counts once, one branch
+    * per cutoff. */
+  val vocabCoverage: String = {
+    val branches = graft.operators.TextStats.VocabCutoffs.map { n =>
+      s"""SELECT CAST($n AS BIGINT) AS cutoff,
+         |  CAST(count(*) AS BIGINT) AS vocab_size,
+         |  CAST(sum(cnt) AS BIGINT) AS covered_tokens,
+         |  (SELECT total_tokens FROM tot) AS total_tokens,
+         |  floor((CAST(sum(cnt) AS DOUBLE) / (SELECT CAST(total_tokens AS DOUBLE) FROM tot)) * 1000000 + 0.5) / 1000000 AS coverage
+         |FROM r WHERE rn <= $n""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $tokCte,
+       |counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM counts),
+       |r AS (SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rn FROM counts)
+       |$branches""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "bpe_merges" -> bpeMergesSql,
     "bpe_encode" -> bpeEncodeSql,
+    "bpe_fertility" -> bpeFertility,
+    "vocab_coverage" -> vocabCoverage,
     "ner_bert_import" -> nerBertImport,
     "sentence_cooccur_export" -> sentenceCooccurExport,
     // identity kernel child ⇒ same rows as the build→parse round trip

@@ -66,6 +66,34 @@ class GraphRetrievalSpec extends SparkSpec {
     assert(r.values.map(_._2).sum <= 2000L + r.size)
   }
 
+  test("vocabCoverage sums the exact top-N mass and caps vocab_size at the vocabulary") {
+    // counts: high x8, mid x4, others x1 each
+    val text = (Seq.fill(8)("high") ++ Seq.fill(4)("mid") ++ Seq("one", "two", "three")).mkString(" ")
+    val df = Seq((1L, text, "en", "s", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.operators.TextStats.vocabCoverage(df, cutoffs = Seq(1L, 2L, 100L))
+      .orderBy("cutoff").collect()
+    assert(r.map(_.getAs[Long]("covered_tokens")).toSeq == Seq(8L, 12L, 15L))
+    assert(r.map(_.getAs[Long]("vocab_size")).toSeq == Seq(1L, 2L, 5L))
+    assert(r.forall(_.getAs[Long]("total_tokens") == 15L))
+    assert(r.last.getAs[Double]("coverage") == 1.0)
+  }
+
+  test("bpeFertility is >= 1 token per word and aggregates per source") {
+    val a = "spark plans stay declarative here"
+    val b = "optimizer work is physical there"
+    val df = Seq((1L, a, "en", "s1", a.length.toLong), (2L, b, "en", "s2", b.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val enc = graft.operators.Bpe.encodeCounts(df, graft.operators.Bpe.learnMerges(df, k = 2))
+    val r = graft.operators.TextStats.bpeFertility(df, enc).orderBy("source").collect()
+    assert(r.map(_.getAs[String]("source")).toSeq == Seq("s1", "s2"))
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_words") == 5L)
+      assert(row.getAs[Long]("n_bpe_tokens") >= row.getAs[Long]("n_words"))
+      assert(row.getAs[Double]("fertility") >= 1.0)
+    }
+  }
+
   private def vecs(vs: Seq[Array[Float]]) =
     vs.zipWithIndex.map { case (v, i) => (i.toLong, v, 0) }
       .toDF("vec_id", "embedding", "label")
