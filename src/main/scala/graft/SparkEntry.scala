@@ -268,6 +268,8 @@ object SparkEntry {
     "ds_train_split" -> ((s, d) => SentencePairs.dsTrainSplit(pp(s, d))),
     "gopher_rules" -> ((s, d) => TextStats.gopherRules(docs(s, d))),
     "epoch_plan" -> ((s, d) => TextStats.epochPlan(docs(s, d))),
+    "label_source_matrix" -> ((s, d) =>
+      TextStats.labelSourceMatrix(docs(s, d), Tables.embeddings(s, d))),
     "snapshot_diff" -> ((s, d) => {
       val base = docs(s, d)
       val h = pmod(col("doc_id") * 2654435761L, lit(1000L))
@@ -393,6 +395,7 @@ object SparkEntry {
     "kg_edges" -> ((s, d) => KnowledgeGraph.edges(pp(s, d))),
     "kg_pagerank" -> ((s, d) => KnowledgeGraph.pageRank(pp(s, d))),
     "kg_khop" -> ((s, d) => KnowledgeGraph.kHop(pp(s, d))),
+    "kg_triangles" -> ((s, d) => KnowledgeGraph.triangles(pp(s, d))),
     "trapi_nodes" -> ((s, _) => KnowledgeGraph.trapiNodeTriples(s)),
     "trapi_edges" -> ((s, d) => KnowledgeGraph.trapiEdgeTriples(pp(s, d))),
     // G. LLM-data ops

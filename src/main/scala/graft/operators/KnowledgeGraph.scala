@@ -198,6 +198,44 @@ object KnowledgeGraph {
     dist
   }
 
+  /** concept_id, degree, n_triangles, clustering_coeff — triangle counts
+    * and the local clustering coefficient 2T/(d(d−1)) per node over the
+    * cooccurrence graph (the cohesion telemetry that separates hub-like
+    * concepts from clique-embedded ones). Enumeration uses the ordered-edge
+    * discipline (a < b < c): wedges come from ONE self-equi-join of the
+    * ordered edge list on the middle node and close with a semi-join
+    * against the same list — wedge volume is Σ_b d₍<₎(b)·d₍>₎(b), the
+    * standard bound that keeps hub nodes from quadratic blowup on the low
+    * side, and every step is an equi-join (no cartesian anywhere). Counts
+    * and degrees are exact integers; the coefficient is one rounded
+    * division at the end. */
+  def triangles(annots: DataFrame): DataFrame = {
+    val pairs = Cooccurrence
+      .pairCounts(Cooccurrence.unitConcepts(annots, Seq("doc_id")), Seq("doc_id"))
+      .select(col("concept1").as("a"), col("concept2").as("b"))
+      .localCheckpoint()
+    val wedges = pairs.as("x")
+      .join(pairs.as("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
+    val tri = wedges.join(
+      pairs.select(col("a"), col("b").as("c")),
+      Seq("a", "c"), "left_semi")
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("concept_id"))
+      .groupBy("concept_id").agg(count(lit(1)).as("n_triangles"))
+    val deg = pairs.select(col("a").as("concept_id"))
+      .unionByName(pairs.select(col("b").as("concept_id")))
+      .groupBy("concept_id").agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("concept_id"), "left")
+      .select(col("concept_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering_coeff",
+        when(col("degree") >= 2,
+          graft.functions.Num.r6(lit(2.0) * col("n_triangles") /
+            (col("degree") * (col("degree") - 1)).cast("double")))
+          .otherwise(lit(0.0)))
+  }
+
   // ---------- TRAPI backend serialization ----------
   // The reference's TRAPI backend renders the KG as Biolink N-Triples
   // (trapi/TrapiBackendSerializer.java constants;

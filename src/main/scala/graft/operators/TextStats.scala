@@ -231,6 +231,29 @@ object TextStats {
         Num.r6(col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
           .as("fertility"))
 
+  /** label, source, n_docs, n_tokens, share_of_source — the cross-modal
+    * data card: classifier/cluster labels (the embedding table's label
+    * column) crossed with document provenance, with each label's share of
+    * its source (the topic-by-provenance composition table a corpus release
+    * documents — skewed shares flag a source whose content the labeler
+    * sees differently). One modality equi-join on the doc key + one
+    * two-key aggregation; source totals re-aggregate from the (tiny)
+    * matrix itself, not the corpus. */
+  def labelSourceMatrix(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val m = docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .join(embeddings.select(col("vec_id").as("doc_id"),
+        col("label").cast("long").as("label")), "doc_id")
+      .groupBy("label", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+    val st = m.groupBy("source").agg(sum("n_docs").as("tot"))
+    m.join(broadcast(st), "source")
+      .select(col("label"), col("source"), col("n_docs"), col("n_tokens"),
+        Num.r6(col("n_docs").cast("double") / col("tot").cast("double"))
+          .as("share_of_source"))
+  }
+
   /** doc_id, n_tokens, avg_logprob — corpus-self-trained unigram LM score,
     * the cheap perplexity proxy LLM-data pipelines use for quality ranking
     * (docs made of rare/garbled tokens score low). The LM is one

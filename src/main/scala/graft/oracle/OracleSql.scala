@@ -646,6 +646,20 @@ object OracleSql {
       |SELECT doc_id, lang, source, version, valid_from, valid_to,
       |  valid_to IS NULL AS is_current FROM v""".stripMargin
 
+  /** TextStats.labelSourceMatrix twin: modality join on the doc key,
+    * two-key aggregate, source totals from the matrix. */
+  val labelSourceMatrix: String =
+    """WITH j AS (SELECT d.source, CAST(e.label AS BIGINT) AS label,
+      |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt
+      |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+      |m AS (SELECT label, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(nt) AS BIGINT) AS n_tokens
+      |  FROM j GROUP BY 1, 2),
+      |st AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS tot FROM m GROUP BY 1)
+      |SELECT m.label, m.source, m.n_docs, m.n_tokens,
+      |  floor((CAST(m.n_docs AS DOUBLE) / CAST(st.tot AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS share_of_source
+      |FROM m JOIN st USING (source)""".stripMargin
+
   /** Etl.snapshotDiff twin over a derived new snapshot: hash-banded
     * changed/removed/added populations, full-outer join, null-safe
     * compares. */
@@ -2437,6 +2451,28 @@ object OracleSql {
       s"SELECT concept_id, dist FROM d${KnowledgeGraph.KHopRounds}"
   }
 
+  /** KnowledgeGraph.triangles twin: ordered-edge wedge join closed by an
+    * EXISTS probe, per-node counts by 3-way node unnest. */
+  val kgTriangles: String =
+    docPipeline(unitsDocCte, pairCountsSql("units_doc", Seq("doc_id")),
+      """e AS (SELECT concept1 AS a, concept2 AS b FROM pairs),
+        |w AS (SELECT x.a, x.b, y.b AS c FROM e x JOIN e y ON x.b = y.a),
+        |t AS (SELECT w.a, w.b, w.c FROM w
+        |  WHERE EXISTS (SELECT 1 FROM e z WHERE z.a = w.a AND z.b = w.c)),
+        |pn AS (SELECT concept_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        |    SELECT a AS concept_id FROM t
+        |    UNION ALL SELECT b FROM t
+        |    UNION ALL SELECT c FROM t) GROUP BY 1),
+        |deg AS (SELECT concept_id, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT a AS concept_id FROM e
+        |    UNION ALL SELECT b FROM e) GROUP BY 1)""".stripMargin) +
+      s"""SELECT d.concept_id, d.degree,
+         |  coalesce(p.n_triangles, 0) AS n_triangles,
+         |  CASE WHEN d.degree >= 2
+         |    THEN floor((2.0 * coalesce(p.n_triangles, 0) / CAST(d.degree * (d.degree - 1) AS DOUBLE)) * 1000000 + 0.5) / 1000000
+         |    ELSE 0.0 END AS clustering_coeff
+         |FROM deg d LEFT JOIN pn p USING (concept_id)""".stripMargin
+
   val ontologyClosure: String =
     s"""WITH RECURSIVE closure(child, parent) AS (
        |  SELECT child, parent FROM ${ConceptDict.directEdgesValuesSql()}
@@ -3187,6 +3223,7 @@ object OracleSql {
     "kg_edges" -> kgEdges,
     "kg_pagerank" -> kgPagerank,
     "kg_khop" -> kgKhop,
+    "kg_triangles" -> kgTriangles,
     "trapi_nodes" -> trapiNodes,
     "trapi_edges" -> trapiEdges,
     "ontology_closure" -> ontologyClosure,
@@ -3228,6 +3265,7 @@ object OracleSql {
     "doc_upsert" -> docUpsert,
     "doc_history" -> docHistory,
     "snapshot_diff" -> snapshotDiff,
+    "label_source_matrix" -> labelSourceMatrix,
     "epoch_plan" -> epochPlan,
     "gopher_rules" -> gopherRules,
     "distant_supervision" -> distantSupervision,

@@ -41,6 +41,36 @@ class GraphRetrievalSpec extends SparkSpec {
     assert(d == Map("S:a" -> 0L, "M:b" -> 1L, "M:c" -> 2L, "M:d" -> 3L))
   }
 
+  test("triangles counts the K3 exactly once per node and zeroes the pendant") {
+    // doc1 makes a triangle a-b-c; doc2 hangs d off c (no new triangle)
+    val r = KnowledgeGraph.triangles(
+      annots((1L, "XX:a"), (1L, "XX:b"), (1L, "XX:c"), (2L, "XX:c"), (2L, "XX:d")))
+      .collect().map(x => x.getAs[String]("concept_id") ->
+        (x.getAs[Long]("degree"), x.getAs[Long]("n_triangles"),
+          x.getAs[Double]("clustering_coeff"))).toMap
+    assert(r("XX:a") == ((2L, 1L, 1.0)))
+    assert(r("XX:b") == ((2L, 1L, 1.0)))
+    // c: degree 3, one triangle -> 2*1/(3*2) = 0.333333
+    assert(r("XX:c") == ((3L, 1L, 0.333333)))
+    assert(r("XX:d") == ((1L, 0L, 0.0)))
+  }
+
+  test("labelSourceMatrix crosses labels with provenance and shares sum to 1 per source") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "one two", "en", "sA", 7L), (1L, "three four five", "en", "sA", 15L),
+      (2L, "six", "en", "sB", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val emb = Seq((0L, Array.fill(4)(0.1f), 7), (1L, Array.fill(4)(0.2f), 8),
+      (2L, Array.fill(4)(0.3f), 7)).toDF("vec_id", "embedding", "label")
+    val r = graft.operators.TextStats.labelSourceMatrix(docs, emb).collect()
+    val bySrc = r.groupBy(_.getAs[String]("source"))
+    assert(bySrc("sA").map(_.getAs[Double]("share_of_source")).sum == 1.0)
+    val a7 = r.find(x => x.getAs[String]("source") == "sA" && x.getAs[Long]("label") == 7L).get
+    assert(a7.getAs[Long]("n_docs") == 1L && a7.getAs[Long]("n_tokens") == 2L)
+    assert(a7.getAs[Double]("share_of_source") == 0.5)
+  }
+
   test("snapshotDiff classifies added, removed, and changed keys and drops unchanged") {
     import org.apache.spark.sql.functions.col
     val old = Seq((1L, "x", 3L), (2L, "y", 4L), (3L, "z", 5L)).toDF("doc_id", "text", "n")
