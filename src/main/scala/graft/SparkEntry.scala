@@ -238,6 +238,7 @@ object SparkEntry {
     }),
     "ivf_topk" -> ((s, d) => Embeddings.ivfTopK(Tables.embeddings(s, d))),
     "ivf_probe_sweep" -> ((s, d) => Embeddings.ivfProbeSweep(Tables.embeddings(s, d))),
+    "index_recall_matrix" -> ((s, d) => Embeddings.indexRecallMatrix(Tables.embeddings(s, d))),
     "hard_negatives" -> ((s, d) => Embeddings.hardNegatives(Tables.embeddings(s, d))),
     "ann_recall" -> ((s, d) => Embeddings.annRecall(Tables.embeddings(s, d))),
     "sentences_punct" -> ((s, d) => TextOps.sentencesByPunct(TextOps.punctuated(docs(s, d)), "punct_text")),
@@ -376,6 +377,7 @@ object SparkEntry {
     "events_sessions" -> ((s, d) => Relational.eventsSessions(Tables.events(s, d))),
     "events_sessions_native" -> ((s, d) => Relational.eventsSessionsNative(Tables.events(s, d))),
     "events_retention" -> ((s, d) => Relational.eventsRetention(Tables.events(s, d))),
+    "events_stickiness" -> ((s, d) => Relational.eventsStickiness(Tables.events(s, d))),
     "events_quantiles" -> ((s, d) => Relational.eventsQuantiles(Tables.events(s, d))),
     "events_quantile_buckets" -> ((s, d) => Relational.eventsQuantileBuckets(Tables.events(s, d), d)),
     "events_users_hll" -> ((s, d) => Relational.hllUsersBound(Tables.events(s, d), d)),
@@ -396,6 +398,7 @@ object SparkEntry {
     "kg_pagerank" -> ((s, d) => KnowledgeGraph.pageRank(pp(s, d))),
     "kg_khop" -> ((s, d) => KnowledgeGraph.kHop(pp(s, d))),
     "kg_triangles" -> ((s, d) => KnowledgeGraph.triangles(pp(s, d))),
+    "cooccur_chi2" -> ((s, d) => Cooccurrence.chi2Metrics(pp(s, d), Seq("doc_id"))),
     "trapi_nodes" -> ((s, _) => KnowledgeGraph.trapiNodeTriples(s)),
     "trapi_edges" -> ((s, d) => KnowledgeGraph.trapiEdgeTriples(pp(s, d))),
     // G. LLM-data ops

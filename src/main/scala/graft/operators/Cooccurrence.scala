@@ -200,6 +200,40 @@ object Cooccurrence {
         col("idf"), Num.r6(col("tf").cast("double") * col("idf")).as("tfidf"))
   }
 
+  /** concept1, concept2, pair_count, lift, chi2 — the frequentist metric
+    * flavor beside NGD/PMI: lift = N·c₁₂/(c₁·c₂) and the 2×2-contingency
+    * chi-square N(ad−bc)²/(c₁·c₂·(N−c₁)·(N−c₂)) (the association test a
+    * SemMedDB-style cooccurrence consumer applies before edge promotion).
+    * Same broadcast shape as [[metrics]]: pair counts shuffle once, the
+    * singleton table broadcasts twice, N rides as a broadcast 1-row
+    * aggregate. Every input is an exact integer; the float expressions are
+    * written with IDENTICAL operation order in the oracle so 6dp rounding
+    * agrees bit-for-bit. Concepts present in every unit are excluded
+    * (degenerate zero denominator — no marginal variance). */
+  def chi2Metrics(annots: DataFrame, unitCols: Seq[String]): DataFrame = {
+    val units = unitConcepts(annots, unitCols).persist()
+    val pairs = pairCounts(units, unitCols)
+    val singles = singletonCounts(units)
+    val total = units.select(unitCols.map(col): _*).distinct()
+      .agg(count(lit(1)).cast("double").as("n_units"))
+    val fx = col("concept1_count").cast("double")
+    val fy = col("concept2_count").cast("double")
+    val fxy = col("pair_count").cast("double")
+    val n = col("n_units")
+    val adbc = fxy * (n - fx - fy + fxy) - (fx - fxy) * (fy - fxy)
+    pairs
+      .join(broadcast(singles.select(col("concept_id").as("concept1"),
+        col("unit_count").as("concept1_count"))), "concept1")
+      .join(broadcast(singles.select(col("concept_id").as("concept2"),
+        col("unit_count").as("concept2_count"))), "concept2")
+      .crossJoin(broadcast(total))
+      .where(fx < n && fy < n)
+      .select(col("concept1"), col("concept2"),
+        col("pair_count").cast("long").as("pair_count"),
+        Num.r6(n * fxy / (fx * fy)).as("lift"),
+        Num.r6(n * pow(adbc, 2.0) / (fx * fy * (n - fx) * (n - fy))).as("chi2"))
+  }
+
   /** Okapi BM25 term weights per (doc, concept) — TF-IDF's
     * retrieval-grade sibling (tf saturation via k1, length normalization
     * via b), the scoring an Elasticsearch index applies to the concept

@@ -251,6 +251,35 @@ object Embeddings {
     }.reduce(_.unionByName(_))
   }
 
+  /** index_type, n_hit, recall_at_k — the ladder-wide recall table: every
+    * approximate index in the repo (IVF, IVF-SQ8, IVF-PQ, PQ, SQ8) scored
+    * against the one brute-force truth set in a single artifact — the
+    * accuracy column of the speed/memory/accuracy trade-off a deployment
+    * reads before picking its index. Truth materializes once (Q·k rows);
+    * each branch is that index's own bounded plan plus a tiny hit join.
+    * SQ8's rounding-only degradation and PQ's coarser 8-byte codes order
+    * themselves in this table exactly as the FAISS docs predict. */
+  def indexRecallMatrix(embeddings: DataFrame, numQueries: Int = 8, k: Int = 5): DataFrame = {
+    val truth = cosineTopK(embeddings, numQueries, k)
+      .select("query_id", "neighbor_id").persist()
+    val denom = (numQueries * k).toDouble
+    def row(name: String, approx: DataFrame): DataFrame =
+      truth.join(
+          approx.select(col("query_id").as("a_qid"), col("neighbor_id").as("a_nid")),
+          col("query_id") === col("a_qid") && col("neighbor_id") === col("a_nid"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(name).as("index_type"), col("n_hit"),
+          Num.r6(col("n_hit").cast("double") / lit(denom)).as("recall_at_k"))
+    Seq(
+      row("ivf", ivfTopK(embeddings, numQueries, k)),
+      row("ivf_pq", ivfPqTopK(embeddings, numQueries, k)),
+      row("ivf_sq8", ivfSqTopK(embeddings, numQueries, k)),
+      row("pq", pqTopK(embeddings, numQueries, k)),
+      row("sq8", sqTopK(embeddings, numQueries, k))
+    ).reduce(_.unionByName(_))
+  }
+
   /** query_id, rank, neighbor_id, cosine — IVF-SQ8, the production
     * composite (FAISS's IVF,SQ index shape): IVF cells prune the candidate
     * set, SQ8 codes stand in for the candidate vectors, and only the

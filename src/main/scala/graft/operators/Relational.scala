@@ -127,6 +127,22 @@ object Relational {
       .groupBy(expr(s"ts div $UsPerHour").as("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), Num.r2(sum(col("value"))).as("sum_value"))
 
+  /** day, week, dau, wau, stickiness — the DAU/WAU engagement table (the
+    * product-analytics companion of [[eventsRetention]]; stickiness =
+    * daily actives over that 7-day bucket's weekly actives). Days and
+    * weeks are exact integer epoch buckets; two keyed distinct-count
+    * aggregations plus a broadcast join on the (tiny) week table. */
+  def eventsStickiness(events: DataFrame): DataFrame = {
+    val usPerDay = UsPerHour * 24
+    val d = events.select(expr(s"ts div $usPerDay").as("day"),
+      expr(s"(ts div $usPerDay) div 7").as("week"), col("user_id"))
+    val dau = d.groupBy("day", "week").agg(countDistinct("user_id").as("dau"))
+    val wau = d.groupBy("week").agg(countDistinct("user_id").as("wau"))
+    dau.join(broadcast(wau), "week")
+      .select(col("day"), col("week"), col("dau"), col("wau"),
+        Num.r6(col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+  }
+
   /** Cohort retention: users cohorted by their first-active day; one row
     * per (cohort_day, day_offset) with the distinct active count, cohort
     * size, and retention share. Three keyed aggregations and one equi-join

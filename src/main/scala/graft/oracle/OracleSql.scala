@@ -385,6 +385,25 @@ object OracleSql {
         |FROM m
         |WHERE log10(n) - least(log10(fx), log10(fy)) <> 0""".stripMargin
 
+  /** Cooccurrence.chi2Metrics twin (doc level): identical operation order
+    * in every float expression. */
+  val cooccurChi2: String =
+    docPipeline(unitsDocCte, pairCountsSql("units_doc", Seq("doc_id")),
+      """singles AS (SELECT concept_id, CAST(count(*) AS BIGINT) AS unit_count FROM units_doc GROUP BY 1),
+        |tot AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM units_doc),
+        |m AS (
+        |  SELECT p.concept1, p.concept2, p.pair_count,
+        |    CAST(s1.unit_count AS DOUBLE) AS fx, CAST(s2.unit_count AS DOUBLE) AS fy,
+        |    CAST(p.pair_count AS DOUBLE) AS fxy, t.n AS n
+        |  FROM pairs p
+        |  JOIN singles s1 ON p.concept1 = s1.concept_id
+        |  JOIN singles s2 ON p.concept2 = s2.concept_id
+        |  CROSS JOIN tot t)""".stripMargin) +
+      """SELECT concept1, concept2, pair_count,
+        |  floor((n * fxy / (fx * fy)) * 1000000 + 0.5) / 1000000 AS lift,
+        |  floor((n * pow(fxy * (n - fx - fy + fxy) - (fx - fxy) * (fy - fxy), 2.0) / (fx * fy * (n - fx) * (n - fy))) * 1000000 + 0.5) / 1000000 AS chi2
+        |FROM m WHERE fx < n AND fy < n""".stripMargin
+
   val cooccurMetricsSent: String =
     docPipeline(unitsSentCte, pairCountsSql("units_sent", Seq("doc_id", "sent_id")),
       """singles AS (SELECT concept_id, CAST(count(*) AS BIGINT) AS unit_count FROM units_sent GROUP BY 1),
@@ -1443,6 +1462,19 @@ object OracleSql {
       |  CAST(count(*) AS BIGINT) AS n_events, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Relational.eventsStickiness twin: integer epoch day/week buckets. */
+  val eventsStickiness: String =
+    """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+      |    (epoch_us(ts) // 86400000000) // 7 AS week, user_id FROM events),
+      |dau AS (SELECT day, week, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      |  FROM d GROUP BY 1, 2),
+      |wau AS (SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      |  FROM d GROUP BY 1)
+      |SELECT CAST(dau.day AS BIGINT) AS day, CAST(dau.week AS BIGINT) AS week,
+      |  dau.dau, wau.wau,
+      |  floor((CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS stickiness
+      |FROM dau JOIN wau USING (week)""".stripMargin
+
   val eventsSessions: String =
     """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
       |l AS (SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM e),
@@ -2169,6 +2201,21 @@ object OracleSql {
        |      ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
        |  FROM pairs)
        |SELECT query_id, rank, neighbor_id, adc_dist FROM rk WHERE rank <= 5""".stripMargin
+
+  /** Embeddings.indexRecallMatrix twin: one branch per index, each that
+    * index's composed top-k SQL hit-joined against the shared truth. */
+  def indexRecallMatrixSql(branches: Seq[(String, String)]): String = {
+    val parts = branches.map { case (name, sql) =>
+      s"""SELECT '$name' AS index_type,
+         |  (SELECT CAST(count(*) AS BIGINT)
+         |   FROM truth t JOIN ($sql) a
+         |     ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id) AS n_hit""".stripMargin
+    }
+    s"""WITH truth AS (SELECT query_id, neighbor_id FROM ($embTopK))
+       |SELECT index_type, n_hit,
+       |  floor((CAST(n_hit AS DOUBLE) / 40.0) * 1000000 + 0.5) / 1000000 AS recall_at_k
+       |FROM (${parts.mkString("\nUNION ALL\n")})""".stripMargin
+  }
 
   /** Embeddings.annRecall twin: the brute-force and IVF top-k oracles
     * composed as subqueries (each carries its own WITH), hit-joined per
@@ -3154,8 +3201,15 @@ object OracleSql {
        |$branches""".stripMargin
   }
 
+  val indexRecallMatrix: String = indexRecallMatrixSql(Seq(
+    "ivf" -> ivfTopK, "ivf_pq" -> ivfPqTopK, "ivf_sq8" -> ivfSqTopK,
+    "pq" -> pqTopK, "sq8" -> sqTopKSql))
+
   val all: Map[String, String] = Map(
     "bpe_merges" -> bpeMergesSql,
+    "index_recall_matrix" -> indexRecallMatrix,
+    "cooccur_chi2" -> cooccurChi2,
+    "events_stickiness" -> eventsStickiness,
     "bpe_encode" -> bpeEncodeSql,
     "bpe_fertility" -> bpeFertility,
     "vocab_coverage" -> vocabCoverage,

@@ -96,6 +96,42 @@ class GraphRetrievalSpec extends SparkSpec {
     assert(r.values.map(_._2).sum <= 2000L + r.size)
   }
 
+  test("chi2Metrics computes lift and chi-square on the exact 2x2 contingency") {
+    // 3 units, each pair cooccurs once, every concept in 2 units:
+    // lift = 3*1/(2*2) = 0.75; chi2 = 3*(1*0-1*1)^2/(2*2*1*1) = 0.75
+    val r = graft.operators.Cooccurrence.chi2Metrics(
+      annots((1L, "XX:a"), (1L, "XX:b"), (2L, "XX:a"), (2L, "XX:c"),
+             (3L, "XX:b"), (3L, "XX:c")), Seq("doc_id")).collect()
+    assert(r.length == 3)
+    r.foreach { row =>
+      assert(row.getAs[Long]("pair_count") == 1L)
+      assert(row.getAs[Double]("lift") == 0.75)
+      assert(row.getAs[Double]("chi2") == 0.75)
+    }
+  }
+
+  test("eventsStickiness divides daily actives by the week's actives") {
+    import org.apache.spark.sql.functions.col
+    val us = 86400000000L
+    val ev = Seq((1L, 0L * us + 5L), (2L, 0L * us + 9L), (1L, 1L * us + 5L))
+      .toDF("user_id", "ts")
+    val r = graft.operators.Relational.eventsStickiness(ev)
+      .orderBy("day").collect()
+    assert(r.map(x => (x.getAs[Long]("day"), x.getAs[Long]("dau"),
+      x.getAs[Long]("wau"), x.getAs[Double]("stickiness"))).toSeq ==
+      Seq((0L, 2L, 2L, 1.0), (1L, 1L, 2L, 0.5)))
+  }
+
+  test("indexRecallMatrix ranks the lossless-ish codec above the coarse one") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val r = Embeddings.indexRecallMatrix(emb).collect()
+      .map(x => x.getAs[String]("index_type") -> x.getAs[Double]("recall_at_k")).toMap
+    assert(r.keySet == Set("ivf", "ivf_pq", "ivf_sq8", "pq", "sq8"))
+    assert(r.values.forall(v => v >= 0.0 && v <= 1.0))
+    // SQ8 only rounds each dim; PQ collapses subspaces to 1 of 16 codes
+    assert(r("sq8") >= r("pq"))
+  }
+
   test("vocabCoverage sums the exact top-N mass and caps vocab_size at the vocabulary") {
     // counts: high x8, mid x4, others x1 each
     val text = (Seq.fill(8)("high") ++ Seq.fill(4)("mid") ++ Seq("one", "two", "three")).mkString(" ")
