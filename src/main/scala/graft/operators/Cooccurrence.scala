@@ -234,6 +234,46 @@ object Cooccurrence {
         Num.r6(n * pow(adbc, 2.0) / (fx * fy * (n - fx) * (n - fy))).as("chi2"))
   }
 
+  /** Similarity floor for [[tfidfDocSim]]. */
+  val DocSimTau = 0.3
+
+  /** doc_a, doc_b, dot_u, cosine — sparse lexical document similarity:
+    * cosine over tf-idf CONCEPT vectors, scored on the MinHash-banded
+    * candidate pairs (the related-document / template-detection dual of
+    * the dense embedding path, and a second confirm signal beside exact
+    * shingle Jaccard: surface text can drift while the concept profile
+    * stays put). Candidate generation is the LSH band join — pair volume
+    * is band-bucket-bounded exactly like the dedup family, never a
+    * posting-list or N² self-join (this corpus's concept space is dense:
+    * every concept is high-df, so a df-pruned posting join would be either
+    * empty or quadratic — candidates are the correct 100 TB source).
+    * Weights are floored to integer micro-units BEFORE the dot product,
+    * so pair sums are exact longs (order-independent); norms are over the
+    * full vector; one rounded division per candidate pair. */
+  def tfidfDocSim(docs: DataFrame, annots: DataFrame,
+                  tau: Double = DocSimTau): DataFrame = {
+    val vec = tfidf(annots)
+      .select(col("doc_id"), col("concept_id"),
+        floor(col("tfidf") * lit(1000000.0) + lit(0.5)).cast("long").as("u"))
+      .where(col("u") > 0) // zero-idf (every-doc) concepts carry no signal; keeps norms > 0
+      .persist()
+    val norms = vec.groupBy("doc_id").agg(sum(col("u") * col("u")).as("n2_u"))
+    Dedup.minhashCandidates(docs).select("doc_a", "doc_b")
+      .join(vec.select(col("doc_id").as("doc_a"), col("concept_id"), col("u").as("ua")),
+        "doc_a")
+      .join(vec.select(col("doc_id").as("db"), col("concept_id").as("cb"),
+        col("u").as("ub")),
+        col("doc_b") === col("db") && col("concept_id") === col("cb"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("ua") * col("ub")).as("dot_u"))
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2_u").as("na")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2_u").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("dot_u"),
+        Num.r6(col("dot_u").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))).as("cosine"))
+      .where(col("cosine") >= tau)
+  }
+
   /** Okapi BM25 term weights per (doc, concept) — TF-IDF's
     * retrieval-grade sibling (tf saturation via k1, length normalization
     * via b), the scoring an Elasticsearch index applies to the concept

@@ -187,4 +187,31 @@ object TextOps {
         count(lit(1)).as("n_tokens"),
         min("char_start").as("char_start"),
         max("char_end").as("char_end"))
+
+  /** Span-corruption geometry (T5/UL2 denoising prep): 3-token spans over
+    * ~1/7 ≈ 15% of each doc's tokens. */
+  val CorruptSpanLen = 3L
+  val CorruptDenom = 7L
+
+  /** doc_id, span_ord, start_ord, end_ord — the span-corruption PLAN for a
+    * T5-style denoising objective (Raffel et al. 2020: mask ~15% of tokens
+    * in mean-length-3 spans, one sentinel per span): which token ranges of
+    * each document become sentinel targets. Deterministic evenly-spaced
+    * geometry instead of RNG draws — the repo's reproducible-sampling
+    * discipline (cf. doc_sample's hash permutation): span i starts at
+    * i·(n div n_spans)+1, so the plan is a pure per-row arithmetic explode
+    * (no shuffle at all) and both engines derive identical spans. Docs too
+    * short to fund one full span emit nothing. The gap n div n_spans ≥ 21
+    * whenever spans exist, so spans never overlap by construction. */
+  def spanCorruption(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .withColumn("n_spans",
+        expr(s"((n div $CorruptDenom) + ${CorruptSpanLen - 1}) div $CorruptSpanLen"))
+      .where(col("n_spans") > 0)
+      .withColumn("gap", expr("n div n_spans"))
+      .select(col("doc_id"), col("n"), col("gap"),
+        explode(sequence(lit(0L), col("n_spans") - 1)).as("span_ord"))
+      .select(col("doc_id"), col("span_ord"),
+        (col("span_ord") * col("gap") + lit(1L)).as("start_ord"),
+        least(col("span_ord") * col("gap") + lit(CorruptSpanLen), col("n")).as("end_ord"))
 }

@@ -1,7 +1,7 @@
 package graft.oracle
 
 import graft.functions.{ConceptDict, Hash60}
-import graft.operators.{Dedup, Embeddings, SentencePairs, TextOps, TextStats, XmlIngest}
+import graft.operators.{Cooccurrence, Dedup, Embeddings, SentencePairs, TextOps, TextStats, XmlIngest}
 
 /** DuckDB oracle SQL for every oracle-checked query in SparkEntry.queries.
   *
@@ -452,6 +452,21 @@ object OracleSql {
       """SELECT tf.doc_id, tf.concept_id, tf.tf, idf.idf,
         |  floor((CAST(tf.tf AS DOUBLE) * idf.idf) * 1000000 + 0.5) / 1000000 AS tfidf
         |FROM tf JOIN idf ON tf.concept_id = idf.concept_id""".stripMargin
+
+  /** TextOps.spanCorruption twin: the same evenly-spaced integer span
+    * geometry via unnest(range). */
+  val spanCorruption: String =
+    s"""WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+       |p AS (SELECT doc_id, n,
+       |    ((n // ${TextOps.CorruptDenom}) + ${TextOps.CorruptSpanLen - 1}) // ${TextOps.CorruptSpanLen} AS n_spans
+       |  FROM d),
+       |q AS (SELECT doc_id, n, n // n_spans AS gap, n_spans FROM p WHERE n_spans > 0),
+       |e AS (SELECT doc_id, n, gap,
+       |    CAST(unnest(range(0, n_spans)) AS BIGINT) AS span_ord FROM q)
+       |SELECT doc_id, span_ord,
+       |  CAST(span_ord * gap + 1 AS BIGINT) AS start_ord,
+       |  CAST(least(span_ord * gap + ${TextOps.CorruptSpanLen}, n) AS BIGINT) AS end_ord
+       |FROM e""".stripMargin
 
   /** Okapi BM25 with k1 = 1.2, b = 0.75; every input integer except the
     * 6dp-rounded avgdl, and the literal arithmetic (2.2 = k1+1, 0.25 = 1-b)
@@ -1598,6 +1613,36 @@ object OracleSql {
 
   val dedupMinhash: String =
     s"WITH $tokCte,\n$minhashCtes\nSELECT doc_a, doc_b, shared_bands FROM cand"
+
+  /** Cooccurrence.tfidfDocSim twin: micro-unit tf-idf vectors scored over
+    * the MinHash band candidates (minhashCtes provides `cand`), exact long
+    * dot products, full-vector norms. */
+  val tfidfDocSim: String =
+    docPipeline(unitsDocCte,
+      """tot AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM units_doc),
+        |idf AS (
+        |  SELECT concept_id, floor((ln(t.n / CAST(count(*) AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS idf
+        |  FROM units_doc CROSS JOIN tot t GROUP BY concept_id, t.n),
+        |tf AS (SELECT doc_id, concept_id, CAST(count(*) AS BIGINT) AS tf FROM pp GROUP BY 1, 2)""".stripMargin,
+      minhashCtes,
+      """vec AS (SELECT tf.doc_id, tf.concept_id,
+        |    CAST(floor((floor((CAST(tf.tf AS DOUBLE) * idf.idf) * 1000000 + 0.5) / 1000000) * 1000000 + 0.5) AS BIGINT) AS u
+        |  FROM tf JOIN idf ON tf.concept_id = idf.concept_id
+        |  WHERE floor((floor((CAST(tf.tf AS DOUBLE) * idf.idf) * 1000000 + 0.5) / 1000000) * 1000000 + 0.5) > 0),
+        |norms AS (SELECT doc_id, CAST(sum(u * u) AS BIGINT) AS n2 FROM vec GROUP BY 1),
+        |dots AS (SELECT c.doc_a, c.doc_b, CAST(sum(a.u * b.u) AS BIGINT) AS dot_u
+        |  FROM cand c
+        |  JOIN vec a ON a.doc_id = c.doc_a
+        |  JOIN vec b ON b.doc_id = c.doc_b AND b.concept_id = a.concept_id
+        |  GROUP BY 1, 2),
+        |scored AS (SELECT d.doc_a, d.doc_b, d.dot_u,
+        |    floor((CAST(d.dot_u AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))) * 1000000 + 0.5) / 1000000 AS cosine
+        |  FROM dots d
+        |  JOIN norms na ON na.doc_id = d.doc_a
+        |  JOIN norms nb ON nb.doc_id = d.doc_b)""".stripMargin) +
+      s"""SELECT doc_a, doc_b, dot_u, cosine FROM scored
+         |WHERE cosine >= ${Cooccurrence.DocSimTau}""".stripMargin
+
 
   /** Dedup.lshBandTuning twin: the shared mh CTE re-banded per shape, one
     * UNION ALL branch per rows-per-band; thresholds are the same
@@ -3305,6 +3350,8 @@ object OracleSql {
     "concept_idf" -> conceptIdf,
     "concept_count_dist" -> conceptCountDist,
     "tfidf" -> tfidf,
+    "tfidf_doc_sim" -> tfidfDocSim,
+    "span_corruption" -> spanCorruption,
     "bm25_scores" -> bm25Scores,
     "bm25_topk" -> bm25TopK,
     "hybrid_rrf" -> hybridRrf,

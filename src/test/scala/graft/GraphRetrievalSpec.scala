@@ -132,6 +132,40 @@ class GraphRetrievalSpec extends SparkSpec {
     assert(r("sq8") >= r("pq"))
   }
 
+  test("spanCorruption covers ~1/7 of tokens in non-overlapping 3-token spans") {
+    // 42 tokens -> 6 corrupt -> 2 spans, gap 21: spans [1,3] and [22,24]
+    val text = (1 to 42).map(i => s"t$i").mkString(" ")
+    val r = graft.operators.TextOps.spanCorruption(textDocs(text))
+      .orderBy("span_ord").collect()
+    assert(r.map(x => (x.getAs[Long]("span_ord"), x.getAs[Long]("start_ord"),
+      x.getAs[Long]("end_ord"))).toSeq == Seq((0L, 1L, 3L), (1L, 22L, 24L)))
+    // short docs emit nothing (< 7 tokens funds no span)
+    assert(graft.operators.TextOps.spanCorruption(textDocs("a b c")).count() == 0L)
+    // spans never overlap and stay in range on a ragged length
+    val odd = graft.operators.TextOps.spanCorruption(
+      textDocs((1 to 50).map(i => s"w$i").mkString(" "))).orderBy("span_ord").collect()
+    val ranges = odd.map(x => (x.getAs[Long]("start_ord"), x.getAs[Long]("end_ord")))
+    ranges.sliding(2).foreach {
+      case Array((_, e1), (s2, _)) => assert(s2 > e1)
+      case _ =>
+    }
+    assert(ranges.forall { case (s0, e0) => s0 >= 1 && e0 <= 50 && e0 >= s0 })
+  }
+
+  test("tfidfDocSim scores banded candidates by concept-profile cosine") {
+    val dup = "scan merge table key agg row hash sort batch window value part fast slow"
+    // carries concepts of its own so corpus N=3 and the dup concepts keep idf>0
+    val diff = "spark line spark line spark line spark line spark line spark line spark"
+    val docs = textDocs(dup, dup, diff)
+    val annots = graft.operators.Concepts.postProcess(
+      graft.operators.Concepts.recognize(docs))
+    val r = graft.operators.Cooccurrence.tfidfDocSim(docs, annots).collect()
+    // the exact-dup pair shares its full concept profile -> cosine 1
+    val pair = r.find(x => x.getAs[Long]("doc_a") == 0L && x.getAs[Long]("doc_b") == 1L)
+    assert(pair.isDefined && pair.get.getAs[Double]("cosine") == 1.0)
+    assert(r.forall(_.getAs[Double]("cosine") >= graft.operators.Cooccurrence.DocSimTau))
+  }
+
   test("vocabCoverage sums the exact top-N mass and caps vocab_size at the vocabulary") {
     // counts: high x8, mid x4, others x1 each
     val text = (Seq.fill(8)("high") ++ Seq.fill(4)("mid") ++ Seq("one", "two", "three")).mkString(" ")
