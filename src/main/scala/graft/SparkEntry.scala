@@ -401,6 +401,7 @@ object SparkEntry {
     "cooccur_chi2" -> ((s, d) => Cooccurrence.chi2Metrics(pp(s, d), Seq("doc_id"))),
     "tfidf_doc_sim" -> ((s, d) => Cooccurrence.tfidfDocSim(docs(s, d), pp(s, d))),
     "span_corruption" -> ((s, d) => TextOps.spanCorruption(docs(s, d))),
+    "source_lm_matrix" -> ((s, d) => TextStats.sourceLmMatrix(docs(s, d))),
     "trapi_nodes" -> ((s, _) => KnowledgeGraph.trapiNodeTriples(s)),
     "trapi_edges" -> ((s, d) => KnowledgeGraph.trapiEdgeTriples(pp(s, d))),
     // G. LLM-data ops

@@ -254,6 +254,41 @@ object TextStats {
           .as("share_of_source"))
   }
 
+  /** lm_source, doc_source, n_tokens, avg_logprob — the domain-similarity
+    * matrix: each source's add-one-smoothed unigram LM scores every
+    * source's token stream (DoReMi/DSIR-style mixture design reads exactly
+    * this table — a source scored well by another's LM is in-domain for
+    * it; the diagonal is each source's self-fit). Discount terms are
+    * floored to integer micro-units BEFORE summation (log-prob sums over
+    * corpus-scale groups must be order-independent — the repo's integer-sum
+    * discipline), so per-cell sums are exact and the mean is one rounded
+    * division. Cost shape: the per-source LM tables are vocabulary-sized;
+    * the cross-scoring fans the token stream out by #sources (a small
+    * fixed dimension — the documented price of the FULL matrix; a sampled
+    * stream drops it) and joins on the (source, token) key once. */
+  def sourceLmMatrix(docs: DataFrame): DataFrame = {
+    val occ = TextOps.tokens(docs).select("doc_id", "tok")
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select(col("source").as("doc_source"), col("tok"))
+    val c = occ.groupBy(col("doc_source").as("lm_source"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val t = c.groupBy("lm_source").agg(sum("cnt").as("tot"))
+    val v = occ.select("tok").distinct().agg(count(lit(1)).as("vsz"))
+    occ.crossJoin(broadcast(t))
+      .join(c.select(col("lm_source").as("ls2"), col("tok").as("tk2"), col("cnt")),
+        col("lm_source") === col("ls2") && col("tok") === col("tk2"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_source"), col("lm_source"),
+        floor(log((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
+          (col("tot") + col("vsz")).cast("double")) * lit(1000000.0)).cast("long")
+          .as("term_u"))
+      .groupBy("doc_source", "lm_source")
+      .agg(count(lit(1)).as("n_tokens"), sum("term_u").as("sum_u"))
+      .select(col("lm_source"), col("doc_source"), col("n_tokens"),
+        Num.r6(col("sum_u").cast("double") / lit(1000000.0) / col("n_tokens").cast("double"))
+          .as("avg_logprob"))
+  }
+
   /** doc_id, n_tokens, avg_logprob — corpus-self-trained unigram LM score,
     * the cheap perplexity proxy LLM-data pipelines use for quality ranking
     * (docs made of rare/garbled tokens score low). The LM is one

@@ -453,6 +453,24 @@ object OracleSql {
         |  floor((CAST(tf.tf AS DOUBLE) * idf.idf) * 1000000 + 0.5) / 1000000 AS tfidf
         |FROM tf JOIN idf ON tf.concept_id = idf.concept_id""".stripMargin
 
+  /** TextStats.sourceLmMatrix twin: per-source add-one LMs, micro-unit
+    * floored log terms, one rounded division per matrix cell. */
+  val sourceLmMatrix: String =
+    s"""WITH $tokCte,
+       |occ AS (SELECT d.source AS doc_source, t.tok
+       |  FROM tok t JOIN documents d USING (doc_id)),
+       |c AS (SELECT doc_source AS lm_source, tok, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM occ GROUP BY 1, 2),
+       |tt AS (SELECT lm_source, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1),
+       |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vsz FROM occ),
+       |x AS (SELECT o.doc_source, tt.lm_source,
+       |    CAST(floor(ln(CAST(coalesce(c.cnt, 0) + 1 AS DOUBLE) / CAST(tt.tot + v.vsz AS DOUBLE)) * 1000000) AS BIGINT) AS term_u
+       |  FROM occ o CROSS JOIN tt CROSS JOIN v
+       |  LEFT JOIN c ON c.lm_source = tt.lm_source AND c.tok = o.tok)
+       |SELECT lm_source, doc_source, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  floor((CAST(sum(term_u) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS avg_logprob
+       |FROM x GROUP BY 1, 2""".stripMargin
+
   /** TextOps.spanCorruption twin: the same evenly-spaced integer span
     * geometry via unnest(range). */
   val spanCorruption: String =
@@ -3352,6 +3370,7 @@ object OracleSql {
     "tfidf" -> tfidf,
     "tfidf_doc_sim" -> tfidfDocSim,
     "span_corruption" -> spanCorruption,
+    "source_lm_matrix" -> sourceLmMatrix,
     "bm25_scores" -> bm25Scores,
     "bm25_topk" -> bm25TopK,
     "hybrid_rrf" -> hybridRrf,

@@ -166,6 +166,22 @@ class GraphRetrievalSpec extends SparkSpec {
     assert(r.forall(_.getAs[Double]("cosine") >= graft.operators.Cooccurrence.DocSimTau))
   }
 
+  test("sourceLmMatrix self-fit beats cross-fit; smoothing keeps unseen tokens finite") {
+    val a = "alpha beta gamma delta alpha beta gamma delta alpha beta"
+    val b = "omega psi chi phi omega psi chi phi omega psi"
+    val df = Seq((1L, a, "en", "sA", a.length.toLong), (2L, b, "en", "sB", b.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = graft.operators.TextStats.sourceLmMatrix(df)
+      .collect().map(x => (x.getAs[String]("lm_source"), x.getAs[String]("doc_source")) ->
+        x.getAs[Double]("avg_logprob")).toMap
+    assert(m.size == 4)
+    // disjoint vocabularies: each LM scores its own source far above the other
+    assert(m(("sA", "sA")) > m(("sA", "sB")))
+    assert(m(("sB", "sB")) > m(("sB", "sA")))
+    // add-one smoothing: cross cells are finite
+    assert(m.values.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
   test("vocabCoverage sums the exact top-N mass and caps vocab_size at the vocabulary") {
     // counts: high x8, mid x4, others x1 each
     val text = (Seq.fill(8)("high") ++ Seq.fill(4)("mid") ++ Seq("one", "two", "three")).mkString(" ")
