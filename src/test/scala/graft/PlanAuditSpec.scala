@@ -166,6 +166,24 @@ class PlanAuditSpec extends SparkSpec {
       s"hybrid_rrf plans an unpartitioned window:\n${hr.optimizedPlan}")
   }
 
+  test("hard_negatives tops-k through the bounded-heap aggregate; vocab_coverage takes ordered limits") {
+    // hard_negatives: per-query top-k over the full neighbor stream — the
+    // exact shape a per-query ranking window would straggle on; pin the
+    // partial TopKAgg phase and the absence of any Window.
+    val hn = SparkEntry.queries("hard_negatives")(spark, sfDir).queryExecution
+    assert(hn.optimizedPlan.collect { case w: Window => w }.isEmpty,
+      s"hard_negatives plans a Window:\n${hn.optimizedPlan}")
+    assert(hn.executedPlan.toString.contains("partial_top_k_agg"),
+      hn.executedPlan.toString.take(2000))
+    // vocab_coverage: every cutoff's top-N must be a TakeOrderedAndProject
+    // (per-partition bounded heaps), never a global Sort of the vocabulary.
+    val vc = SparkEntry.queries("vocab_coverage")(spark, sfDir).queryExecution
+    val plan = vc.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"vocab_coverage plans a global range sort:\n${plan.take(2000)}")
+  }
+
   test("event-family shuffle budget survives the ts canonicalization") {
     // The epoch-µs canonicalization is a Project over the scan; it must not
     // cost an exchange. Pin each repaired query's shuffle count at the
