@@ -414,6 +414,8 @@ object SparkEntry {
     "quality_classifier" -> ((s, d) => TextStats.qualityClassifier(docs(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(docs(s, d))),
     "lsh_band_tuning" -> ((s, d) => Dedup.lshBandTuning(docs(s, d))),
+    "minhash_precision" -> ((s, d) => Dedup.minhashPrecision(docs(s, d))),
+    "heavy_hitters_cms" -> ((s, d) => TextStats.heavyHittersCms(docs(s, d))),
     "dedup_incremental" -> ((s, d) => Dedup.minhashIncremental(docs(s, d))),
     "dedup_incremental_staged" -> ((s, d) => Dedup.minhashIncrementalStaged(docs(s, d), d)),
     "dedup_minhash_hashed" -> ((s, d) => Dedup.minhashCandidatesHashedStaged(docs(s, d), d)),

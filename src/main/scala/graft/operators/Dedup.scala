@@ -415,6 +415,38 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** n_candidates, n_confirmed, precision — banding precision report: what
+    * fraction of the LSH candidate pairs the exact shingle-Jaccard confirm
+    * actually keeps (the confirm-stage cost/selectivity number an operator
+    * of the dedup pipeline watches — low precision means the band shape
+    * wastes confirm-join work; [[lshBandTuning]] is the knob, this is the
+    * gauge). Candidates with NO shared shingle survive the outer join at
+    * J = 0 — they are exactly the false-positive mass the report exists to
+    * count. Same band-bounded joins as the production path; one 1-row
+    * aggregate at the end. */
+  def minhashPrecision(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val sets = shingleSets(docs).persist()
+    val cands = minhashCandidatesFrom(sets).select("doc_a", "doc_b")
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("sid")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sid").as("sid_b")), "doc_b")
+      .where(col("sid") === col("sid_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    cands.join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard", Num.r6(coalesce(col("i"), lit(0L)).cast("double") /
+        (col("na") + col("nb") - coalesce(col("i"), lit(0L))).cast("double")))
+      .agg(count(lit(1)).as("n_candidates"),
+        coalesce(sum(when(col("jaccard") >= threshold, 1L).otherwise(0L)), lit(0L))
+          .as("n_confirmed"))
+      .select(col("n_candidates"), col("n_confirmed"),
+        when(col("n_candidates") > 0,
+          Num.r6(col("n_confirmed").cast("double") / col("n_candidates").cast("double")))
+          .otherwise(lit(0.0)).as("precision"))
+  }
+
   /** Cross-source duplicate-overlap matrix — the data-card cell that says
     * which sources duplicate into which (crawl-snapshot contamination, a
     * mirrored site ingested twice, a source that is a subset of another).

@@ -254,6 +254,40 @@ object TextStats {
           .as("share_of_source"))
   }
 
+  /** Count-Min geometry: depth (independent hash rows) × width (buckets). */
+  val CmsDepth = 4
+  val CmsWidth = 64L
+
+  /** tok, exact_cnt, est_cnt — Count-Min heavy hitters: the classic
+    * streaming frequency sketch (Cormode & Muthukrishnan 2005) beside the
+    * repo's HLL and quantile sketches. The sketch is ONE map-side-combined
+    * aggregation over a depth-× fanned token stream into depth·width
+    * integer cells (256 here — broadcastable at any corpus size);
+    * candidate heavy hitters come from the exact count table's bounded
+    * TakeOrdered top-k, and each estimate is the min over its depth cells
+    * — CMS guarantees est ≥ exact, and the gap IS the collision noise the
+    * width knob buys down. Hash rows are salted [[graft.functions.Hash60]]
+    * ids, so both engines address identical cells; everything is exact
+    * integers. At 100 TB the exact table is the verification twin — the
+    * sketch alone is the streaming-budget path. */
+  def heavyHittersCms(docs: DataFrame, k: Int = 20): DataFrame = {
+    val toks = TextOps.tokens(docs).select("tok")
+    def bucket(row: Int): org.apache.spark.sql.Column =
+      pmod(graft.functions.Hash60.id(
+        concat(lit(row.toString), lit("|"), col("tok"))), lit(CmsWidth))
+    val sketch = toks
+      .select(posexplode(array((0 until CmsDepth).map(bucket): _*)).as(Seq("r", "bucket")))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+    val cand = exact.orderBy(col("exact_cnt").desc, col("tok")).limit(k)
+    cand
+      .select(col("tok"), col("exact_cnt"),
+        posexplode(array((0 until CmsDepth).map(bucket): _*)).as(Seq("r", "bucket")))
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy("tok", "exact_cnt")
+      .agg(min("c").as("est_cnt"))
+  }
+
   /** lm_source, doc_source, n_tokens, avg_logprob — the domain-similarity
     * matrix: each source's add-one-smoothed unigram LM scores every
     * source's token stream (DoReMi/DSIR-style mixture design reads exactly

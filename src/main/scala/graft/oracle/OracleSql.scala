@@ -1662,6 +1662,53 @@ object OracleSql {
          |WHERE cosine >= ${Cooccurrence.DocSimTau}""".stripMargin
 
 
+  /** Dedup.minhashPrecision twin: candidates outer-joined to their exact
+    * shingle intersections (no-overlap candidates score J = 0). */
+  val minhashPrecision: String =
+    s"""WITH $tokCte,
+       |$minhashCtes,
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY 1),
+       |inter AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+       |  FROM cand c
+       |  JOIN ss a ON a.doc_id = c.doc_a
+       |  JOIN ss b ON b.doc_id = c.doc_b AND b.sid = a.sid
+       |  GROUP BY 1, 2),
+       |scored AS (SELECT c.doc_a, c.doc_b,
+       |    floor((CAST(coalesce(i.i, 0) AS DOUBLE) / CAST(sa.n + sb.n - coalesce(i.i, 0) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS jaccard
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |  JOIN sizes sa ON sa.doc_id = c.doc_a
+       |  JOIN sizes sb ON sb.doc_id = c.doc_b),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+       |    CAST(coalesce(sum(CASE WHEN jaccard >= 0.6 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_confirmed
+       |  FROM scored)
+       |SELECT n_candidates, n_confirmed,
+       |  CASE WHEN n_candidates > 0
+       |    THEN floor((CAST(n_confirmed AS DOUBLE) / CAST(n_candidates AS DOUBLE)) * 1000000 + 0.5) / 1000000
+       |    ELSE 0.0 END AS precision
+       |FROM agg""".stripMargin
+
+  /** TextStats.heavyHittersCms twin: salted Hash60 cell addressing, exact
+    * integer sketch cells, min over depth rows. */
+  val heavyHittersCms: String = {
+    val (d, w) = (TextStats.CmsDepth, TextStats.CmsWidth)
+    s"""WITH $tokCte,
+       |t AS (SELECT tok FROM tok),
+       |exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM t GROUP BY 1),
+       |cand AS (SELECT tok, exact_cnt FROM exact ORDER BY exact_cnt DESC, tok LIMIT 20),
+       |rr AS (SELECT CAST(unnest(range(0, $d)) AS BIGINT) AS r),
+       |fan AS (SELECT rr.r,
+       |    (${Hash60.sql("CAST(rr.r AS VARCHAR) || '|' || t.tok")} % $w) AS bucket
+       |  FROM t CROSS JOIN rr),
+       |sk AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS c FROM fan GROUP BY 1, 2),
+       |cb AS (SELECT cand.tok, cand.exact_cnt, rr.r,
+       |    (${Hash60.sql("CAST(rr.r AS VARCHAR) || '|' || cand.tok")} % $w) AS bucket
+       |  FROM cand CROSS JOIN rr)
+       |SELECT cb.tok, cb.exact_cnt, CAST(min(sk.c) AS BIGINT) AS est_cnt
+       |FROM cb JOIN sk ON sk.r = cb.r AND sk.bucket = cb.bucket
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   /** Dedup.lshBandTuning twin: the shared mh CTE re-banded per shape, one
     * UNION ALL branch per rows-per-band; thresholds are the same
     * Scala-computed literals the engine emits. */
@@ -3438,6 +3485,8 @@ object OracleSql {
     "dedup_norm" -> dedupNorm,
     "dedup_minhash" -> dedupMinhash,
     "lsh_band_tuning" -> lshBandTuning,
+    "minhash_precision" -> minhashPrecision,
+    "heavy_hitters_cms" -> heavyHittersCms,
     "dedup_incremental" -> minhashIncremental,
     "dedup_incremental_staged" -> minhashIncremental,
     "window_dup" -> windowDup,

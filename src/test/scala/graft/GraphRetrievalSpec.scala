@@ -166,6 +166,28 @@ class GraphRetrievalSpec extends SparkSpec {
     assert(r.forall(_.getAs[Double]("cosine") >= graft.operators.Cooccurrence.DocSimTau))
   }
 
+  test("heavyHittersCms never underestimates and is exact without collisions") {
+    // tiny vocabulary (3 types << 64 buckets): collisions are possible but
+    // est >= exact must hold regardless; with these salts they land apart
+    val text = (Seq.fill(9)("aaa") ++ Seq.fill(5)("bbb") ++ Seq.fill(2)("ccc")).mkString(" ")
+    val r = graft.operators.TextStats.heavyHittersCms(textDocs(text), k = 3)
+      .orderBy(org.apache.spark.sql.functions.col("exact_cnt").desc).collect()
+    assert(r.map(_.getAs[String]("tok")).toSeq == Seq("aaa", "bbb", "ccc"))
+    assert(r.map(_.getAs[Long]("exact_cnt")).toSeq == Seq(9L, 5L, 2L))
+    r.foreach(x => assert(x.getAs[Long]("est_cnt") >= x.getAs[Long]("exact_cnt")))
+  }
+
+  test("minhashPrecision counts zero-overlap candidates as unconfirmed") {
+    val dup = "the quick fox jumps over a lazy dog near the old red barn today"
+    val r = graft.operators.Dedup.minhashPrecision(textDocs(dup, dup,
+      "a completely different document with many other tokens in this string ok"))
+      .collect().head
+    // the identical pair is the only candidate and it confirms at J = 1
+    assert(r.getAs[Long]("n_candidates") == 1L)
+    assert(r.getAs[Long]("n_confirmed") == 1L)
+    assert(r.getAs[Double]("precision") == 1.0)
+  }
+
   test("sourceLmMatrix self-fit beats cross-fit; smoothing keeps unseen tokens finite") {
     val a = "alpha beta gamma delta alpha beta gamma delta alpha beta"
     val b = "omega psi chi phi omega psi chi phi omega psi"
