@@ -142,11 +142,15 @@ object KnowledgeGraph {
     // disjoint — plain unionByName, no distinct
     val edges = pairs.select(col("concept1").as("src"), col("concept2").as("dst"))
       .unionByName(pairs.select(col("concept2").as("src"), col("concept1").as("dst")))
+    // adjacency with out-degree attached, materialized ONCE — each round
+    // then costs a single equi-join against the rank table instead of two
+    val adj = edges.join(
+        edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .localCheckpoint()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val deg = adj.select(col("src"), col("deg")).distinct().localCheckpoint()
     var ranks = deg.select(col("src").as("concept_id"), lit(PageRankScale).as("rank_u"))
     for (_ <- 1 to iterations) {
-      val incoming = edges.join(deg, "src")
+      val incoming = adj
         .join(ranks.withColumnRenamed("concept_id", "src"), "src")
         .select(col("dst").as("concept_id"), expr("rank_u div deg").as("c"))
         .groupBy("concept_id")
