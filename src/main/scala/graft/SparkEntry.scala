@@ -174,6 +174,7 @@ object SparkEntry {
     "streaming_cooccur" -> ((s, d) => graft.streaming.DocStreams.cooccurViaStream(s, d)),
     "streaming_upsert" -> ((s, d) => graft.streaming.DocStreams.upsertViaStream(s, d)),
     "streaming_quality" -> ((s, d) => graft.streaming.DocStreams.qualityFilterViaStream(s, d)),
+    "streaming_cms" -> ((s, d) => graft.streaming.DocStreams.cmsViaStream(s, d)),
     "streaming_neardup" -> ((s, d) => graft.streaming.DocStreams.neardupViaStream(s, d)),
     "streaming_funnel" -> ((s, d) =>
       graft.streaming.EventStreams.funnelViaStream(s, d, FunnelCutoffUs)),

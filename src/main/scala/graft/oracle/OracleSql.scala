@@ -1709,6 +1709,18 @@ object OracleSql {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** DocStreams.cmsViaStream twin: the raw sketch cells. */
+  val streamingCms: String = {
+    val (d, w) = (TextStats.CmsDepth, TextStats.CmsWidth)
+    s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |rr AS (SELECT CAST(unnest(range(0, $d)) AS BIGINT) AS r),
+       |fan AS (SELECT rr.r,
+       |    (${Hash60.sql("CAST(rr.r AS VARCHAR) || '|' || t.tok")} % $w) AS bucket
+       |  FROM t CROSS JOIN rr)
+       |SELECT r, CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS c
+       |FROM fan GROUP BY 1, 2""".stripMargin
+  }
+
   /** Dedup.lshBandTuning twin: the shared mh CTE re-banded per shape, one
     * UNION ALL branch per rows-per-band; thresholds are the same
     * Scala-computed literals the engine emits. */
@@ -3487,6 +3499,7 @@ object OracleSql {
     "lsh_band_tuning" -> lshBandTuning,
     "minhash_precision" -> minhashPrecision,
     "heavy_hitters_cms" -> heavyHittersCms,
+    "streaming_cms" -> streamingCms,
     "dedup_incremental" -> minhashIncremental,
     "dedup_incremental_staged" -> minhashIncremental,
     "window_dup" -> windowDup,

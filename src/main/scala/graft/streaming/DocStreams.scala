@@ -94,6 +94,30 @@ object DocStreams {
       OutputMode.Complete())
   }
 
+  /** The Count-Min sketch maintained by the REAL streaming engine over the
+    * document stream (r, bucket, c cells in Complete mode) — the natural
+    * streaming citizen of the sketch family: CMS cells are pure
+    * commutative counters, so the stream-maintained table is byte-equal to
+    * the batch sketch whatever the arrival order, and the state is
+    * depth×width integers regardless of corpus size (the property that
+    * makes it THE frequency structure for unbounded ingest). Cell
+    * addressing is the identical salted-Hash60 arithmetic as batch
+    * TextStats.heavyHittersCms, checked by the same oracle CTE. */
+  def cmsViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextStats
+    def bucket(r: Int) =
+      pmod(graft.functions.Hash60.id(
+        concat(lit(r.toString), lit("|"), col("tok"))), lit(TextStats.CmsWidth))
+    val fan = stagedDocsStream(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(posexplode(array((0 until TextStats.CmsDepth).map(bucket): _*))
+        .as(Seq("r", "bucket")))
+    EventStreams.runToTable(
+      fan.groupBy(col("r").cast("long").as("r"), col("bucket"))
+        .agg(count(lit(1)).as("c")),
+      OutputMode.Complete())
+  }
+
   /** The rule-based quality gate (TextStats.qualityFilter) executed by the
     * real streaming engine at ingest. The batch path derives trigram
     * repetition via doc-partitioned `lead()` windows — not streaming-legal —
