@@ -399,6 +399,7 @@ object SparkEntry {
     "kg_pagerank" -> ((s, d) => KnowledgeGraph.pageRank(pp(s, d))),
     "kg_khop" -> ((s, d) => KnowledgeGraph.kHop(pp(s, d))),
     "kg_triangles" -> ((s, d) => KnowledgeGraph.triangles(pp(s, d))),
+    "kg_jaccard" -> ((s, d) => KnowledgeGraph.neighborJaccard(pp(s, d))),
     "cooccur_chi2" -> ((s, d) => Cooccurrence.chi2Metrics(pp(s, d), Seq("doc_id"))),
     "tfidf_doc_sim" -> ((s, d) => Cooccurrence.tfidfDocSim(docs(s, d), pp(s, d))),
     "span_corruption" -> ((s, d) => TextOps.spanCorruption(docs(s, d))),

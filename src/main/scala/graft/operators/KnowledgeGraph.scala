@@ -240,6 +240,37 @@ object KnowledgeGraph {
           .otherwise(lit(0.0)))
   }
 
+  /** concept_a, concept_b, common_neighbors, jaccard — neighbor-overlap
+    * similarity per existing edge (the classic link-prediction /
+    * edge-confidence baseline: an edge whose endpoints share most of their
+    * neighborhoods is structural, one with none is incidental). Common
+    * neighbors come from ONE equi-join of the undirected adjacency against
+    * itself pivoted on the shared endpoint (endpoints can't appear as
+    * their own common neighbor — no self-loops exist); the union size is
+    * deg(a)+deg(b)−common in exact integers, one rounded division per
+    * edge. Bounded exactly like [[triangles]]' wedge join. */
+  def neighborJaccard(annots: DataFrame): DataFrame = {
+    val pairs = Cooccurrence
+      .pairCounts(Cooccurrence.unitConcepts(annots, Seq("doc_id")), Seq("doc_id"))
+      .select(col("concept1").as("a"), col("concept2").as("b"))
+      .localCheckpoint()
+    val und = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    val common = pairs
+      .join(und.select(col("src").as("a"), col("dst").as("c")), Seq("a"))
+      .join(und.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"), "left_semi")
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    pairs.join(common, Seq("a", "b"), "left")
+      .join(deg.select(col("src").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("src").as("b"), col("deg").as("db")), "b")
+      .select(col("a").as("concept_a"), col("b").as("concept_b"),
+        coalesce(col("common"), lit(0L)).as("common_neighbors"),
+        graft.functions.Num.r6(coalesce(col("common"), lit(0L)).cast("double") /
+          (col("da") + col("db") - coalesce(col("common"), lit(0L))).cast("double"))
+          .as("jaccard"))
+  }
+
   // ---------- TRAPI backend serialization ----------
   // The reference's TRAPI backend renders the KG as Biolink N-Triples
   // (trapi/TrapiBackendSerializer.java constants;

@@ -2642,6 +2642,25 @@ object OracleSql {
          |    ELSE 0.0 END AS clustering_coeff
          |FROM deg d LEFT JOIN pn p USING (concept_id)""".stripMargin
 
+  /** KnowledgeGraph.neighborJaccard twin: adjacency self-pivot with an
+    * EXISTS probe, exact-integer union sizes. */
+  val kgJaccard: String =
+    docPipeline(unitsDocCte, pairCountsSql("units_doc", Seq("doc_id")),
+      """e AS (SELECT concept1 AS a, concept2 AS b FROM pairs),
+        |und AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b AS src, a AS dst FROM e),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+        |cmn AS (SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS common
+        |  FROM e JOIN und x ON x.src = e.a
+        |  WHERE EXISTS (SELECT 1 FROM und y WHERE y.src = e.b AND y.dst = x.dst)
+        |  GROUP BY 1, 2)""".stripMargin) +
+      """SELECT e.a AS concept_a, e.b AS concept_b,
+        |  coalesce(c.common, 0) AS common_neighbors,
+        |  floor((CAST(coalesce(c.common, 0) AS DOUBLE) / CAST(da.deg + db.deg - coalesce(c.common, 0) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS jaccard
+        |FROM e
+        |LEFT JOIN cmn c ON c.a = e.a AND c.b = e.b
+        |JOIN deg da ON da.src = e.a
+        |JOIN deg db ON db.src = e.b""".stripMargin
+
   val ontologyClosure: String =
     s"""WITH RECURSIVE closure(child, parent) AS (
        |  SELECT child, parent FROM ${ConceptDict.directEdgesValuesSql()}
@@ -3400,6 +3419,7 @@ object OracleSql {
     "kg_pagerank" -> kgPagerank,
     "kg_khop" -> kgKhop,
     "kg_triangles" -> kgTriangles,
+    "kg_jaccard" -> kgJaccard,
     "trapi_nodes" -> trapiNodes,
     "trapi_edges" -> trapiEdges,
     "ontology_closure" -> ontologyClosure,

@@ -232,6 +232,52 @@ class GraphRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("neighborJaccard: triangle edges overlap fully-shared; pendant edge shares nothing") {
+    // K3 plus a pendant d off c
+    val r = KnowledgeGraph.neighborJaccard(
+      annots((1L, "XX:a"), (1L, "XX:b"), (1L, "XX:c"), (2L, "XX:c"), (2L, "XX:d")))
+      .collect().map(x => (x.getAs[String]("concept_a"), x.getAs[String]("concept_b")) ->
+        (x.getAs[Long]("common_neighbors"), x.getAs[Double]("jaccard"))).toMap
+    // edge (a,b): common = {c}; union = N(a)+N(b)-1 = 2+2-1 = 3
+    assert(r(("XX:a", "XX:b")) == ((1L, 0.333333)))
+    // edge (c,d): no common neighbor
+    assert(r(("XX:c", "XX:d")) == ((0L, 0.0)))
+  }
+
+  test("pageRank invariants hold on randomized graphs (ranks bounded, mass conserved-ish)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 4 + rnd.nextInt(4)
+      // random connected-ish doc-cooccurrence input: each doc links 2 concepts
+      val pairs = (0 until n + 2).map { i =>
+        val a = rnd.nextInt(n); val b = (a + 1 + rnd.nextInt(n - 1)) % n
+        (i.toLong, Seq(s"XX:n$a", s"XX:n$b"))
+      }
+      val an = pairs.flatMap { case (d, cs) => cs.map(c => (d, c)) }
+      val r = KnowledgeGraph.pageRank(an.toDF("doc_id", "concept_id")).collect()
+      val ranks = r.map(_.getAs[Double]("pagerank"))
+      // every node keeps at least the damping floor; floors only ever leak mass
+      assert(ranks.forall(_ >= 0.15), s"trial $trial: $ranks")
+      assert(ranks.sum <= r.length + 1e-6, s"trial $trial: total ${ranks.sum}")
+    }
+  }
+
+  test("CMS never underestimates on randomized token streams") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val vocab = (1 to 6 + rnd.nextInt(6)).map(i => s"w$i")
+      val toks = (1 to 60).map(_ => vocab(rnd.nextInt(vocab.size)))
+      val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val r = graft.operators.TextStats.heavyHittersCms(
+        textDocs(toks.mkString(" ")), k = vocab.size).collect()
+      r.foreach { x =>
+        val t = x.getAs[String]("tok")
+        assert(x.getAs[Long]("exact_cnt") == exact(t), s"trial $trial tok $t")
+        assert(x.getAs[Long]("est_cnt") >= exact(t), s"trial $trial tok $t")
+      }
+    }
+  }
+
   private def vecs(vs: Seq[Array[Float]]) =
     vs.zipWithIndex.map { case (v, i) => (i.toLong, v, 0) }
       .toDF("vec_id", "embedding", "label")

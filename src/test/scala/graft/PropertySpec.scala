@@ -12,6 +12,20 @@ class PropertySpec extends AnyFunSuite {
   private def samples[A](g: Gen[A], n: Int = 200): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
 
+  test("LSH S-curve threshold is a probability, monotone in rows-per-band") {
+    val configs = Gen.chooseNum(1, 8).flatMap(r => Gen.chooseNum(1, 64).map(b => (b, r)))
+    samples(configs, 300).foreach { case (b, r) =>
+      val t = graft.operators.Dedup.sCurveThreshold(b, r)
+      assert(t > 0.0 && t <= 1.0, s"b=$b r=$r t=$t")
+      if (b > 1) {
+        // more rows per band at the same band count -> stricter operating point
+        assert(graft.operators.Dedup.sCurveThreshold(b, r + 1) >= t)
+        // more bands at the same rows -> looser operating point
+        assert(graft.operators.Dedup.sCurveThreshold(b + 1, r) <= t)
+      }
+    }
+  }
+
   test("SubProcess hex framing round-trips arbitrary binary payloads") {
     val bytesGen = Gen.chooseNum(0, 64)
       .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)))
