@@ -42,7 +42,8 @@ object ScaleBench {
       "dsir_weights", "repetition_stats", "decontaminate"),
     "retrieval" -> Seq("tfidf", "bm25_scores", "bm25_topk", "concept_idf",
       "cooccur_counts_doc", "cooccur_metrics_doc"),
-    "graph" -> Seq("kg_pagerank", "kg_khop", "kg_triangles", "tfidf_doc_sim"))
+    "graph" -> Seq("kg_pagerank", "kg_khop", "kg_triangles", "kg_jaccard",
+      "tfidf_doc_sim"))
 
   /** sf parsed from a ".../sf0.01"-style dir name; None when absent. */
   private def sfOf(dir: String): Option[Double] = {
