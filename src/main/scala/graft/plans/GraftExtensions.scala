@@ -28,7 +28,100 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity(children.head, children(1))
       }))
     ext.injectOptimizerRule(_ => FoldSelfCosine)
+    ext.injectOptimizerRule(_ => WindowTopKToBoundedHeap)
     ext.injectPlannerStrategy(_ => GraftStrategy)
+  }
+}
+
+/** Rank-window top-k → bounded-heap aggregate, as an OPTIMIZER RULE.
+  *
+  * The repo's scale discipline replaces `row_number() over (partition by g
+  * order by s desc, id) <= k` with the TopKAgg TypedImperativeAggregate by
+  * hand (bm25_topk, knn_graph, hard_negatives): the window materializes and
+  * sorts every row of every group before discarding all but k — one hot
+  * group is one straggler partition at 100× — while the aggregate carries
+  * ≤ k pairs per group through partial aggregation. This rule
+  * institutionalizes that rewrite: any user query in the exact eligible
+  * shape gets the bounded plan automatically when GraftExtensions is
+  * active, the way Catalyst itself folds or prunes.
+  *
+  * Eligible shape (deliberately narrow — the rewrite must lose nothing):
+  *   Project(proj, Filter(rank <= K, Window(row_number as rank
+  *     partitionBy p... orderBy s DESC, id ASC, child)))
+  * where s is a DOUBLE attribute, id a BIGINT attribute, K a literal, and
+  * every attribute the projection uses is one of {p..., rank, s, id} —
+  * i.e. nothing outside the heap's (score, id) payload and the group keys
+  * survives the window, so the aggregate can reproduce the full output.
+  * Ties: row_number with (s DESC, id ASC) ranks exactly like TopKAgg's
+  * eviction order, so results are identical row-for-row, not just setwise.
+  */
+object WindowTopKToBoundedHeap extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, AttributeReference, Cast, Descending, GetStructField, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, NamedExpression, PosExplode, SortOrder, WindowExpression, WindowSpecDefinition}
+  import org.apache.spark.sql.catalyst.expressions.{RowNumber, Add}
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, Project, Window => LWindow}
+  import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+
+  /** rank-bound k from the filter condition, if it is a plain upper bound
+    * on `rank` (rank <= k / rank < k / k >= rank / k > rank). */
+  private def upperBound(cond: Expression, rankId: Long): Option[Long] = cond match {
+    case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType)) if a.exprId.id == rankId => Some(k.toLong)
+    case LessThanOrEqual(a: AttributeReference, Literal(k: Long, LongType)) if a.exprId.id == rankId => Some(k)
+    case LessThan(a: AttributeReference, Literal(k: Int, IntegerType)) if a.exprId.id == rankId => Some(k.toLong - 1)
+    case LessThan(a: AttributeReference, Literal(k: Long, LongType)) if a.exprId.id == rankId => Some(k - 1)
+    case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: AttributeReference) if a.exprId.id == rankId => Some(k.toLong)
+    case GreaterThanOrEqual(Literal(k: Long, LongType), a: AttributeReference) if a.exprId.id == rankId => Some(k)
+    case GreaterThan(Literal(k: Int, IntegerType), a: AttributeReference) if a.exprId.id == rankId => Some(k.toLong - 1)
+    case GreaterThan(Literal(k: Long, LongType), a: AttributeReference) if a.exprId.id == rankId => Some(k - 1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case Project(projList,
+          Filter(cond,
+            w @ LWindow(
+              Seq(rankAlias @ Alias(WindowExpression(_: RowNumber, WindowSpecDefinition(_, _, _)), _)),
+              partSpec,
+              Seq(SortOrder(score: AttributeReference, Descending, _, _),
+                  SortOrder(id: AttributeReference, Ascending, _, _)),
+              child, _)))
+        if score.dataType == org.apache.spark.sql.types.DoubleType &&
+          id.dataType == LongType &&
+          partSpec.forall(_.isInstanceOf[AttributeReference]) &&
+          upperBound(cond, rankAlias.exprId.id).exists(k => k > 0 && k <= 1000000) && {
+            val allowed = partSpec.map(_.asInstanceOf[AttributeReference].exprId) ++
+              Seq(rankAlias.exprId, score.exprId, id.exprId)
+            projList.flatMap(_.references.toSeq).forall(r => allowed.contains(r.exprId))
+          } => {
+      val k = upperBound(cond, rankAlias.exprId.id).get
+      val partAttrs = partSpec.map(_.asInstanceOf[AttributeReference])
+      val heap = graft.functions.TopKAgg(score, id, k.toInt).toAggregateExpression()
+      val tkAlias = Alias(heap, "__tk")()
+      val agg = Aggregate(partAttrs, (partAttrs: Seq[NamedExpression]) :+ tkAlias, child)
+      val posAttr = AttributeReference("__pos", IntegerType, nullable = false)()
+      val entryAttr = AttributeReference("__e",
+        new StructType().add("score", org.apache.spark.sql.types.DoubleType).add("id", LongType),
+        nullable = false)()
+      val gen = Generate(PosExplode(tkAlias.toAttribute), Nil, outer = false, None,
+        Seq(posAttr, entryAttr), agg)
+      // rebuild every projected column under its ORIGINAL exprId so parents
+      // of this subtree keep resolving
+      val rebuilt = projList.map { ne =>
+        val replaced = ne.transformUp {
+          case a: AttributeReference if a.exprId == rankAlias.exprId =>
+            Cast(Add(posAttr, Literal(1, IntegerType)), a.dataType)
+          case a: AttributeReference if a.exprId == score.exprId =>
+            GetStructField(entryAttr, 0, Some("score"))
+          case a: AttributeReference if a.exprId == id.exprId =>
+            GetStructField(entryAttr, 1, Some("id"))
+        }
+        replaced match {
+          case a: Alias => a
+          case other: NamedExpression if other.isInstanceOf[AttributeReference] => other
+          case other => Alias(other, ne.name)(exprId = ne.exprId)
+        }
+      }
+      Project(rebuilt, gen)
+    }
   }
 }
 

@@ -39,6 +39,43 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(df.as[Double].head() == 1.0)
   }
 
+  private def rankTopK(s: SparkSession, extra: Boolean) = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = (0L until 200L).map(i => (i % 5, (i * 37 % 101).toDouble, i, s"x$i"))
+      .toDF("g", "s", "id", "x")
+    val ranked = df.withColumn("rank", row_number().over(
+      Window.partitionBy("g").orderBy(col("s").desc, col("id").asc)))
+      .where(col("rank") <= 3)
+    if (extra) ranked.select("g", "rank", "id", "s", "x")
+    else ranked.select("g", "rank", "id", "s")
+  }
+
+  test("WindowTopKToBoundedHeap rewrites an eligible rank-window to the bounded heap") {
+    val q = rankTopK(spark, extra = false)
+    val opt = q.queryExecution.optimizedPlan
+    assert(opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.isEmpty,
+      s"window survived:\n$opt")
+    assert(q.queryExecution.executedPlan.toString.contains("top_k_agg"),
+      q.queryExecution.executedPlan.toString.take(2000))
+    // row-for-row identical to the extension-less session's window plan
+    val expected = rankTopK(SparkSpec.session, extra = false)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val got = q.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected)
+    assert(got.size == 15) // 5 groups x top-3
+  }
+
+  test("WindowTopKToBoundedHeap leaves ineligible shapes (extra surviving column) alone") {
+    val q = rankTopK(spark, extra = true) // column x survives -> heap can't carry it
+    val opt = q.queryExecution.optimizedPlan
+    assert(opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.nonEmpty,
+      s"ineligible shape was rewritten:\n$opt")
+  }
+
   test("GraftSession applies AQE + nanos policy") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
     assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
