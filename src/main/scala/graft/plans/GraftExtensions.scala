@@ -75,53 +75,89 @@ object WindowTopKToBoundedHeap extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case Project(projList,
-          Filter(cond,
-            w @ LWindow(
-              Seq(rankAlias @ Alias(WindowExpression(_: RowNumber, WindowSpecDefinition(_, _, _)), _)),
-              partSpec,
-              Seq(SortOrder(score: AttributeReference, Descending, _, _),
-                  SortOrder(id: AttributeReference, Ascending, _, _)),
-              child, _)))
+  /** Destructure Filter(Window) into the pieces the rewrite needs, when the
+    * window is a single row_number ranked by (DOUBLE attr, BIGINT attr id
+    * ASC) over attribute partition keys. Ascending score is served by the
+    * same max-heap on the NEGATED score (exact double negation). */
+  private def eligible(cond: Expression, w: LWindow):
+      Option[(Alias, Seq[AttributeReference], AttributeReference, Boolean, AttributeReference, Long, LogicalPlan)] =
+    w match {
+      case LWindow(
+          Seq(rankAlias @ Alias(WindowExpression(_: RowNumber, WindowSpecDefinition(_, _, _)), _)),
+          partSpec,
+          Seq(SortOrder(score: AttributeReference, dir, _, _),
+              SortOrder(id: AttributeReference, Ascending, _, _)),
+          child, _)
         if score.dataType == org.apache.spark.sql.types.DoubleType &&
           id.dataType == LongType &&
+          !score.nullable &&
           partSpec.forall(_.isInstanceOf[AttributeReference]) &&
-          upperBound(cond, rankAlias.exprId.id).exists(k => k > 0 && k <= 1000000) && {
-            val allowed = partSpec.map(_.asInstanceOf[AttributeReference].exprId) ++
-              Seq(rankAlias.exprId, score.exprId, id.exprId)
-            projList.flatMap(_.references.toSeq).forall(r => allowed.contains(r.exprId))
-          } => {
-      val k = upperBound(cond, rankAlias.exprId.id).get
-      val partAttrs = partSpec.map(_.asInstanceOf[AttributeReference])
-      val heap = graft.functions.TopKAgg(score, id, k.toInt).toAggregateExpression()
-      val tkAlias = Alias(heap, "__tk")()
-      val agg = Aggregate(partAttrs, (partAttrs: Seq[NamedExpression]) :+ tkAlias, child)
-      val posAttr = AttributeReference("__pos", IntegerType, nullable = false)()
-      val entryAttr = AttributeReference("__e",
-        new StructType().add("score", org.apache.spark.sql.types.DoubleType).add("id", LongType),
-        nullable = false)()
-      val gen = Generate(PosExplode(tkAlias.toAttribute), Nil, outer = false, None,
-        Seq(posAttr, entryAttr), agg)
-      // rebuild every projected column under its ORIGINAL exprId so parents
-      // of this subtree keep resolving
-      val rebuilt = projList.map { ne =>
-        val replaced = ne.transformUp {
-          case a: AttributeReference if a.exprId == rankAlias.exprId =>
-            Cast(Add(posAttr, Literal(1, IntegerType)), a.dataType)
-          case a: AttributeReference if a.exprId == score.exprId =>
-            GetStructField(entryAttr, 0, Some("score"))
-          case a: AttributeReference if a.exprId == id.exprId =>
-            GetStructField(entryAttr, 1, Some("id"))
+          (dir == Descending || dir == Ascending) =>
+        upperBound(cond, rankAlias.exprId.id).filter(k => k > 0 && k <= 1000000).map { k =>
+          (rankAlias, partSpec.map(_.asInstanceOf[AttributeReference]), score,
+            dir == Descending, id, k, child)
         }
-        replaced match {
-          case a: Alias => a
-          case other: NamedExpression if other.isInstanceOf[AttributeReference] => other
-          case other => Alias(other, ne.name)(exprId = ne.exprId)
-        }
-      }
-      Project(rebuilt, gen)
+      case _ => None
     }
+
+  private def rewrite(projList: Seq[NamedExpression], rankAlias: Alias,
+      partAttrs: Seq[AttributeReference], score: AttributeReference, desc: Boolean,
+      id: AttributeReference, k: Long, child: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.UnaryMinus
+    val heapScore: Expression = if (desc) score else UnaryMinus(score)
+    val heap = graft.functions.TopKAgg(heapScore, id, k.toInt).toAggregateExpression()
+    val tkAlias = Alias(heap, "__tk")()
+    val agg = Aggregate(partAttrs, (partAttrs: Seq[NamedExpression]) :+ tkAlias, child)
+    val posAttr = AttributeReference("__pos", IntegerType, nullable = false)()
+    val entryAttr = AttributeReference("__e",
+      new StructType().add("score", org.apache.spark.sql.types.DoubleType).add("id", LongType),
+      nullable = false)()
+    val gen = Generate(PosExplode(tkAlias.toAttribute), Nil, outer = false, None,
+      Seq(posAttr, entryAttr), agg)
+    val scoreBack: Expression = {
+      val f = GetStructField(entryAttr, 0, Some("score"))
+      if (desc) f else UnaryMinus(f)
+    }
+    // rebuild every projected column under its ORIGINAL exprId so parents
+    // of this subtree keep resolving
+    val rebuilt = projList.map { ne =>
+      val replaced = ne.transformUp {
+        case a: AttributeReference if a.exprId == rankAlias.exprId =>
+          Cast(Add(posAttr, Literal(1, IntegerType)), a.dataType)
+        case a: AttributeReference if a.exprId == score.exprId => scoreBack
+        case a: AttributeReference if a.exprId == id.exprId =>
+          GetStructField(entryAttr, 1, Some("id"))
+      }
+      replaced match {
+        case a: Alias => a
+        case other: NamedExpression if other.isInstanceOf[AttributeReference] => other
+        case other => Alias(other, ne.name)(exprId = ne.exprId)
+      }
+    }
+    Project(rebuilt, gen)
+  }
+
+  private def allowedRefs(projList: Seq[NamedExpression], rankAlias: Alias,
+      partAttrs: Seq[AttributeReference], score: AttributeReference,
+      id: AttributeReference): Boolean = {
+    val allowed = partAttrs.map(_.exprId) ++ Seq(rankAlias.exprId, score.exprId, id.exprId)
+    projList.flatMap(_.references.toSeq).forall(r => allowed.contains(r.exprId))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case Project(projList, Filter(cond, w: LWindow)) if eligible(cond, w).exists {
+          case (ra, pa, s, _, i, _, _) => allowedRefs(projList, ra, pa, s, i)
+        } =>
+      val (ra, pa, s, desc, i, k, child) = eligible(cond, w).get
+      rewrite(projList, ra, pa, s, desc, i, k, child)
+    // bare Filter(Window) — output is child columns + rank; eligible only
+    // when the child itself carries nothing beyond the heap-reproducible set
+    case Filter(cond, w: LWindow) if eligible(cond, w).exists {
+          case (ra, pa, s, _, i, _, _) =>
+            allowedRefs(w.output.map(_.asInstanceOf[NamedExpression]), ra, pa, s, i)
+        } =>
+      val (ra, pa, s, desc, i, k, child) = eligible(cond, w).get
+      rewrite(w.output.map(_.asInstanceOf[NamedExpression]), ra, pa, s, desc, i, k, child)
   }
 }
 

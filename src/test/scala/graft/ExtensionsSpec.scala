@@ -68,6 +68,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.size == 15) // 5 groups x top-3
   }
 
+  test("WindowTopKToBoundedHeap serves ascending (bottom-k) ranks via score negation") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    def q(s: SparkSession) = {
+      import s.implicits._
+      (0L until 100L).map(i => (i % 4, (i * 13 % 47).toDouble, i)).toDF("g", "s", "id")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("g").orderBy(col("s").asc, col("id").asc)))
+        .where(col("rank") <= 2)
+        .select("g", "rank", "id", "s")
+    }
+    val rewritten = q(spark)
+    assert(rewritten.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.isEmpty)
+    val expected = q(SparkSpec.session).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val got = rewritten.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected)
+  }
+
   test("WindowTopKToBoundedHeap leaves ineligible shapes (extra surviving column) alone") {
     val q = rankTopK(spark, extra = true) // column x survives -> heap can't carry it
     val opt = q.queryExecution.optimizedPlan
