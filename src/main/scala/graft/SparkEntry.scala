@@ -269,6 +269,7 @@ object SparkEntry {
     "distant_supervision" -> ((s, d) => SentencePairs.distantSupervision(pp(s, d))),
     "ds_train_split" -> ((s, d) => SentencePairs.dsTrainSplit(pp(s, d))),
     "gopher_rules" -> ((s, d) => TextStats.gopherRules(docs(s, d))),
+    "quality_winsorize" -> ((s, d) => TextStats.qualityWinsorize(docs(s, d), d)),
     "epoch_plan" -> ((s, d) => TextStats.epochPlan(docs(s, d))),
     "label_source_matrix" -> ((s, d) =>
       TextStats.labelSourceMatrix(docs(s, d), Tables.embeddings(s, d))),
@@ -598,5 +599,6 @@ object SparkEntry {
       ("compression_quality" -> TextStats.compressionOracleSql) +
       ("dedup_minhash_hashed" -> OracleSql.dedupMinhashHashed) +
       ("events_quantile_buckets" -> Relational.quantileBucketsOracleSql) +
-      ("events_users_hll" -> Relational.hllUsersOracleSql)
+      ("events_users_hll" -> Relational.hllUsersOracleSql) +
+      ("quality_winsorize" -> TextStats.qualityWinsorizeOracleSql(OracleSql.all("quality_score")))
 }

@@ -254,6 +254,56 @@ object TextStats {
           .as("share_of_source"))
   }
 
+  // per-sf-dir staging of the winsorization thresholds (the sketch-staging
+  // discipline of events_quantile_buckets: both engines consume the SAME
+  // staged thresholds, so the sketch's internals never enter the compare)
+  private val winsorStaged = scala.collection.mutable.Map[String, String]()
+  @volatile var lastWinsorStage: String = _
+
+  /** doc_id, source, quality, q_lo, q_hi, quality_winsorized, is_clipped —
+    * robust per-source quality clipping (winsorization at the approximate
+    * p05/p95): the outlier treatment a downstream quality-weighted sampler
+    * applies so a handful of degenerate scores can't dominate a source's
+    * weight mass. Thresholds come from `percentile_approx` — the sketch
+    * path that survives 100 TB (exact order statistics need a global
+    * selection) — staged once per corpus and broadcast; everything after
+    * the stage is a per-row clamp. */
+  def qualityWinsorize(docs: DataFrame, sfDir: String): DataFrame = {
+    val spark = docs.sparkSession
+    val scored = quality(docs).join(docs.select("doc_id", "source"), "doc_id")
+    // a NON-self-deleting path (Staging.tempDir dies with the JVM; the
+    // driver's DuckDB compare runs after we exit) — same persistent-stage
+    // convention as Relational.sketchStagePath
+    val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-oracle-stage", "winsor_" + new java.io.File(sfDir).getName).toString
+    winsorStaged.synchronized {
+      if (!winsorStaged.contains(path)) {
+        scored.groupBy("source")
+          .agg(percentile_approx(col("quality"), lit(0.05), lit(10000)).as("q_lo"),
+            percentile_approx(col("quality"), lit(0.95), lit(10000)).as("q_hi"))
+          .coalesce(1).write.mode("overwrite").parquet(path)
+        winsorStaged(path) = path
+      }
+    }
+    lastWinsorStage = path
+    val th = spark.read.parquet(path)
+    scored.join(broadcast(th), "source")
+      .select(col("doc_id"), col("source"), col("quality"), col("q_lo"), col("q_hi"),
+        greatest(col("q_lo"), least(col("q_hi"), col("quality"))).as("quality_winsorized"),
+        (col("quality") < col("q_lo") || col("quality") > col("q_hi")).as("is_clipped"))
+  }
+
+  /** Oracle twin of [[qualityWinsorize]], rebuilt per dump (reads the
+    * staged thresholds the engine just wrote). */
+  def qualityWinsorizeOracleSql(qualityScoreSql: String): String =
+    s"""WITH q AS (SELECT doc_id, quality FROM ($qualityScoreSql)),
+       |s AS (SELECT d.doc_id, d.source, q.quality FROM documents d JOIN q USING (doc_id)),
+       |th AS (SELECT source, q_lo, q_hi FROM read_parquet('$lastWinsorStage/*.parquet'))
+       |SELECT s.doc_id, s.source, s.quality, th.q_lo, th.q_hi,
+       |  greatest(th.q_lo, least(th.q_hi, s.quality)) AS quality_winsorized,
+       |  (s.quality < th.q_lo OR s.quality > th.q_hi) AS is_clipped
+       |FROM s JOIN th USING (source)""".stripMargin
+
   /** Count-Min geometry: depth (independent hash rows) × width (buckets). */
   val CmsDepth = 4
   val CmsWidth = 64L

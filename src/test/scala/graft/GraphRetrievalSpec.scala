@@ -188,6 +188,26 @@ class GraphRetrievalSpec extends SparkSpec {
     assert(r.getAs[Double]("precision") == 1.0)
   }
 
+  test("qualityWinsorize clamps to the staged band and flags exactly the outliers") {
+    val docs = (1 to 30).map { i =>
+      val t = if (i == 1) "x" else (1 to 30).map(j => s"w${i}t$j").mkString(" ")
+      (i.toLong, t, "en", "s", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.operators.TextStats.qualityWinsorize(docs, s"/tmp/winsor-spec-${System.nanoTime()}")
+      .collect()
+    assert(r.length == 30)
+    r.foreach { row =>
+      val (q, lo, hi, w, clipped) = (row.getAs[Double]("quality"),
+        row.getAs[Double]("q_lo"), row.getAs[Double]("q_hi"),
+        row.getAs[Double]("quality_winsorized"), row.getAs[Boolean]("is_clipped"))
+      assert(w >= lo && w <= hi)
+      assert(clipped == (q < lo || q > hi))
+      if (!clipped) assert(w == q)
+    }
+    // the degenerate one-token doc is below p05 of an otherwise-uniform source
+    assert(r.find(_.getAs[Long]("doc_id") == 1L).get.getAs[Boolean]("is_clipped"))
+  }
+
   test("sourceLmMatrix self-fit beats cross-fit; smoothing keeps unseen tokens finite") {
     val a = "alpha beta gamma delta alpha beta gamma delta alpha beta"
     val b = "omega psi chi phi omega psi chi phi omega psi"
