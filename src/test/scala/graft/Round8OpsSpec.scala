@@ -203,6 +203,21 @@ class Round8OpsSpec extends SparkSpec {
     assert(!short.getAs[Boolean]("rule_mean_word_len"))
   }
 
+  test("scd2 chains three batches into a contiguous validity history") {
+    val b0 = Seq((1L, "v0")).toDF("doc_id", "lang")
+    val b1 = Seq((1L, "v1")).toDF("doc_id", "lang")
+    val b2 = Seq((1L, "v2")).toDF("doc_id", "lang")
+    val h = graft.infra.Etl.scd2(Seq((0L, b0), (5L, b1), (9L, b2)), "doc_id")
+      .orderBy("version").collect()
+    assert(h.map(_.getAs[Long]("version")).toSeq == Seq(1L, 2L, 3L))
+    assert(h.map(_.getAs[Long]("valid_from")).toSeq == Seq(0L, 5L, 9L))
+    // each version's valid_to is exactly the next version's valid_from
+    assert(h.init.map(_.getAs[Long]("valid_to")).toSeq == Seq(5L, 9L))
+    assert(h.last.isNullAt(h.last.fieldIndex("valid_to")))
+    assert(h.map(_.getAs[Boolean]("is_current")).toSeq == Seq(false, false, true))
+    assert(h.map(_.getAs[String]("lang")).toSeq == Seq("v0", "v1", "v2"))
+  }
+
   test("scd2 versions updated keys and leaves untouched keys current at v1") {
     import org.apache.spark.sql.functions.col
     val base = Seq((1L, "en"), (2L, "en")).toDF("doc_id", "lang")
