@@ -90,12 +90,16 @@ object Bench {
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Per-query regression check against the FROZEN r7 baseline
-    // (baselines/bench_per_query_sf0.1.json): a single query regressing 5×
-    // inside a flat total must be NAMED, not averaged away. Same-sf only;
-    // a 0.25 s absolute floor keeps sub-100ms queries' run-to-run noise
-    // (documented 2-3× single-pass swings) from crying wolf. Advisory —
-    // it names suspects for the plan audit, it doesn't fail the bench.
+    // Per-query regression check against the FROZEN baseline
+    // (baselines/bench_per_query_sf0.1.json — re-frozen at r8, with the
+    // r8-named suspects pinned at their tighter r7 values pending the
+    // PERF_AUDIT_r9 adjudication; the r7 map is kept at
+    // bench_per_query_sf0.1_r7.json for history): a single query
+    // regressing 5× inside a flat total must be NAMED, not averaged away.
+    // Same-sf only; a 0.25 s absolute floor keeps sub-100ms queries'
+    // run-to-run noise (documented 2-3× single-pass swings) from crying
+    // wolf. Advisory — it names suspects for the plan audit, it doesn't
+    // fail the bench.
     val baselineFile = java.nio.file.Paths.get("baselines/bench_per_query_sf0.1.json")
     val regressions: Seq[(String, Double, Double)] =
       if (sfDir.endsWith("sf0.1") && java.nio.file.Files.exists(baselineFile)) {
@@ -112,7 +116,7 @@ object Bench {
     val regJson = regressions
       .map { case (n, b, w) => "\"" + n + "\":[" + f3(b) + "," + f3(w) + "]" }
     if (regressions.nonEmpty)
-      println(s"[bench-regressions vs r7 baseline] ${regJson.mkString("{", ",", "}")}")
+      println(s"[bench-regressions vs frozen baseline] ${regJson.mkString("{", ",", "}")}")
     val total = results.map(_._2).sum
     // round-over-round comparability: the query set grows every round, so
     // also report the warm total restricted to the round-1 query set
@@ -120,14 +124,14 @@ object Bench {
     val detailPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "target/bench_detail.json"))
     val fullJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(results)},"cold_total_sec":${f3(coldTotal)},"n_queries":${results.size},"warm_total_r1_queries":${f3(r1Total)},"failed":$fails,"regressions_vs_r7":${regJson.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(results)},"cold_total_sec":${f3(coldTotal)},"n_queries":${results.size},"warm_total_r1_queries":${f3(r1Total)},"failed":$fails,"regressions_vs_baseline":${regJson.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     if (detailPath.getParent != null) java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.write(detailPath, fullJson.getBytes("UTF-8"))
     results.grouped(15).zipWithIndex.foreach { case (chunk, i) =>
       println(s"[bench-queries ${i + 1}] ${jmap(chunk)}")
     }
     val slowest = results.sortBy(-_._2).take(20)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(slowest)},"queries_are_slowest20_of":${results.size},"cold_total_sec":${f3(coldTotal)},"n_queries":${results.size},"warm_total_r1_queries":${f3(r1Total)},"failed":$fails,"n_regressions_vs_r7":${regressions.size},"worst_regressions":${regJson.take(3).mkString("{", ",", "}")},"detail_file":"${detailPath.toAbsolutePath}","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(slowest)},"queries_are_slowest20_of":${results.size},"cold_total_sec":${f3(coldTotal)},"n_queries":${results.size},"warm_total_r1_queries":${f3(r1Total)},"failed":$fails,"n_regressions_vs_baseline":${regressions.size},"worst_regressions":${regJson.take(3).mkString("{", ",", "}")},"detail_file":"${detailPath.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -255,6 +255,14 @@ object SparkEntry {
     "cooccur_metrics_sent" -> ((s, d) => Cooccurrence.metrics(
       pp(s, d).withColumn("sent_id", expr(s"(ord - 1) div ${TextOps.SentWindow}")),
       Seq("doc_id", "sent_id"))),
+    // metrics at the remaining CooccurLevels (r8 verdict item 6): the same
+    // level-parameterized plan as the counts queries, through the same
+    // metrics tail the reference applies per level
+    // (ConceptCooccurrenceMetricsPipeline.java:772-860)
+    "cooccur_metrics_title" -> ((s, d) => Cooccurrence.metrics(
+      Cooccurrence.levelAnnots(pp(s, d), "title"), Seq("doc_id"))),
+    "cooccur_metrics_abstract" -> ((s, d) => Cooccurrence.metrics(
+      Cooccurrence.levelAnnots(pp(s, d), "abstract"), Seq("doc_id"))),
     "concept_idf" -> ((s, d) => Cooccurrence.idf(pp(s, d))),
     "concept_count_dist" -> ((s, d) => Cooccurrence.countDistribution(pp(s, d))),
     "tfidf" -> ((s, d) => Cooccurrence.tfidf(pp(s, d))),
@@ -470,6 +478,10 @@ object SparkEntry {
       val dd = docs(s, d)
       Bpe.encodeCounts(dd, Bpe.learnMerges(dd))
     }),
+    // same encode through the STAGED merge artifact applied as broadcast
+    // data (one dynamic fold over the sorted merge array) — same oracle;
+    // the trajectory is deterministic
+    "bpe_encode_artifact" -> ((s, d) => Bpe.encodeCountsFromArtifact(docs(s, d), d)),
     "bpe_fertility" -> ((s, d) => {
       val dd = docs(s, d)
       TextStats.bpeFertility(dd, Bpe.encodeCounts(dd, Bpe.learnMerges(dd)))

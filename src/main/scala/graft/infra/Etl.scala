@@ -56,18 +56,6 @@ object Etl {
   def upsert(current: DataFrame, updates: DataFrame, key: String): DataFrame =
     current.join(updates.select(key), Seq(key), "left_anti").unionByName(updates)
 
-  /** SCD-2 history: the versioned dual of [[upsert]] (the reference's
-    * update pipelines overwrite in place; a warehouse keeps the lineage —
-    * which baseline carried which value). Input: (batch_id, rows) in batch
-    * order, all with identical schemas keyed by `key`. Output adds
-    * version (1-based per key), valid_from (batch id), valid_to (next
-    * version's batch id, null while current), is_current.
-    *
-    * The window partitions by key ordered by batch id — partition width is
-    * the number of batches a key appears in (here ≤ #batches, a small
-    * constant), NOT corpus-width: this is the bounded-window shape that is
-    * safe at any corpus size, unlike a global ordering. One shuffle on the
-    * key. */
   /** key + change_type ('added' | 'removed' | 'changed') — snapshot diff:
     * which keys a new corpus snapshot added, dropped, or modified relative
     * to the old one (the delta report an update pipeline publishes before
@@ -91,6 +79,18 @@ object Etl {
       .select(coalesce(col(s"o_$key"), col(s"n_$key")).as(key), col("change_type"))
   }
 
+  /** SCD-2 history: the versioned dual of [[upsert]] (the reference's
+    * update pipelines overwrite in place; a warehouse keeps the lineage —
+    * which baseline carried which value). Input: (batch_id, rows) in batch
+    * order, all with identical schemas keyed by `key`. Output adds
+    * version (1-based per key), valid_from (batch id), valid_to (next
+    * version's batch id, null while current), is_current.
+    *
+    * The window partitions by key ordered by batch id — partition width is
+    * the number of batches a key appears in (here ≤ #batches, a small
+    * constant), NOT corpus-width: this is the bounded-window shape that is
+    * safe at any corpus size, unlike a global ordering. One shuffle on the
+    * key. */
   def scd2(batches: Seq[(Long, DataFrame)], key: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val all = batches

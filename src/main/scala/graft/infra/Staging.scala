@@ -33,4 +33,22 @@ object Staging {
     registered.add(p)
     p
   }
+
+  /** Deterministic per-corpus stage path OUTSIDE the exit cleanup — the
+    * driver's DuckDB oracle compare reads these parquet stages AFTER this
+    * JVM exits, so they must survive it (the harness's tmpdir is wiped
+    * between rounds; nothing accumulates across rounds).
+    *
+    * Keyed by the corpus dir's CANONICAL path, not its basename (ADVICE
+    * r8: two corpora sharing a basename in one JVM must not share a
+    * stage — the second would silently reuse the first's staged
+    * thresholds and the oracle compare would mask it, both engines
+    * reading the same stale file). */
+  def oracleStagePath(kind: String, sfDir: String): String = {
+    val f = new java.io.File(sfDir)
+    val canon = try f.getCanonicalPath catch { case _: java.io.IOException => f.getAbsolutePath }
+    val key = canon.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-oracle-stage",
+      kind + "_" + key).toString
+  }
 }

@@ -50,9 +50,18 @@ object SubProcess {
   }
 
   /** Pipe (id, payload) records through `cmd`, one child per partition.
-    * Returns the child's (id, payload) output frames. */
+    * Returns the child's (id, payload) output frames.
+    *
+    * `readTimeoutMs` bounds the silence between output frames: a child
+    * that stalls (wedged model, dead lock, infinite loop) is killed and
+    * the task fails NAMING THE COMMAND instead of hanging the stage —
+    * the reference kernel's process-timeout discipline
+    * (subprocess_pipeline/kernel/SubProcessKernel.java). The poll watches
+    * `ready() || !isAlive`: once the child exits, any buffered frames
+    * still drain and the EOF path checks the exit code as usual. */
   def pipeFramed(payloads: Dataset[(Long, Array[Byte])],
-                 cmd: Seq[String]): Dataset[(Long, Array[Byte])] = {
+                 cmd: Seq[String],
+                 readTimeoutMs: Long = 600000L): Dataset[(Long, Array[Byte])] = {
     import payloads.sparkSession.implicits._
     payloads.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
@@ -94,8 +103,24 @@ object SubProcess {
         writer.start()
         val r = new java.io.BufferedReader(new java.io.InputStreamReader(
           proc.getInputStream, java.nio.charset.StandardCharsets.US_ASCII), 1 << 16)
+        // readLine bounded by the inter-frame silence budget: poll until a
+        // line is available OR the child has exited (a dead child's pipe
+        // never blocks — buffered frames drain, then EOF), else kill+fail
+        def readLineBounded(): String = {
+          val deadline = System.nanoTime() + readTimeoutMs * 1000000L
+          while (!r.ready() && proc.isAlive) {
+            if (System.nanoTime() > deadline) {
+              proc.destroyForcibly()
+              throw new RuntimeException(
+                s"subprocess worker ${cmd.mkString(" ")} produced no output " +
+                  s"for $readTimeoutMs ms (stalled); child killed")
+            }
+            Thread.sleep(5)
+          }
+          r.readLine()
+        }
         new Iterator[(Long, Array[Byte])] {
-          private var line: String = r.readLine()
+          private var line: String = readLineBounded()
           private def onDrained(): Unit = {
             r.close()
             val code = proc.waitFor()
@@ -115,7 +140,7 @@ object SubProcess {
             if (!drained) { drained = true; onDrained() }
           override def next(): (Long, Array[Byte]) = {
             val cur = line
-            line = r.readLine()
+            line = readLineBounded()
             if (line == null) onDrainedOnce()
             // a worker that prints diagnostics to stdout corrupts the data
             // pipe — name the command and the offending line instead of

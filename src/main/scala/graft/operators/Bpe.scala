@@ -48,9 +48,10 @@ object Bpe {
       .groupBy("a", "b").agg(sum("n").as("cnt"))
 
   /** One left-to-right non-overlapping merge of adjacent (a, b) → a||b over
-    * a symbol array — a pure fold, greedy like reference BPE. */
-  private def mergeFold(syms: Column, a: String, b: String): Column = {
-    val al = lit(a); val bl = lit(b)
+    * a symbol array — a pure fold, greedy like reference BPE. Column
+    * variant: a and b may come from DATA (a merge-table row), not just
+    * compiled literals. */
+  private def mergeFoldCols(syms: Column, al: Column, bl: Column): Column =
     aggregate(syms,
       struct(expr("CAST(array() AS array<string>)").as("out"),
         lit(null).cast("string").as("prev")),
@@ -64,7 +65,9 @@ object Bpe {
       },
       acc => when(acc.getField("prev").isNull, acc.getField("out"))
         .otherwise(array_append(acc.getField("out"), acc.getField("prev"))))
-  }
+
+  private def mergeFold(syms: Column, a: String, b: String): Column =
+    mergeFoldCols(syms, lit(a), lit(b))
 
   /** Learn `k` merges; returns them in order.
     *
@@ -117,4 +120,51 @@ object Bpe {
         case (c, (a, b)) => mergeFold(c, a, b)
       })
       .groupBy("doc_id").agg(sum(size(col("syms"))).cast("long").as("n_bpe_tokens"))
+
+  // per-process staging of the merge-table artifact (written once per
+  // process+sfDir; canonical-path-keyed like every oracle stage)
+  private val mergesStaged = scala.collection.mutable.Map[String, String]()
+
+  /** Stage (once per process+sfDir) the learned merge table as a parquet
+    * artifact — the tokenizer-model handoff point: training writes it,
+    * every downstream encode job reads it. */
+  def stageMerges(docs: DataFrame, sfDir: String, k: Int = 8): String = {
+    val path = graft.infra.Staging.oracleStagePath("bpe_merges", sfDir)
+    mergesStaged.synchronized {
+      if (!mergesStaged.contains(path)) {
+        merges(docs, k).coalesce(1).write.mode("overwrite").parquet(path)
+        mergesStaged(path) = path
+      }
+    }
+    path
+  }
+
+  /** [[encodeCounts]] with the merge table read from the STAGED ARTIFACT at
+    * runtime (r8 verdict item 7): the merges arrive as DATA — the artifact
+    * is collapsed to ONE ordered-array row and broadcast onto the word
+    * stream, and the replay is a single dynamic fold over that array (each
+    * step the same non-overlapping mergeFold, with (left, right) taken from
+    * the merge row instead of a compiled literal). At a production 30k-merge
+    * vocabulary this is the only viable shape — the literal-compiled form
+    * would bake 30k nested fold expressions into the plan; here plan size is
+    * constant and the artifact swaps without recompiling. Same result (and
+    * oracle) as bpe_encode: the trajectory is deterministic. */
+  def encodeCountsFromArtifact(docs: DataFrame, sfDir: String, k: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val path = stageMerges(docs, sfDir, k)
+    // one row: the merge table as an array sorted by merge_ord (struct sort
+    // is field-order lexicographic, so merge_ord leads)
+    val mergeRow = spark.read.parquet(path)
+      .agg(array_sort(collect_list(
+        struct(col("merge_ord"), col("left").as("a"), col("right").as("b")))).as("ms"))
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .crossJoin(broadcast(mergeRow))
+      .withColumn("syms",
+        concat(transform(split(col("word"), ""), c => c), array(lit(EndMarker))))
+      .withColumn("syms",
+        aggregate(col("ms"), col("syms"),
+          (syms, m) => mergeFoldCols(syms, m.getField("a"), m.getField("b"))))
+      .groupBy("doc_id").agg(sum(size(col("syms"))).cast("long").as("n_bpe_tokens"))
+  }
 }

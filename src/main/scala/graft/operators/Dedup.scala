@@ -309,39 +309,40 @@ object Dedup {
   private val bandIndexStaged = scala.collection.mutable.Map[String, String]()
   val BandIndexBuckets = 8
 
-  /** Same output (and oracle) as [[minhashIncremental]], through the REAL
-    * stored-index layout: the existing corpus's band table is persisted as
-    * a parquet table bucketed AND sorted by (band, band_key), and only the
-    * new batch is banded at probe time. Because the index's on-disk layout
-    * already satisfies the join's distribution, the sort-merge probe join
-    * plans with ZERO exchanges on the index side — only the small new-batch
-    * side shuffles to meet the buckets. The per-bucket sort is also
-    * skippable when the scan is allowed to trust the sortBy metadata
-    * (`spark.sql.legacy.bucketedTableScan.outputOrdering`, safe exactly
-    * when each bucket is one file, which this write guarantees).
-    * That asymmetry is the nightly-ingest contract at 100 TB: ingest cost
-    * scales with the batch, not the corpus. BucketingSpec asserts the
-    * index-side plan shape mechanically. */
-  /** Stage (once per process+sfDir) the existing-corpus band table as a
-    * parquet table bucketed AND sorted by (band, band_key); returns the
-    * table name. Shared by the batch probe ([[minhashIncrementalStaged]])
-    * and the streaming ingest gate (DocStreams.neardupViaStream). */
-  def stageBandIndex(docs: DataFrame, sfDir: String, batchMod: Long = 10L): String = {
+  /** Stage (once per process+sfDir+layout) the existing-corpus band table
+    * as a parquet table bucketed AND sorted by (band, band_key); returns
+    * the table name. Shared by the batch probe
+    * ([[minhashIncrementalStaged]]) and the streaming ingest gate
+    * (DocStreams.neardupViaStream).
+    *
+    * The sort-skipping probe needs exactly ONE file per bucket (Spark
+    * honors bucket sortBy ordering only then). Two writers provide it:
+    *   - `wide = false`: `coalesce(1)` — a single writer task emits every
+    *     bucket's one file. Sound at sandbox scale, a serial bottleneck at
+    *     corpus scale.
+    *   - `wide = true` (the PRODUCTION shape): repartition on the bucket
+    *     key with numPartitions = numBuckets. Spark's shuffle
+    *     HashPartitioning and the bucketBy bucket-id function are the same
+    *     `pmod(murmur3(cols), n)`, so every writer task holds exactly one
+    *     bucket's rows and emits exactly one file — numBuckets parallel
+    *     writers, same one-file-per-bucket invariant. BucketingSpec proves
+    *     the sort-skipping probe survives the multi-task write. */
+  def stageBandIndex(docs: DataFrame, sfDir: String, batchMod: Long = 10L,
+                     wide: Boolean = false): String = {
     val spark = docs.sparkSession
     val isNew = pmod(col("doc_id"), lit(batchMod)) === 0
+    val key = s"$sfDir|wide=$wide"
     bandIndexStaged.synchronized {
-      bandIndexStaged.getOrElseUpdate(sfDir, {
-        val t = f"graft_band_index_${sfDir.hashCode & 0x7fffffff}%x"
+      bandIndexStaged.getOrElseUpdate(key, {
+        val t = f"graft_band_index_${if (wide) "w" else "n"}_${sfDir.hashCode & 0x7fffffff}%x"
         spark.sql(s"DROP TABLE IF EXISTS $t")
         // external location under managed temp staging (removed at JVM exit)
         val dir = graft.infra.Staging.tempDir("graft-band-index")
-        // one writer task → exactly one file per bucket: Spark honors the
-        // bucket sortBy ordering (skipping the index-side SortExec) only
-        // when every bucket is a single file. At production scale the same
-        // property comes from repartitioning on the bucket key before the
-        // write instead of coalescing.
-        minhashBands(shingleSets(docs.where(!isNew)))
-          .coalesce(1)
+        val bands = minhashBands(shingleSets(docs.where(!isNew)))
+        val laidOut =
+          if (wide) bands.repartition(BandIndexBuckets, col("band"), col("band_key"))
+          else bands.coalesce(1)
+        laidOut
           .write.mode("overwrite")
           .option("path", dir.resolve(t).toString)
           .bucketBy(BandIndexBuckets, "band", "band_key")
@@ -352,10 +353,25 @@ object Dedup {
     }
   }
 
-  def minhashIncrementalStaged(docs: DataFrame, sfDir: String, batchMod: Long = 10L): DataFrame = {
+  /** Same output (and oracle) as [[minhashIncremental]], through the REAL
+    * stored-index layout: the existing corpus's band table is persisted as
+    * a parquet table bucketed AND sorted by (band, band_key), and only the
+    * new batch is banded at probe time. Because the index's on-disk layout
+    * already satisfies the join's distribution, the sort-merge probe join
+    * plans with ZERO exchanges on the index side — only the small new-batch
+    * side shuffles to meet the buckets. The per-bucket sort is also
+    * skippable when the scan is allowed to trust the sortBy metadata
+    * (`spark.sql.legacy.bucketedTableScan.outputOrdering`, safe exactly
+    * when each bucket is one file, which both index writers guarantee —
+    * see [[stageBandIndex]]). That asymmetry is the nightly-ingest
+    * contract at 100 TB: ingest cost scales with the batch, not the
+    * corpus. BucketingSpec asserts the index-side plan shape mechanically
+    * for both the narrow and the wide index write. */
+  def minhashIncrementalStaged(docs: DataFrame, sfDir: String, batchMod: Long = 10L,
+                               wide: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     val isNew = pmod(col("doc_id"), lit(batchMod)) === 0
-    val table = stageBandIndex(docs, sfDir, batchMod)
+    val table = stageBandIndex(docs, sfDir, batchMod, wide)
     val newBands = minhashBands(shingleSets(docs.where(isNew)))
       .select(col("band"), col("band_key"), col("doc_id").as("new_id"))
     val index = spark.table(table)
@@ -369,8 +385,7 @@ object Dedup {
   // because the driver's DuckDB compare reads it AFTER this JVM exits)
   private val hashedSetsStaged = scala.collection.mutable.Set[String]()
   def hashedSetsStagePath(sfDir: String): String =
-    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-oracle-stage",
-      "hashed_shingle_sets_" + new java.io.File(sfDir).getName).toString
+    graft.infra.Staging.oracleStagePath("hashed_shingle_sets", sfDir)
   /** Staged-parquet location of the last hashed shingle-id set written —
     * read by the oracle SQL builder at dump time (Verify runs queries
     * before dumping SQL, so this always points at the verified sf dir). */

@@ -210,8 +210,7 @@ object Relational {
   // this JVM exits — same discipline as the compression-ratio stage)
   private val sketchStaged = scala.collection.mutable.Set[String]()
   private def sketchStagePath(kind: String, sfDir: String): String =
-    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-oracle-stage",
-      kind + "_" + new java.io.File(sfDir).getName).toString
+    graft.infra.Staging.oracleStagePath(kind, sfDir)
   @volatile var lastQuantileSketchStage: String = ""
   @volatile var lastHllStage: String = ""
   private def stageOnce(path: String)(write: => Unit): Unit =

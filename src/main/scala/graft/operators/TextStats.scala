@@ -258,7 +258,8 @@ object TextStats {
   // discipline of events_quantile_buckets: both engines consume the SAME
   // staged thresholds, so the sketch's internals never enter the compare)
   private val winsorStaged = scala.collection.mutable.Map[String, String]()
-  @volatile var lastWinsorStage: String = _
+  @volatile var lastWinsorStage: String =
+    graft.infra.Staging.oracleStagePath("winsor", "/root/testdata/sf0.01")
 
   /** doc_id, source, quality, q_lo, q_hi, quality_winsorized, is_clipped —
     * robust per-source quality clipping (winsorization at the approximate
@@ -271,11 +272,9 @@ object TextStats {
   def qualityWinsorize(docs: DataFrame, sfDir: String): DataFrame = {
     val spark = docs.sparkSession
     val scored = quality(docs).join(docs.select("doc_id", "source"), "doc_id")
-    // a NON-self-deleting path (Staging.tempDir dies with the JVM; the
-    // driver's DuckDB compare runs after we exit) — same persistent-stage
-    // convention as Relational.sketchStagePath
-    val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft-oracle-stage", "winsor_" + new java.io.File(sfDir).getName).toString
+    // a NON-self-deleting, canonical-path-keyed stage (Staging.tempDir dies
+    // with the JVM; the driver's DuckDB compare runs after we exit)
+    val path = graft.infra.Staging.oracleStagePath("winsor", sfDir)
     winsorStaged.synchronized {
       if (!winsorStaged.contains(path)) {
         scored.groupBy("source")
@@ -771,8 +770,7 @@ object TextStats {
     compressionStagePath("/root/testdata/sf0.01")
 
   def compressionStagePath(sfDir: String): String =
-    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-oracle-stage",
-      "compression_ratio_" + new java.io.File(sfDir).getName).toString
+    graft.infra.Staging.oracleStagePath("compression_ratio", sfDir)
 
   def compressionQualityStaged(docs: DataFrame, sfDir: String): DataFrame = {
     val path = compressionStagePath(sfDir)

@@ -362,28 +362,55 @@ object OracleSql {
       pairCountsSql("units_ta", Seq("doc_id"))) +
       "SELECT concept1, concept2, pair_count FROM pairs"
 
+  /** The metrics tail shared by every CooccurLevel (the reference computes
+    * the same ConceptCooccurrenceMetrics for each level, parameterized only
+    * by the unit key — ConceptCooccurrenceMetricsPipeline.java:772-860):
+    * singles/total/measures CTEs over the level's unit table. */
+  private def metricsTailCtes(units: String, totSql: String): String =
+    s"""singles AS (SELECT concept_id, CAST(count(*) AS BIGINT) AS unit_count FROM $units GROUP BY 1),
+       |tot AS ($totSql),
+       |m AS (
+       |  SELECT p.concept1, p.concept2, p.pair_count,
+       |    s1.unit_count AS concept1_count, s2.unit_count AS concept2_count,
+       |    CAST(s1.unit_count AS DOUBLE) AS fx, CAST(s2.unit_count AS DOUBLE) AS fy,
+       |    CAST(p.pair_count AS DOUBLE) AS fxy, t.n AS n
+       |  FROM pairs p
+       |  JOIN singles s1 ON p.concept1 = s1.concept_id
+       |  JOIN singles s2 ON p.concept2 = s2.concept_id
+       |  CROSS JOIN tot t)""".stripMargin
+
+  private val metricsSelect: String =
+    """SELECT concept1, concept2, pair_count, concept1_count, concept2_count,
+      |  floor(((greatest(log10(fx), log10(fy)) - log10(fxy)) / (log10(n) - least(log10(fx), log10(fy)))) * 1000000 + 0.5) / 1000000 AS ngd,
+      |  floor((ln((fxy / n) / ((fx / n) * (fy / n)))) * 1000000 + 0.5) / 1000000 AS pmi,
+      |  floor((ln((fxy / n) / ((fx / n) * (fy / n))) / (-1.0 * ln((fxy / n) + 0.000000001))) * 1000000 + 0.5) / 1000000 AS npmi,
+      |  floor((ln((fxy / n) / ((fx / n) * (fy / n))) / (-1.0 * ln(greatest(fx / n, fy / n) + 0.000000001))) * 1000000 + 0.5) / 1000000 AS npmim,
+      |  floor((ln(pow(fxy / n, 2.0) / ((fx / n) * (fy / n)))) * 1000000 + 0.5) / 1000000 AS md,
+      |  floor((ln(pow(fxy / n, 2.0) / ((fx / n) * (fy / n))) + ln(fxy / n)) * 1000000 + 0.5) / 1000000 AS lfmd
+      |FROM m
+      |WHERE log10(n) - least(log10(fx), log10(fy)) <> 0""".stripMargin
+
   val cooccurMetricsDoc: String =
     docPipeline(unitsDocCte, pairCountsSql("units_doc", Seq("doc_id")),
-      """singles AS (SELECT concept_id, CAST(count(*) AS BIGINT) AS unit_count FROM units_doc GROUP BY 1),
-        |tot AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM units_doc),
-        |m AS (
-        |  SELECT p.concept1, p.concept2, p.pair_count,
-        |    s1.unit_count AS concept1_count, s2.unit_count AS concept2_count,
-        |    CAST(s1.unit_count AS DOUBLE) AS fx, CAST(s2.unit_count AS DOUBLE) AS fy,
-        |    CAST(p.pair_count AS DOUBLE) AS fxy, t.n AS n
-        |  FROM pairs p
-        |  JOIN singles s1 ON p.concept1 = s1.concept_id
-        |  JOIN singles s2 ON p.concept2 = s2.concept_id
-        |  CROSS JOIN tot t)""".stripMargin) +
-      """SELECT concept1, concept2, pair_count, concept1_count, concept2_count,
-        |  floor(((greatest(log10(fx), log10(fy)) - log10(fxy)) / (log10(n) - least(log10(fx), log10(fy)))) * 1000000 + 0.5) / 1000000 AS ngd,
-        |  floor((ln((fxy / n) / ((fx / n) * (fy / n)))) * 1000000 + 0.5) / 1000000 AS pmi,
-        |  floor((ln((fxy / n) / ((fx / n) * (fy / n))) / (-1.0 * ln((fxy / n) + 0.000000001))) * 1000000 + 0.5) / 1000000 AS npmi,
-        |  floor((ln((fxy / n) / ((fx / n) * (fy / n))) / (-1.0 * ln(greatest(fx / n, fy / n) + 0.000000001))) * 1000000 + 0.5) / 1000000 AS npmim,
-        |  floor((ln(pow(fxy / n, 2.0) / ((fx / n) * (fy / n)))) * 1000000 + 0.5) / 1000000 AS md,
-        |  floor((ln(pow(fxy / n, 2.0) / ((fx / n) * (fy / n))) + ln(fxy / n)) * 1000000 + 0.5) / 1000000 AS lfmd
-        |FROM m
-        |WHERE log10(n) - least(log10(fx), log10(fy)) <> 0""".stripMargin
+      metricsTailCtes("units_doc",
+        "SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM units_doc")) +
+      metricsSelect
+
+  /** Metrics at the TITLE / ABSTRACT levels: the level-restricted unit
+    * tables of cooccurCountsTitle/Abstract under the same metrics tail. */
+  val cooccurMetricsTitle: String =
+    docPipeline(unitsLevelCte("title", s"(ord - 1) // $W = 0"),
+      pairCountsSql("units_title", Seq("doc_id")),
+      metricsTailCtes("units_title",
+        "SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM units_title")) +
+      metricsSelect
+
+  val cooccurMetricsAbstract: String =
+    docPipeline(unitsLevelCte("abstr", s"(ord - 1) // $W IN (1, 2)"),
+      pairCountsSql("units_abstr", Seq("doc_id")),
+      metricsTailCtes("units_abstr",
+        "SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM units_abstr")) +
+      metricsSelect
 
   /** Cooccurrence.chi2Metrics twin (doc level): identical operation order
     * in every float expression. */
@@ -406,27 +433,10 @@ object OracleSql {
 
   val cooccurMetricsSent: String =
     docPipeline(unitsSentCte, pairCountsSql("units_sent", Seq("doc_id", "sent_id")),
-      """singles AS (SELECT concept_id, CAST(count(*) AS BIGINT) AS unit_count FROM units_sent GROUP BY 1),
-        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n
-        |  FROM (SELECT DISTINCT doc_id, sent_id FROM units_sent)),
-        |m AS (
-        |  SELECT p.concept1, p.concept2, p.pair_count,
-        |    s1.unit_count AS concept1_count, s2.unit_count AS concept2_count,
-        |    CAST(s1.unit_count AS DOUBLE) AS fx, CAST(s2.unit_count AS DOUBLE) AS fy,
-        |    CAST(p.pair_count AS DOUBLE) AS fxy, t.n AS n
-        |  FROM pairs p
-        |  JOIN singles s1 ON p.concept1 = s1.concept_id
-        |  JOIN singles s2 ON p.concept2 = s2.concept_id
-        |  CROSS JOIN tot t)""".stripMargin) +
-      """SELECT concept1, concept2, pair_count, concept1_count, concept2_count,
-        |  floor(((greatest(log10(fx), log10(fy)) - log10(fxy)) / (log10(n) - least(log10(fx), log10(fy)))) * 1000000 + 0.5) / 1000000 AS ngd,
-        |  floor((ln((fxy / n) / ((fx / n) * (fy / n)))) * 1000000 + 0.5) / 1000000 AS pmi,
-        |  floor((ln((fxy / n) / ((fx / n) * (fy / n))) / (-1.0 * ln((fxy / n) + 0.000000001))) * 1000000 + 0.5) / 1000000 AS npmi,
-        |  floor((ln((fxy / n) / ((fx / n) * (fy / n))) / (-1.0 * ln(greatest(fx / n, fy / n) + 0.000000001))) * 1000000 + 0.5) / 1000000 AS npmim,
-        |  floor((ln(pow(fxy / n, 2.0) / ((fx / n) * (fy / n)))) * 1000000 + 0.5) / 1000000 AS md,
-        |  floor((ln(pow(fxy / n, 2.0) / ((fx / n) * (fy / n))) + ln(fxy / n)) * 1000000 + 0.5) / 1000000 AS lfmd
-        |FROM m
-        |WHERE log10(n) - least(log10(fx), log10(fy)) <> 0""".stripMargin
+      metricsTailCtes("units_sent",
+        """SELECT CAST(count(*) AS DOUBLE) AS n
+          |  FROM (SELECT DISTINCT doc_id, sent_id FROM units_sent)""".stripMargin)) +
+      metricsSelect
 
   val conceptIdf: String =
     docPipeline(unitsDocCte,
@@ -3352,6 +3362,7 @@ object OracleSql {
     "cooccur_chi2" -> cooccurChi2,
     "events_stickiness" -> eventsStickiness,
     "bpe_encode" -> bpeEncodeSql,
+    "bpe_encode_artifact" -> bpeEncodeSql,
     "bpe_fertility" -> bpeFertility,
     "vocab_coverage" -> vocabCoverage,
     "ner_bert_import" -> nerBertImport,
@@ -3444,6 +3455,8 @@ object OracleSql {
     "top_parts_agg" -> topPartsAgg,
     "cooccur_metrics_doc" -> cooccurMetricsDoc,
     "cooccur_metrics_sent" -> cooccurMetricsSent,
+    "cooccur_metrics_title" -> cooccurMetricsTitle,
+    "cooccur_metrics_abstract" -> cooccurMetricsAbstract,
     "concept_idf" -> conceptIdf,
     "concept_count_dist" -> conceptCountDist,
     "tfidf" -> tfidf,

@@ -47,13 +47,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   *
   * Eligible shape (deliberately narrow — the rewrite must lose nothing):
   *   Project(proj, Filter(rank <= K, Window(row_number as rank
-  *     partitionBy p... orderBy s DESC, id ASC, child)))
-  * where s is a DOUBLE attribute, id a BIGINT attribute, K a literal, and
-  * every attribute the projection uses is one of {p..., rank, s, id} —
-  * i.e. nothing outside the heap's (score, id) payload and the group keys
-  * survives the window, so the aggregate can reproduce the full output.
-  * Ties: row_number with (s DESC, id ASC) ranks exactly like TopKAgg's
-  * eviction order, so results are identical row-for-row, not just setwise.
+  *     partitionBy p... orderBy s DESC|ASC, id ASC, child)))
+  * where s is a NON-NULLABLE DOUBLE attribute, id a NON-NULLABLE BIGINT
+  * attribute (TopKAgg skips null-id rows that row_number would rank, so a
+  * nullable id could silently change the result set — ADVICE r8), and K a
+  * literal. Projection columns beyond {p..., rank, s, id} are carried
+  * through the heap as PAYLOAD cargo when they are attributes of the window
+  * child, so e.g. "top 3 parts per brand with the part NAME" still gets the
+  * bounded plan; only computed columns the child doesn't expose block the
+  * rewrite. Ties: row_number with (s DESC|ASC, id ASC) ranks exactly like
+  * TopKAgg's eviction order — including NaN scores, which both the window
+  * sort and the heap place greatest — so results are identical row-for-row,
+  * not just setwise.
   */
 object WindowTopKToBoundedHeap extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, AttributeReference, Cast, Descending, GetStructField, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, NamedExpression, PosExplode, SortOrder, WindowExpression, WindowSpecDefinition}
@@ -77,8 +82,10 @@ object WindowTopKToBoundedHeap extends Rule[LogicalPlan] {
 
   /** Destructure Filter(Window) into the pieces the rewrite needs, when the
     * window is a single row_number ranked by (DOUBLE attr, BIGINT attr id
-    * ASC) over attribute partition keys. Ascending score is served by the
-    * same max-heap on the NEGATED score (exact double negation). */
+    * ASC) over attribute partition keys. Both sort directions are served by
+    * TopKAgg's own `asc` flag (no score negation — negation would invert
+    * where NaN ranks). Both rank columns must be provably non-null: TopKAgg
+    * skips null score/id rows, row_number ranks them. */
   private def eligible(cond: Expression, w: LWindow):
       Option[(Alias, Seq[AttributeReference], AttributeReference, Boolean, AttributeReference, Long, LogicalPlan)] =
     w match {
@@ -91,6 +98,7 @@ object WindowTopKToBoundedHeap extends Rule[LogicalPlan] {
         if score.dataType == org.apache.spark.sql.types.DoubleType &&
           id.dataType == LongType &&
           !score.nullable &&
+          !id.nullable &&
           partSpec.forall(_.isInstanceOf[AttributeReference]) &&
           (dir == Descending || dir == Ascending) =>
         upperBound(cond, rankAlias.exprId.id).filter(k => k > 0 && k <= 1000000).map { k =>
@@ -100,33 +108,59 @@ object WindowTopKToBoundedHeap extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Projection columns outside {group keys, rank, score, id}: carried
+    * through the heap as payload when every one is an attribute the window
+    * child exposes (order = first reference in the projection, so the
+    * rewrite is deterministic). None ⇒ ineligible (a computed column the
+    * child doesn't expose can't ride the heap). */
+  private def payloadAttrs(projList: Seq[NamedExpression], rankAlias: Alias,
+      partAttrs: Seq[AttributeReference], score: AttributeReference,
+      id: AttributeReference, child: LogicalPlan): Option[Seq[AttributeReference]] = {
+    val allowed = (partAttrs.map(_.exprId) ++ Seq(rankAlias.exprId, score.exprId, id.exprId)).toSet
+    val extraRefs = projList.flatMap(_.references.toSeq)
+      .filterNot(r => allowed.contains(r.exprId))
+      .foldLeft(Vector.empty[org.apache.spark.sql.catalyst.expressions.Attribute]) { (acc, r) =>
+        if (acc.exists(_.exprId == r.exprId)) acc else acc :+ r
+      }
+    val extras = extraRefs.collect { case a: AttributeReference => a }
+    if (extras.length == extraRefs.length && extras.forall(a => child.outputSet.contains(a)))
+      Some(extras.toSeq)
+    else None
+  }
+
   private def rewrite(projList: Seq[NamedExpression], rankAlias: Alias,
       partAttrs: Seq[AttributeReference], score: AttributeReference, desc: Boolean,
-      id: AttributeReference, k: Long, child: LogicalPlan): LogicalPlan = {
-    import org.apache.spark.sql.catalyst.expressions.UnaryMinus
-    val heapScore: Expression = if (desc) score else UnaryMinus(score)
-    val heap = graft.functions.TopKAgg(heapScore, id, k.toInt).toAggregateExpression()
+      id: AttributeReference, k: Long, payload: Seq[AttributeReference],
+      child: LogicalPlan): LogicalPlan = {
+    val heap = graft.functions.TopKAgg(score, id, k.toInt, asc = !desc,
+      payload = payload).toAggregateExpression()
     val tkAlias = Alias(heap, "__tk")()
     val agg = Aggregate(partAttrs, (partAttrs: Seq[NamedExpression]) :+ tkAlias, child)
     val posAttr = AttributeReference("__pos", IntegerType, nullable = false)()
-    val entryAttr = AttributeReference("__e",
-      new StructType().add("score", org.apache.spark.sql.types.DoubleType).add("id", LongType),
-      nullable = false)()
+    val payloadSchema = StructType(payload.zipWithIndex.map { case (a, i) =>
+      org.apache.spark.sql.types.StructField(s"p$i", a.dataType, a.nullable)
+    })
+    val entryBase = new StructType()
+      .add("score", org.apache.spark.sql.types.DoubleType).add("id", LongType)
+    val entryType =
+      if (payload.isEmpty) entryBase else entryBase.add("payload", payloadSchema, nullable = false)
+    val entryAttr = AttributeReference("__e", entryType, nullable = false)()
     val gen = Generate(PosExplode(tkAlias.toAttribute), Nil, outer = false, None,
       Seq(posAttr, entryAttr), agg)
-    val scoreBack: Expression = {
-      val f = GetStructField(entryAttr, 0, Some("score"))
-      if (desc) f else UnaryMinus(f)
-    }
+    val payloadIdx = payload.map(_.exprId).zipWithIndex.toMap
     // rebuild every projected column under its ORIGINAL exprId so parents
     // of this subtree keep resolving
     val rebuilt = projList.map { ne =>
       val replaced = ne.transformUp {
         case a: AttributeReference if a.exprId == rankAlias.exprId =>
           Cast(Add(posAttr, Literal(1, IntegerType)), a.dataType)
-        case a: AttributeReference if a.exprId == score.exprId => scoreBack
+        case a: AttributeReference if a.exprId == score.exprId =>
+          GetStructField(entryAttr, 0, Some("score"))
         case a: AttributeReference if a.exprId == id.exprId =>
           GetStructField(entryAttr, 1, Some("id"))
+        case a: AttributeReference if payloadIdx.contains(a.exprId) =>
+          GetStructField(GetStructField(entryAttr, 2, Some("payload")),
+            payloadIdx(a.exprId), Some(s"p${payloadIdx(a.exprId)}"))
       }
       replaced match {
         case a: Alias => a
@@ -137,27 +171,24 @@ object WindowTopKToBoundedHeap extends Rule[LogicalPlan] {
     Project(rebuilt, gen)
   }
 
-  private def allowedRefs(projList: Seq[NamedExpression], rankAlias: Alias,
-      partAttrs: Seq[AttributeReference], score: AttributeReference,
-      id: AttributeReference): Boolean = {
-    val allowed = partAttrs.map(_.exprId) ++ Seq(rankAlias.exprId, score.exprId, id.exprId)
-    projList.flatMap(_.references.toSeq).forall(r => allowed.contains(r.exprId))
-  }
-
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case Project(projList, Filter(cond, w: LWindow)) if eligible(cond, w).exists {
-          case (ra, pa, s, _, i, _, _) => allowedRefs(projList, ra, pa, s, i)
+          case (ra, pa, s, _, i, _, child) =>
+            payloadAttrs(projList, ra, pa, s, i, child).isDefined
         } =>
       val (ra, pa, s, desc, i, k, child) = eligible(cond, w).get
-      rewrite(projList, ra, pa, s, desc, i, k, child)
-    // bare Filter(Window) — output is child columns + rank; eligible only
-    // when the child itself carries nothing beyond the heap-reproducible set
+      rewrite(projList, ra, pa, s, desc, i, k,
+        payloadAttrs(projList, ra, pa, s, i, child).get, child)
+    // bare Filter(Window) — output is child columns + rank; payload covers
+    // whatever the child carries beyond the heap-reproducible set
     case Filter(cond, w: LWindow) if eligible(cond, w).exists {
-          case (ra, pa, s, _, i, _, _) =>
-            allowedRefs(w.output.map(_.asInstanceOf[NamedExpression]), ra, pa, s, i)
+          case (ra, pa, s, _, i, _, child) =>
+            payloadAttrs(w.output.map(_.asInstanceOf[NamedExpression]), ra, pa, s, i, child).isDefined
         } =>
       val (ra, pa, s, desc, i, k, child) = eligible(cond, w).get
-      rewrite(w.output.map(_.asInstanceOf[NamedExpression]), ra, pa, s, desc, i, k, child)
+      val outs = w.output.map(_.asInstanceOf[NamedExpression])
+      rewrite(outs, ra, pa, s, desc, i, k,
+        payloadAttrs(outs, ra, pa, s, i, child).get, child)
   }
 }
 

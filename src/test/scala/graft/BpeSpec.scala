@@ -43,4 +43,20 @@ class BpeSpec extends SparkSpec {
       Bpe.learnMerges(corpus, k = 3))
     assert(df.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("encode via the staged artifact (broadcast data fold) matches the literal-fold encode") {
+    // the production path (r8 verdict item 7): merges read back from
+    // storage and replayed as data through one dynamic fold — byte-identical
+    // counts to the compiled-literal k-fold replay
+    // full corpus on BOTH sides: the artifact stage is keyed by sfDir, so
+    // staging a subsetted corpus under the real dir's key would poison any
+    // later same-JVM user of that stage
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val viaLiterals = Bpe.encodeCounts(docs, Bpe.learnMerges(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaArtifact = Bpe.encodeCountsFromArtifact(docs, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaArtifact == viaLiterals)
+    assert(viaArtifact.nonEmpty)
+  }
 }

@@ -68,7 +68,7 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.size == 15) // 5 groups x top-3
   }
 
-  test("WindowTopKToBoundedHeap serves ascending (bottom-k) ranks via score negation") {
+  test("WindowTopKToBoundedHeap serves ascending (bottom-k) ranks via the heap's asc mode") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
@@ -90,12 +90,76 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
-  test("WindowTopKToBoundedHeap leaves ineligible shapes (extra surviving column) alone") {
-    val q = rankTopK(spark, extra = true) // column x survives -> heap can't carry it
+  test("WindowTopKToBoundedHeap carries extra projection columns as heap payload") {
+    // column x (a child attribute outside {keys, rank, score, id}) rides
+    // the heap as cargo — the r8 verdict's top_parts_per_brand shape
+    val q = rankTopK(spark, extra = true)
     val opt = q.queryExecution.optimizedPlan
     assert(opt.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.nonEmpty,
-      s"ineligible shape was rewritten:\n$opt")
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.isEmpty,
+      s"payload-carrying shape was not rewritten:\n$opt")
+    assert(q.queryExecution.executedPlan.toString.contains("top_k_agg"))
+    val expected = rankTopK(SparkSpec.session, extra = true).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getString(4))).toSet
+    val got = q.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getString(4))).toSet
+    assert(got == expected)
+    assert(got.size == 15)
+  }
+
+  test("WindowTopKToBoundedHeap leaves nullable score or id alone (ADVICE r8)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // row_number ranks null-id rows (NULLS FIRST on ASC); TopKAgg skips
+    // them — so the rewrite must refuse both nullable rank columns
+    val df = (0L until 50L).map(i => (i % 3, i.toDouble, i)).toDF("g", "s", "id")
+    def winPlan(scoreCol: org.apache.spark.sql.Column, idCol: org.apache.spark.sql.Column) =
+      df.select(col("g"), scoreCol.as("sc"), idCol.as("i"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("g").orderBy(col("sc").desc, col("i").asc)))
+        .where(col("rank") <= 2)
+        .select("g", "rank", "i", "sc")
+    for (q <- Seq(
+        winPlan(when(col("s") > 10, col("s")), col("id")),   // nullable score
+        winPlan(col("s"), when(col("id") >= 0, col("id"))))) // nullable id
+      assert(q.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.nonEmpty,
+        s"nullable rank column was rewritten:\n${q.queryExecution.optimizedPlan}")
+  }
+
+  test("WindowTopKToBoundedHeap ranks NaN scores exactly like the window sort") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // Spark sorts NaN greatest: DESC puts it first, ASC last. The heap's
+    // java.lang.Double.compare ordering matches both directions (ADVICE r8:
+    // the old (-s, id) ordering evicted NaN under DESC, and negation would
+    // flip where NaN lands under ASC).
+    def q(s: SparkSession, desc: Boolean) = {
+      import s.implicits._
+      val df = Seq((0L, 1.0, 1L), (0L, Double.NaN, 2L), (0L, 5.0, 3L),
+        (0L, 2.0, 4L), (1L, Double.NaN, 5L), (1L, 0.5, 6L))
+        .toDF("g", "s", "id")
+      val ord = if (desc) col("s").desc else col("s").asc
+      df.withColumn("rank", row_number().over(
+          Window.partitionBy("g").orderBy(ord, col("id").asc)))
+        .where(col("rank") <= 2)
+        .select("g", "rank", "id", "s")
+    }
+    for (desc <- Seq(true, false)) {
+      val rewritten = q(spark, desc)
+      assert(rewritten.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.isEmpty,
+        s"NaN-carrying eligible shape was not rewritten (desc=$desc)")
+      // NaN != NaN under Scala ==; compare score bit patterns
+      val expected = q(SparkSpec.session, desc).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+      val got = rewritten.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+      assert(got == expected, s"desc=$desc: got $got, expected $expected")
+    }
   }
 
   test("GraftSession applies AQE + nanos policy") {

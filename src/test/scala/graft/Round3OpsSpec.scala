@@ -124,6 +124,23 @@ class Round3OpsSpec extends SparkSpec {
     assert(plan.contains("partial_top_k_agg"), plan)
   }
 
+  test("payload-carrying top-k aggregate ships winner rows' extra columns through the heap") {
+    val rows = (0 until 120).map(i => (s"g${i % 3}", (i * 31 % 97).toDouble, i.toLong, s"name-$i"))
+      .toDF("g", "score", "id", "nm")
+    val viaAgg = rows.groupBy("g")
+      .agg(graft.functions.TopKAgg.topKWith(col("score"), col("id"), 4, col("nm")).as("tk"))
+      .select(col("g"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("g"), (col("pos") + 1).as("rk"), col("e.score"), col("e.id"),
+        col("e.payload.p0").as("nm"))
+    val viaWindow = rows.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy(col("score").desc, col("id"))))
+      .where(col("rk") <= 4).select("g", "rk", "score", "id", "nm")
+    assert(viaAgg.collect().toSet == viaWindow.collect().toSet)
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_top_k_agg"), plan)
+  }
+
   test("span agreement computes exact tp/fp/fn and rounded P/R/F1") {
     val sys = Seq((1L, 0L, 5L), (1L, 10L, 15L), (1L, 20L, 25L)).toDF("doc_id", "char_start", "char_end")
     val gold = Seq((1L, 0L, 5L), (1L, 30L, 35L)).toDF("doc_id", "char_start", "char_end")

@@ -115,6 +115,34 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.head.n_events == 2L && sessions.head.sum_value == 3.0)
   }
 
+  test("sessionization state rows stay bounded by key cardinality across micro-batches") {
+    // the leak monitor a deployment watches (r8 verdict item 9): the
+    // engine's own state-store telemetry (StreamingQueryProgress
+    // .stateOperators) must show state rows tracking DISTINCT USERS, not
+    // events — a sessionization whose state grew with arrivals would OOM
+    // the state store long before 100 TB
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(mem.toDS(), gapMs = 10 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessstate").outputMode("append").start()
+    val nUsers = 6
+    // 5 micro-batches, each delivering one fresh event per user: events seen
+    // grows 6→30 while keyed state must stay pinned at 6 rows
+    for (batch <- 0 until 5) {
+      mem.addData((0 until nUsers).map(u =>
+        EventStreams.Event(u.toLong, ts(batch * 2 + 1), 1.0)): _*)
+      q.processAllAvailable()
+    }
+    val progresses = q.recentProgress.filter(_.numInputRows > 0)
+    q.stop()
+    assert(progresses.length >= 5, s"expected ≥5 data micro-batches, got ${progresses.length}")
+    val stateRows = progresses.map(_.stateOperators.map(_.numRowsTotal).sum)
+    assert(stateRows.forall(_ <= nUsers.toLong),
+      s"state rows exceeded key cardinality: ${stateRows.toSeq}")
+    assert(stateRows.last == nUsers.toLong,
+      s"expected one state row per user after the run: ${stateRows.toSeq}")
+  }
+
   test("event-time timeout flushes the open session of a quiescent key") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Event]

@@ -91,6 +91,34 @@ class SubProcessSpec extends SparkSpec {
     assert(n == 5)
   }
 
+  test("a child that dies MID-PARTITION fails the task after the frames it did emit") {
+    // echoes 2 frames then dies nonzero: the reader drains both, hits EOF,
+    // and the exit-code check must kill the task (not silently keep the
+    // truncated prefix) with the command named
+    val in = payloads(50, 1).as[(Long, Array[Byte])]
+    val cmd = Seq("/bin/sh", "-c", "head -n 2; exit 7")
+    val e = intercept[org.apache.spark.SparkException] {
+      SubProcess.pipeFramed(in, cmd).count()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("exited with code 7") && msg.contains("head -n 2"), msg)
+  }
+
+  test("a STALLED child is killed and the task fails naming the command, not a hang") {
+    // reads everything, emits nothing, sleeps far past the read timeout —
+    // without the bounded read this spec would wedge the suite
+    val in = payloads(5, 1).as[(Long, Array[Byte])]
+    val cmd = Seq("/bin/sh", "-c", "cat > /dev/null; sleep 600")
+    val t0 = System.nanoTime()
+    val e = intercept[org.apache.spark.SparkException] {
+      SubProcess.pipeFramed(in, cmd, readTimeoutMs = 2000L).count()
+    }
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("stalled") && msg.contains("sleep 600"), msg)
+    assert(elapsedSec < 60.0, s"stall detection took ${elapsedSec}s")
+  }
+
   test("a child that prints diagnostics to stdout fails with the command and line named") {
     val in = payloads(3, 1).as[(Long, Array[Byte])]
     val e = intercept[org.apache.spark.SparkException] {
