@@ -289,14 +289,26 @@ object Relational {
        |  abs(est.n_users_approx - ex.n_users_exact) * 10 <= ex.n_users_exact + 10 AS within_bound
        |FROM ex JOIN est USING (event_type)""".stripMargin
 
-  /** Top-3 parts per brand by retail price — the generic windowed top-N per
-    * group shape (rank inside partition, no global sort). */
+  /** Top-3 parts per brand by retail price, carrying the part NAME — the
+    * top-N-per-group-with-payload shape. Re-planned (r9) from the rank
+    * window onto the payload-carrying bounded-heap aggregate: the window
+    * materializes and sorts every part of every brand before discarding
+    * all but k (one hot brand = one straggler partition at 100×), while
+    * TopKAgg ships ≤ k (price, key, name) entries per brand through
+    * partial aggregation. Ordering (score DESC, id ASC) matches the
+    * window/oracle formulation row-for-row; the name rides the heap as
+    * inert cargo. The window formulation itself stays covered by
+    * ExtensionsSpec, where WindowTopKToBoundedHeap rewrites it to exactly
+    * this plan. */
   def topPartsPerBrand(part: DataFrame, k: Int = 3): DataFrame =
     part
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey"))).cast("long"))
-      .where(col("rk") <= k)
-      .select(col("p_brand"), col("rk"), col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .groupBy("p_brand")
+      .agg(graft.functions.TopKAgg.topKWith(
+        col("p_retailprice"), col("p_partkey"), k, col("p_name")).as("tk"))
+      .select(col("p_brand"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("p_brand"), (col("pos") + 1).cast("long").as("rk"),
+        col("e.id").as("p_partkey"), col("e.payload.p0").as("p_name"),
+        col("e.score").as("p_retailprice"))
 
   /** TPC-H Q7-shaped: shipping volume between customer and supplier nations
     * by ship year. Every dimension (customer, supplier, both nation copies)
