@@ -602,7 +602,13 @@ object SparkEntry {
           Seq("doc_id"), "left_anti")
     }),
     "multimodal_meta" -> ((s, d) => TextStats.multimodalMeta(docs(s, d))),
-    "multimodal_batches" -> ((s, d) => TextStats.multimodalBatches(docs(s, d))))
+    "multimodal_batches" -> ((s, d) => TextStats.multimodalBatches(docs(s, d))),
+    // round-9 data-card family: packing fill rate, per-source KL from the
+    // corpus mix, KG degree histogram, embedding-norm distribution
+    "pack_efficiency" -> ((s, d) => TextStats.packEfficiency(docs(s, d))),
+    "source_kl" -> ((s, d) => TextStats.sourceKl(docs(s, d))),
+    "kg_degree_dist" -> ((s, d) => KnowledgeGraph.degreeDist(pp(s, d))),
+    "emb_norm_stats" -> ((s, d) => Embeddings.normStats(Tables.embeddings(s, d))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. */

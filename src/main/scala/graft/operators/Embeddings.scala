@@ -747,4 +747,27 @@ object Embeddings {
       .select(col("vec_id"), col("rank"), col("neighbor_id"), col("cosine"),
         coalesce(col("rev"), lit(false)).as("mutual"))
   }
+
+  /** label, n_vecs, min_norm, max_norm, avg_norm — embedding L2-norm
+    * distribution per label (the collapse/scale-drift data card: a label
+    * whose norms pinch toward 0 or blow out signals a degenerate encoder
+    * or an un-normalized shard mixed into the index). Per-vector squared
+    * norm is an in-row codegen'd fold with each x² floored to integer
+    * micro-units BEFORE summation (long sums commute; float sums don't),
+    * the norm one deterministic sqrt of that exact value, and the rollup
+    * a single map-side-combinable label aggregation. */
+  def normStats(embeddings: DataFrame): DataFrame = {
+    val ssMicro = aggregate(asDouble(col("embedding")), lit(0L),
+      (acc, x) => acc + floor(x * x * lit(1000000.0) + lit(0.5)).cast("long"))
+    val normMicro = floor(sqrt(ssMicro.cast("double") / lit(1000000.0)) *
+      lit(1000000.0) + lit(0.5)).cast("long")
+    embeddings
+      .select(col("label").cast("long").as("label"), normMicro.as("norm_micro"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        Num.r6(min("norm_micro").cast("double") / lit(1000000.0)).as("min_norm"),
+        Num.r6(max("norm_micro").cast("double") / lit(1000000.0)).as("max_norm"),
+        Num.r6((sum("norm_micro").cast("double") / lit(1000000.0)) /
+          count(lit(1)).cast("double")).as("avg_norm"))
+  }
 }

@@ -110,6 +110,20 @@ object KnowledgeGraph {
         col("pair_count"), col("ngd"), col("npmi"))
   }
 
+  /** degree, n_nodes — degree-distribution histogram of the cooccurrence
+    * graph (the power-law data card a KG release publishes; a hub whose
+    * degree dwarfs the curve is the node that breaks BFS/PageRank cost
+    * models). Two map-side-combinable aggregations over the edge list —
+    * degree per node, then nodes per degree (a ≤|V|-key rollup). */
+  def degreeDist(annots: DataFrame): DataFrame = {
+    val pairs = Cooccurrence.pairCounts(
+      Cooccurrence.unitConcepts(annots, Seq("doc_id")), Seq("doc_id"))
+    pairs.select(col("concept1").as("src"))
+      .unionAll(pairs.select(col("concept2").as("src")))
+      .groupBy("src").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+  }
+
   val PageRankIters = 5
   val PageRankScale = 1000000L
 

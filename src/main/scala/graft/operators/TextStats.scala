@@ -715,6 +715,54 @@ object TextStats {
       .drop("cum")
   }
 
+  /** doc_id, n_packs, n_tokens, fill_rate — packing-efficiency report over
+    * [[tokenPacking]]'s bins (the data card a packed-pretraining run
+    * publishes: fill rate is the fraction of the context budget carrying
+    * real tokens — the rest is padding the loss masks away). One per-doc
+    * aggregation over the packing table; fill = tokens / (bins × budget),
+    * rounded 6dp with identical op order in both engines. */
+  def packEfficiency(docs: DataFrame, budget: Int = 64): DataFrame =
+    tokenPacking(docs, budget)
+      .groupBy("doc_id")
+      .agg(countDistinct("pack_id").as("n_packs"),
+        sum("n_tokens").cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("n_packs"), col("n_tokens"),
+        Num.r6(col("n_tokens").cast("double") /
+          (col("n_packs") * budget).cast("double")).as("fill_rate"))
+
+  /** source, n_tokens, kl — per-source KL divergence from the corpus
+    * unigram distribution (the domain-shift number a DoReMi/DSIR-style
+    * mixture designer reads next to [[sourceLmMatrix]]'s cross-LM
+    * scores: KL(source ‖ corpus) says how far a source's token
+    * distribution sits from the mix it will be blended into).
+    *
+    * Scale shape: the corpus collapses to the (source, token) count
+    * matrix ONCE (vocabulary × #sources rows — map-side-combinable);
+    * corpus marginals re-aggregate from that matrix, never the corpus;
+    * the per-term join is vocabulary-sized with both marginal tables
+    * broadcast. Each p·ln(p/q) term is floored to integer micro-units
+    * BEFORE summation (float sums are order-sensitive; long sums
+    * commute), so the per-source sum is exact. */
+  def sourceKl(docs: DataFrame): DataFrame = {
+    val occ = TextOps.tokens(docs).select("doc_id", "tok")
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val st = occ.groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+    val sTot = st.groupBy("source").agg(sum("cnt").as("s_tot"))
+    val ct = st.groupBy("tok").agg(sum("cnt").as("c_cnt"))
+    val cTot = ct.agg(sum("c_cnt").as("c_tot"))
+    val p = col("cnt").cast("double") / col("s_tot").cast("double")
+    val q = col("c_cnt").cast("double") / col("c_tot").cast("double")
+    st.join(broadcast(sTot), "source")
+      .join(broadcast(ct), "tok")
+      .crossJoin(broadcast(cTot))
+      .withColumn("term_micro",
+        floor(p * log(p / q) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy("source")
+      .agg(max("s_tot").cast("long").as("n_tokens"), sum("term_micro").as("kl_micro"))
+      .select(col("source"), col("n_tokens"),
+        Num.r6(col("kl_micro").cast("double") / lit(1000000.0)).as("kl"))
+  }
+
   /** Repetition statistics (the Gopher/RefinedWeb-style quality signals):
     * duplicate-token and duplicate-trigram ratios per document. */
   def repetitionStats(docs: DataFrame): DataFrame = {

@@ -3356,7 +3356,62 @@ object OracleSql {
     "ivf" -> ivfTopK, "ivf_pq" -> ivfPqTopK, "ivf_sq8" -> ivfSqTopK,
     "pq" -> pqTopK, "sq8" -> sqTopKSql))
 
+  /** TextStats.packEfficiency twin: one rollup over the tokenPacking SQL. */
+  val packEfficiency: String =
+    s"""WITH tp AS ($tokenPacking),
+       |a AS (SELECT doc_id, CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |  FROM tp GROUP BY 1)
+       |SELECT doc_id, n_packs, n_tokens,
+       |  floor((CAST(n_tokens AS DOUBLE) / CAST(n_packs * 64 AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS fill_rate
+       |FROM a""".stripMargin
+
+  /** TextStats.sourceKl twin: identical micro-unit term flooring and the
+    * same marginal-from-matrix aggregation order. */
+  val sourceKl: String =
+    s"""WITH $tokCte,
+       |occ AS (SELECT t.doc_id, t.tok, d.source FROM tok t JOIN documents d USING (doc_id)),
+       |st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt FROM occ GROUP BY 1, 2),
+       |stot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS s_tot FROM st GROUP BY 1),
+       |ct AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS c_cnt FROM st GROUP BY 1),
+       |ctot AS (SELECT CAST(sum(c_cnt) AS BIGINT) AS c_tot FROM ct),
+       |terms AS (SELECT st.source, s.s_tot,
+       |    CAST(floor((CAST(st.cnt AS DOUBLE) / CAST(s.s_tot AS DOUBLE))
+       |      * ln((CAST(st.cnt AS DOUBLE) / CAST(s.s_tot AS DOUBLE))
+       |           / (CAST(ct.c_cnt AS DOUBLE) / CAST(x.c_tot AS DOUBLE)))
+       |      * 1000000 + 0.5) AS BIGINT) AS term_micro
+       |  FROM st JOIN stot s USING (source) JOIN ct USING (tok) CROSS JOIN ctot x)
+       |SELECT source, max(s_tot) AS n_tokens,
+       |  floor((CAST(sum(term_micro) AS DOUBLE) / 1000000) * 1000000 + 0.5) / 1000000 AS kl
+       |FROM terms GROUP BY 1""".stripMargin
+
+  /** KnowledgeGraph.degreeDist twin over the same doc-level pair graph. */
+  val kgDegreeDist: String =
+    docPipeline(unitsDocCte, pairCountsSql("units_doc", Seq("doc_id")),
+      """edges AS (
+        |  SELECT concept1 AS src FROM pairs
+        |  UNION ALL SELECT concept2 AS src FROM pairs),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree FROM edges GROUP BY 1)""".stripMargin) +
+      "SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1"
+
+  /** Embeddings.normStats twin: micro-unit squared-norm fold, one sqrt. */
+  val embNormStats: String =
+    """WITH v AS (SELECT CAST(label AS BIGINT) AS label,
+      |    CAST(floor(sqrt(CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |        x -> CAST(floor(x * x * 1000000 + 0.5) AS BIGINT))) AS DOUBLE) / 1000000)
+      |      * 1000000 + 0.5) AS BIGINT) AS norm_micro
+      |  FROM embeddings)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  floor((CAST(min(norm_micro) AS DOUBLE) / 1000000) * 1000000 + 0.5) / 1000000 AS min_norm,
+      |  floor((CAST(max(norm_micro) AS DOUBLE) / 1000000) * 1000000 + 0.5) / 1000000 AS max_norm,
+      |  floor(((CAST(sum(norm_micro) AS DOUBLE) / 1000000) / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS avg_norm
+      |FROM v GROUP BY 1""".stripMargin
+
   val all: Map[String, String] = Map(
+    "pack_efficiency" -> packEfficiency,
+    "source_kl" -> sourceKl,
+    "kg_degree_dist" -> kgDegreeDist,
+    "emb_norm_stats" -> embNormStats,
     "bpe_merges" -> bpeMergesSql,
     "index_recall_matrix" -> indexRecallMatrix,
     "cooccur_chi2" -> cooccurChi2,

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{Embeddings, KnowledgeGraph, TextStats}
+import org.apache.spark.sql.functions._
+
+/** Hand-computed pins for the round-9 data-card operators. */
+class Round9OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pack efficiency reports bins, tokens and fill rate per doc") {
+    // 10 tokens -> sentences of <=8 tokens (SentWindow) -> cum windows over
+    // budget 64: all in one pack; fill = 10/64
+    val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val r = TextStats.packEfficiency(docs).collect().head
+    assert(r.getAs[Long]("n_packs") == 1L)
+    assert(r.getAs[Long]("n_tokens") == 10L)
+    assert(r.getAs[Double]("fill_rate") == math.floor(10.0 / 64.0 * 1e6 + 0.5) / 1e6)
+  }
+
+  test("source KL is zero for identically-distributed sources and positive under shift") {
+    // two sources with identical unigram distributions -> p == q -> KL = 0
+    val same = Seq((1L, "x y", "s1"), (2L, "x y", "s2"))
+      .toDF("doc_id", "text", "source")
+    val klSame = TextStats.sourceKl(same).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("kl")).toMap
+    assert(klSame.values.forall(_ == 0.0), klSame.toString)
+    // skewed source diverges: s1 all-x vs corpus mix
+    val skew = Seq((1L, "x x x x", "s1"), (2L, "y y y y", "s2"))
+      .toDF("doc_id", "text", "source")
+    val klSkew = TextStats.sourceKl(skew).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("kl")).toMap
+    // p(x|s1)=1, q(x)=1/2 -> KL = ln 2
+    val ln2r6 = math.floor(1.0 * math.log(1.0 / 0.5) * 1e6 + 0.5) / 1e6
+    assert(klSkew("s1") == ln2r6 && klSkew("s2") == ln2r6, klSkew.toString)
+  }
+
+  test("degree distribution counts nodes per degree over the pair graph") {
+    // one doc with concepts A,B,C -> triangle: every node degree 2
+    val annots = Seq(
+      (1L, "CHEBI:15377", 1L, "water", 0L, 5L),
+      (1L, "PR:000000001", 2L, "protein", 6L, 13L),
+      (1L, "GO:0008150", 3L, "process", 14L, 21L))
+      .toDF("doc_id", "concept_id", "ord", "tok", "char_start", "char_end")
+    val r = KnowledgeGraph.degreeDist(annots).collect()
+      .map(x => x.getAs[Long]("degree") -> x.getAs[Long]("n_nodes")).toMap
+    // ancestor expansion may add nodes, but the raw triangle guarantees
+    // at least one degree bucket and total node count >= 3
+    assert(r.nonEmpty && r.values.sum >= 3L, r.toString)
+  }
+
+  test("embedding norm stats match a hand-computed norm and bound min<=avg<=max") {
+    val embs = Seq(
+      (1L, Array(3.0f, 4.0f), 0),
+      (2L, Array(6.0f, 8.0f), 0),
+      (3L, Array(1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Embeddings.normStats(embs).collect()
+      .map(x => x.getAs[Long]("label") ->
+        (x.getAs[Long]("n_vecs"), x.getAs[Double]("min_norm"),
+          x.getAs[Double]("max_norm"), x.getAs[Double]("avg_norm"))).toMap
+    assert(r(0L)._1 == 2L && r(1L)._1 == 1L)
+    assert(r(0L)._2 == 5.0 && r(0L)._3 == 10.0 && r(0L)._4 == 7.5)
+    assert(r(1L)._2 == 1.0 && r(1L)._3 == 1.0 && r(1L)._4 == 1.0)
+  }
+}
