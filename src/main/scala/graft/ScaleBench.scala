@@ -39,11 +39,12 @@ object ScaleBench {
     "cc" -> Seq("dedup_clusters", "semantic_clusters", "dedup_keep_best"),
     "layout" -> Seq("corpus_shuffle", "zorder_key"),
     "text" -> Seq("lang_id", "quality_score", "token_packing", "unigram_logprob",
-      "dsir_weights", "repetition_stats", "decontaminate"),
+      "dsir_weights", "repetition_stats", "decontaminate", "source_kl",
+      "pack_efficiency"),
     "retrieval" -> Seq("tfidf", "bm25_scores", "bm25_topk", "concept_idf",
       "cooccur_counts_doc", "cooccur_metrics_doc"),
     "graph" -> Seq("kg_pagerank", "kg_khop", "kg_triangles", "kg_jaccard",
-      "tfidf_doc_sim"))
+      "tfidf_doc_sim", "kg_degree_dist"))
 
   /** sf parsed from a ".../sf0.01"-style dir name; None when absent. */
   private def sfOf(dir: String): Option[Double] = {

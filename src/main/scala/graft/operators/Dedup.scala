@@ -753,6 +753,44 @@ object Dedup {
       .select("doc_id", "eval_id", "containment")
   }
 
+  /** doc_id, n_shingles, n_leaked, leak_fraction, leaked — train/eval
+    * SPLIT-LEAKAGE report (the data card a pre-training run publishes for
+    * its held-out split: which eval docs share verbatim `windowTokens`-run
+    * text with ANY train doc, and how much of each eval doc is covered).
+    * The eval side is the deterministic 1-in-`evalMod` doc subsample
+    * (integer key, never rand()); shingles travel as Hash60 ids, never
+    * strings; the probe is one semi-join of the (small) eval shingle set
+    * against the distinct train shingles, then two bounded per-doc
+    * rollups. The decontamination dual of the eval-item scans: there the
+    * contaminant list is external, here the split is internal and the
+    * leakage is corpus↔corpus. */
+  def splitLeakage(docs: DataFrame, evalMod: Long = 10L, windowTokens: Int = 8): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("ord")
+    val base = TextOps.tokens(docs)
+    val withLeads = (1 until windowTokens).foldLeft(base) { (df, i) =>
+      df.withColumn(s"t$i", lead("tok", i).over(w))
+    }
+    val windowStr = concat_ws(" ",
+      col("tok") +: (1 until windowTokens).map(i => col(s"t$i")): _*)
+    val wins = withLeads
+      .where(col(s"t${windowTokens - 1}").isNotNull)
+      .select(col("doc_id"), (Hash60.id(windowStr) % MinhashP).as("wid"))
+      .distinct()
+      .persist() // eval and train sides both read it
+    val isEval = pmod(col("doc_id"), lit(evalMod)) === 0
+    val evalW = wins.where(isEval)
+    val trainW = wins.where(!isEval).select("wid").distinct()
+    val leaked = evalW.join(trainW, Seq("wid"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_leaked"))
+    evalW.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(leaked, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"))
+      .withColumn("leak_fraction",
+        graft.functions.Num.r6(col("n_leaked").cast("double") / col("n_shingles").cast("double")))
+      .withColumn("leaked", col("n_leaked") > 0)
+  }
+
   /** doc_a, doc_b, n_shared — cross-document exact-substring duplication
     * (the relational re-expression of the suffix-array pass in Lee et al.
     * 2022, "Deduplicating Training Data Makes Language Models Better",

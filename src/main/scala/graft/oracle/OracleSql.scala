@@ -2836,6 +2836,27 @@ object OracleSql {
        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
   }
 
+  /** Dedup.splitLeakage twin: same Hash60 window ids, EXISTS probe. */
+  val splitLeakage: String = {
+    val leads = (1 to 7).map(i =>
+      s"lead(tok, $i) OVER (PARTITION BY doc_id ORDER BY ord) AS t$i").mkString(", ")
+    val cat = "tok" + (1 to 7).map(i => s" || ' ' || t$i").mkString
+    s"""WITH $tokCte,
+       |wl AS (SELECT doc_id, tok, $leads FROM tok),
+       |wstr AS (SELECT doc_id, $cat AS wtext FROM wl WHERE t7 IS NOT NULL),
+       |ws AS (SELECT DISTINCT doc_id, ${Hash60.sql("wtext")} % ${Dedup.MinhashP} AS wid FROM wstr),
+       |ev AS (SELECT doc_id, wid FROM ws WHERE doc_id % 10 = 0),
+       |tr AS (SELECT DISTINCT wid FROM ws WHERE doc_id % 10 <> 0),
+       |lk AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_leaked
+       |  FROM ev e WHERE EXISTS (SELECT 1 FROM tr WHERE tr.wid = e.wid) GROUP BY 1),
+       |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM ev GROUP BY 1)
+       |SELECT t.doc_id, t.n_shingles,
+       |  CAST(coalesce(l.n_leaked, 0) AS BIGINT) AS n_leaked,
+       |  floor((CAST(coalesce(l.n_leaked, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS leak_fraction,
+       |  coalesce(l.n_leaked, 0) > 0 AS leaked
+       |FROM tot t LEFT JOIN lk l USING (doc_id)""".stripMargin
+  }
+
   val semanticDedup: String =
     s"""WITH ex AS (SELECT vec_id,
        |    CAST(unnest(range(0, len(embedding))) AS BIGINT) AS dim,
@@ -3410,6 +3431,7 @@ object OracleSql {
   val all: Map[String, String] = Map(
     "pack_efficiency" -> packEfficiency,
     "source_kl" -> sourceKl,
+    "split_leakage" -> splitLeakage,
     "kg_degree_dist" -> kgDegreeDist,
     "emb_norm_stats" -> embNormStats,
     "bpe_merges" -> bpeMergesSql,

@@ -48,6 +48,21 @@ class Round9OpsSpec extends SparkSpec {
     assert(r.nonEmpty && r.values.sum >= 3L, r.toString)
   }
 
+  test("split leakage flags the eval doc sharing an 8-token run with a train doc") {
+    val docs = Seq(
+      (10L, "a b c d e f g h i j"),      // eval (10 % 10 == 0): 3 shingles
+      (3L, "z z a b c d e f g h"),       // train: contains eval shingle 1
+      (20L, "p q r s t u v w x"))        // eval: 2 shingles, no leak
+      .toDF("doc_id", "text")
+    val r = operators.Dedup.splitLeakage(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_shingles"), x.getAs[Long]("n_leaked"),
+          x.getAs[Double]("leak_fraction"), x.getAs[Boolean]("leaked"))).toMap
+    assert(r.keySet == Set(10L, 20L)) // train docs don't appear
+    assert(r(10L) == ((3L, 1L, math.floor(1.0 / 3.0 * 1e6 + 0.5) / 1e6, true)), r.toString)
+    assert(r(20L) == ((2L, 0L, 0.0, false)), r.toString)
+  }
+
   test("embedding norm stats match a hand-computed norm and bound min<=avg<=max") {
     val embs = Seq(
       (1L, Array(3.0f, 4.0f), 0),
