@@ -32,7 +32,7 @@ object ScaleBench {
   private val Families: Seq[(String, Seq[String])] = Seq(
     "dedup" -> Seq("dedup_exact", "dedup_norm", "span_dedup", "dedup_minhash",
       "minhash_est", "ngram_jaccard", "dedup_simhash", "simhash_pairs",
-      "window_dup", "doc_fingerprint"),
+      "window_dup", "doc_fingerprint", "split_leakage"),
     "ann" -> Seq("emb_topk", "emb_topk_native", "emb_lsh", "ivf_topk",
       "pq_codes", "pq_topk", "sq_codes", "sq_topk", "ivfsq_topk", "ivfpq_topk",
       "kmeans_cells", "emb_dup_pairs", "semantic_dedup"),

@@ -607,6 +607,7 @@ object SparkEntry {
     // corpus mix, KG degree histogram, embedding-norm distribution
     "pack_efficiency" -> ((s, d) => TextStats.packEfficiency(docs(s, d))),
     "split_leakage" -> ((s, d) => Dedup.splitLeakage(docs(s, d))),
+    "frame_sample" -> ((s, d) => TextStats.frameSample(docs(s, d))),
     "source_kl" -> ((s, d) => TextStats.sourceKl(docs(s, d))),
     "kg_degree_dist" -> ((s, d) => KnowledgeGraph.degreeDist(pp(s, d))),
     "emb_norm_stats" -> ((s, d) => Embeddings.normStats(Tables.embeddings(s, d))))

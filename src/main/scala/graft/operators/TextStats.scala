@@ -720,7 +720,11 @@ object TextStats {
     * publishes: fill rate is the fraction of the context budget carrying
     * real tokens — the rest is padding the loss masks away). One per-doc
     * aggregation over the packing table; fill = tokens / (bins × budget),
-    * rounded 6dp with identical op order in both engines. */
+    * rounded 6dp with identical op order in both engines. Because the
+    * packer is start-offset-quantized (a sentence starting inside the
+    * budget stays whole in its pack), a pack may overrun by up to one
+    * sentence window − 1 tokens, so fill_rate can slightly exceed 1 —
+    * bounded by 1 + (SentWindow−1)/budget; Round9OpsSpec pins the bound. */
   def packEfficiency(docs: DataFrame, budget: Int = 64): DataFrame =
     tokenPacking(docs, budget)
       .groupBy("doc_id")
@@ -963,6 +967,25 @@ object TextStats {
         (pmod(col("byte_len"), lit(64L)) + 1).as("fake_width"),
         (pmod(floor(col("byte_len") / 64).cast("long"), lit(64L)) + 1).as("fake_height"),
         (pmod(col("byte_len"), lit(7L)) + 1).as("fake_n_frames"))
+
+  /** doc_id, n_frames, frame_idx, ts_ms — deterministic uniform
+    * frame-sampling plan over the multimodal metadata (the video path's
+    * precompute: which timestamps a decode job will extract, scheduled
+    * BEFORE any byte is decoded — the sample plan is metadata-sized, so
+    * it ships to the decode fleet without touching payloads). The fake
+    * duration is the payload byte length in ms; each of the n frames
+    * samples the CENTER of its 1/n interval: ts = ((2i+1)·dur) div (2n) —
+    * exact integer arithmetic, one in-row sequence+explode fan-out
+    * bounded by n, never a join. */
+  def frameSample(docs: DataFrame): DataFrame =
+    multimodalMeta(docs)
+      .select(col("doc_id"), col("byte_len").as("duration_ms"),
+        col("fake_n_frames").as("n_frames"))
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"),
+        col("duration_ms"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        expr("((2 * frame_idx + 1) * duration_ms) div (2 * n_frames)").as("ts_ms"))
 
   /** A REAL (non-identity) decode worker: a python3 child that rewrites
     * every payload — uppercases the bytes and strips the vowels — so both

@@ -2516,6 +2516,20 @@ object OracleSql {
       |  CAST(length(text) % 7 + 1 AS BIGINT) AS fake_n_frames
       |FROM documents""".stripMargin
 
+  /** TextStats.frameSample twin: the same center-of-interval integer plan
+    * over the multimodal metadata. */
+  val frameSample: String =
+    s"""WITH m AS (SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS duration_ms,
+       |    CAST(length(text) % 7 + 1 AS BIGINT) AS n_frames
+       |  FROM documents),
+       |f AS (SELECT doc_id, n_frames, duration_ms,
+       |    CAST(unnest(range(0, n_frames)) AS BIGINT) AS frame_idx
+       |  FROM m)
+       |SELECT doc_id, n_frames, frame_idx,
+       |  ((2 * frame_idx + 1) * duration_ms) // (2 * n_frames) AS ts_ms
+       |FROM f""".stripMargin
+
   /** TextStats.multimodalBatches twin: the flat per-source window over the
     * same seeded permutation order (engine computes it two-level). */
   val multimodalBatches: String =
@@ -3667,5 +3681,6 @@ object OracleSql {
     "streaming_neardup" -> minhashIncremental,
     "training_pipeline" -> trainingPipeline,
     "multimodal_meta" -> multimodalMeta,
+    "frame_sample" -> frameSample,
     "multimodal_batches" -> multimodalBatches)
 }

@@ -63,6 +63,33 @@ class Round9OpsSpec extends SparkSpec {
     assert(r(20L) == ((2L, 0L, 0.0, false)), r.toString)
   }
 
+  test("frame sample emits center-of-interval integer timestamps") {
+    // "hello": 5 bytes -> n_frames = 5 % 7 + 1 = 6, duration 5 ms;
+    // ts_i = ((2i+1)*5) div 12
+    val docs = Seq((1L, "hello")).toDF("doc_id", "text")
+    val r = TextStats.frameSample(docs).orderBy("frame_idx").collect()
+      .map(x => (x.getAs[Long]("frame_idx"), x.getAs[Long]("ts_ms")))
+    assert(r.toSeq == Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 2L), (4L, 3L), (5L, 4L)))
+  }
+
+  test("invariants on the real corpus: degree handshake, fill-rate and leak-fraction bounds") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val annots = operators.Concepts.postProcess(operators.Concepts.recognize(docs))
+    // handshake lemma: sum(degree * n_nodes) == 2 |E| over the same pair graph
+    val dd = KnowledgeGraph.degreeDist(annots)
+      .agg(sum(col("degree") * col("n_nodes"))).as[Long].head()
+    val nEdges = operators.Cooccurrence.pairCounts(
+      operators.Cooccurrence.unitConcepts(annots, Seq("doc_id")), Seq("doc_id")).count()
+    assert(dd == 2 * nEdges, s"degree sum $dd != 2*|E| ${2 * nEdges}")
+    // tokenPacking is start-offset-quantized: a sentence starting inside
+    // the budget stays with its pack, so a pack may overrun by up to
+    // SentWindow-1 tokens and fill_rate tops out at 1 + 7/64
+    val fills = TextStats.packEfficiency(docs).select("fill_rate").as[Double].collect()
+    assert(fills.nonEmpty && fills.forall(f => f > 0.0 && f <= 1.0 + 7.0 / 64.0))
+    val leaks = operators.Dedup.splitLeakage(docs).select("leak_fraction").as[Double].collect()
+    assert(leaks.nonEmpty && leaks.forall(f => f >= 0.0 && f <= 1.0))
+  }
+
   test("embedding norm stats match a hand-computed norm and bound min<=avg<=max") {
     val embs = Seq(
       (1L, Array(3.0f, 4.0f), 0),
