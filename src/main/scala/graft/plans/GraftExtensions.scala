@@ -51,7 +51,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * where s is a NON-NULLABLE DOUBLE attribute, id a NON-NULLABLE BIGINT
   * attribute (TopKAgg skips null-id rows that row_number would rank, so a
   * nullable id could silently change the result set — ADVICE r8), and K a
-  * literal. Projection columns beyond {p..., rank, s, id} are carried
+  * literal. The filter may carry ADDITIONAL conjuncts beside the rank
+  * bound (`rank <= 3 AND score > 0.5` — Catalyst cannot push non-partition
+  * predicates below a Window, so realistic top-N filters keep them here);
+  * they re-apply above the heap output, the same post-ranking point they
+  * occupied above the window. Projection columns beyond {p..., rank, s,
+  * id} — and any columns the residual conjuncts read — are carried
   * through the heap as PAYLOAD cargo when they are attributes of the window
   * child, so e.g. "top 3 parts per brand with the part NAME" still gets the
   * bounded plan; only computed columns the child doesn't expose block the
@@ -66,7 +71,27 @@ object WindowTopKToBoundedHeap extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, Project, Window => LWindow}
   import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
 
-  /** rank-bound k from the filter condition, if it is a plain upper bound
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other     => Seq(other)
+  }
+
+  /** Split the filter condition into (k, residual conjuncts): the FIRST
+    * conjunct that is a plain rank upper bound supplies k; everything else
+    * re-applies AFTER the heap (a filter above the window filters ranked
+    * rows, so post-heap evaluation — with rank/score/id substituted — is
+    * semantics-preserving; Catalyst cannot push such predicates below a
+    * Window, which is exactly why realistic top-N filters carry them).
+    * All residual conjuncts must be deterministic. */
+  private def splitBound(cond: Expression, rankId: Long): Option[(Long, Seq[Expression])] = {
+    val cs = conjuncts(cond)
+    cs.zipWithIndex.collectFirst {
+      case (c, idx) if upperBound(c, rankId).isDefined =>
+        (upperBound(c, rankId).get, cs.patch(idx, Nil, 1))
+    }.filter { case (_, residual) => residual.forall(_.deterministic) }
+  }
+
+  /** rank-bound k from one conjunct, if it is a plain upper bound
     * on `rank` (rank <= k / rank < k / k >= rank / k > rank). */
   private def upperBound(cond: Expression, rankId: Long): Option[Long] = cond match {
     case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType)) if a.exprId.id == rankId => Some(k.toLong)
@@ -87,7 +112,7 @@ object WindowTopKToBoundedHeap extends Rule[LogicalPlan] {
     * where NaN ranks). Both rank columns must be provably non-null: TopKAgg
     * skips null score/id rows, row_number ranks them. */
   private def eligible(cond: Expression, w: LWindow):
-      Option[(Alias, Seq[AttributeReference], AttributeReference, Boolean, AttributeReference, Long, LogicalPlan)] =
+      Option[(Alias, Seq[AttributeReference], AttributeReference, Boolean, AttributeReference, Long, Seq[Expression], LogicalPlan)] =
     w match {
       case LWindow(
           Seq(rankAlias @ Alias(WindowExpression(_: RowNumber, WindowSpecDefinition(_, _, _)), _)),
@@ -101,23 +126,26 @@ object WindowTopKToBoundedHeap extends Rule[LogicalPlan] {
           !id.nullable &&
           partSpec.forall(_.isInstanceOf[AttributeReference]) &&
           (dir == Descending || dir == Ascending) =>
-        upperBound(cond, rankAlias.exprId.id).filter(k => k > 0 && k <= 1000000).map { k =>
-          (rankAlias, partSpec.map(_.asInstanceOf[AttributeReference]), score,
-            dir == Descending, id, k, child)
-        }
+        splitBound(cond, rankAlias.exprId.id)
+          .filter { case (k, _) => k > 0 && k <= 1000000 }
+          .map { case (k, residual) =>
+            (rankAlias, partSpec.map(_.asInstanceOf[AttributeReference]), score,
+              dir == Descending, id, k, residual, child)
+          }
       case _ => None
     }
 
-  /** Projection columns outside {group keys, rank, score, id}: carried
-    * through the heap as payload when every one is an attribute the window
-    * child exposes (order = first reference in the projection, so the
-    * rewrite is deterministic). None ⇒ ineligible (a computed column the
-    * child doesn't expose can't ride the heap). */
-  private def payloadAttrs(projList: Seq[NamedExpression], rankAlias: Alias,
+  /** Referenced columns outside {group keys, rank, score, id} (from the
+    * projection AND any residual filter conjuncts): carried through the
+    * heap as payload when every one is an attribute the window child
+    * exposes (order = first reference, so the rewrite is deterministic).
+    * None ⇒ ineligible (a computed column the child doesn't expose can't
+    * ride the heap). */
+  private def payloadAttrs(refs: Seq[Expression], rankAlias: Alias,
       partAttrs: Seq[AttributeReference], score: AttributeReference,
       id: AttributeReference, child: LogicalPlan): Option[Seq[AttributeReference]] = {
     val allowed = (partAttrs.map(_.exprId) ++ Seq(rankAlias.exprId, score.exprId, id.exprId)).toSet
-    val extraRefs = projList.flatMap(_.references.toSeq)
+    val extraRefs = refs.flatMap(_.references.toSeq)
       .filterNot(r => allowed.contains(r.exprId))
       .foldLeft(Vector.empty[org.apache.spark.sql.catalyst.expressions.Attribute]) { (acc, r) =>
         if (acc.exists(_.exprId == r.exprId)) acc else acc :+ r
@@ -130,7 +158,8 @@ object WindowTopKToBoundedHeap extends Rule[LogicalPlan] {
 
   private def rewrite(projList: Seq[NamedExpression], rankAlias: Alias,
       partAttrs: Seq[AttributeReference], score: AttributeReference, desc: Boolean,
-      id: AttributeReference, k: Long, payload: Seq[AttributeReference],
+      id: AttributeReference, k: Long, residual: Seq[Expression],
+      payload: Seq[AttributeReference],
       child: LogicalPlan): LogicalPlan = {
     val heap = graft.functions.TopKAgg(score, id, k.toInt, asc = !desc,
       payload = payload).toAggregateExpression()
@@ -148,47 +177,55 @@ object WindowTopKToBoundedHeap extends Rule[LogicalPlan] {
     val gen = Generate(PosExplode(tkAlias.toAttribute), Nil, outer = false, None,
       Seq(posAttr, entryAttr), agg)
     val payloadIdx = payload.map(_.exprId).zipWithIndex.toMap
+    // substitution shared by the projection rebuild and the residual
+    // filter: every original attribute re-derives from the heap entry
+    def substitute(e: Expression): Expression = e.transformUp {
+      case a: AttributeReference if a.exprId == rankAlias.exprId =>
+        Cast(Add(posAttr, Literal(1, IntegerType)), a.dataType)
+      case a: AttributeReference if a.exprId == score.exprId =>
+        GetStructField(entryAttr, 0, Some("score"))
+      case a: AttributeReference if a.exprId == id.exprId =>
+        GetStructField(entryAttr, 1, Some("id"))
+      case a: AttributeReference if payloadIdx.contains(a.exprId) =>
+        GetStructField(GetStructField(entryAttr, 2, Some("payload")),
+          payloadIdx(a.exprId), Some(s"p${payloadIdx(a.exprId)}"))
+    }
+    // residual non-rank conjuncts re-apply above the heap output — the
+    // same post-ranking point they occupied above the window
+    val filtered =
+      if (residual.isEmpty) gen
+      else Filter(residual.map(substitute).reduce(And), gen)
     // rebuild every projected column under its ORIGINAL exprId so parents
     // of this subtree keep resolving
     val rebuilt = projList.map { ne =>
-      val replaced = ne.transformUp {
-        case a: AttributeReference if a.exprId == rankAlias.exprId =>
-          Cast(Add(posAttr, Literal(1, IntegerType)), a.dataType)
-        case a: AttributeReference if a.exprId == score.exprId =>
-          GetStructField(entryAttr, 0, Some("score"))
-        case a: AttributeReference if a.exprId == id.exprId =>
-          GetStructField(entryAttr, 1, Some("id"))
-        case a: AttributeReference if payloadIdx.contains(a.exprId) =>
-          GetStructField(GetStructField(entryAttr, 2, Some("payload")),
-            payloadIdx(a.exprId), Some(s"p${payloadIdx(a.exprId)}"))
-      }
-      replaced match {
+      substitute(ne) match {
         case a: Alias => a
         case other: NamedExpression if other.isInstanceOf[AttributeReference] => other
         case other => Alias(other, ne.name)(exprId = ne.exprId)
       }
     }
-    Project(rebuilt, gen)
+    Project(rebuilt, filtered)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case Project(projList, Filter(cond, w: LWindow)) if eligible(cond, w).exists {
-          case (ra, pa, s, _, i, _, child) =>
-            payloadAttrs(projList, ra, pa, s, i, child).isDefined
+          case (ra, pa, s, _, i, _, residual, child) =>
+            payloadAttrs(projList ++ residual, ra, pa, s, i, child).isDefined
         } =>
-      val (ra, pa, s, desc, i, k, child) = eligible(cond, w).get
-      rewrite(projList, ra, pa, s, desc, i, k,
-        payloadAttrs(projList, ra, pa, s, i, child).get, child)
+      val (ra, pa, s, desc, i, k, residual, child) = eligible(cond, w).get
+      rewrite(projList, ra, pa, s, desc, i, k, residual,
+        payloadAttrs(projList ++ residual, ra, pa, s, i, child).get, child)
     // bare Filter(Window) — output is child columns + rank; payload covers
     // whatever the child carries beyond the heap-reproducible set
     case Filter(cond, w: LWindow) if eligible(cond, w).exists {
-          case (ra, pa, s, _, i, _, child) =>
-            payloadAttrs(w.output.map(_.asInstanceOf[NamedExpression]), ra, pa, s, i, child).isDefined
+          case (ra, pa, s, _, i, _, residual, child) =>
+            payloadAttrs(w.output.map(_.asInstanceOf[Expression]) ++ residual,
+              ra, pa, s, i, child).isDefined
         } =>
-      val (ra, pa, s, desc, i, k, child) = eligible(cond, w).get
+      val (ra, pa, s, desc, i, k, residual, child) = eligible(cond, w).get
       val outs = w.output.map(_.asInstanceOf[NamedExpression])
-      rewrite(outs, ra, pa, s, desc, i, k,
-        payloadAttrs(outs, ra, pa, s, i, child).get, child)
+      rewrite(outs, ra, pa, s, desc, i, k, residual,
+        payloadAttrs(outs ++ residual, ra, pa, s, i, child).get, child)
   }
 }
 

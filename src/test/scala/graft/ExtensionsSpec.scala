@@ -107,6 +107,47 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.size == 15)
   }
 
+  test("WindowTopKToBoundedHeap handles extra filter conjuncts beside the rank bound") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // Catalyst can't push `s > 40` below the Window, so the conjunction
+    // survives to the rule, which must re-apply it above the heap
+    def q(s: SparkSession) = {
+      import s.implicits._
+      (0L until 200L).map(i => (i % 5, (i * 37 % 101).toDouble, i, s"x$i"))
+        .toDF("g", "s", "id", "x")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("g").orderBy(col("s").desc, col("id").asc)))
+        .where(col("rank") <= 3 && col("s") > 40.0 && col("x") =!= "none")
+        .select("g", "rank", "id", "s", "x")
+    }
+    val rewritten = q(spark)
+    assert(rewritten.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.isEmpty,
+      s"conjunctive filter blocked the rewrite:\n${rewritten.queryExecution.optimizedPlan}")
+    val expected = q(SparkSpec.session).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getString(4))).toSet
+    val got = rewritten.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getString(4))).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("WindowTopKToBoundedHeap leaves a disjunctive rank condition alone") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // OR means rows past rank k can survive — no bounded-heap equivalent
+    val q = (0L until 100L).map(i => (i % 4, (i * 13 % 47).toDouble, i))
+      .toDF("g", "s", "id")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("g").orderBy(col("s").desc, col("id").asc)))
+      .where(col("rank") <= 2 || col("s") > 40.0)
+      .select("g", "rank", "id", "s")
+    assert(q.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.nonEmpty,
+      s"disjunctive condition was rewritten:\n${q.queryExecution.optimizedPlan}")
+  }
+
   test("WindowTopKToBoundedHeap leaves nullable score or id alone (ADVICE r8)") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
