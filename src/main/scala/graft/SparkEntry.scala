@@ -176,6 +176,7 @@ object SparkEntry {
     "streaming_quality" -> ((s, d) => graft.streaming.DocStreams.qualityFilterViaStream(s, d)),
     "streaming_cms" -> ((s, d) => graft.streaming.DocStreams.cmsViaStream(s, d)),
     "streaming_neardup" -> ((s, d) => graft.streaming.DocStreams.neardupViaStream(s, d)),
+    "streaming_split_leakage" -> ((s, d) => graft.streaming.DocStreams.splitLeakageViaStream(s, d)),
     "streaming_funnel" -> ((s, d) =>
       graft.streaming.EventStreams.funnelViaStream(s, d, FunnelCutoffUs)),
     "brat_import" -> ((s, d) => Exports.bratImport(Exports.brat(pp(s, d)))),

@@ -764,7 +764,10 @@ object Dedup {
     * rollups. The decontamination dual of the eval-item scans: there the
     * contaminant list is external, here the split is internal and the
     * leakage is corpus↔corpus. */
-  def splitLeakage(docs: DataFrame, evalMod: Long = 10L, windowTokens: Int = 8): DataFrame = {
+  /** distinct (doc_id, wid) over `windowTokens`-token windows — the
+    * shared shingle-id table of [[splitLeakage]] and its staged train-side
+    * probe index ([[stageTrainShingles]]). */
+  private def windowIds(docs: DataFrame, windowTokens: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("ord")
     val base = TextOps.tokens(docs)
     val withLeads = (1 until windowTokens).foldLeft(base) { (df, i) =>
@@ -772,10 +775,35 @@ object Dedup {
     }
     val windowStr = concat_ws(" ",
       col("tok") +: (1 until windowTokens).map(i => col(s"t$i")): _*)
-    val wins = withLeads
+    withLeads
       .where(col(s"t${windowTokens - 1}").isNotNull)
       .select(col("doc_id"), (Hash60.id(windowStr) % MinhashP).as("wid"))
       .distinct()
+  }
+
+  // per-process staging of the train-side shingle-id table (the static
+  // probe side of the streaming split-leakage gate)
+  private val trainShingleStaged = scala.collection.mutable.Map[String, String]()
+
+  /** Stage (once per process+sfDir) the DISTINCT train-side shingle ids as
+    * parquet — the static probe table the continuous decontamination gate
+    * (DocStreams.splitLeakageViaStream) reads every micro-batch. */
+  def stageTrainShingles(docs: DataFrame, sfDir: String, evalMod: Long = 10L,
+                         windowTokens: Int = 8): String = {
+    val path = graft.infra.Staging.oracleStagePath("train_shingles", sfDir)
+    trainShingleStaged.synchronized {
+      if (!trainShingleStaged.contains(path)) {
+        windowIds(docs.where(pmod(col("doc_id"), lit(evalMod)) =!= 0), windowTokens)
+          .select("wid").distinct()
+          .coalesce(1).write.mode("overwrite").parquet(path)
+        trainShingleStaged(path) = path
+      }
+    }
+    path
+  }
+
+  def splitLeakage(docs: DataFrame, evalMod: Long = 10L, windowTokens: Int = 8): DataFrame = {
+    val wins = windowIds(docs, windowTokens)
       .persist() // eval and train sides both read it
     val isEval = pmod(col("doc_id"), lit(evalMod)) === 0
     val evalW = wins.where(isEval)

@@ -3679,6 +3679,7 @@ object OracleSql {
     "streaming_quality" -> qualityFilter,
     // run-to-completion stream-static band probe ≡ the batch incremental probe
     "streaming_neardup" -> minhashIncremental,
+    "streaming_split_leakage" -> splitLeakage,
     "training_pipeline" -> trainingPipeline,
     "multimodal_meta" -> multimodalMeta,
     "frame_sample" -> frameSample,

@@ -214,6 +214,46 @@ object DocStreams {
       OutputMode.Complete())
   }
 
+  /** Continuous eval-feed decontamination gate — the streaming dual of
+    * Dedup.splitLeakage: candidate eval documents STREAM in, each derives
+    * its distinct 8-token shingle ids IN-ROW (indexed `transform` over the
+    * token array with the same Hash60-mod-P arithmetic as the batch
+    * lead-window path — same split, same ids), and the shingle stream
+    * left-outer probes the STATIC train shingle table staged once from the
+    * corpus (Dedup.stageTrainShingles) — a stateless stream-static join,
+    * no watermark or join state; the per-doc rollup is the one stateful
+    * aggregation. Run-to-completion equals the batch report and shares
+    * its oracle. At 100 TB this is the shape where screening an incoming
+    * benchmark/eval feed costs the feed, never the corpus. */
+  def splitLeakageViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{Hash60, Num}
+    import graft.operators.Dedup.MinhashP
+    val W = 8
+    val trainPath = graft.operators.Dedup.stageTrainShingles(
+      graft.sources.Tables.documents(spark, sfDir), sfDir)
+    val evalShingles = stagedDocsStream(spark, sfDir)
+      .where(pmod(col("doc_id"), lit(10L)) === 0)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= W)
+      .withColumn("shingles", expr(
+        s"transform(sequence(1, size(toks) - ${W - 1}), i -> concat_ws(' ', " +
+          (0 until W).map(j => s"element_at(toks, i + $j)").mkString(", ") + "))"))
+      .withColumn("wids", array_distinct(
+        transform(col("shingles"), x => Hash60.id(x) % lit(MinhashP))))
+      .withColumn("n_shingles", size(col("wids")).cast("long"))
+      .select(col("doc_id"), col("n_shingles"), explode(col("wids")).as("wid"))
+    val train = spark.read.parquet(trainPath).withColumn("hit", lit(1))
+    EventStreams.runToTable(
+      evalShingles.join(train, Seq("wid"), "left_outer")
+        .groupBy("doc_id", "n_shingles")
+        .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_leaked")),
+      OutputMode.Complete())
+      .select(col("doc_id"), col("n_shingles"), col("n_leaked"),
+        Num.r6(col("n_leaked").cast("double") / col("n_shingles").cast("double"))
+          .as("leak_fraction"),
+        (col("n_leaked") > 0).as("leaked"))
+  }
+
   /** Streaming corpus upsert — the reference's incremental update pipeline
     * (update/UpdateMedlineEntitiesPipeline) as continuous ingestion: update
     * documents stream through a real exactly-once parquet file sink (the
