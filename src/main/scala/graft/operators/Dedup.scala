@@ -767,7 +767,7 @@ object Dedup {
   /** distinct (doc_id, wid) over `windowTokens`-token windows — the
     * shared shingle-id table of [[splitLeakage]] and its staged train-side
     * probe index ([[stageTrainShingles]]). */
-  private def windowIds(docs: DataFrame, windowTokens: Int): DataFrame = {
+  private[graft] def windowIds(docs: DataFrame, windowTokens: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("ord")
     val base = TextOps.tokens(docs)
     val withLeads = (1 until windowTokens).foldLeft(base) { (df, i) =>

@@ -225,23 +225,32 @@ object DocStreams {
     * aggregation. Run-to-completion equals the batch report and shares
     * its oracle. At 100 TB this is the shape where screening an incoming
     * benchmark/eval feed costs the feed, never the corpus. */
-  def splitLeakageViaStream(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.{Hash60, Num}
+  /** Row-local dual of Dedup's lead-window shingle ids: (doc_id,
+    * n_shingles, wid) with wid IDENTICAL to the batch path (same split,
+    * same window strings via indexed `transform`, same Hash60-mod-P);
+    * docs with fewer than `w` tokens emit nothing, like the batch
+    * `t{w-1} IS NOT NULL` drop. Spec-pinned equal to the batch table. */
+  def inRowWindowIds(docs: DataFrame, w: Int = 8): DataFrame = {
+    import graft.functions.Hash60
     import graft.operators.Dedup.MinhashP
-    val W = 8
-    val trainPath = graft.operators.Dedup.stageTrainShingles(
-      graft.sources.Tables.documents(spark, sfDir), sfDir)
-    val evalShingles = stagedDocsStream(spark, sfDir)
-      .where(pmod(col("doc_id"), lit(10L)) === 0)
+    docs
       .withColumn("toks", split(col("text"), " "))
-      .where(size(col("toks")) >= W)
+      .where(size(col("toks")) >= w)
       .withColumn("shingles", expr(
-        s"transform(sequence(1, size(toks) - ${W - 1}), i -> concat_ws(' ', " +
-          (0 until W).map(j => s"element_at(toks, i + $j)").mkString(", ") + "))"))
+        s"transform(sequence(1, size(toks) - ${w - 1}), i -> concat_ws(' ', " +
+          (0 until w).map(j => s"element_at(toks, i + $j)").mkString(", ") + "))"))
       .withColumn("wids", array_distinct(
         transform(col("shingles"), x => Hash60.id(x) % lit(MinhashP))))
       .withColumn("n_shingles", size(col("wids")).cast("long"))
       .select(col("doc_id"), col("n_shingles"), explode(col("wids")).as("wid"))
+  }
+
+  def splitLeakageViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Num
+    val trainPath = graft.operators.Dedup.stageTrainShingles(
+      graft.sources.Tables.documents(spark, sfDir), sfDir)
+    val evalShingles = inRowWindowIds(
+      stagedDocsStream(spark, sfDir).where(pmod(col("doc_id"), lit(10L)) === 0))
     val train = spark.read.parquet(trainPath).withColumn("hit", lit(1))
     EventStreams.runToTable(
       evalShingles.join(train, Seq("wid"), "left_outer")

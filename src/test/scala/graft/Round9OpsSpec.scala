@@ -63,6 +63,27 @@ class Round9OpsSpec extends SparkSpec {
     assert(r(20L) == ((2L, 0L, 0.0, false)), r.toString)
   }
 
+  test("in-row streaming shingle ids equal the batch lead-window ids") {
+    // the parity pin behind streaming_split_leakage (same discipline as the
+    // r8 band-derivation pin): identical wid sets AND per-doc counts,
+    // including the <w-token drop
+    val d = Seq(
+      (10L, "a b c d e f g h i j"),
+      (3L, "z z a b c d e f g h"),
+      (7L, "short doc")).toDF("doc_id", "text")
+    val batch = operators.Dedup.windowIds(d, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inRow = graft.streaming.DocStreams.inRowWindowIds(d, 8)
+      .select("doc_id", "wid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inRow == batch && batch.nonEmpty)
+    assert(!batch.exists(_._1 == 7L))
+    val counts = graft.streaming.DocStreams.inRowWindowIds(d, 8)
+      .select("doc_id", "n_shingles").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(counts == Map(10L -> 3L, 3L -> 3L))
+  }
+
   test("frame sample emits center-of-interval integer timestamps") {
     // "hello": 5 bytes -> n_frames = 5 % 7 + 1 = 6, duration 5 ms;
     // ts_i = ((2i+1)*5) div 12
