@@ -184,6 +184,32 @@ class PlanAuditSpec extends SparkSpec {
       s"vocab_coverage plans a global range sort:\n${plan.take(2000)}")
   }
 
+  test("round-9 queries keep their designed plan shapes") {
+    // top_parts_per_brand was RE-PLANNED onto the payload heap in r9 —
+    // the window formulation must not regress back in
+    val tppb = SparkEntry.queries("top_parts_per_brand")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(tppb.contains("partial_top_k_agg"), tppb.take(1500))
+    assert(!tppb.contains("Window"), s"top_parts_per_brand regressed to a window:\n${tppb.take(1500)}")
+    // source_kl: both marginal tables broadcast onto the vocabulary-sized
+    // term join — a sort-merge join over the (source, token) matrix would
+    // say a marginal stopped broadcasting
+    val kl = SparkEntry.queries("source_kl")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(kl).length >= 2, kl.take(2000))
+    // bpe_encode_artifact: the merge table enters as a BROADCAST 1-row
+    // array, never a shuffle join, and plan size stays constant in k
+    val bpe = SparkEntry.queries("bpe_encode_artifact")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(bpe.contains("BroadcastNestedLoopJoin") || bpe.contains("BroadcastExchange"),
+      bpe.take(1500))
+    // frame_sample: pure in-row fan-out — no joins, no window, one
+    // pruned scan
+    val fs = SparkEntry.queries("frame_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!fs.contains("Join") && !fs.contains("Window"), fs.take(1500))
+  }
+
   test("event-family shuffle budget survives the ts canonicalization") {
     // The epoch-µs canonicalization is a Project over the scan; it must not
     // cost an exchange. Pin each repaired query's shuffle count at the
