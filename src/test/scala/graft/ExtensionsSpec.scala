@@ -203,6 +203,46 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized: rewritten plans are row-identical to window plans across shapes") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // seeded sweep over direction × k × NaN density × payload/residual —
+    // every rewritten result must equal the plain session's window result
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 6) {
+      val n = 80 + rnd.nextInt(120)
+      val nanEvery = 7 + rnd.nextInt(13)
+      val rows = (0L until n.toLong).map { i =>
+        val s = if (i % nanEvery == 0) Double.NaN else (i * 37 % 101).toDouble
+        (i % (3 + trial % 3), s, i, s"p$i")
+      }
+      val k = 1 + rnd.nextInt(4)
+      val desc = trial % 2 == 0
+      val residual = trial % 3 == 0
+      def q(sess: SparkSession) = {
+        import sess.implicits._
+        val df = rows.toDF("g", "s", "id", "x")
+        val ord = if (desc) col("s").desc else col("s").asc
+        val ranked = df.withColumn("rank", row_number().over(
+          Window.partitionBy("g").orderBy(ord, col("id").asc)))
+        val cond = if (residual) col("rank") <= k && col("x") =!= "p1"
+                   else col("rank") <= k
+        ranked.where(cond).select("g", "rank", "id", "s", "x")
+      }
+      val rewritten = q(spark)
+      assert(rewritten.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.isEmpty,
+        s"trial $trial not rewritten")
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getString(4))).toSet
+      val exp = canon(q(SparkSpec.session))
+      val got = canon(rewritten)
+      assert(got == exp, s"trial $trial (k=$k desc=$desc residual=$residual): " +
+        s"${got.diff(exp)} vs ${exp.diff(got)}")
+    }
+  }
+
   test("GraftSession applies AQE + nanos policy") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
     assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
