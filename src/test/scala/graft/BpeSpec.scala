@@ -48,13 +48,14 @@ class BpeSpec extends SparkSpec {
     // the production path (r8 verdict item 7): merges read back from
     // storage and replayed as data through one dynamic fold — byte-identical
     // counts to the compiled-literal k-fold replay
-    // full corpus on BOTH sides: the artifact stage is keyed by sfDir, so
-    // staging a subsetted corpus under the real dir's key would poison any
-    // later same-JVM user of that stage
-    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    // subsetted corpus under a SPEC-OWNED stage key: the artifact stage is
+    // keyed by sfDir, so a subset staged under the real dir's key would
+    // poison any later same-JVM user of that stage — and the full-corpus
+    // 8-round relearn belongs to the driver gate, not the unit suite
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001").limit(120)
     val viaLiterals = Bpe.encodeCounts(docs, Bpe.learnMerges(docs))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val viaArtifact = Bpe.encodeCountsFromArtifact(docs, "/root/testdata/sf0.001")
+    val viaArtifact = Bpe.encodeCountsFromArtifact(docs, "/root/testdata/sf0.001-bpespec-subset")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaArtifact == viaLiterals)
     assert(viaArtifact.nonEmpty)
