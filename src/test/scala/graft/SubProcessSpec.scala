@@ -106,9 +106,14 @@ class SubProcessSpec extends SparkSpec {
 
   test("a STALLED child is killed and the task fails naming the command, not a hang") {
     // reads everything, emits nothing, sleeps far past the read timeout —
-    // without the bounded read this spec would wedge the suite
+    // without the bounded read this spec would wedge the suite. `exec` is
+    // load-bearing: it makes the Process handle BE the sleep, so
+    // destroyForcibly kills it — a plain `sleep` would be sh's orphan,
+    // survive the kill, and hold the forked JVM's inherited stderr pipe
+    // open for its whole duration (sbt drains that pipe after the JVM
+    // exits — a 600 s post-suite hang that looks like a wedged build)
     val in = payloads(5, 1).as[(Long, Array[Byte])]
-    val cmd = Seq("/bin/sh", "-c", "cat > /dev/null; sleep 600")
+    val cmd = Seq("/bin/sh", "-c", "cat > /dev/null; exec sleep 600")
     val t0 = System.nanoTime()
     val e = intercept[org.apache.spark.SparkException] {
       SubProcess.pipeFramed(in, cmd, readTimeoutMs = 2000L).count()
