@@ -19,6 +19,21 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 object DocStreams {
 
+  /** Bind `base` as a HOF lambda variable around `body`, so it evaluates
+    * ONCE per row — the interpreted-HOF discipline behind every in-row
+    * derivation here. An OUTER column referenced inside a higher-order-
+    * function lambda re-evaluates PER ELEMENT (lambda bodies run
+    * interpreted, no cross-element caching), so e.g. a shingle transform
+    * whose lambda touches `split(text)` re-splits the document once per
+    * shingle position — measured 24× slower than this let-bound form on
+    * the sf0.1 eval stream. `element_at(transform(array(base), v ->
+    * body(v)), 1)` is the SQL-expressible `let`; HOF *input* arguments
+    * always evaluate once, so chaining transforms is safe — only lambda-
+    * body references to outer columns need the binding. */
+  private def letBound(base: org.apache.spark.sql.Column,
+                       body: org.apache.spark.sql.Column => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(transform(array(base), v => body(v)), 1)
+
   /** Stage the documents parquet into a fresh dir and open it as a
     * file-source stream. */
   private def stagedDocsStream(spark: SparkSession, sfDir: String): DataFrame = {
@@ -75,19 +90,25 @@ object DocStreams {
     val dictMap = typedLit(dictByTok)
     val ancMap = typedLit(ancByConcept)
     val emptyArr = expr("CAST(array() AS array<string>)")
+    // one let-bound chain (see [[letBound]]): `cids` feeds both itself and
+    // its ancestor expansion, and `cs` is read by the pair fan-out's inner
+    // lambda — as lambda VARIABLES both are row-once lookups, where the
+    // old column-reference form rebuilt the concept-set chain per pair
+    val pairsArr = letBound(
+      array_distinct(flatten(transform(
+        filter(
+          filter(split(col("text"), " "),
+            t => length(t) > 1 && !t.rlike("^[0-9\\p{Punct}]+$")),
+          t => element_at(dictMap, t).isNotNull),
+        t => element_at(dictMap, t)))),
+      cidsV => letBound(
+        array_sort(array_distinct(concat(cidsV,
+          flatten(transform(cidsV, c => coalesce(element_at(ancMap, c), emptyArr)))))),
+        csV => flatten(transform(csV, (x, i) =>
+          transform(slice(csV, i + lit(2), size(csV)),
+            y => struct(x.as("concept1"), y.as("concept2")))))))
     val perDoc = stagedDocsStream(spark, sfDir)
-      .withColumn("cands", filter(split(col("text"), " "),
-        t => length(t) > 1 && !t.rlike("^[0-9\\p{Punct}]+$")))
-      .withColumn("cids", array_distinct(flatten(transform(
-        filter(col("cands"), t => element_at(dictMap, t).isNotNull),
-        t => element_at(dictMap, t)))))
-      .withColumn("cs", array_sort(array_distinct(concat(col("cids"),
-        flatten(transform(col("cids"),
-          c => coalesce(element_at(ancMap, c), emptyArr)))))))
-      .select(col("doc_id"), explode(expr(
-        "flatten(transform(cs, (x, i) -> " +
-          "transform(slice(cs, i + 2, size(cs)), y -> struct(x AS concept1, y AS concept2))))"))
-        .as("pair"))
+      .select(col("doc_id"), explode(pairsArr).as("pair"))
       .select(col("pair.concept1").as("concept1"), col("pair.concept2").as("concept2"))
     EventStreams.runToTable(
       perDoc.groupBy("concept1", "concept2").agg(count(lit(1)).as("pair_count")),
@@ -130,16 +151,26 @@ object DocStreams {
   def qualityFilterViaStream(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.{ConceptDict, Num}
     val stops = ConceptDict.stopwords
+    // one let-bound stats struct per row (see [[letBound]]): the trigram
+    // lambda reads the token array as a variable, not a re-split
+    val stats = letBound(split(col("text"), " "), ts => {
+      val tris = transform(sequence(lit(1), greatest(size(ts) - 2, lit(0))), i =>
+        concat_ws(" ", element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))
+      struct(
+        size(ts).cast("long").as("n_tokens"),
+        greatest(size(ts) - 2, lit(0)).cast("long").as("n_trigrams"),
+        size(array_distinct(tris)).cast("long").as("ndt"),
+        size(filter(ts, t => t.isInCollection(stops))).cast("long").as("n_stop"))
+    })
+    // explode(array(...)) is the evaluate-ONCE barrier: a Generate's output
+    // is a real attribute, so the four downstream field reads cannot be
+    // projection-collapsed back into four copies of the stats chain
     val gated = stagedDocsStream(spark, sfDir)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .withColumn("tris", expr(
-        "transform(sequence(1, greatest(size(toks) - 2, 0)), i -> " +
-          "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"))
-      .withColumn("n_trigrams", greatest(size(col("toks")) - 2, lit(0)).cast("long"))
-      .withColumn("ndt", size(array_distinct(col("tris"))).cast("long"))
-      .withColumn("n_stop",
-        size(filter(col("toks"), t => t.isInCollection(stops))).cast("long"))
+      .select(col("doc_id"), explode(array(stats)).as("st"))
+      .withColumn("n_tokens", col("st.n_tokens"))
+      .withColumn("n_trigrams", col("st.n_trigrams"))
+      .withColumn("ndt", col("st.ndt"))
+      .withColumn("n_stop", col("st.n_stop"))
       .where(col("n_trigrams") > 0)
       .withColumn("dup_trigram_ratio",
         Num.r6(lit(1.0) - col("ndt").cast("double") / col("n_trigrams").cast("double")))
@@ -168,24 +199,26 @@ object DocStreams {
     import graft.operators.Dedup._
     import graft.functions.Hash60
     val numBands = NumHashes / RowsPerBand
-    val withSids = docs
+    // ONE let-bound chain: tokens, shingle ids, and the signature array
+    // each evaluate once per row (see [[letBound]] — an sids referenced by
+    // 12 hash transforms would otherwise rebuild the whole shingle chain
+    // 12× per document)
+    val bks = letBound(split(col("text"), " "), ts => {
+      val shingles = transform(sequence(lit(1), size(ts) - 2), i =>
+        concat_ws(" ", element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))
+      letBound(array_distinct(transform(shingles, x => Hash60.id(x) % MinhashP)), sv => {
+        val mhs = array(minhashParams.map { case (_, a, b) =>
+          array_min(transform(sv, s => (lit(a) * s + lit(b)) % lit(MinhashP))) }: _*)
+        letBound(mhs, mv => array((0 until numBands).map { bnd =>
+          struct(lit(bnd.toLong).as("band"),
+            concat_ws(",", (0 until RowsPerBand).map(r =>
+              element_at(mv, bnd * RowsPerBand + r + 1).cast("string")): _*).as("band_key"))
+        }: _*))
+      })
+    })
+    docs
       .where(size(split(col("text"), " ")) >= 3)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("shingles", expr(
-        "transform(sequence(1, size(toks) - 2), i -> " +
-          "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"))
-      .withColumn("sids", array_distinct(
-        transform(col("shingles"), x => Hash60.id(x) % MinhashP)))
-    val mhArr = array(minhashParams.map { case (_, a, b) =>
-      array_min(transform(col("sids"), s => (lit(a) * s + lit(b)) % lit(MinhashP))) }: _*)
-    val bandStructs = array((0 until numBands).map { bnd =>
-      struct(lit(bnd.toLong).as("band"),
-        concat_ws(",", (0 until RowsPerBand).map(r =>
-          element_at(col("mhs"), bnd * RowsPerBand + r + 1).cast("string")): _*).as("band_key"))
-    }: _*)
-    withSids
-      .withColumn("mhs", mhArr)
-      .select(col("doc_id"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), explode(bks).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
@@ -233,16 +266,20 @@ object DocStreams {
   def inRowWindowIds(docs: DataFrame, w: Int = 8): DataFrame = {
     import graft.functions.Hash60
     import graft.operators.Dedup.MinhashP
+    // one let-bound chain to the (count, ids) struct, then the
+    // evaluate-once Generate barrier (see [[letBound]] / the quality gate)
+    val widsStruct = letBound(split(col("text"), " "), ts =>
+      letBound(
+        array_distinct(transform(
+          transform(sequence(lit(1), size(ts) - (w - 1)), i =>
+            concat_ws(" ", (0 until w).map(j => element_at(ts, i + j)): _*)),
+          x => Hash60.id(x) % lit(MinhashP))),
+        wv => struct(size(wv).cast("long").as("n_shingles"), wv.as("wids"))))
     docs
-      .withColumn("toks", split(col("text"), " "))
-      .where(size(col("toks")) >= w)
-      .withColumn("shingles", expr(
-        s"transform(sequence(1, size(toks) - ${w - 1}), i -> concat_ws(' ', " +
-          (0 until w).map(j => s"element_at(toks, i + $j)").mkString(", ") + "))"))
-      .withColumn("wids", array_distinct(
-        transform(col("shingles"), x => Hash60.id(x) % lit(MinhashP))))
-      .withColumn("n_shingles", size(col("wids")).cast("long"))
-      .select(col("doc_id"), col("n_shingles"), explode(col("wids")).as("wid"))
+      .where(size(split(col("text"), " ")) >= w)
+      .select(col("doc_id"), explode(array(widsStruct)).as("st"))
+      .select(col("doc_id"), col("st.n_shingles").as("n_shingles"),
+        explode(col("st.wids")).as("wid"))
   }
 
   def splitLeakageViaStream(spark: SparkSession, sfDir: String): DataFrame = {
@@ -251,7 +288,12 @@ object DocStreams {
       graft.sources.Tables.documents(spark, sfDir), sfDir)
     val evalShingles = inRowWindowIds(
       stagedDocsStream(spark, sfDir).where(pmod(col("doc_id"), lit(10L)) === 0))
-    val train = spark.read.parquet(trainPath).withColumn("hit", lit(1))
+    // broadcast: without the hint the planner sort-merges, re-shuffling
+    // the static side EVERY micro-batch; the distinct-wid table is
+    // megabytes at any corpus size a broadcast can carry, and a corpus too
+    // big for that swaps in the bucketed-index probe (streaming_neardup's
+    // layout) — either way the stream side never waits on a static shuffle
+    val train = broadcast(spark.read.parquet(trainPath).withColumn("hit", lit(1)))
     EventStreams.runToTable(
       evalShingles.join(train, Seq("wid"), "left_outer")
         .groupBy("doc_id", "n_shingles")
