@@ -578,7 +578,7 @@ object SparkEntry {
       val eval = TextOps.sentences(base)
         .where(col("sent_id") === 0 && pmod(col("doc_id"), lit(50L)) === 0)
         .select(col("doc_id").as("eval_id"), col("sent_text"))
-      TextStats.decontaminateBloom(base, eval, "eval_id", "sent_text")
+      TextStats.decontaminateBloom(base, eval, "eval_id", "sent_text", ndvMemoKey = d)
     }),
     "token_packing" -> ((s, d) => TextStats.tokenPacking(docs(s, d))),
     "lang_id" -> ((s, d) => TextStats.langId(docs(s, d))),

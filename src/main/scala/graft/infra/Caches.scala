@@ -22,4 +22,23 @@ object Caches {
     * CacheManager, not RDD-level persistence). Safe mid-pipeline: Spark
     * recomputes lazily from lineage on next use. */
   def unpersistAll(spark: SparkSession): Unit = spark.catalog.clearCache()
+
+  // Operator-internal persists whose lifetime outlives the returned plan
+  // (e.g. splitLeakage's window-id table, read by both the eval and train
+  // sides of the final join). Re-invoking with the SAME plan does not
+  // accumulate entries — CacheManager dedups by canonicalized logical plan —
+  // but each distinct corpus pins one copy until eviction, so they register
+  // here (ADVICE r9) and a long-lived service drops exactly these between
+  // corpora without clearing caches its own application added.
+  private val managed = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Dataset[_]]()
+
+  /** Record an operator-internal persist for later targeted cleanup. */
+  def registerManaged(df: org.apache.spark.sql.Dataset[_]): Unit = managed.add(df)
+
+  /** Unpersist every registered operator-internal cache (blocking=false:
+    * lazy async drop; plans recompute from lineage if re-run). */
+  def unpersistManaged(): Unit = {
+    var df = managed.poll()
+    while (df != null) { try df.unpersist() catch { case _: Exception => () }; df = managed.poll() }
+  }
 }

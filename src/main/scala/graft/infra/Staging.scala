@@ -47,8 +47,13 @@ object Staging {
   def oracleStagePath(kind: String, sfDir: String): String = {
     val f = new java.io.File(sfDir)
     val canon = try f.getCanonicalPath catch { case _: java.io.IOException => f.getAbsolutePath }
+    // sanitization is lossy ('/data/a b' and '/data/a_b' both map to
+    // data_a_b), so a short hash of the UNSANITIZED canonical path rides
+    // along to keep the key injective (ADVICE r9) — same silent
+    // cross-corpus reuse class the canonical-path keying fixed in r8
     val key = canon.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val tag = f"${canon.hashCode & 0x7fffffff}%x"
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-oracle-stage",
-      kind + "_" + key).toString
+      kind + "_" + key + "_" + tag).toString
   }
 }

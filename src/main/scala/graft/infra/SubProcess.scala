@@ -103,21 +103,36 @@ object SubProcess {
         writer.start()
         val r = new java.io.BufferedReader(new java.io.InputStreamReader(
           proc.getInputStream, java.nio.charset.StandardCharsets.US_ASCII), 1 << 16)
-        // readLine bounded by the inter-frame silence budget: poll until a
-        // line is available OR the child has exited (a dead child's pipe
-        // never blocks — buffered frames drain, then EOF), else kill+fail
+        // read a line with the inter-byte silence budget enforced INSIDE
+        // the read: characters are pulled only when ready() (or the child
+        // has exited — a dead child's pipe never blocks: buffered bytes
+        // drain, then EOF), and the deadline resets on every byte of
+        // progress. Delegating to readLine() after the first ready() byte
+        // would reintroduce the unbounded hang for a child that emits a
+        // partial line and then wedges (ADVICE r9).
         def readLineBounded(): String = {
-          val deadline = System.nanoTime() + readTimeoutMs * 1000000L
-          while (!r.ready() && proc.isAlive) {
-            if (System.nanoTime() > deadline) {
-              proc.destroyForcibly()
-              throw new RuntimeException(
-                s"subprocess worker ${cmd.mkString(" ")} produced no output " +
-                  s"for $readTimeoutMs ms (stalled); child killed")
+          var deadline = System.nanoTime() + readTimeoutMs * 1000000L
+          val sb = new java.lang.StringBuilder(64)
+          while (true) {
+            if (r.ready() || !proc.isAlive) {
+              val c = r.read()
+              if (c == -1) return if (sb.length == 0) null else sb.toString
+              if (c == '\n') return sb.toString
+              if (c != '\r') sb.append(c.toChar)
+              deadline = System.nanoTime() + readTimeoutMs * 1000000L
+            } else {
+              if (System.nanoTime() > deadline) {
+                proc.destroyForcibly()
+                val where = if (sb.length == 0) "no output"
+                  else s"a partial line (${sb.length} chars, no terminator)"
+                throw new RuntimeException(
+                  s"subprocess worker ${cmd.mkString(" ")} produced $where " +
+                    s"then went silent for $readTimeoutMs ms (stalled); child killed")
+              }
+              Thread.sleep(5)
             }
-            Thread.sleep(5)
           }
-          r.readLine()
+          null // unreachable
         }
         new Iterator[(Long, Array[Byte])] {
           private var line: String = readLineBounded()

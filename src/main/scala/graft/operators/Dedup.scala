@@ -805,6 +805,7 @@ object Dedup {
   def splitLeakage(docs: DataFrame, evalMod: Long = 10L, windowTokens: Int = 8): DataFrame = {
     val wins = windowIds(docs, windowTokens)
       .persist() // eval and train sides both read it
+    graft.infra.Caches.registerManaged(wins) // targeted cleanup (ADVICE r9)
     val isEval = pmod(col("doc_id"), lit(evalMod)) === 0
     val evalW = wins.where(isEval)
     val trainW = wins.where(!isEval).select("wid").distinct()
@@ -844,6 +845,7 @@ object Dedup {
       .select(col("doc_id"), (Hash60.id(windowStr) % MinhashP).as("wid"))
       .distinct()
       .persist()
+    graft.infra.Caches.registerManaged(wins) // same lifetime class as splitLeakage
     val keepWids = wins.groupBy("wid").agg(count(lit(1)).as("df"))
       .where(col("df") >= 2 && col("df") <= maxDf)
       .select("wid")

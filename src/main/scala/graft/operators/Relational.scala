@@ -302,6 +302,13 @@ object Relational {
     * this plan. */
   def topPartsPerBrand(part: DataFrame, k: Int = 3): DataFrame =
     part
+      // explicit non-null contract (ADVICE r9): TopKAgg.update skips null
+      // score/id rows, where the window formulation would rank them NULLS
+      // LAST — the TPC-H columns are never null, but if a source schema
+      // marks them nullable the divergence must be this visible pre-filter,
+      // not a silent heap-side drop (the optimizer rule refuses nullable
+      // score/id for the same reason).
+      .where(col("p_retailprice").isNotNull && col("p_partkey").isNotNull)
       .groupBy("p_brand")
       .agg(graft.functions.TopKAgg.topKWith(
         col("p_retailprice"), col("p_partkey"), k, col("p_name")).as("tk"))

@@ -124,6 +124,24 @@ class SubProcessSpec extends SparkSpec {
     assert(elapsedSec < 60.0, s"stall detection took ${elapsedSec}s")
   }
 
+  test("a child that emits a PARTIAL line then wedges is killed, not hung (ADVICE r9)") {
+    // the r9 guard only bounded the wait for the FIRST byte: a child that
+    // prints a line fragment without '\n' and then stalls made ready()
+    // true once, and the old readLine() delegation blocked forever. The
+    // deadline now lives inside the byte loop. `exec` per the stalled-child
+    // spec above: the handle must BE the sleep so destroyForcibly kills it.
+    val in = payloads(5, 1).as[(Long, Array[Byte])]
+    val cmd = Seq("/bin/sh", "-c", "cat > /dev/null; printf '123\\tdead'; exec sleep 600")
+    val t0 = System.nanoTime()
+    val e = intercept[org.apache.spark.SparkException] {
+      SubProcess.pipeFramed(in, cmd, readTimeoutMs = 2000L).count()
+    }
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("partial line") && msg.contains("sleep 600"), msg)
+    assert(elapsedSec < 60.0, s"mid-line stall detection took ${elapsedSec}s")
+  }
+
   test("a child that prints diagnostics to stdout fails with the command and line named") {
     val in = payloads(3, 1).as[(Long, Array[Byte])]
     val e = intercept[org.apache.spark.SparkException] {
