@@ -432,9 +432,11 @@ object SparkEntry {
     "dedup_incremental_staged" -> ((s, d) => Dedup.minhashIncrementalStaged(docs(s, d), d)),
     "dedup_minhash_hashed" -> ((s, d) => Dedup.minhashCandidatesHashedStaged(docs(s, d), d)),
     "minhash_est" -> ((s, d) => Dedup.minhashEstimate(docs(s, d))),
-    "dedup_clusters" -> ((s, d) => Dedup.clusters(docs(s, d))),
-    "dedup_cluster_stats" -> ((s, d) => Dedup.clusterStats(docs(s, d))),
-    "dedup_keep_best" -> ((s, d) => Dedup.clusterKeepBest(docs(s, d))),
+    // the CC fixpoint runs ONCE per (process, corpus): every consumer of
+    // the cluster labels reads the staged artifact (VERDICT r9 item 2)
+    "dedup_clusters" -> ((s, d) => Dedup.stagedClusters(docs(s, d), d)),
+    "dedup_cluster_stats" -> ((s, d) => Dedup.clusterStatsFrom(Dedup.stagedClusters(docs(s, d), d))),
+    "dedup_keep_best" -> ((s, d) => Dedup.clusterKeepBestFrom(docs(s, d), Dedup.stagedClusters(docs(s, d), d))),
     "window_dup" -> ((s, d) => Dedup.windowDupPairs(docs(s, d))),
     "decontaminate_fuzzy" -> ((s, d) => {
       val base = docs(s, d)
@@ -534,7 +536,7 @@ object SparkEntry {
     "knn_graph" -> ((s, d) => Embeddings.knnGraph(Tables.embeddings(s, d))),
     "emb_mmr" -> ((s, d) => Embeddings.mmrRerank(Tables.embeddings(s, d))),
     "ann_ndcg" -> ((s, d) => Embeddings.annNdcg(Tables.embeddings(s, d))),
-    "dedup_soft_weights" -> ((s, d) => Dedup.softDedupWeights(docs(s, d))),
+    "dedup_soft_weights" -> ((s, d) => Dedup.softDedupWeightsFrom(Dedup.stagedClusters(docs(s, d), d))),
     "pq_codes" -> ((s, d) => Embeddings.pqCodes(Tables.embeddings(s, d))),
     "sq_codes" -> ((s, d) => Embeddings.sqCodes(Tables.embeddings(s, d))),
     "sq_topk" -> ((s, d) => Embeddings.sqTopK(Tables.embeddings(s, d))),

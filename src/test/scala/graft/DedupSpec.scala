@@ -63,6 +63,31 @@ class DedupSpec extends SparkSpec {
     assert(r == Map(3L -> ((1L, 3L)), 1L -> ((2L, 2L))))
   }
 
+  test("staged cluster labels equal the direct computation and write exactly once") {
+    val dd = docs(base, base, base,
+      "completely different content with many other tokens in this string ok",
+      "another unrelated document about nothing in particular at all")
+    val sfKey = java.nio.file.Files.createTempDirectory("graft-cluster-stage-spec").toString
+    val direct = Dedup.clusters(dd).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val staged = Dedup.stagedClusters(dd, sfKey)
+    assert(staged.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+      == direct)
+    // consumers over the staged table match their direct formulations
+    assert(Dedup.clusterStatsFrom(staged).collect().toSeq.map(_.toSeq).toSet
+      == Dedup.clusterStats(dd).collect().toSeq.map(_.toSeq).toSet)
+    assert(Dedup.softDedupWeightsFrom(staged).collect().toSeq.map(_.toSeq).toSet
+      == Dedup.softDedupWeights(dd).collect().toSeq.map(_.toSeq).toSet)
+    // second call reads the artifact: the staged file's mtime must not move
+    val path = graft.infra.Staging.oracleStagePath("dedup_clusters_t60", sfKey)
+    val before = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    val mtime = java.nio.file.Files.getLastModifiedTime(before)
+    Dedup.stagedClusters(dd, sfKey).count()
+    assert(java.nio.file.Files.getLastModifiedTime(before) == mtime,
+      "staged cluster table was rewritten on a second invocation")
+  }
+
   test("identical docs get identical simhash; different docs differ") {
     val r = Dedup.simhash(docs(base, base, "other words entirely unrelated zebra"))
       .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("simhash")).toMap
