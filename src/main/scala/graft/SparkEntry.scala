@@ -161,6 +161,10 @@ object SparkEntry {
     "xml_roundtrip" -> ((s, d) => XmlIngest.roundTrip(docs(s, d))),
     "medline_ingest" -> ((s, d) => XmlIngest.medlineRoundTrip(docs(s, d))),
     "medline_entities" -> ((s, d) => XmlIngest.medlineEntitiesRoundTrip(docs(s, d))),
+    "medline_metadata" -> ((s, d) => XmlIngest.medlineMetadata(XmlIngest.serializeMedline(docs(s, d)))),
+    "medline_subsup" -> ((s, d) => XmlIngest.medlineSubSupRoundTrip(docs(s, d))),
+    "medline_deletes" -> ((s, d) =>
+      XmlIngest.parseUpdateFileDeletes(XmlIngest.serializeMedlineUpdateFiles(docs(s, d)))),
     "jats_ingest" -> ((s, d) => XmlIngest.jatsRoundTrip(docs(s, d))),
     "bioc_ingest" -> ((s, d) => XmlIngest.biocRoundTrip(docs(s, d))),
     "webanno_export" -> ((s, d) => Exports.webanno(docs(s, d), pp(s, d))),
@@ -173,6 +177,7 @@ object SparkEntry {
     "streaming_concepts" -> ((s, d) => graft.streaming.DocStreams.conceptsViaStream(s, d)),
     "streaming_cooccur" -> ((s, d) => graft.streaming.DocStreams.cooccurViaStream(s, d)),
     "streaming_upsert" -> ((s, d) => graft.streaming.DocStreams.upsertViaStream(s, d)),
+    "streaming_upsert_delete" -> ((s, d) => graft.streaming.DocStreams.upsertDeleteViaStream(s, d)),
     "streaming_quality" -> ((s, d) => graft.streaming.DocStreams.qualityFilterViaStream(s, d)),
     "streaming_cms" -> ((s, d) => graft.streaming.DocStreams.cmsViaStream(s, d)),
     "streaming_neardup" -> ((s, d) => graft.streaming.DocStreams.neardupViaStream(s, d)),
@@ -307,6 +312,7 @@ object SparkEntry {
         .withColumn("lang", lit("xx")).withColumn("source", lit("updated"))
       graft.infra.Etl.upsert(base, updates, "doc_id")
     }),
+    "doc_upsert_delete" -> ((s, d) => XmlIngest.medlineUpsertWithDeletes(docs(s, d))),
     // E. exports
     "bionlp_export" -> ((s, d) => Exports.bionlp(pp(s, d))),
     "pubannotation_export" -> ((s, d) => Exports.pubannotation(pp(s, d))),

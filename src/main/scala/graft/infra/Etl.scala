@@ -56,6 +56,18 @@ object Etl {
   def upsert(current: DataFrame, updates: DataFrame, key: String): DataFrame =
     current.join(updates.select(key), Seq(key), "left_anti").unionByName(updates)
 
+  /** [[upsert]] extended with the DELETE channel every Medline update file
+    * carries (the DeleteCitation entries at the bottom of each nightly
+    * file: reference corpora/PmidToFileExtractor.java:74-80,
+    * MedlineUiMetadataExtractor.java:58-59 writes them as a .delete.tsv.gz
+    * sidecar). Updates win on key collision, keys in `deletes` VANISH —
+    * including keys that were never present (delete-of-absent is a no-op,
+    * as in the reference's baseline apply). Two anti-joins + one union;
+    * the deletes side is retraction-sized (tiny), so AQE broadcasts it. */
+  def upsertWithDeletes(current: DataFrame, updates: DataFrame, deletes: DataFrame,
+                        key: String): DataFrame =
+    upsert(current, updates, key).join(deletes.select(key), Seq(key), "left_anti")
+
   /** key + change_type ('added' | 'removed' | 'changed') — snapshot diff:
     * which keys a new corpus snapshot added, dropped, or modified relative
     * to the old one (the delta report an update pipeline publishes before

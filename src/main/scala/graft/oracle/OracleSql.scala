@@ -209,6 +209,82 @@ object OracleSql {
        |       ELSE t.title || chr(10) || chr(10) || a.abstract END AS doc_text
        |FROM t LEFT JOIN a USING (doc_id)""".stripMargin
 
+  /** Twin of XmlIngest.medlineMetadata over serializeMedline's
+    * deterministic journal-issue fields. NOTE: missing year is '-' here
+    * (MedlineUiMetadataExtractor.replaceWithHyphenIfNull), not the text
+    * path's 2155 default. */
+  val medlineMetadata: String = {
+    val months = XmlIngest.MonthAbbrevs.map("'" + _ + "'").mkString("[", ", ", "]")
+    s"""WITH $tokCte,
+       |$sentCte,
+       |t AS (SELECT doc_id, sent_text AS title FROM sent WHERE sent_id = 0),
+       |a AS (SELECT doc_id, string_agg(sent_text, chr(10) ORDER BY sent_id) AS abstract
+       |  FROM sent WHERE sent_id IN (1, 2) GROUP BY 1)
+       |SELECT t.doc_id,
+       |  'PMID:' || t.doc_id AS pmid,
+       |  CASE WHEN t.doc_id % 7 = 0 THEN '-' ELSE CAST(t.doc_id % 30 + 1990 AS VARCHAR) END AS year,
+       |  CASE WHEN t.doc_id % 3 = 0 THEN '-' ELSE list_extract($months, CAST(t.doc_id % 12 AS INT) + 1) END AS month,
+       |  CASE WHEN t.doc_id % 9 = 0 THEN '-' ELSE CAST(t.doc_id % 28 + 1 AS VARCHAR) END AS day,
+       |  CASE WHEN t.doc_id % 13 = 0 THEN '-' ELSE 'Journal of Spark Topic ' || CAST(t.doc_id % 20 AS VARCHAR) END AS journal,
+       |  CASE WHEN t.doc_id % 11 = 0 THEN '-' ELSE 'J Spark ' || CAST(t.doc_id % 20 AS VARCHAR) END AS journal_abbrev,
+       |  CASE WHEN t.doc_id % 4 = 0 THEN '-' ELSE CAST(t.doc_id % 50 + 1 AS VARCHAR) END AS volume,
+       |  CASE WHEN t.doc_id % 5 = 0 THEN '-' ELSE CAST(t.doc_id % 6 + 1 AS VARCHAR) END AS issue,
+       |  t.title AS article_title,
+       |  coalesce(replace(a.abstract, chr(10), ' '), '-') AS article_abstract
+       |FROM t LEFT JOIN a USING (doc_id)""".stripMargin
+  }
+
+  /** Twin of the update-file DeleteCitation parse: the retracted slice is
+    * hash >= 900, file = doc_id mod UpdateFileMod. */
+  val medlineDeletes: String =
+    s"""SELECT doc_id % ${XmlIngest.UpdateFileMod} AS file_id, doc_id, 'PMID:' || doc_id AS pmid
+       |FROM documents WHERE (doc_id * 2654435761) % 1000 >= 900""".stripMargin
+
+  /** Twin of medlineUpsertWithDeletes / the streaming dual: the served
+    * medline corpus after one update cycle — revised rows (hash < 100)
+    * carry the +1 year (unless the no-PubYear 2155 rule applies),
+    * retracted rows (hash >= 900) are gone. */
+  val docUpsertDelete: String =
+    s"""WITH $tokCte,
+       |$sentCte,
+       |t AS (SELECT doc_id, sent_text AS title FROM sent WHERE sent_id = 0),
+       |a AS (SELECT doc_id, string_agg(sent_text, chr(10) ORDER BY sent_id) AS abstract
+       |  FROM sent WHERE sent_id IN (1, 2) GROUP BY 1)
+       |SELECT t.doc_id,
+       |  'PMID:' || t.doc_id AS pmid,
+       |  CASE WHEN t.doc_id % 7 = 0 THEN '${XmlIngest.DefaultPubYear}'
+       |       WHEN (t.doc_id * 2654435761) % 1000 < 100 THEN CAST(t.doc_id % 30 + 1991 AS VARCHAR)
+       |       ELSE CAST(t.doc_id % 30 + 1990 AS VARCHAR) END AS year,
+       |  t.title,
+       |  coalesce(a.abstract, '') AS abstract,
+       |  CASE WHEN a.abstract IS NULL OR a.abstract = '' THEN t.title
+       |       ELSE t.title || chr(10) || chr(10) || a.abstract END AS doc_text
+       |FROM t LEFT JOIN a USING (doc_id)
+       |WHERE (t.doc_id * 2654435761) % 1000 < 900""".stripMargin
+
+  /** Twin of medlineSubSupRoundTrip: formatting annotations in document
+    * coordinates — title's token 2 in sup (even doc_id) / sub (odd), first
+    * abstract section's token 1 in the opposite tag, abstract spans shifted
+    * by len(title)+2 (MedlineXmlToTextFn.java:166-180). */
+  val medlineSubSup: String =
+    s"""WITH $tokCte,
+       |$sentCte,
+       |t AS (SELECT doc_id, sent_text FROM sent WHERE sent_id = 0),
+       |ta AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'sup' ELSE 'sub' END AS ann_type,
+       |    CAST(length(split_part(sent_text, ' ', 1)) + 1 AS BIGINT) AS char_start,
+       |    CAST(length(split_part(sent_text, ' ', 1)) + 1 + length(split_part(sent_text, ' ', 2)) AS BIGINT) AS char_end,
+       |    split_part(sent_text, ' ', 2) AS covered_text
+       |  FROM t WHERE len(string_split(sent_text, ' ')) >= 2),
+       |s1 AS (SELECT doc_id, sent_text FROM sent WHERE sent_id = 1),
+       |aa AS (SELECT s1.doc_id,
+       |    CASE WHEN s1.doc_id % 2 = 0 THEN 'sub' ELSE 'sup' END AS ann_type,
+       |    CAST(length(t.sent_text) + 2 AS BIGINT) AS char_start,
+       |    CAST(length(t.sent_text) + 2 + length(split_part(s1.sent_text, ' ', 1)) AS BIGINT) AS char_end,
+       |    split_part(s1.sent_text, ' ', 1) AS covered_text
+       |  FROM s1 JOIN t USING (doc_id))
+       |SELECT * FROM ta UNION ALL SELECT * FROM aa""".stripMargin
+
   val jatsIngest: String =
     s"""WITH $tokCte,
        |$sentCte,
@@ -3485,6 +3561,11 @@ object OracleSql {
     "xml_roundtrip" -> xmlRoundtrip,
     "medline_ingest" -> medlineIngest,
     "medline_entities" -> medlineEntities,
+    "medline_metadata" -> medlineMetadata,
+    "medline_deletes" -> medlineDeletes,
+    "medline_subsup" -> medlineSubSup,
+    "doc_upsert_delete" -> docUpsertDelete,
+    "streaming_upsert_delete" -> docUpsertDelete,
     "jats_ingest" -> jatsIngest,
     "bioc_ingest" -> biocIngest,
     "webanno_export" -> webannoExport,

@@ -314,6 +314,40 @@ object DocStreams {
     * as a periodic batch job); the view's plan is the same one-shuffle
     * anti-join as batch Etl.upsert, so the result matches the doc_upsert
     * oracle exactly. */
+  /** [[upsertViaStream]] extended with the Medline DELETE channel: the
+    * nightly update FILES (PubmedArticleSet + trailing DeleteCitation —
+    * XmlIngest.serializeMedlineUpdateFiles) arrive as a file-source stream,
+    * the revised citations are parsed OUT OF THE XML per micro-batch
+    * (from_xml + explode — stateless, streaming-legal) and appended to the
+    * update log; the batch-side merge then applies upsert + delete so
+    * retracted PMIDs vanish from the served corpus. This is the streaming
+    * dual of doc_upsert_delete, same oracle. */
+  def upsertDeleteViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.XmlIngest
+    val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+    val docs = spark.read.schema(docSchema).parquet(s"$sfDir/documents.parquet")
+    val filesDir = graft.infra.Staging.tempDir("graft-upsertdel-files").toString
+    XmlIngest.serializeMedlineUpdateFiles(docs).coalesce(1).write.mode("overwrite").parquet(filesDir)
+    val fileSchema = org.apache.spark.sql.types.StructType.fromDDL("file_id BIGINT, xml STRING")
+    val log = graft.infra.Staging.tempDir("graft-upsertdel-log").toString
+    val ckpt = graft.infra.Staging.tempDir("graft-upsertdel-ckpt").toString
+    val q = XmlIngest.parseUpdateFileArticles(
+        spark.readStream.schema(fileSchema).parquet(filesDir))
+      .writeStream.format("parquet")
+      .option("path", log).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val base = XmlIngest.medlineRoundTrip(docs)
+    val updSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, pmid STRING, year STRING, title STRING, `abstract` STRING, doc_text STRING")
+    val updates = spark.read.schema(updSchema).parquet(log)
+      .select(base.columns.map(col): _*)
+    val deletes = XmlIngest.parseUpdateFileDeletes(
+      spark.read.schema(fileSchema).parquet(filesDir)).select("doc_id")
+    graft.infra.Etl.upsertWithDeletes(base, updates, deletes, "doc_id")
+  }
+
   def upsertViaStream(spark: SparkSession, sfDir: String): DataFrame = {
     val log = graft.infra.Staging.tempDir("graft-upsert-log").toString
     val ckpt = graft.infra.Staging.tempDir("graft-upsert-ckpt").toString
