@@ -281,6 +281,7 @@ object SparkEntry {
     "relation_paths" -> ((s, d) => SentencePairs.relationPaths(docs(s, d), pp(s, d))),
     "dp_input_export" -> ((s, d) => SentencePairs.dpInput(docs(s, d), pp(s, d))),
     "distant_supervision" -> ((s, d) => SentencePairs.distantSupervision(pp(s, d))),
+    "semmed_eval_rows" -> ((s, d) => SentencePairs.semmedEvalRows(docs(s, d), pp(s, d))),
     "ds_train_split" -> ((s, d) => SentencePairs.dsTrainSplit(pp(s, d))),
     "gopher_rules" -> ((s, d) => TextStats.gopherRules(docs(s, d))),
     "quality_winsorize" -> ((s, d) => TextStats.qualityWinsorize(docs(s, d), d)),

@@ -202,4 +202,56 @@ object SentencePairs {
             concat(col("y_start"), lit("|"), col("y_end")), col("y_tok")),
           underscored).as("dp_input"))
   }
+
+  /** Labeled eval rows the reference scores sentence-level assertions
+    * against SemMedDB with (corpora/semmed/SemmedDbFileParser.java:220-343,
+    * the intervening_token_count_treats.csv construction): one row per
+    * in-sentence subject–object mention pair carrying
+    *  - intervening_tokens between the two mentions (:269-307 counts the
+    *    segment's whitespace tokens; mentions here are token-level, so the
+    *    segment token count IS the ord distance minus one),
+    *  - sentence_tokens (:310),
+    *  - pmid_count — corpus-wide distinct-document support for the
+    *    (subject, object) edge, the dual of Su's edge_pmidlist join
+    *    (:158-196 getSubjObjCuiToPmidCountMap; counts combine across rows
+    *    differing only in semtype, which concept-id keying gives for free),
+    *  - sem_types pair and the reference's exact pmid/token bucket
+    *    thresholds (:345-388).
+    * Subject/object prefix sets play the TREATS subject/object semtype
+    * lists. Shapes: the pair join is per-sentence (extract()), the support
+    * table is one distinct + one groupBy re-joined on the edge key —
+    * nothing corpus-global beyond those two shuffles. */
+  def semmedEvalRows(docs: DataFrame, annots: DataFrame,
+                     subjPrefix: String = "OP", objPrefix: String = "DS"): DataFrame = {
+    val pairs = extract(annots, subjPrefix, objPrefix)
+      .select(col("doc_id"), col("sent_id"),
+        col("concept_x").as("subj_concept"), col("concept_y").as("obj_concept"),
+        col("x_ord").as("subj_ord"), col("y_ord").as("obj_ord"))
+    val sentLen = TextOps.tokens(docs)
+      .withColumn("sent_id", expr(s"(ord - 1) div ${TextOps.SentWindow}"))
+      .groupBy("doc_id", "sent_id").agg(count(lit(1)).as("sentence_tokens"))
+    val support = pairs.select("doc_id", "subj_concept", "obj_concept").distinct()
+      .groupBy("subj_concept", "obj_concept").agg(count(lit(1)).as("pmid_count"))
+    val tokenCount = (abs(col("obj_ord") - col("subj_ord")) - 1).as("intervening_tokens")
+    val pmidBucket = when(col("pmid_count") === 1, "PMID_1")
+      .when(col("pmid_count") < 5, "PMID_2_4")
+      .when(col("pmid_count") < 10, "PMID_5_9")
+      .when(col("pmid_count") < 20, "PMID_10_19")
+      .otherwise("PMID_20")
+    val tokBucket = when(col("intervening_tokens") === 0, "TOKEN_0")
+      .when(col("intervening_tokens") === 1, "TOKEN_1")
+      .when(col("intervening_tokens") < 5, "TOKEN_2_4")
+      .when(col("intervening_tokens") < 10, "TOKEN_5_9")
+      .when(col("intervening_tokens") < 15, "TOKEN_10_14")
+      .otherwise("TOKEN_15")
+    pairs
+      .join(sentLen, Seq("doc_id", "sent_id"))
+      .join(support, Seq("subj_concept", "obj_concept"))
+      .withColumn("intervening_tokens", tokenCount)
+      .select(col("doc_id"), col("sent_id"), col("subj_concept"), col("obj_concept"),
+        col("subj_ord"), col("obj_ord"), col("intervening_tokens"), col("sentence_tokens"),
+        col("pmid_count"),
+        lit(s"${subjPrefix}_$objPrefix").as("sem_types"),
+        pmidBucket.as("pmid_bucket"), tokBucket.as("token_bucket"))
+  }
 }

@@ -671,6 +671,36 @@ object OracleSql {
         |  FROM prs)
         |WHERE score >= 0.5""".stripMargin
 
+  /** Twin of SentencePairs.semmedEvalRows (SemmedDbFileParser.java eval-row
+    * construction: intervening/sentence token counts + edge pmid support +
+    * the reference's exact bucket thresholds). */
+  val semmedEvalRows: String =
+    docPipeline(pairsCte,
+      s"""slen AS (SELECT doc_id, (ord - 1) // $W AS sent_id, CAST(count(*) AS BIGINT) AS sentence_tokens
+         |  FROM tok GROUP BY 1, 2)""".stripMargin,
+      """supp AS (SELECT subj_concept, obj_concept, CAST(count(*) AS BIGINT) AS pmid_count
+        |  FROM (SELECT DISTINCT doc_id, concept_x AS subj_concept, concept_y AS obj_concept FROM prs)
+        |  GROUP BY 1, 2)""".stripMargin) +
+      s"""SELECT p.doc_id, p.sent_id, p.concept_x AS subj_concept, p.concept_y AS obj_concept,
+         |  p.x_ord AS subj_ord, p.y_ord AS obj_ord,
+         |  CAST(abs(p.y_ord - p.x_ord) - 1 AS BIGINT) AS intervening_tokens,
+         |  s.sentence_tokens, su.pmid_count,
+         |  'OP_DS' AS sem_types,
+         |  CASE WHEN su.pmid_count = 1 THEN 'PMID_1'
+         |       WHEN su.pmid_count < 5 THEN 'PMID_2_4'
+         |       WHEN su.pmid_count < 10 THEN 'PMID_5_9'
+         |       WHEN su.pmid_count < 20 THEN 'PMID_10_19'
+         |       ELSE 'PMID_20' END AS pmid_bucket,
+         |  CASE WHEN abs(p.y_ord - p.x_ord) - 1 = 0 THEN 'TOKEN_0'
+         |       WHEN abs(p.y_ord - p.x_ord) - 1 = 1 THEN 'TOKEN_1'
+         |       WHEN abs(p.y_ord - p.x_ord) - 1 < 5 THEN 'TOKEN_2_4'
+         |       WHEN abs(p.y_ord - p.x_ord) - 1 < 10 THEN 'TOKEN_5_9'
+         |       WHEN abs(p.y_ord - p.x_ord) - 1 < 15 THEN 'TOKEN_10_14'
+         |       ELSE 'TOKEN_15' END AS token_bucket
+         |FROM prs p
+         |JOIN slen s ON s.doc_id = p.doc_id AND s.sent_id = p.sent_id
+         |JOIN supp su ON su.subj_concept = p.concept_x AND su.obj_concept = p.concept_y""".stripMargin
+
   val relationPaths: String =
     docPipeline(pairsCte) +
       """SELECT path, CAST(count(*) AS BIGINT) AS support,
@@ -3645,6 +3675,7 @@ object OracleSql {
     "sentence_pairs" -> sentencePairs,
     "classified_sentences" -> classifiedSentences,
     "relation_paths" -> relationPaths,
+    "semmed_eval_rows" -> semmedEvalRows,
     "dp_input_export" -> dpInputExport,
     "doc_upsert" -> docUpsert,
     "doc_history" -> docHistory,

@@ -42,6 +42,34 @@ class SentencePairsSpec extends SparkSpec {
       "@CONCEPT_X$ aa @CONCEPT_Y$ bb cc dd ee ff gg hh")
   }
 
+  test("semmed eval rows: token distance, edge pmid support, reference bucket thresholds") {
+    // doc 0 and doc 1 both assert (join, table) in a sentence → pmid_count 2;
+    // doc 2 asserts (merge, table) once → pmid_count 1. Distances differ.
+    val d = docs(
+      "join aa table bb cc dd ee ff gg hh",   // join@1, table@3 → 1 intervening
+      "join xx yy zz qq table ww rr tt uu",   // join@1, table@6 → 4 intervening
+      "merge table bb cc dd ee ff gg hh ii")  // merge@1, table@2 → 0 intervening
+    val annots = Concepts.postProcess(Concepts.recognize(d))
+    val r = SentencePairs.semmedEvalRows(d, annots).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("subj_concept")) -> x).toMap
+    val r0 = r((0L, "OP:join"))
+    assert(r0.getAs[Long]("intervening_tokens") == 1L)
+    assert(r0.getAs[String]("token_bucket") == "TOKEN_1")
+    assert(r0.getAs[Long]("pmid_count") == 2L)
+    assert(r0.getAs[String]("pmid_bucket") == "PMID_2_4")
+    assert(r0.getAs[Long]("sentence_tokens") == 10L)
+    assert(r0.getAs[String]("sem_types") == "OP_DS")
+    val r1 = r((1L, "OP:join"))
+    assert(r1.getAs[Long]("intervening_tokens") == 4L)
+    assert(r1.getAs[String]("token_bucket") == "TOKEN_2_4")
+    assert(r1.getAs[Long]("pmid_count") == 2L)
+    val r2 = r((2L, "OP:merge"))
+    assert(r2.getAs[Long]("intervening_tokens") == 0L)
+    assert(r2.getAs[String]("token_bucket") == "TOKEN_0")
+    assert(r2.getAs[Long]("pmid_count") == 1L)
+    assert(r2.getAs[String]("pmid_bucket") == "PMID_1")
+  }
+
   test("dp input block carries comments, spans, and underscore-joins multi-word mentions") {
     val text = "join aa table bb cc dd ee ff gg hh"
     val d = docs(text)
