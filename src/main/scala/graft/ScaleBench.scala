@@ -44,7 +44,9 @@ object ScaleBench {
     "retrieval" -> Seq("tfidf", "bm25_scores", "bm25_topk", "concept_idf",
       "cooccur_counts_doc", "cooccur_metrics_doc"),
     "graph" -> Seq("kg_pagerank", "kg_khop", "kg_triangles", "kg_jaccard",
-      "tfidf_doc_sim", "kg_degree_dist"))
+      "tfidf_doc_sim", "kg_degree_dist"),
+    "ingest" -> Seq("xml_roundtrip", "medline_ingest", "medline_metadata",
+      "medline_subsup", "doc_upsert_delete", "semmed_eval_rows"))
 
   /** sf parsed from a ".../sf0.01"-style dir name; None when absent. */
   private def sfOf(dir: String): Option[Double] = {

@@ -275,6 +275,7 @@ object SparkEntry {
     "bm25_scores" -> ((s, d) => Cooccurrence.bm25(pp(s, d))),
     "bm25_topk" -> ((s, d) => Cooccurrence.bm25TopK(pp(s, d))),
     "hybrid_rrf" -> ((s, d) => Cooccurrence.hybridRrf(docs(s, d), pp(s, d))),
+    "bm25_mrr" -> ((s, d) => Cooccurrence.bm25Mrr(pp(s, d))),
     // D. sentence pairs
     "sentence_pairs" -> ((s, d) => SentencePairs.extractWithBlinded(docs(s, d), pp(s, d))),
     "classified_sentences" -> ((s, d) => SentencePairs.classified(pp(s, d))),
@@ -460,6 +461,7 @@ object SparkEntry {
     "source_temperature" -> ((s, d) => TextStats.sourceTemperature(docs(s, d))),
     "stratified_sample" -> ((s, d) => TextStats.stratifiedSample(docs(s, d))),
     "source_caps" -> ((s, d) => TextStats.sourceCaps(docs(s, d))),
+    "shard_manifest" -> ((s, d) => TextStats.shardManifest(docs(s, d))),
     "length_histogram" -> ((s, d) => TextStats.lengthHistogram(docs(s, d))),
     "corpus_cube" -> ((s, d) => TextStats.corpusCube(docs(s, d))),
     "table_profile" -> ((s, d) =>

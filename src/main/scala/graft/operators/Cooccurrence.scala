@@ -323,6 +323,37 @@ object Cooccurrence {
       .select(col("concept_id"), (col("pos") + 1).cast("long").as("rk"),
         col("e.id").as("doc_id"), col("e.score").as("bm25"))
 
+  /** concept_id, n_relevant, n_rel_in_topk, first_rel_rank, rr — sparse-
+    * retrieval quality card (the eval every index in the suite's dense
+    * ladder already has via ann_recall/ann_ndcg, for the BM25 side):
+    * graded relevance = repeated mention (tf ≥ `relTf` — a deterministic
+    * label derivable from the corpus itself), reciprocal rank of the first
+    * relevant hit in the top-k (0 when none), plus pool precision inputs.
+    * One left join of the ≤ k-row retrieval pool against the relevance
+    * label table and two bounded aggregations — candidate generation stays
+    * the heap-based [[bm25TopK]]; no corpus-wide sort. Macro-MRR@k =
+    * avg(rr) over these rows, left to the consumer so the per-query
+    * diagnostics survive. */
+  def bm25Mrr(annots: DataFrame, k: Int = 10, relTf: Long = 2L): DataFrame = {
+    val rel = annots.groupBy("doc_id", "concept_id").agg(count(lit(1)).as("tf"))
+      .where(col("tf") >= relTf)
+      .select(col("concept_id"), col("doc_id"), lit(true).as("rel"))
+    val perQuery = bm25TopK(annots, k)
+      .join(rel, Seq("concept_id", "doc_id"), "left")
+      .groupBy("concept_id")
+      .agg(min(when(col("rel"), col("rk"))).as("first_rel_rank"),
+        sum(when(col("rel"), 1L).otherwise(0L)).as("n_rel_in_topk"))
+    perQuery
+      .join(rel.groupBy("concept_id").agg(count(lit(1)).as("n_relevant")),
+        Seq("concept_id"), "left")
+      .select(col("concept_id"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        col("n_rel_in_topk"),
+        coalesce(col("first_rel_rank"), lit(0L)).as("first_rel_rank"),
+        Num.r6(when(col("first_rel_rank").isNotNull,
+          lit(1.0) / col("first_rel_rank").cast("double")).otherwise(lit(0.0))).as("rr"))
+  }
+
   /** concept_id, rank, doc_id, rrf, bm25_rank, quality_rank — hybrid
     * retrieval by reciprocal-rank fusion (Cormack et al. 2009): each
     * concept's BM25 top-k pool re-ranked by RRF(60) over its BM25 rank and

@@ -485,6 +485,40 @@ object TextStats {
     * cross-engine; at 100 TB a skewed mega-source is exactly the window's
     * partition and never a global sort. Output keeps every doc with its
     * rank and keep flag, so the drop set is auditable. */
+  val ShardCount = 32
+
+  /** shard_id, n_docs, n_tokens, n_bytes, avg_quality_u, curriculum_rank —
+    * the training-dataloader SHARD MANIFEST: every document lands in a
+    * deterministic shard (multiplicative hash of doc_id — stable across
+    * runs and engines, never rand()), the manifest aggregates each shard's
+    * volume, and curriculum_rank orders shards by mean quality
+    * (quality-descending curriculum: clean shards first). Quality averages
+    * in integer micro-units with integer division — bit-exact across
+    * engines regardless of summation order. The rank comes from a bounded
+    * theta-join over the numShards-row manifest (numShards² ≤ ~1k pairs),
+    * NOT a global-sort window — the manifest is tiny but the fleet-wide
+    * no-global-window invariant (PlanAuditSpec) stays unconditional. */
+  def shardManifest(docs: DataFrame, numShards: Int = ShardCount): DataFrame = {
+    val q = quality(docs).select(col("doc_id"),
+      floor(col("quality") * lit(1000000.0) + lit(0.5)).cast("long").as("quality_u"))
+    val m = docs
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .join(q, "doc_id")
+      .withColumn("shard_id", pmod(col("doc_id") * lit(2654435761L), lit(numShards.toLong)))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+        sum("n_chars").as("n_bytes"), sum("quality_u").as("sum_q_u"))
+      .withColumn("avg_quality_u", expr("sum_q_u div n_docs"))
+      .drop("sum_q_u")
+    val peers = m.select(col("shard_id").as("sid2"), col("avg_quality_u").as("q2"))
+    m.join(peers,
+        col("q2") > col("avg_quality_u") ||
+          (col("q2") === col("avg_quality_u") && col("sid2") < col("shard_id")), "left")
+      .groupBy("shard_id", "n_docs", "n_tokens", "n_bytes", "avg_quality_u")
+      .agg((count(col("sid2")) + 1).as("curriculum_rank"))
+  }
+
   def sourceCaps(docs: DataFrame, cap: Int = 100): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window.partitionBy("source")
       .orderBy(col("quality").desc, col("doc_id"))

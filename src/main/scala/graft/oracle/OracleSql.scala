@@ -634,6 +634,53 @@ object OracleSql {
         |  doc_id, rrf, rk AS bm25_rank, q_rk AS quality_rank
         |FROM fr""".stripMargin
 
+  /** Cooccurrence.bm25Mrr twin: relevance = tf >= 2, reciprocal rank of
+    * the first relevant hit in the window-formulated top-10 pool. */
+  val bm25Mrr: String =
+    docPipeline(bm25Cte,
+      """bmr AS (SELECT concept_id,
+        |    CAST(row_number() OVER (PARTITION BY concept_id ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rk,
+        |    doc_id FROM bmw),
+        |pool AS (SELECT * FROM bmr WHERE rk <= 10),
+        |brel AS (SELECT concept_id, doc_id FROM btf WHERE tf >= 2),
+        |pq AS (SELECT p.concept_id,
+        |    min(CASE WHEN r.doc_id IS NOT NULL THEN p.rk END) AS frr,
+        |    CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_in_topk
+        |  FROM pool p LEFT JOIN brel r ON p.concept_id = r.concept_id AND p.doc_id = r.doc_id
+        |  GROUP BY 1),
+        |nrel AS (SELECT concept_id, CAST(count(*) AS BIGINT) AS n_relevant FROM brel GROUP BY 1)""".stripMargin) +
+      """SELECT pq.concept_id,
+        |  coalesce(nrel.n_relevant, 0) AS n_relevant,
+        |  pq.n_rel_in_topk,
+        |  CAST(coalesce(pq.frr, 0) AS BIGINT) AS first_rel_rank,
+        |  floor((CASE WHEN pq.frr IS NOT NULL THEN 1.0 / pq.frr ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS rr
+        |FROM pq LEFT JOIN nrel USING (concept_id)""".stripMargin
+
+  /** TextStats.shardManifest twin: deterministic shard hash, integer
+    * micro-unit quality average, quality-descending curriculum rank. */
+  val shardManifest: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       |    CAST($stopCountSql AS BIGINT) AS n_stop
+       |  FROM documents),
+       |q AS (SELECT doc_id, n_chars, n_toks,
+       |    CAST(floor(floor((least(1.0, CAST(n_toks AS DOUBLE) / 100.0)
+       |      * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_toks AS DOUBLE))
+       |      * (CAST(n_distinct AS DOUBLE) / CAST(n_toks AS DOUBLE))) * 1000000 + 0.5) / 1000000
+       |      * 1000000 + 0.5) AS BIGINT) AS quality_u
+       |  FROM f),
+       |m AS (SELECT (doc_id * 2654435761) % ${TextStats.ShardCount} AS shard_id,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+       |    CAST(sum(quality_u) // count(*) AS BIGINT) AS avg_quality_u
+       |  FROM q GROUP BY 1)
+       |SELECT shard_id, n_docs, n_tokens, n_bytes, avg_quality_u,
+       |  CAST(row_number() OVER (ORDER BY avg_quality_u DESC, shard_id) AS BIGINT) AS curriculum_rank
+       |FROM m""".stripMargin
+
   // ---------- D. sentence pairs ----------
 
   private val pairsCte =
@@ -3667,6 +3714,8 @@ object OracleSql {
     "source_lm_matrix" -> sourceLmMatrix,
     "bm25_scores" -> bm25Scores,
     "bm25_topk" -> bm25TopK,
+    "bm25_mrr" -> bm25Mrr,
+    "shard_manifest" -> shardManifest,
     "hybrid_rrf" -> hybridRrf,
     "knn_graph" -> knnGraph,
     "emb_mmr" -> embMmr,

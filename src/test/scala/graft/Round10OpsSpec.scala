@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.{Concepts, Cooccurrence, TextStats}
+
+class Round10OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("bm25_mrr: repeated-mention relevance, reciprocal rank of first relevant hit") {
+    // 'table' appears twice in doc 0 (relevant) and once in docs 1-2;
+    // 'merge' is never repeated anywhere → zero relevant, rr = 0
+    val d = docs(
+      "table aa table bb cc dd ee ff gg hh",
+      "table xx yy zz qq ww rr tt uu vv",
+      "merge table bb cc dd ee ff gg hh ii")
+    val annots = Concepts.postProcess(Concepts.recognize(d))
+    val r = Cooccurrence.bm25Mrr(annots).collect()
+      .map(x => x.getAs[String]("concept_id") -> x).toMap
+    val t = r("DS:table")
+    assert(t.getAs[Long]("n_relevant") == 1L)
+    assert(t.getAs[Long]("n_rel_in_topk") == 1L)
+    assert(t.getAs[Long]("first_rel_rank") >= 1L)
+    assert(t.getAs[Double]("rr") ==
+      math.floor(1.0 / t.getAs[Long]("first_rel_rank") * 1e6 + 0.5) / 1e6)
+    val m = r("OP:merge")
+    assert(m.getAs[Long]("n_relevant") == 0L)
+    assert(m.getAs[Long]("first_rel_rank") == 0L)
+    assert(m.getAs[Double]("rr") == 0.0)
+  }
+
+  test("shard manifest: deterministic shards, exact volume sums, quality-desc curriculum") {
+    val d = docs(
+      (1 to 20).map(i => s"tok$i uniq$i word$i").mkString(" "), // high quality (distinct-heavy)
+      "the the the the the the the the",                        // stop/repeat heavy → low quality
+      "key agg row scan slow fast table value part hash")
+    val r = TextStats.shardManifest(d, numShards = 4).collect()
+    // every doc lands in exactly one shard; totals conserve
+    assert(r.map(_.getAs[Long]("n_docs")).sum == 3L)
+    assert(r.map(_.getAs[Long]("n_bytes")).sum == d.collect().map(_.getAs[Long]("n_chars")).sum)
+    // curriculum_rank is a permutation of 1..n_shards ordered by avg quality desc
+    val byRank = r.sortBy(_.getAs[Long]("curriculum_rank"))
+    assert(byRank.map(_.getAs[Long]("curriculum_rank")).toSeq == (1L to r.length).toSeq)
+    val quals = byRank.map(_.getAs[Long]("avg_quality_u")).toSeq
+    assert(quals == quals.sorted.reverse, s"curriculum not quality-descending: $quals")
+    // shard assignment is the documented multiplicative hash
+    val expected = d.collect().map(_.getAs[Long]("doc_id"))
+      .groupBy(id => java.lang.Math.floorMod(id * 2654435761L, 4L)).view.mapValues(_.length.toLong).toMap
+    assert(r.map(x => x.getAs[Long]("shard_id") -> x.getAs[Long]("n_docs")).toMap == expected)
+  }
+}
