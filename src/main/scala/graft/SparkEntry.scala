@@ -165,6 +165,8 @@ object SparkEntry {
     "medline_subsup" -> ((s, d) => XmlIngest.medlineSubSupRoundTrip(docs(s, d))),
     "medline_deletes" -> ((s, d) =>
       XmlIngest.parseUpdateFileDeletes(XmlIngest.serializeMedlineUpdateFiles(docs(s, d)))),
+    "medline_pmid_files" -> ((s, d) =>
+      XmlIngest.parseUpdateFilePmids(XmlIngest.serializeMedlineUpdateFiles(docs(s, d)))),
     "jats_ingest" -> ((s, d) => XmlIngest.jatsRoundTrip(docs(s, d))),
     "bioc_ingest" -> ((s, d) => XmlIngest.biocRoundTrip(docs(s, d))),
     "webanno_export" -> ((s, d) => Exports.webanno(docs(s, d), pp(s, d))),

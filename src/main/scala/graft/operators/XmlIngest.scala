@@ -314,6 +314,28 @@ object XmlIngest {
         explode(col("parsed").getField("DeleteCitation").getField("PMID")).as("doc_id"))
       .select(col("file_id"), col("doc_id"), concat(lit("PMID:"), col("doc_id")).as("pmid"))
 
+  /** file_id, doc_id, pmid, channel ('article' | 'delete') — BOTH output
+    * streams of the reference's PmidToFileExtractor (:62-83): the forward
+    * pmid→file map for every citation an update file carries, and the
+    * retracted pmid→file stream from its DeleteCitation block. One
+    * from_xml per file row, two explodes, a union — per-row, no shuffle. */
+  def parseUpdateFilePmids(files: DataFrame): DataFrame = {
+    val parsed = files.withColumn("parsed",
+      from_xml(decodeEntities(col("xml")), medlineSetSchema))
+    val arts = parsed
+      .select(col("file_id"), explode(col("parsed").getField("PubmedArticle")).as("a"))
+      .select(col("file_id"),
+        col("a").getField("MedlineCitation").getField("PMID").as("doc_id"),
+        lit("article").as("channel"))
+    val dels = parsed
+      .select(col("file_id"),
+        explode(col("parsed").getField("DeleteCitation").getField("PMID")).as("doc_id"),
+        lit("delete").as("channel"))
+    arts.unionByName(dels)
+      .select(col("file_id"), col("doc_id"),
+        concat(lit("PMID:"), col("doc_id")).as("pmid"), col("channel"))
+  }
+
   /** Nightly-baseline maintenance end to end: current corpus + one update
     * cycle's files → revised citations win on PMID collision, retracted
     * PMIDs VANISH. An upsert without the delete channel silently retains

@@ -240,6 +240,16 @@ object OracleSql {
     s"""SELECT doc_id % ${XmlIngest.UpdateFileMod} AS file_id, doc_id, 'PMID:' || doc_id AS pmid
        |FROM documents WHERE (doc_id * 2654435761) % 1000 >= 900""".stripMargin
 
+  /** Twin of parseUpdateFilePmids: both PmidToFileExtractor streams. */
+  val medlinePmidFiles: String =
+    s"""SELECT doc_id % ${XmlIngest.UpdateFileMod} AS file_id, doc_id,
+       |  'PMID:' || doc_id AS pmid, 'article' AS channel
+       |FROM documents WHERE (doc_id * 2654435761) % 1000 < 100
+       |UNION ALL
+       |SELECT doc_id % ${XmlIngest.UpdateFileMod} AS file_id, doc_id,
+       |  'PMID:' || doc_id AS pmid, 'delete' AS channel
+       |FROM documents WHERE (doc_id * 2654435761) % 1000 >= 900""".stripMargin
+
   /** Twin of medlineUpsertWithDeletes / the streaming dual: the served
     * medline corpus after one update cycle — revised rows (hash < 100)
     * carry the +1 year (unless the no-PubYear 2155 rule applies),
@@ -3640,6 +3650,7 @@ object OracleSql {
     "medline_entities" -> medlineEntities,
     "medline_metadata" -> medlineMetadata,
     "medline_deletes" -> medlineDeletes,
+    "medline_pmid_files" -> medlinePmidFiles,
     "medline_subsup" -> medlineSubSup,
     "doc_upsert_delete" -> docUpsertDelete,
     "streaming_upsert_delete" -> docUpsertDelete,
