@@ -285,6 +285,20 @@ object SparkEntry {
     "dp_input_export" -> ((s, d) => SentencePairs.dpInput(docs(s, d), pp(s, d))),
     "distant_supervision" -> ((s, d) => SentencePairs.distantSupervision(pp(s, d))),
     "semmed_eval_rows" -> ((s, d) => SentencePairs.semmedEvalRows(docs(s, d), pp(s, d))),
+    "concepts_ext_revert" -> ((s, d) => {
+      // deterministic channel split: ord%3==0 plays the original file's
+      // annotations; the rest play the extension file — half as revertable
+      // _EXT ids, half as ids whose reverted form is NOT in the ontology
+      // (the membership gate must drop them)
+      val annots = pp(s, d)
+      val orig = annots.where(pmod(col("ord"), lit(3L)) === 0)
+      val ext = annots.where(pmod(col("ord"), lit(3L)) =!= 0)
+        .withColumn("concept_id",
+          when(pmod(col("ord"), lit(2L)) === 0,
+            regexp_replace(col("concept_id"), ":", "_EXT:"))
+            .otherwise(concat(lit("ZZ_EXT:"), col("tok"))))
+      Concepts.revertExtMerge(orig, ext, annots.select("concept_id"))
+    }),
     "ds_train_split" -> ((s, d) => SentencePairs.dsTrainSplit(pp(s, d))),
     "gopher_rules" -> ((s, d) => TextStats.gopherRules(docs(s, d))),
     "quality_winsorize" -> ((s, d) => TextStats.qualityWinsorize(docs(s, d), d)),

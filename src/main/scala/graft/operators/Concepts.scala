@@ -169,4 +169,21 @@ object Concepts {
       .select(unitCols.map(col) :+ col("ancestor_id").as("concept_id"): _*)
     base.unionByName(expanded).distinct()
   }
+
+  /** Ontology-id migration merge (reference:
+    * corpora/craft/CraftGoMfExtReverter.java:31-72 — extension-class
+    * annotations are reverted to their base ids by dropping the `_EXT`
+    * marker, kept only when the reverted id EXISTS in the ontology, and
+    * added to the original annotation set). `knownIds` is the ontology-id
+    * universe (here the recognizer's dictionary — literally the known-class
+    * table in this engine); the membership gate is a broadcast semi-join,
+    * the merge a union — per-row throughout, no shuffle beyond the
+    * broadcast build. */
+  def revertExtMerge(orig: DataFrame, ext: DataFrame, knownIds: DataFrame): DataFrame = {
+    val reverted = ext.withColumn("concept_id",
+      regexp_replace(col("concept_id"), "_EXT", ""))
+    val kept = reverted.join(
+      broadcast(knownIds.select(col("concept_id")).distinct()), Seq("concept_id"), "left_semi")
+    orig.unionByName(kept.select(orig.columns.map(col): _*))
+  }
 }

@@ -691,6 +691,26 @@ object OracleSql {
        |  CAST(row_number() OVER (ORDER BY avg_quality_u DESC, shard_id) AS BIGINT) AS curriculum_rank
        |FROM m""".stripMargin
 
+  /** Concepts.revertExtMerge twin (CraftGoMfExtReverter): _EXT ids revert,
+    * survive only when the reverted id is a known class, and merge into
+    * the original set. */
+  val conceptsExtRevert: String =
+    docPipeline(
+      """o AS (SELECT doc_id, concept_id, ord, tok, char_start, char_end
+        |  FROM pp WHERE ord % 3 = 0),
+        |e AS (SELECT doc_id,
+        |    CASE WHEN ord % 2 = 0 THEN replace(concept_id, ':', '_EXT:')
+        |         ELSE 'ZZ_EXT:' || tok END AS concept_id,
+        |    ord, tok, char_start, char_end
+        |  FROM pp WHERE ord % 3 <> 0),
+        |rvt AS (SELECT doc_id, replace(concept_id, '_EXT', '') AS concept_id,
+        |    ord, tok, char_start, char_end FROM e),
+        |known AS (SELECT DISTINCT concept_id FROM pp)""".stripMargin) +
+      """SELECT doc_id, concept_id, ord, tok, char_start, char_end FROM o
+        |UNION ALL
+        |SELECT r.doc_id, r.concept_id, r.ord, r.tok, r.char_start, r.char_end
+        |FROM rvt r WHERE EXISTS (SELECT 1 FROM known k WHERE k.concept_id = r.concept_id)""".stripMargin
+
   // ---------- D. sentence pairs ----------
 
   private val pairsCte =
@@ -3736,6 +3756,7 @@ object OracleSql {
     "classified_sentences" -> classifiedSentences,
     "relation_paths" -> relationPaths,
     "semmed_eval_rows" -> semmedEvalRows,
+    "concepts_ext_revert" -> conceptsExtRevert,
     "dp_input_export" -> dpInputExport,
     "doc_upsert" -> docUpsert,
     "doc_history" -> docHistory,
