@@ -285,6 +285,8 @@ object SparkEntry {
     "dp_input_export" -> ((s, d) => SentencePairs.dpInput(docs(s, d), pp(s, d))),
     "distant_supervision" -> ((s, d) => SentencePairs.distantSupervision(pp(s, d))),
     "semmed_eval_rows" -> ((s, d) => SentencePairs.semmedEvalRows(docs(s, d), pp(s, d))),
+    "concepts_exclude_subtree" -> ((s, d) =>
+      Concepts.excludeSubtrees(pp(s, d), Seq("OP:JOINLIKE"), Seq("DS:line"))),
     "concepts_ext_revert" -> ((s, d) => {
       // deterministic channel split: ord%3==0 plays the original file's
       // annotations; the rest play the extension file — half as revertable

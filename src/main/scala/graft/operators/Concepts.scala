@@ -179,6 +179,26 @@ object Concepts {
     * table in this engine); the membership gate is a broadcast semi-join,
     * the merge a union — per-row throughout, no shuffle beyond the
     * broadcast build. */
+  /** Subtree exclusion (reference:
+    * corpora/craft/ExcludeCraftConceptsByOntologyId.java:61-110 — the
+    * excluded-class set is the individually-listed classes PLUS every
+    * descendant of the listed root classes, and annotations of excluded
+    * classes are removed from the standoff files). The descendant walk is
+    * the transitive closure the engine already computes
+    * (KnowledgeGraph.ontologyClosure); the removal is one broadcast
+    * anti-join — the excluded set is ontology-sized, never corpus-sized. */
+  def excludeSubtrees(annots: DataFrame, roots: Seq[String],
+                      individuals: Seq[String]): DataFrame = {
+    val spark = annots.sparkSession
+    import spark.implicits._
+    val descendants = KnowledgeGraph.ontologyClosure(spark)
+      .where(col("parent").isin(roots: _*))
+      .select(col("child").as("concept_id"))
+    val listed = (roots ++ individuals).toDF("concept_id")
+    val excluded = descendants.unionByName(listed).distinct()
+    annots.join(broadcast(excluded), Seq("concept_id"), "left_anti")
+  }
+
   def revertExtMerge(orig: DataFrame, ext: DataFrame, knownIds: DataFrame): DataFrame = {
     val reverted = ext.withColumn("concept_id",
       regexp_replace(col("concept_id"), "_EXT", ""))

@@ -691,6 +691,25 @@ object OracleSql {
        |  CAST(row_number() OVER (ORDER BY avg_quality_u DESC, shard_id) AS BIGINT) AS curriculum_rank
        |FROM m""".stripMargin
 
+  /** Concepts.excludeSubtrees twin (ExcludeCraftConceptsByOntologyId):
+    * excluded = listed individuals + the listed roots' full descendant
+    * closure; annotations of excluded classes are removed. */
+  val conceptsExcludeSubtree: String =
+    s"""WITH RECURSIVE $tokCte,
+       |$conCte,
+       |$ppCte,
+       |closure(child, parent) AS (
+       |  SELECT child, parent FROM ${ConceptDict.directEdgesValuesSql()}
+       |  UNION
+       |  SELECT c.child, e.parent
+       |  FROM closure c JOIN ${ConceptDict.directEdgesValuesSql("e")} ON c.parent = e.child),
+       |excl AS (
+       |  SELECT child AS concept_id FROM closure WHERE parent IN ('OP:JOINLIKE')
+       |  UNION SELECT 'OP:JOINLIKE' AS concept_id
+       |  UNION SELECT 'DS:line' AS concept_id)
+       |SELECT doc_id, concept_id, ord, tok, char_start, char_end FROM pp
+       |WHERE NOT EXISTS (SELECT 1 FROM excl WHERE excl.concept_id = pp.concept_id)""".stripMargin
+
   /** Concepts.revertExtMerge twin (CraftGoMfExtReverter): _EXT ids revert,
     * survive only when the reverted id is a known class, and merge into
     * the original set. */
@@ -3757,6 +3776,7 @@ object OracleSql {
     "relation_paths" -> relationPaths,
     "semmed_eval_rows" -> semmedEvalRows,
     "concepts_ext_revert" -> conceptsExtRevert,
+    "concepts_exclude_subtree" -> conceptsExcludeSubtree,
     "dp_input_export" -> dpInputExport,
     "doc_upsert" -> docUpsert,
     "doc_history" -> docHistory,

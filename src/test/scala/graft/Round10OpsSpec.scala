@@ -31,6 +31,29 @@ class Round10OpsSpec extends SparkSpec {
     assert(m.getAs[Double]("rr") == 0.0)
   }
 
+  test("ext revert: _EXT ids revert and merge; unknown reverted ids are dropped") {
+    val d = docs("join aa table bb cc dd ee ff gg hh")
+    val annots = Concepts.postProcess(Concepts.recognize(d))
+    val orig = annots.where($"ord" === 3) // the table annot
+    val ext = annots.where($"ord" === 1)  // the join annot, as an _EXT id
+      .withColumn("concept_id", org.apache.spark.sql.functions.lit("OP_EXT:join"))
+      .unionByName(annots.where($"ord" === 3)
+        .withColumn("concept_id", org.apache.spark.sql.functions.lit("ZZ_EXT:bogus")))
+    val r = Concepts.revertExtMerge(orig, ext, annots.select("concept_id")).collect()
+    val ids = r.map(_.getAs[String]("concept_id")).toSet
+    assert(ids == Set("DS:table", "OP:join"), ids.toString) // bogus dropped, join reverted
+  }
+
+  test("subtree exclusion removes the root's whole descendant closure plus individuals") {
+    val d = docs("join merge table line scan dd ee ff gg hh")
+    val annots = Concepts.postProcess(Concepts.recognize(d))
+    val r = Concepts.excludeSubtrees(annots, Seq("OP:JOINLIKE"), Seq("DS:line")).collect()
+    val ids = r.map(_.getAs[String]("concept_id")).toSet
+    // join + merge are JOINLIKE descendants; DS:line listed individually
+    assert(!ids.exists(Set("OP:join", "OP:merge", "DS:line")), ids.toString)
+    assert(ids.contains("DS:table") && ids.contains("OP:scan"), ids.toString)
+  }
+
   test("shard manifest: deterministic shards, exact volume sums, quality-desc curriculum") {
     val d = docs(
       (1 to 20).map(i => s"tok$i uniq$i word$i").mkString(" "), // high quality (distinct-heavy)
