@@ -146,6 +146,22 @@ class PlanAuditSpec extends SparkSpec {
       qe.executedPlan.toString.take(2000))
   }
 
+  test("r10 shapes: shard_manifest ranks windowless; bm25_mrr pools through the heap") {
+    // shard_manifest's curriculum rank must come from the bounded theta-join,
+    // never a global-sort window — the manifest is numShards rows today, but
+    // the fleet-wide invariant stays unconditional
+    val sm = SparkEntry.queries("shard_manifest")(spark, sfDir).queryExecution
+    assert(sm.optimizedPlan.collect { case w: Window => w }.isEmpty,
+      s"shard_manifest plans a Window:\n${sm.optimizedPlan}")
+    // bm25_mrr's candidate pool is bm25TopK's bounded-heap aggregate — the
+    // eval must not reintroduce the df-wide ranking window it sits on top of
+    val mrr = SparkEntry.queries("bm25_mrr")(spark, sfDir).queryExecution
+    assert(mrr.optimizedPlan.collect { case w: Window => w }.isEmpty,
+      s"bm25_mrr plans a Window:\n${mrr.optimizedPlan}")
+    assert(mrr.executedPlan.toString.contains("partial_top_k_agg"),
+      mrr.executedPlan.toString.take(2000))
+  }
+
   test("knn_graph tops-k through the bounded-heap aggregate; hybrid_rrf windows stay pool-bounded") {
     // knn_graph: a hot LSH bucket must never become a ranking-window
     // partition — same straggler argument as bm25_topk; pin the partial
