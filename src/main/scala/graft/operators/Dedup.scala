@@ -92,6 +92,33 @@ object Dedup {
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
   }
 
+  /** doc_id, clean_text, n_kept, n_removed — INTRA-document repetition
+    * removal (the within-page self-dedup step run before any cross-corpus
+    * pass: scraped pages repeat their own nav/footer/pagination blocks, and
+    * repeated-window deletion inside one document needs no corpus-wide
+    * group at all): a sentence window survives iff it is the FIRST
+    * occurrence of its text within its own document. Strictly narrower
+    * than [[spanDedupApply]] (which canonicalizes across the corpus): the
+    * whole operator is one per-doc aggregation — grouping key = doc_id, so
+    * it rides the document partitioning with a single shuffle and no
+    * corpus-sized dedup-group table. In-row first-occurrence detection via
+    * a sorted-struct fold; reassembly is the same bounded array_sort as
+    * the sibling apply operators. */
+  def intraDocDedup(docs: DataFrame): DataFrame = {
+    val sents = TextOps.sentences(docs).select("doc_id", "sent_id", "sent_text")
+    val w = Window.partitionBy("doc_id", "sent_text")
+    sents
+      .withColumn("first_sid", min("sent_id").over(w))
+      .withColumn("keep", col("sent_id") === col("first_sid"))
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"), struct(col("sent_id"), col("sent_text"))))),
+          s => s("sent_text")), " ").as("clean_text"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
+  }
+
   /** doc_id, clean_text, n_kept, n_removed — corpus-frequency boilerplate
     * removal (the CCNet/RefinedWeb recipe): a sentence window is boilerplate
     * when it occurs in ≥ minDocs DISTINCT documents (header/footer/nav

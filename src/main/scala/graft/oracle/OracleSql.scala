@@ -3365,6 +3365,22 @@ object OracleSql {
        |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
        |FROM k GROUP BY doc_id""".stripMargin
 
+  /** Dedup.intraDocDedup twin: keep the FIRST occurrence of each window
+    * text WITHIN its own document only. */
+  val intraDocDedup: String =
+    s"""WITH $tokCte,
+       |sent AS (SELECT doc_id, (ord - 1) // $W AS sent_id,
+       |    string_agg(tok, ' ' ORDER BY ord) AS sent_text
+       |  FROM tok GROUP BY 1, 2),
+       |k AS (SELECT doc_id, sent_id, sent_text,
+       |    sent_id = min(sent_id) OVER (PARTITION BY doc_id, sent_text) AS keep
+       |  FROM sent)
+       |SELECT doc_id,
+       |  coalesce(string_agg(CASE WHEN keep THEN sent_text END, ' ' ORDER BY sent_id), '') AS clean_text,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+       |FROM k GROUP BY doc_id""".stripMargin
+
   /** Dedup.boilerplateStrip twin: windows in ≥ minDocs DISTINCT docs are
     * boilerplate; ALL occurrences removed (no canonical survivor — that is
     * [[spanDedupApply]]'s rule), survivors re-stitched in sent_id order. */
@@ -3842,6 +3858,7 @@ object OracleSql {
     "window_dup" -> windowDup,
     "span_dedup" -> spanDedup,
     "span_dedup_apply" -> spanDedupApply,
+    "intra_doc_dedup" -> intraDocDedup,
     "boilerplate_strip" -> boilerplateStrip,
     "chunk_stride" -> chunkStride,
     "quality_classifier" -> qualityClassifier,

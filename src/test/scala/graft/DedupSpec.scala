@@ -63,6 +63,18 @@ class DedupSpec extends SparkSpec {
     assert(r == Map(3L -> ((1L, 3L)), 1L -> ((2L, 2L))))
   }
 
+  test("intra-doc dedup keeps first in-document occurrence, leaves cross-doc repeats alone") {
+    // doc 0 repeats its own first window (20 tokens = 2 identical windows);
+    // doc 1 carries the same window ONCE — cross-doc repetition must survive
+    val rep = (1 to 10).map(i => s"w$i").mkString(" ")
+    val r = graft.operators.Dedup.intraDocDedup(docs(s"$rep $rep", rep)).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[String]("clean_text") == rep)
+    assert(r(0L).getAs[Long]("n_kept") == 1L && r(0L).getAs[Long]("n_removed") == 1L)
+    assert(r(1L).getAs[String]("clean_text") == rep)
+    assert(r(1L).getAs[Long]("n_removed") == 0L)
+  }
+
   test("staged cluster labels equal the direct computation and write exactly once") {
     val dd = docs(base, base, base,
       "completely different content with many other tokens in this string ok",
