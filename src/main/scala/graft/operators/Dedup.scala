@@ -710,7 +710,10 @@ object Dedup {
       f"dedup_clusters_t${math.round(threshold * 100)}", sfDir)
     clustersStaged.synchronized {
       if (!clustersStaged.contains(path)) {
-        clusters(docs, threshold).coalesce(1).write.mode("overwrite").parquet(path)
+        // natural write parallelism — the label table is corpus-row-sized,
+        // so no coalesce(1) here (unlike the tiny oracle-read stages):
+        // only Spark reads this artifact and a multi-file layout is fine
+        clusters(docs, threshold).write.mode("overwrite").parquet(path)
         clustersStaged.add(path)
       }
     }
