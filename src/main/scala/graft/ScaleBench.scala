@@ -32,7 +32,7 @@ object ScaleBench {
   private val Families: Seq[(String, Seq[String])] = Seq(
     "dedup" -> Seq("dedup_exact", "dedup_norm", "span_dedup", "dedup_minhash",
       "minhash_est", "ngram_jaccard", "dedup_simhash", "simhash_pairs",
-      "window_dup", "doc_fingerprint", "split_leakage"),
+      "window_dup", "doc_fingerprint", "split_leakage", "intra_doc_dedup"),
     "ann" -> Seq("emb_topk", "emb_topk_native", "emb_lsh", "ivf_topk",
       "pq_codes", "pq_topk", "sq_codes", "sq_topk", "ivfsq_topk", "ivfpq_topk",
       "kmeans_cells", "emb_dup_pairs", "semantic_dedup"),
@@ -40,8 +40,8 @@ object ScaleBench {
     "layout" -> Seq("corpus_shuffle", "zorder_key"),
     "text" -> Seq("lang_id", "quality_score", "token_packing", "unigram_logprob",
       "dsir_weights", "repetition_stats", "decontaminate", "source_kl",
-      "pack_efficiency"),
-    "retrieval" -> Seq("tfidf", "bm25_scores", "bm25_topk", "concept_idf",
+      "pack_efficiency", "shard_manifest"),
+    "retrieval" -> Seq("tfidf", "bm25_scores", "bm25_topk", "bm25_mrr", "concept_idf",
       "cooccur_counts_doc", "cooccur_metrics_doc"),
     "graph" -> Seq("kg_pagerank", "kg_khop", "kg_triangles", "kg_jaccard",
       "tfidf_doc_sim", "kg_degree_dist"),
