@@ -514,8 +514,13 @@ object SparkEntry {
     // the trajectory is deterministic
     "bpe_encode_artifact" -> ((s, d) => Bpe.encodeCountsFromArtifact(docs(s, d), d)),
     "bpe_fertility" -> ((s, d) => {
+      // encode through the STAGED merge artifact (written once per corpus;
+      // same merges, identical counts) — the learn-inline trajectory is
+      // already exercised and oracle-checked by bpe_merges/bpe_encode, and
+      // a consumer of the encoding should read the tokenizer artifact, not
+      // re-train it (the same artifact contract as the cluster labels)
       val dd = docs(s, d)
-      TextStats.bpeFertility(dd, Bpe.encodeCounts(dd, Bpe.learnMerges(dd)))
+      TextStats.bpeFertility(dd, Bpe.encodeCountsFromArtifact(dd, d))
     }),
     "vocab_coverage" -> ((s, d) => TextStats.vocabCoverage(docs(s, d))),
     "tsv_roundtrip" -> ((s, d) => {
