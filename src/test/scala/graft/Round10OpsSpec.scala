@@ -31,6 +31,35 @@ class Round10OpsSpec extends SparkSpec {
     assert(m.getAs[Double]("rr") == 0.0)
   }
 
+  test("randomized invariants: intra-doc dedup conserves windows; upsert+delete key algebra") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table", "value")
+    (1 to 5).foreach { _ =>
+      val d = docs((0 until 6).map(_ =>
+        (0 until (5 + rnd.nextInt(30))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")): _*)
+      // conservation: kept + removed == total sentence windows, per doc
+      val nSent = graft.operators.TextOps.sentences(d)
+        .groupBy("doc_id").count().collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("count")).toMap
+      graft.operators.Dedup.intraDocDedup(d).collect().foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_removed") == nSent(id), s"doc $id")
+        assert(r.getAs[Long]("n_kept") >= 1L)
+      }
+      // upsertWithDeletes: keys = (current ∪ updates) \ deletes; updates win
+      val cur = d.select($"doc_id", $"text")
+      val upd = d.where($"doc_id" % 2 === 0)
+        .select($"doc_id", org.apache.spark.sql.functions.lit("UPDATED").as("text"))
+      val del = d.where($"doc_id" % 3 === 0).select($"doc_id")
+      val out = graft.infra.Etl.upsertWithDeletes(cur, upd, del, "doc_id").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+      assert(out.keySet == (0L until 6L).filter(_ % 3 != 0).toSet)
+      out.foreach { case (id, text) =>
+        if (id % 2 == 0) assert(text == "UPDATED") else assert(text != "UPDATED")
+      }
+    }
+  }
+
   test("ext revert: _EXT ids revert and merge; unknown reverted ids are dropped") {
     val d = docs("join aa table bb cc dd ee ff gg hh")
     val annots = Concepts.postProcess(Concepts.recognize(d))
