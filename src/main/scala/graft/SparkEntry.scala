@@ -448,6 +448,7 @@ object SparkEntry {
     "span_dedup" -> ((s, d) => Dedup.spanDedup(docs(s, d))),
     "span_dedup_apply" -> ((s, d) => Dedup.spanDedupApply(docs(s, d))),
     "intra_doc_dedup" -> ((s, d) => Dedup.intraDocDedup(docs(s, d))),
+    "window_dedup_apply" -> ((s, d) => Dedup.windowDedupApply(docs(s, d))),
     "boilerplate_strip" -> ((s, d) => Dedup.boilerplateStrip(docs(s, d))),
     "chunk_stride" -> ((s, d) => TextOps.chunkStride(docs(s, d))),
     "quality_classifier" -> ((s, d) => TextStats.qualityClassifier(docs(s, d))),

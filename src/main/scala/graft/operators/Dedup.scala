@@ -902,6 +902,60 @@ object Dedup {
     * (a window in F docs contributes F² pairs; capping F is what makes the
     * equi-join viable at corpus scale, and such windows are boilerplate,
     * not duplication evidence). */
+  /** doc_id, clean_text, n_tokens_kept, n_tokens_removed — the DELETION
+    * step of exact-substring dedup (Lee et al. 2022, arXiv:2107.06499:
+    * after the suffix-array pass finds duplicated spans, all but one
+    * occurrence are REMOVED from the training corpus): every duplicated
+    * `windowTokens`-token window (≥ 2 occurrences anywhere — across AND
+    * within documents) keeps only its lexicographically smallest
+    * (doc, position) occurrence; every other occurrence deletes its
+    * covered tokens, overlapping deletions union naturally through the
+    * distinct covered-ord set, and documents reassemble in ord order
+    * (fully-deleted documents survive as empty rows — the corpus card
+    * needs them counted, not dropped). Windows in more than `maxDf`
+    * documents are exempt here — corpus-chrome at that frequency is
+    * [[boilerplateStrip]]'s job (delete ALL occurrences), and the cap is
+    * what bounds the occurrence join at corpus scale, exactly as in
+    * [[windowDupPairs]]. One groupBy over window occurrences, one
+    * bounded ×windowTokens explode of the deleted occurrences, one
+    * anti-join, one per-doc reassembly. */
+  def windowDedupApply(docs: DataFrame, windowTokens: Int = 8, maxDf: Int = 20): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("ord")
+    val base = TextOps.tokens(docs).select("doc_id", "ord", "tok")
+    val withLeads = (1 until windowTokens).foldLeft(base) { (df, i) =>
+      df.withColumn(s"t$i", lead("tok", i).over(w))
+    }
+    val windowStr = concat_ws(" ",
+      col("tok") +: (1 until windowTokens).map(i => col(s"t$i")): _*)
+    val wins = withLeads
+      .where(col(s"t${windowTokens - 1}").isNotNull)
+      .select(col("doc_id"), col("ord").as("start_ord"),
+        (Hash60.id(windowStr) % MinhashP).as("wid"))
+      .persist() // the group table and the deletion join both read it
+    graft.infra.Caches.registerManaged(wins)
+    val groups = wins.groupBy("wid")
+      .agg(min(struct(col("doc_id"), col("start_ord"))).as("mn"),
+        count(lit(1)).as("n_occ"), countDistinct("doc_id").as("df"))
+      .where(col("n_occ") >= 2 && col("df") <= maxDf)
+      .select(col("wid"), col("mn.doc_id").as("cd"), col("mn.start_ord").as("cs"))
+    val deletedOrds = wins.join(groups, "wid")
+      .where(!(col("doc_id") === col("cd") && col("start_ord") === col("cs")))
+      .select(col("doc_id"),
+        explode(sequence(col("start_ord"), col("start_ord") + lit(windowTokens - 1L))).as("ord"))
+      .distinct()
+    val keptAgg = base.join(deletedOrds, Seq("doc_id", "ord"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ord"), col("tok")))), s => s("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_tokens_kept"))
+    base.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        (col("n_tokens") - coalesce(col("n_tokens_kept"), lit(0L))).as("n_tokens_removed"))
+  }
+
   def windowDupPairs(docs: DataFrame, windowTokens: Int = 8,
                      minShared: Int = 2, maxDf: Int = 20): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("ord")

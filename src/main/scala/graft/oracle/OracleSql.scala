@@ -3052,6 +3052,33 @@ object OracleSql {
        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
   }
 
+  /** Dedup.windowDedupApply twin: positioned window occurrences, canonical
+    * min-(doc,pos) per duplicated window, covered-ord deletion, ord-order
+    * reassembly (fully-deleted docs survive as empty rows). */
+  val windowDedupApply: String = {
+    val leads = (1 to 7).map(i =>
+      s"lead(tok, $i) OVER (PARTITION BY doc_id ORDER BY ord) AS t$i").mkString(", ")
+    val cat = "tok" + (1 to 7).map(i => s" || ' ' || t$i").mkString
+    s"""WITH $tokCte,
+       |wl AS (SELECT doc_id, ord, tok, $leads FROM tok),
+       |wstr AS (SELECT doc_id, ord AS start_ord, $cat AS wtext FROM wl WHERE t7 IS NOT NULL),
+       |ws AS (SELECT doc_id, start_ord, ${Hash60.sql("wtext")} % ${Dedup.MinhashP} AS wid FROM wstr),
+       |g AS (SELECT wid, min({'d': doc_id, 's': start_ord}) AS mn
+       |  FROM ws GROUP BY wid HAVING count(*) >= 2 AND count(DISTINCT doc_id) <= 20),
+       |del AS (SELECT DISTINCT w.doc_id, w.start_ord + u.i AS ord
+       |  FROM ws w JOIN g USING (wid), unnest(generate_series(0, 7)) AS u(i)
+       |  WHERE NOT (g.mn.d = w.doc_id AND g.mn.s = w.start_ord)),
+       |kept AS (SELECT t.doc_id, t.ord, t.tok FROM tok t
+       |  WHERE NOT EXISTS (SELECT 1 FROM del WHERE del.doc_id = t.doc_id AND del.ord = t.ord)),
+       |ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ord) AS clean_text,
+       |    CAST(count(*) AS BIGINT) AS n_tokens_kept FROM kept GROUP BY 1),
+       |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY 1)
+       |SELECT tot.doc_id, coalesce(ka.clean_text, '') AS clean_text,
+       |  CAST(coalesce(ka.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+       |  CAST(tot.n_tokens - coalesce(ka.n_tokens_kept, 0) AS BIGINT) AS n_tokens_removed
+       |FROM tot LEFT JOIN ka USING (doc_id)""".stripMargin
+  }
+
   /** Dedup.splitLeakage twin: same Hash60 window ids, EXISTS probe. */
   val splitLeakage: String = {
     val leads = (1 to 7).map(i =>
@@ -3856,6 +3883,7 @@ object OracleSql {
     "dedup_incremental" -> minhashIncremental,
     "dedup_incremental_staged" -> minhashIncremental,
     "window_dup" -> windowDup,
+    "window_dedup_apply" -> windowDedupApply,
     "span_dedup" -> spanDedup,
     "span_dedup_apply" -> spanDedupApply,
     "intra_doc_dedup" -> intraDocDedup,

@@ -63,6 +63,23 @@ class DedupSpec extends SparkSpec {
     assert(r == Map(3L -> ((1L, 3L)), 1L -> ((2L, 2L))))
   }
 
+  test("window dedup apply deletes non-canonical occurrences' tokens, keeps the canonical") {
+    // docs 0 and 1 share the same leading 8-token window; doc 0 is the
+    // canonical (smaller doc_id) → doc 1 loses those 8 tokens and keeps
+    // its unique tail; doc 2 shares nothing and is untouched
+    val shared = (1 to 8).map(i => s"w$i").mkString(" ")
+    val r = graft.operators.Dedup.windowDedupApply(docs(
+        s"$shared tail0 tail1",
+        s"$shared unique2 unique3",
+        "totally different tokens here with no overlap at all ok")).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Long]("n_tokens_removed") == 0L)
+    assert(r(0L).getAs[String]("clean_text") == s"$shared tail0 tail1")
+    assert(r(1L).getAs[Long]("n_tokens_removed") == 8L)
+    assert(r(1L).getAs[String]("clean_text") == "unique2 unique3")
+    assert(r(2L).getAs[Long]("n_tokens_removed") == 0L)
+  }
+
   test("intra-doc dedup keeps first in-document occurrence, leaves cross-doc repeats alone") {
     // doc 0 repeats its own first window (20 tokens = 2 identical windows);
     // doc 1 carries the same window ONCE — cross-doc repetition must survive
