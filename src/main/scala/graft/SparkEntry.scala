@@ -167,6 +167,14 @@ object SparkEntry {
       XmlIngest.parseUpdateFileDeletes(XmlIngest.serializeMedlineUpdateFiles(docs(s, d)))),
     "medline_pmid_files" -> ((s, d) =>
       XmlIngest.parseUpdateFilePmids(XmlIngest.serializeMedlineUpdateFiles(docs(s, d)))),
+    "pmid_html_flag" -> ((s, d) => XmlIngest.pmidHtmlFlagRoundTrip(docs(s, d))),
+    "pmid_to_year" -> ((s, d) => XmlIngest.pmidToYearRoundTrip(docs(s, d))),
+    "concept_pairs_pos" -> ((s, d) =>
+      ConceptPairs.parsePositivePairs(ConceptPairs.serializePairsFile(pp(s, d)))),
+    "concept_pairs_neg" -> ((s, d) =>
+      ConceptPairs.negativePairs(ConceptPairs.serializePairsFile(pp(s, d)))),
+    "concept_pair_sentences" -> ((s, d) => ConceptPairs.pairSentences(docs(s, d), pp(s, d),
+      ConceptPairs.parsePositivePairs(ConceptPairs.serializePairsFile(pp(s, d))))),
     "jats_ingest" -> ((s, d) => XmlIngest.jatsRoundTrip(docs(s, d))),
     "bioc_ingest" -> ((s, d) => XmlIngest.biocRoundTrip(docs(s, d))),
     "webanno_export" -> ((s, d) => Exports.webanno(docs(s, d), pp(s, d))),
@@ -430,6 +438,14 @@ object SparkEntry {
         .select(col("p_brand"), (col("pos") + 1).cast("long").as("rk"),
           col("e.id").as("p_partkey"), col("e.score").as("p_retailprice"))),
     "kg_nodes" -> ((s, _) => KnowledgeGraph.nodes(s)),
+    "kgx_nodes" -> ((s, _) => KnowledgeGraph.kgxNodes(s)),
+    "kgx_edges" -> ((s, d) => KnowledgeGraph.kgxEdges(pp(s, d))),
+    "kgx_edges_evidence" -> ((s, d) => KnowledgeGraph.kgxEdgesEvidence(pp(s, d))),
+    "ancestor_table" -> ((s, _) => KnowledgeGraph.ancestorTable(s)),
+    "sentence_ids" -> ((s, d) => Exports.sentenceIds(docs(s, d))),
+    "label_overlap" -> ((s, _) => LabelQa.labelOverlap(s)),
+    "label_english_word" -> ((s, d) => LabelQa.labelEnglishWords(docs(s, d))),
+    "label_filter_embedding" -> ((s, d) => LabelQa.labelFilterByEmbedding(Tables.embeddings(s, d))),
     "ontology_closure" -> ((s, _) => KnowledgeGraph.ontologyClosure(s)),
     "kg_edges" -> ((s, d) => KnowledgeGraph.edges(pp(s, d))),
     "kg_pagerank" -> ((s, d) => KnowledgeGraph.pageRank(pp(s, d))),

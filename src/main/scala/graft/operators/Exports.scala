@@ -421,4 +421,15 @@ object Exports {
     annots.join(docs.select("doc_id", "lang", "source"), "doc_id")
       .select(col("doc_id"), col("lang"), col("source"), col("concept_id"),
         col("char_start"), col("char_end"))
+
+  /** sentence_id — the distinct sentence-hash catalog (reference:
+    * relation_extraction/SentenceIdFileGenerator.java:27-46 walks sentence
+    * files and collects ElasticsearchDocumentCreatorFn
+    * .computeSentenceIdentifier ids — sha256 hex of the sentence text,
+    * ElasticsearchDocumentCreatorFn.java:205-207). One distinct over a
+    * per-row hash — map-side combinable, no sort. */
+  def sentenceIds(docs: DataFrame): DataFrame =
+    TextOps.sentences(docs)
+      .select(sha2(col("sent_text"), 256).as("sentence_id"))
+      .distinct()
 }

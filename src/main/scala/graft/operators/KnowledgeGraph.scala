@@ -285,6 +285,87 @@ object KnowledgeGraph {
           .as("jaccard"))
   }
 
+  // ---------- KGX serialization ----------
+  // The reference's KGX backend flattens the graph into the Biolink KGX TSV
+  // tables (reference: kg/KgxUtil.java:17-29 — node/edge header constants;
+  // kg/KgxNode.java:17-23 — id/name/category row; kg/KgxEdge.java:28-31 —
+  // the edge id is a digest of subject|edge_label|object|relation|
+  // association_type; KgxEdge.java:42-63 — evidence mode appends
+  // evidence_count and the pipe-joined evidence-node id list;
+  // kg/KgxNlpEvidenceNode.java:39-44 — the evidence id digests the
+  // document + edge identity). The reference digests with base64(SHA-1);
+  // DuckDB has no SHA-1, so the digest here is md5 hex — the same injective
+  // fingerprint role, reproducible on both engines.
+
+  val KgxEdgeLabel = "biolink:related_to"
+  val KgxRelation = "graft:related_to"
+  val KgxAssociationType = "biolink:Association"
+
+  private def kgxEdgeId: org.apache.spark.sql.Column =
+    md5(concat_ws("|", col("subject"), lit(KgxEdgeLabel), col("object"),
+      lit(KgxRelation), lit(KgxAssociationType)))
+
+  /** id, name, category — the KGX node table (KGX_NODE_HEADER columns). */
+  def kgxNodes(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    nodes(spark).select(col("concept_id").as("id"), col("name"), col("category"))
+
+  /** subject, edge_label, object, relation, id, association_type — the KGX
+    * edge table (KGX_EDGE_HEADER columns) over the cooccurrence pairs.
+    * Based on pair COUNTS, not metrics: the KGX edge universe is every
+    * pair with evidence (so it equals [[kgxEdgesEvidence]]'s universe),
+    * whereas the metric table may drop degenerate pairs. */
+  def kgxEdges(annots: DataFrame): DataFrame =
+    Cooccurrence.pairCounts(Cooccurrence.unitConcepts(annots, Seq("doc_id")), Seq("doc_id"))
+      .select(col("concept1").as("subject"), col("concept2").as("object"))
+      .select(
+        col("subject"), lit(KgxEdgeLabel).as("edge_label"), col("object"),
+        lit(KgxRelation).as("relation"), kgxEdgeId.as("id"),
+        lit(KgxAssociationType).as("association_type"))
+
+  /** The KGX edge table in WRITE_EVIDENCE mode: + evidence_count and
+    * has_evidence (pipe-joined sorted evidence-node ids; one evidence node
+    * per supporting document, its id digesting document curie + edge id —
+    * KgxNlpEvidenceNode.getId's fields collapsed to the per-document
+    * identity this engine tracks). Group-bounded: evidence lists are
+    * per-pair, the same volume as the pair-count aggregation. */
+  def kgxEdgesEvidence(annots: DataFrame): DataFrame = {
+    val units = Cooccurrence.unitConcepts(annots, Seq("doc_id"))
+    val ev = units.select(col("doc_id"), col("concept_id").as("subject"))
+      .join(units.select(col("doc_id"), col("concept_id").as("object")), Seq("doc_id"))
+      .where(col("subject") < col("object"))
+      .withColumn("edge_id", kgxEdgeId)
+      .withColumn("evidence_id",
+        md5(concat_ws("|", concat(lit("PMID:"), col("doc_id")), col("edge_id"))))
+    ev.groupBy("subject", "object", "edge_id")
+      .agg(count(lit(1)).as("evidence_count"),
+        array_join(array_sort(collect_list(col("evidence_id"))), "|").as("has_evidence"))
+      .select(col("subject"), lit(KgxEdgeLabel).as("edge_label"), col("object"),
+        lit(KgxRelation).as("relation"), col("edge_id").as("id"),
+        lit(KgxAssociationType).as("association_type"),
+        col("evidence_count"), col("has_evidence"))
+  }
+
+  // ---------- ancestor table ----------
+
+  /** concept_id, ancestor_id — the per-class ancestor TSV of
+    * oger/util/AncestorTableFileFactory.java:22-41: for every class in the
+    * target namespace (the reference filters IRIs containing "DOID"; the
+    * prefix parameter is that namespace filter), one self row plus one row
+    * per ancestor from the ontology closure. Built from the same direct
+    * subclass edges [[ontologyClosure]] iterates — one closure + one
+    * prefix filter, no per-class work. */
+  def ancestorTable(spark: org.apache.spark.sql.SparkSession,
+                    prefix: String = "OP"): DataFrame = {
+    import spark.implicits._
+    val closure = ontologyClosure(spark)
+    val classes = graft.functions.ConceptDict.labelEntries.map(_._1).toDF("concept_id")
+      .where(substring_index(col("concept_id"), ":", 1) === prefix)
+    val selfRows = classes.select(col("concept_id"), col("concept_id").as("ancestor_id"))
+    val ancRows = classes.join(closure.withColumnRenamed("child", "concept_id"), "concept_id")
+      .select(col("concept_id"), col("parent").as("ancestor_id"))
+    selfRows.unionByName(ancRows).distinct()
+  }
+
   // ---------- TRAPI backend serialization ----------
   // The reference's TRAPI backend renders the KG as Biolink N-Triples
   // (trapi/TrapiBackendSerializer.java constants;

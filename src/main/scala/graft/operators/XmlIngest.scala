@@ -427,6 +427,100 @@ object XmlIngest {
   def medlineSubSupRoundTrip(docs: DataFrame): DataFrame =
     medlineSubSup(serializeMedlineSubSup(docs))
 
+  // ---------- PMID corpus utilities ----------
+
+  /** A mixed corpus for the HTML-flag extraction: docs with doc_id%3==0
+    * serialize plain, the rest through the sub/sup markup serializer — so
+    * both DocumentTarget channels (CONTAINS_HTML / DOES_NOT_CONTAIN_HTML)
+    * are populated. */
+  def serializeMedlineMixedHtml(docs: DataFrame): DataFrame = {
+    val h = pmod(col("doc_id"), lit(3)) === 0
+    serializeMedline(docs.where(h))
+      .unionByName(serializeMedlineSubSup(docs.where(!h)))
+  }
+
+  /** doc_id, pmid, contains_html — the PMID extraction by DocumentTarget
+    * (corpora/PmidExtractor.java:44-116: a citation is CONTAINS_HTML when
+    * its parsed ArticleTitle or any AbstractText value contains one of
+    * `<b> <i> <u> <sub> <sup>`; the reference writes one id file per
+    * target, here the boolean carries both channels). Entities are decoded
+    * before the check, exactly as JAXB hands the reference literal tags. */
+  def pmidHtmlFlag(xmlDocs: DataFrame): DataFrame = {
+    val cit = col("parsed").getField("MedlineCitation")
+    val art = cit.getField("Article")
+    val codes = Seq("<b>", "<i>", "<u>", "<sub>", "<sup>")
+    xmlDocs
+      .withColumn("parsed", from_xml(decodeEntities(col("xml")), medlineSchema))
+      .withColumn("t", art.getField("ArticleTitle"))
+      .withColumn("a", coalesce(array_join(
+        transform(art.getField("Abstract").getField("AbstractText"), x => x.getField("_VALUE")), "\n"),
+        lit("")))
+      .select(col("doc_id"), concat(lit("PMID:"), cit.getField("PMID")).as("pmid"),
+        codes.map(c => col("t").contains(c) || col("a").contains(c))
+          .reduce(_ || _).as("contains_html"))
+  }
+
+  def pmidHtmlFlagRoundTrip(docs: DataFrame): DataFrame =
+    pmidHtmlFlag(serializeMedlineMixedHtml(docs))
+
+  /** doc_id, xml — citations exercising the publication-year fallback
+    * chain (corpora/PmidToYearExtractor.java:93-133): doc_id%3==0 carries
+    * PubDate/Year; %3==1 a PubDate/MedlineDate free-text date whose year
+    * (base+1) must come from the `\b(\d{4})\b` regex; %3==2 no year in
+    * PubDate at all — only an ArticleDate (base+2), the last fallback. */
+  def serializeMedlinePubdates(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val base = (id % 30 + 1990)
+    val h = pmod(id, lit(3))
+    val pubDate = when(h === 0, concat(lit("<Year>"), base.cast("string"), lit("</Year>")))
+      .when(h === 1, concat(lit("<MedlineDate>Winter "), (base + 1).cast("string"),
+        lit(" Nov-Dec</MedlineDate>")))
+      .otherwise(lit("<Season>Winter</Season>"))
+    val articleDate = when(h === 2, concat(lit("<ArticleDate><Year>"),
+      (base + 2).cast("string"), lit("</Year><Month>01</Month></ArticleDate>")))
+      .otherwise(lit(""))
+    docs.select(col("doc_id"), concat(
+      lit("<PubmedArticle><MedlineCitation><PMID>"), id, lit("</PMID><Article>"),
+      lit("<Journal><JournalIssue><PubDate>"), pubDate,
+      lit("</PubDate></JournalIssue></Journal>"),
+      lit("<ArticleTitle>t</ArticleTitle>"), articleDate,
+      lit("</Article></MedlineCitation></PubmedArticle>")).as("xml"))
+  }
+
+  private val medlineDatesSchema: StructType = StructType(Seq(
+    StructField("MedlineCitation", StructType(Seq(
+      StructField("PMID", LongType),
+      StructField("Article", StructType(Seq(
+        StructField("Journal", StructType(Seq(
+          StructField("JournalIssue", StructType(Seq(
+            StructField("PubDate", StructType(Seq(
+              StructField("Year", StringType),
+              StructField("MedlineDate", StringType)))))))))),
+        StructField("ArticleDate", ArrayType(StructType(Seq(
+          StructField("Year", StringType)))))))))))))
+
+  /** doc_id, pmid, year — the PMID→publication-year TSV
+    * (PmidToYearExtractor.extract:42-91, getYear:93-133): PubDate/Year
+    * first; else the first `\b(\d{4})\b` match inside MedlineDate; else
+    * the first ArticleDate's Year. The reference throws on an unresolvable
+    * year; here such rows would surface as nulls the oracle rejects. */
+  def pmidToYear(xmlDocs: DataFrame): DataFrame = {
+    val cit = col("parsed").getField("MedlineCitation")
+    val art = cit.getField("Article")
+    val pd = art.getField("Journal").getField("JournalIssue").getField("PubDate")
+    xmlDocs
+      .withColumn("parsed", from_xml(col("xml"), medlineDatesSchema))
+      .select(col("doc_id"),
+        concat(lit("PMID:"), cit.getField("PMID")).as("pmid"),
+        coalesce(
+          pd.getField("Year"),
+          nullif(regexp_extract(pd.getField("MedlineDate"), "\\b(\\d{4})\\b", 1), lit("")),
+          element_at(art.getField("ArticleDate"), 1).getField("Year")).as("year"))
+  }
+
+  def pmidToYearRoundTrip(docs: DataFrame): DataFrame =
+    pmidToYear(serializeMedlinePubdates(docs))
+
   /** Entity probe injected into every ArticleTitle by
     * [[serializeMedlineEntities]]: named ISO-8879 (Greek, deg, le), decimal
     * and hex numeric refs, and a builtin (&amp;) the parser must resolve —

@@ -2895,6 +2895,250 @@ object OracleSql {
        |  FROM closure c JOIN ${ConceptDict.directEdgesValuesSql("e")} ON c.parent = e.child)
        |SELECT child, parent FROM closure""".stripMargin
 
+  // ---------- KGX serialization + ancestor table + label QA ----------
+
+  private val kgxEdgeIdSql =
+    s"md5(subject || '|${KnowledgeGraph.KgxEdgeLabel}|' || object || " +
+      s"'|${KnowledgeGraph.KgxRelation}|${KnowledgeGraph.KgxAssociationType}')"
+
+  val kgxNodes: String =
+    s"""SELECT dict.concept_id AS id, dict.tok AS name,
+       |  ${KnowledgeGraph.categoryCaseSql("dict.concept_id")} AS category
+       |FROM ${ConceptDict.dictValuesSql}""".stripMargin
+
+  val kgxEdges: String =
+    docPipeline(unitsDocCte, pairCountsSql("units_doc", Seq("doc_id"))) +
+      s"""SELECT concept1 AS subject, '${KnowledgeGraph.KgxEdgeLabel}' AS edge_label,
+         |  concept2 AS object, '${KnowledgeGraph.KgxRelation}' AS relation,
+         |  md5(concept1 || '|${KnowledgeGraph.KgxEdgeLabel}|' || concept2 ||
+         |      '|${KnowledgeGraph.KgxRelation}|${KnowledgeGraph.KgxAssociationType}') AS id,
+         |  '${KnowledgeGraph.KgxAssociationType}' AS association_type
+         |FROM pairs""".stripMargin
+
+  /** KnowledgeGraph.kgxEdgesEvidence twin: per-doc pair rows from the same
+    * ancestor-expanded unit sets, one evidence id per supporting document,
+    * pipe-joined in sorted order. */
+  val kgxEdgesEvidence: String =
+    docPipeline(unitsDocCte,
+      """pairs_doc AS (
+        |  SELECT l.doc_id, l.concept_id AS subject, r.concept_id AS object
+        |  FROM units_doc l JOIN units_doc r
+        |    ON l.doc_id = r.doc_id AND l.concept_id < r.concept_id)""".stripMargin,
+      s"""ev AS (
+         |  SELECT subject, object, $kgxEdgeIdSql AS edge_id,
+         |    md5('PMID:' || doc_id || '|' || $kgxEdgeIdSql) AS evidence_id
+         |  FROM pairs_doc)""".stripMargin) +
+      s"""SELECT subject, '${KnowledgeGraph.KgxEdgeLabel}' AS edge_label, object,
+         |  '${KnowledgeGraph.KgxRelation}' AS relation, edge_id AS id,
+         |  '${KnowledgeGraph.KgxAssociationType}' AS association_type,
+         |  CAST(count(*) AS BIGINT) AS evidence_count,
+         |  string_agg(evidence_id, '|' ORDER BY evidence_id) AS has_evidence
+         |FROM ev GROUP BY subject, object, edge_id""".stripMargin
+
+  val ancestorTable: String =
+    s"""WITH RECURSIVE closure(child, parent) AS (
+       |  SELECT child, parent FROM ${ConceptDict.directEdgesValuesSql()}
+       |  UNION
+       |  SELECT c.child, e.parent
+       |  FROM closure c JOIN ${ConceptDict.directEdgesValuesSql("e")} ON c.parent = e.child),
+       |cls AS (SELECT concept_id FROM ${ConceptDict.labelValuesSql}
+       |  WHERE split_part(concept_id, ':', 1) = 'OP')
+       |SELECT concept_id, concept_id AS ancestor_id FROM cls
+       |UNION
+       |SELECT c.concept_id, cl.parent AS ancestor_id
+       |FROM cls c JOIN closure cl ON cl.child = c.concept_id""".stripMargin
+
+  val sentenceIds: String =
+    s"SELECT DISTINCT sha256(sent_text) AS sentence_id FROM ($sentences)"
+
+  val labelOverlap: String =
+    s"""SELECT label, CAST(count(DISTINCT concept_id) AS BIGINT) AS n_ids,
+       |  string_agg(DISTINCT concept_id, '|' ORDER BY concept_id) AS ids
+       |FROM ${graft.operators.LabelQa.labelsValuesSql}
+       |GROUP BY label HAVING count(DISTINCT concept_id) >= 2""".stripMargin
+
+  val labelEnglishWord: String =
+    s"""WITH $tokCte,
+       |w0 AS (SELECT DISTINCT doc_id, lower(tok) AS w FROM tok),
+       |dfs AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM w0 GROUP BY w),
+       |flagged AS (
+       |  SELECT lbls.concept_id, lbls.label
+       |  FROM ${graft.operators.LabelQa.labelsValuesSql}
+       |  WHERE lower(lbls.label) IN (
+       |    SELECT w FROM ${graft.operators.LabelQa.wordsAlphaValuesSql}))
+       |SELECT f.concept_id, f.label, coalesce(d.df, 0) AS df
+       |FROM flagged f LEFT JOIN dfs d ON lower(f.label) = d.w""".stripMargin
+
+  // ---------- PMID corpus utilities ----------
+
+  /** XmlIngest.pmidHtmlFlagRoundTrip twin: the mixed corpus puts the
+    * sub/sup-marked docs (which always carry a `<b>` in the title) on
+    * doc_id%3≠0; the parse-side HTML check resolves to that channel. */
+  val pmidHtmlFlag: String =
+    """SELECT doc_id, 'PMID:' || doc_id AS pmid,
+      |  (doc_id % 3 <> 0) AS contains_html
+      |FROM documents""".stripMargin
+
+  /** XmlIngest.pmidToYearRoundTrip twin: each fallback channel carries a
+    * channel-offset year, so the resolved value proves WHICH source the
+    * chain read (Year +0, MedlineDate regex +1, ArticleDate +2). */
+  val pmidToYear: String =
+    """SELECT doc_id, 'PMID:' || doc_id AS pmid,
+      |  CAST(1990 + doc_id % 30 + (doc_id % 3) AS VARCHAR) AS year
+      |FROM documents""".stripMargin
+
+  // ---------- distant-supervision concept-pair flow ----------
+
+  private val ConceptPairsOps = graft.operators.ConceptPairs
+
+  /** domain pairs + target-predicate positives (ConceptPairs.domainPairs +
+    * parsePositivePairs — the URI round trip is curie-identity). */
+  private val conceptPairsPosCte: String =
+    s"""dp AS (
+       |  SELECT concept2 AS subject_curie, concept1 AS object_curie
+       |  FROM pairs
+       |  WHERE split_part(concept1, ':', 1) = 'DS' AND split_part(concept2, ':', 1) = 'OP'
+       |    AND ${Hash60.sql("concept2 || '|' || concept1")} % 2 = 0),
+       |pos0 AS (SELECT DISTINCT subject_curie, object_curie,
+       |    'biolink:located_in' AS predicate_biolink
+       |  FROM dp)""".stripMargin
+
+  val conceptPairsPos: String =
+    docPipeline(unitsDocCte, pairCountsSql("units_doc", Seq("doc_id")), conceptPairsPosCte) +
+      "SELECT subject_curie, object_curie, predicate_biolink FROM pos0"
+
+  val conceptPairsNeg: String =
+    docPipeline(unitsDocCte, pairCountsSql("units_doc", Seq("doc_id")), conceptPairsPosCte,
+      """subs AS (SELECT DISTINCT subject_curie FROM pos0),
+        |objs AS (SELECT DISTINCT object_curie FROM pos0),
+        |neg AS (
+        |  SELECT s.subject_curie, o.object_curie
+        |  FROM subs s CROSS JOIN objs o
+        |  WHERE NOT EXISTS (SELECT 1 FROM pos0 p
+        |    WHERE p.subject_curie = s.subject_curie AND p.object_curie = o.object_curie)),
+        |rnk AS (SELECT subject_curie, object_curie,
+        |    row_number() OVER (PARTITION BY subject_curie ORDER BY object_curie) AS rn
+        |  FROM neg)""".stripMargin) +
+      s"""SELECT subject_curie, CAST((rn - 1) // ${ConceptPairsOps.NegChunkSize} AS BIGINT) AS chunk_id,
+         |  CAST(count(*) AS BIGINT) AS n_objects,
+         |  string_agg(object_curie, '|' ORDER BY object_curie) AS object_curies,
+         |  'false' AS predicate_biolink
+         |FROM rnk
+         |GROUP BY subject_curie, (rn - 1) // ${ConceptPairsOps.NegChunkSize}""".stripMargin
+
+  /** ConceptPairs.pairSentences twin: the typed-mention classification,
+    * the three overlap removals (span identity = token ordinal), the
+    * positive/negative pair enumeration, and the in-sentence masking, all
+    * as joins over the same mention rows. */
+  val conceptPairSentences: String = {
+    val exclIn = ConceptPairsOps.IdentifiersToExclude.map(s => s"'$s'").mkString("(", ", ", ")")
+    docPipeline(unitsDocCte, pairCountsSql("units_doc", Seq("doc_id")), conceptPairsPosCte,
+      s"""pm AS (
+         |  SELECT DISTINCT doc_id, (ord - 1) // $W AS sent_id, ord, concept_id FROM pp
+         |  UNION
+         |  SELECT DISTINCT p.doc_id, (p.ord - 1) // $W, p.ord, promo.promoted_id
+         |  FROM pp p JOIN ${ConceptDict.promotionsValuesSql} ON p.concept_id = promo.concept_id),
+         |ment AS (
+         |  SELECT doc_id, sent_id, ord, concept_id, split_part(concept_id, ':', 1) AS prefix
+         |  FROM pm WHERE concept_id NOT IN $exclIn),
+         |insent AS (
+         |  SELECT DISTINCT p.subject_curie, p.object_curie, p.predicate_biolink,
+         |    s.doc_id, s.sent_id
+         |  FROM pos0 p
+         |  JOIN ment s ON s.concept_id = p.subject_curie
+         |  JOIN ment o ON o.doc_id = s.doc_id AND o.sent_id = s.sent_id
+         |    AND o.concept_id = p.object_curie),
+         |m0 AS (
+         |  SELECT i.subject_curie, i.object_curie, i.predicate_biolink,
+         |    mm.doc_id, mm.sent_id, mm.ord,
+         |    CASE WHEN mm.concept_id = i.subject_curie THEN 'S'
+         |         WHEN mm.concept_id = i.object_curie THEN 'O'
+         |         WHEN mm.prefix = split_part(i.subject_curie, ':', 1) THEN 'ST'
+         |         WHEN mm.prefix = split_part(i.object_curie, ':', 1) THEN 'OT' END AS mtype
+         |  FROM insent i JOIN ment mm
+         |    ON mm.doc_id = i.doc_id AND mm.sent_id = i.sent_id),
+         |m AS (SELECT * FROM m0 WHERE mtype IS NOT NULL),
+         |so AS (SELECT * FROM m WHERE mtype IN ('S', 'O')),
+         |st1 AS (SELECT * FROM m a WHERE mtype = 'ST' AND NOT EXISTS (
+         |  SELECT 1 FROM so b WHERE b.subject_curie = a.subject_curie
+         |    AND b.object_curie = a.object_curie AND b.doc_id = a.doc_id
+         |    AND b.sent_id = a.sent_id AND b.ord = a.ord)),
+         |ot1 AS (SELECT * FROM m a WHERE mtype = 'OT' AND NOT EXISTS (
+         |  SELECT 1 FROM so b WHERE b.subject_curie = a.subject_curie
+         |    AND b.object_curie = a.object_curie AND b.doc_id = a.doc_id
+         |    AND b.sent_id = a.sent_id AND b.ord = a.ord)),
+         |st2 AS (SELECT * FROM st1 a WHERE NOT EXISTS (
+         |  SELECT 1 FROM ot1 b WHERE b.subject_curie = a.subject_curie
+         |    AND b.object_curie = a.object_curie AND b.doc_id = a.doc_id
+         |    AND b.sent_id = a.sent_id AND b.ord = a.ord)),
+         |sfin AS (SELECT * FROM m a WHERE mtype = 'S' AND NOT EXISTS (
+         |  SELECT 1 FROM m b WHERE b.mtype = 'O' AND b.subject_curie = a.subject_curie
+         |    AND b.object_curie = a.object_curie AND b.doc_id = a.doc_id
+         |    AND b.sent_id = a.sent_id AND b.ord = a.ord)),
+         |ofin AS (SELECT * FROM m WHERE mtype = 'O'),
+         |pospairs AS (
+         |  SELECT s.subject_curie, s.object_curie, s.doc_id, s.sent_id,
+         |    s.ord AS subj_ord, o.ord AS obj_ord, s.predicate_biolink AS label
+         |  FROM sfin s JOIN ofin o ON o.subject_curie = s.subject_curie
+         |    AND o.object_curie = s.object_curie AND o.doc_id = s.doc_id
+         |    AND o.sent_id = s.sent_id),
+         |negsub AS (
+         |  SELECT DISTINCT subject_curie, object_curie, doc_id, sent_id, ord FROM sfin
+         |  UNION SELECT DISTINCT subject_curie, object_curie, doc_id, sent_id, ord FROM st2),
+         |negobj AS (
+         |  SELECT DISTINCT subject_curie, object_curie, doc_id, sent_id, ord FROM ofin
+         |  UNION SELECT DISTINCT subject_curie, object_curie, doc_id, sent_id, ord FROM ot1),
+         |posset AS (
+         |  SELECT DISTINCT subject_curie, object_curie, doc_id, sent_id, ord FROM sfin
+         |  UNION SELECT DISTINCT subject_curie, object_curie, doc_id, sent_id, ord FROM ofin),
+         |negpairs AS (
+         |  SELECT s.subject_curie, s.object_curie, s.doc_id, s.sent_id,
+         |    s.ord AS subj_ord, o.ord AS obj_ord, 'false' AS label
+         |  FROM negsub s JOIN negobj o ON o.subject_curie = s.subject_curie
+         |    AND o.object_curie = s.object_curie AND o.doc_id = s.doc_id
+         |    AND o.sent_id = s.sent_id
+         |  WHERE NOT (EXISTS (SELECT 1 FROM posset p WHERE p.subject_curie = s.subject_curie
+         |      AND p.object_curie = s.object_curie AND p.doc_id = s.doc_id
+         |      AND p.sent_id = s.sent_id AND p.ord = s.ord)
+         |    AND EXISTS (SELECT 1 FROM posset p WHERE p.subject_curie = s.subject_curie
+         |      AND p.object_curie = s.object_curie AND p.doc_id = s.doc_id
+         |      AND p.sent_id = s.sent_id AND p.ord = o.ord))),
+         |allpairs AS (SELECT * FROM pospairs UNION ALL SELECT * FROM negpairs)""".stripMargin) +
+      s"""SELECT DISTINCT subject_curie, object_curie, doc_id, sent_id, label,
+         |  string_agg(CASE WHEN t.ord = a.subj_ord THEN '${ConceptPairsOps.SubjectPlaceholder}'
+         |      WHEN t.ord = a.obj_ord THEN '${ConceptPairsOps.ObjectPlaceholder}'
+         |      ELSE t.tok END, ' ' ORDER BY t.ord) AS masked
+         |FROM allpairs a JOIN tok t
+         |  ON t.doc_id = a.doc_id AND (t.ord - 1) // $W = a.sent_id
+         |GROUP BY a.subject_curie, a.object_curie, a.doc_id, a.sent_id,
+         |  a.subj_ord, a.obj_ord, a.label""".stripMargin
+  }
+
+  /** LabelQa.labelFilterByEmbedding twin: md5-keyed label→vector pick,
+    * micro-unit centroid (truncating integer division matches Spark's
+    * `div`), exact integer dot/norm sums, one rounded division. */
+  val labelFilterEmbedding: String =
+    s"""WITH lbls0 AS (
+       |  SELECT DISTINCT concept_id, label FROM ${graft.operators.LabelQa.labelsValuesSql}),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings),
+       |keyed AS (SELECT concept_id, label, ${Hash60.sql("label")} % n_vecs AS vec_id
+       |  FROM lbls0 CROSS JOIN n),
+       |ex AS (SELECT k.concept_id, k.label,
+       |    CAST(unnest(range(0, len(e.embedding))) AS BIGINT) AS dim,
+       |    CAST(floor(unnest(CAST(e.embedding AS DOUBLE[])) * ${graft.operators.LabelQa.EmbedScale} + 0.5) AS BIGINT) AS e_u
+       |  FROM keyed k JOIN embeddings e ON k.vec_id = e.vec_id),
+       |cent AS (SELECT dim, sum(e_u) // CAST(count(*) AS BIGINT) AS c_u FROM ex
+       |  WHERE split_part(concept_id, ':', 1) = 'OP' GROUP BY dim),
+       |sc AS (SELECT concept_id, label,
+       |    sum(e_u * c_u) AS dot_u, sum(e_u * e_u) AS n1_u, sum(c_u * c_u) AS n2_u
+       |  FROM ex JOIN cent USING (dim) GROUP BY 1, 2),
+       |res AS (SELECT concept_id, label,
+       |    floor(CAST(dot_u AS DOUBLE) / (sqrt(CAST(n1_u AS DOUBLE)) * sqrt(CAST(n2_u AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS cosine
+       |  FROM sc)
+       |SELECT concept_id, label, cosine,
+       |  cosine < ${graft.operators.LabelQa.BadLabelCosine} AS possible_bad
+       |FROM res""".stripMargin
+
   val eventsQuantiles: String =
     """SELECT event_type,
       |  floor((quantile_cont(value, 0.5)) * 1000000 + 0.5) / 1000000 AS p50,
@@ -3776,6 +4020,19 @@ object OracleSql {
     "trapi_nodes" -> trapiNodes,
     "trapi_edges" -> trapiEdges,
     "ontology_closure" -> ontologyClosure,
+    "pmid_html_flag" -> pmidHtmlFlag,
+    "pmid_to_year" -> pmidToYear,
+    "concept_pairs_pos" -> conceptPairsPos,
+    "concept_pairs_neg" -> conceptPairsNeg,
+    "concept_pair_sentences" -> conceptPairSentences,
+    "kgx_nodes" -> kgxNodes,
+    "kgx_edges" -> kgxEdges,
+    "kgx_edges_evidence" -> kgxEdgesEvidence,
+    "ancestor_table" -> ancestorTable,
+    "sentence_ids" -> sentenceIds,
+    "label_overlap" -> labelOverlap,
+    "label_english_word" -> labelEnglishWord,
+    "label_filter_embedding" -> labelFilterEmbedding,
     "concepts_promoted" -> conceptsPromoted,
     "text_redact" -> textRedact,
     "events_props" -> eventsProps,

@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.{Concepts, Exports, KnowledgeGraph, LabelQa}
+import org.apache.spark.sql.functions._
+
+class Round11OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private def pp(d: org.apache.spark.sql.DataFrame) =
+    Concepts.postProcess(Concepts.recognize(d))
+
+  test("kgx: header column contract and digest-id determinism") {
+    val d = docs("join table fast", "join table slow", "merge row")
+    val nodes = KnowledgeGraph.kgxNodes(spark)
+    // KGX_NODE_HEADER columns, exactly (KgxUtil.validateFile's column-count check)
+    assert(nodes.columns.toSeq == Seq("id", "name", "category"))
+    val edges = KnowledgeGraph.kgxEdges(pp(d))
+    assert(edges.columns.toSeq ==
+      Seq("subject", "edge_label", "object", "relation", "id", "association_type"))
+    val ev = KnowledgeGraph.kgxEdgesEvidence(pp(d))
+    assert(ev.columns.toSeq == Seq("subject", "edge_label", "object", "relation",
+      "id", "association_type", "evidence_count", "has_evidence"))
+    // the id digests the edge identity: same pair → same id across both tables
+    val e1 = edges.select("subject", "object", "id").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    val e2 = ev.select("subject", "object", "id").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(e1 == e2)
+    assert(e1.values.toSeq.distinct.size == e1.size) // injective over pairs
+  }
+
+  test("kgx evidence: count matches supporting docs, list sorted and pipe-joined") {
+    val d = docs("join table", "join table", "join row")
+    val ev = KnowledgeGraph.kgxEdgesEvidence(pp(d)).collect()
+      .map(r => (r.getAs[String]("subject"), r.getAs[String]("object")) -> r).toMap
+    // join+table cooccur in docs 0,1 → 2 evidence nodes
+    val jt = ev(("DS:table", "OP:join"))
+    assert(jt.getAs[Long]("evidence_count") == 2L)
+    val ids = jt.getAs[String]("has_evidence").split('|').toSeq
+    assert(ids.size == 2 && ids == ids.sorted && ids.distinct.size == 2)
+  }
+
+  test("ancestor_table: self row + closure rows, namespace-filtered") {
+    val rows = KnowledgeGraph.ancestorTable(spark).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.forall(_._1.startsWith("OP:")))
+    val join = rows.filter(_._1 == "OP:join").map(_._2).toSet
+    assert(join == Set("OP:join", "OP:JOINLIKE", "OP:ROOT"))
+    assert(rows.filter(_._1 == "OP:ROOT").map(_._2).toSet == Set("OP:ROOT"))
+    assert(rows.distinct.length == rows.length)
+  }
+
+  test("sentence_ids: distinct sha256 catalog") {
+    val d = docs("aa bb cc", "aa bb cc", "dd ee ff")
+    val ids = Exports.sentenceIds(d).as[String].collect().toSeq
+    assert(ids.distinct.size == ids.size)
+    assert(ids.size == 2) // duplicate sentence collapses
+    val expected = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("aa bb cc".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(ids.contains(expected))
+  }
+
+  test("label_overlap: promotion aliases create the multi-identifier labels") {
+    val rows = LabelQa.labelOverlap(spark).collect()
+      .map(r => r.getAs[String]("label") -> (r.getAs[Long]("n_ids"), r.getAs[String]("ids"))).toMap
+    assert(rows.keySet == Set("join", "merge", "big", "spark"))
+    assert(rows("join") == (2L, "OP:JOINLIKE|OP:join"))
+    assert(rows("spark")._1 == 2L)
+  }
+
+  test("label_english_word: fixed dictionary membership with corpus df") {
+    val d = docs("table join xx", "table yy zz")
+    val rows = LabelQa.labelEnglishWords(d).collect()
+      .map(r => (r.getAs[String]("concept_id"), r.getAs[String]("label"), r.getAs[Long]("df")))
+    // every flagged label is in the fixed word list
+    assert(rows.forall { case (_, l, _) => LabelQa.wordsAlpha.contains(l.toLowerCase) })
+    // 'table' appears in both docs; 'join' (not in wordsAlpha) is absent
+    assert(rows.collectFirst { case ("DS:table", _, df) => df }.contains(2L))
+    assert(!rows.exists(_._2 == "join"))
+    // multi-id labels are flagged once per id ('big' → SZ:big and SZ:large)
+    assert(rows.count(_._2 == "big") == 2)
+  }
+
+  test("label_filter_embedding: bounded cosine, threshold-consistent flag, deterministic") {
+    val emb = (0 until 16).map { i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11 - 5) / 5.0f), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val r1 = LabelQa.labelFilterByEmbedding(emb).collect()
+      .map(r => r.getAs[String]("concept_id") ->
+        (r.getAs[Double]("cosine"), r.getAs[Boolean]("possible_bad"))).toMap
+    assert(r1.nonEmpty)
+    r1.values.foreach { case (c, bad) =>
+      assert(c >= -1.000001 && c <= 1.000001)
+      assert(bad == (c < LabelQa.BadLabelCosine))
+    }
+    val r2 = LabelQa.labelFilterByEmbedding(emb).collect()
+      .map(r => r.getAs[String]("concept_id") ->
+        (r.getAs[Double]("cosine"), r.getAs[Boolean]("possible_bad"))).toMap
+    assert(r1 == r2)
+  }
+}
