@@ -3104,7 +3104,7 @@ object OracleSql {
          |      AND p.object_curie = s.object_curie AND p.doc_id = s.doc_id
          |      AND p.sent_id = s.sent_id AND p.ord = o.ord))),
          |allpairs AS (SELECT * FROM pospairs UNION ALL SELECT * FROM negpairs)""".stripMargin) +
-      s"""SELECT DISTINCT subject_curie, object_curie, doc_id, sent_id, label,
+      s"""SELECT DISTINCT a.subject_curie, a.object_curie, a.doc_id, a.sent_id, a.label,
          |  string_agg(CASE WHEN t.ord = a.subj_ord THEN '${ConceptPairsOps.SubjectPlaceholder}'
          |      WHEN t.ord = a.obj_ord THEN '${ConceptPairsOps.ObjectPlaceholder}'
          |      ELSE t.tok END, ' ' ORDER BY t.ord) AS masked

@@ -85,6 +85,77 @@ class Round11OpsSpec extends SparkSpec {
     assert(rows.count(_._2 == "big") == 2)
   }
 
+  test("pmid_html_flag: mixed corpus resolves both DocumentTargets from the parse") {
+    val d = docs("aa bb cc dd", "ee ff gg hh", "ii jj kk ll", "mm nn oo pp")
+    val r = graft.operators.XmlIngest.pmidHtmlFlagRoundTrip(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Boolean]("contains_html")).toMap
+    assert(r(0L) == false && r(3L) == false) // plain channel (doc_id%3==0)
+    assert(r(1L) == true && r(2L) == true)   // sub/sup channel carries <b>
+  }
+
+  test("pmid_to_year: the three fallback channels resolve channel-offset years") {
+    val d = docs("aa", "bb", "cc", "dd")
+    val r = graft.operators.XmlIngest.pmidToYearRoundTrip(d).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("pmid"), x.getAs[String]("year")))
+    r.foreach { case (id, pmid, year) =>
+      assert(pmid == s"PMID:$id")
+      assert(year == (1990 + id % 30 + id % 3).toString, s"doc $id")
+    }
+  }
+
+  test("concept_pairs: file round trip, predicate filter, negative chunk algebra") {
+    import graft.operators.ConceptPairs
+    val d = docs("join table fast", "merge row slow", "join row big", "merge table small")
+    val lines = ConceptPairs.serializePairsFile(pp(d))
+    // every line is subject_uri TAB object_uri TAB predicate_uri over the OBO namespace
+    lines.as[String].collect().foreach { l =>
+      val c = l.split("\t")
+      assert(c.length == 3 && c.forall(_.startsWith(ConceptPairs.OboNs)), l)
+    }
+    val pos = ConceptPairs.parsePositivePairs(lines).collect()
+    assert(pos.forall(_.getAs[String]("predicate_biolink") == "biolink:located_in"))
+    assert(pos.forall(r => r.getAs[String]("subject_curie").startsWith("OP:") &&
+      r.getAs[String]("object_curie").startsWith("DS:")))
+    val posSet = pos.map(r => (r.getAs[String]("subject_curie"), r.getAs[String]("object_curie"))).toSet
+    val neg = ConceptPairs.negativePairs(lines).collect()
+    val subjects = posSet.map(_._1)
+    val objects = posSet.map(_._2)
+    neg.foreach { r =>
+      val s = r.getAs[String]("subject_curie")
+      val objs = r.getAs[String]("object_curies").split('|').toSeq
+      assert(subjects.contains(s))
+      assert(r.getAs[Long]("n_objects") == objs.size && objs.size <= ConceptPairs.NegChunkSize)
+      objs.foreach(o => assert(objects.contains(o) && !posSet.contains((s, o)), s"($s,$o)"))
+      assert(r.getAs[String]("predicate_biolink") == "false")
+    }
+    // completeness: chunks of one subject cover exactly objects \ positives
+    subjects.foreach { s =>
+      val covered = neg.filter(_.getAs[String]("subject_curie") == s)
+        .flatMap(_.getAs[String]("object_curies").split('|')).toSet
+      assert(covered == objects.filter(o => !posSet.contains((s, o))), s)
+    }
+  }
+
+  test("concept_pair_sentences: typed mentions, overlap removals, masking, dedup") {
+    import graft.operators.ConceptPairs
+    val d = docs("join table scan", "join table merge row")
+    val pairs = Seq(("OP:join", "DS:table", "biolink:located_in"))
+      .toDF("subject_curie", "object_curie", "predicate_biolink")
+    val rows = ConceptPairs.pairSentences(d, pp(d), pairs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("label"), r.getAs[String]("masked")))
+      .toSet
+    // doc 0: OP:scan excluded; promoted OP:JOINLIKE@1 (ST) overlaps S@1 →
+    // removed; single positive line, no negatives (both ends positive)
+    // doc 1: merge@3 (ST, with its promoted twin masking identically) and
+    // row@4 (OT) yield three negative lines beside the positive
+    assert(rows == Set(
+      (0L, "biolink:located_in", "@OPERATION$ @DATASHAPE$ scan"),
+      (1L, "biolink:located_in", "@OPERATION$ @DATASHAPE$ merge row"),
+      (1L, "false", "@OPERATION$ table merge @DATASHAPE$"),
+      (1L, "false", "join @DATASHAPE$ @OPERATION$ row"),
+      (1L, "false", "join table @OPERATION$ @DATASHAPE$")))
+  }
+
   test("label_filter_embedding: bounded cosine, threshold-consistent flag, deterministic") {
     val emb = (0 until 16).map { i =>
       (i.toLong, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11 - 5) / 5.0f), i % 3)
