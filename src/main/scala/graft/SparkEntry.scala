@@ -293,6 +293,13 @@ object SparkEntry {
     "dp_input_export" -> ((s, d) => SentencePairs.dpInput(docs(s, d), pp(s, d))),
     "distant_supervision" -> ((s, d) => SentencePairs.distantSupervision(pp(s, d))),
     "semmed_eval_rows" -> ((s, d) => SentencePairs.semmedEvalRows(docs(s, d), pp(s, d))),
+    "bicluster_paths" -> ((s, d) => Bicluster.parsePartI(Bicluster.serializePartI(pp(s, d)))),
+    "bicluster_sentences" -> ((s, d) => Bicluster.parsePartII(
+      Bicluster.serializePartII(docs(s, d), pp(s, d)),
+      Bicluster.parsePartI(Bicluster.serializePartI(pp(s, d))))),
+    "bicluster_bert" -> ((s, d) => Bicluster.bertTrainingLines(Bicluster.parsePartII(
+      Bicluster.serializePartII(docs(s, d), pp(s, d)),
+      Bicluster.parsePartI(Bicluster.serializePartI(pp(s, d)))))),
     "concepts_exclude_subtree" -> ((s, d) =>
       Concepts.excludeSubtrees(pp(s, d), Seq("OP:JOINLIKE"), Seq("DS:line"))),
     "concepts_ext_revert" -> ((s, d) => {

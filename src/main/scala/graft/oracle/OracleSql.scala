@@ -3114,6 +3114,93 @@ object OracleSql {
          |  a.subj_ord, a.obj_ord, a.label""".stripMargin
   }
 
+  // ---------- Percha-Altman bicluster flow ----------
+
+  private val BiclusterOps = graft.operators.Bicluster
+
+  /** OP×DS dependency-path universe + per-(path, theme) flagship rule —
+    * Bicluster.paths / scoreU. */
+  private val biclusterPathCtes: String =
+    s"""bpaths AS (
+       |  SELECT DISTINCT lower(concept2 || '|rel|' || concept1) AS path
+       |  FROM pairs
+       |  WHERE split_part(concept1, ':', 1) = 'DS' AND split_part(concept2, ':', 1) = 'OP'),
+       |pth AS (
+       |  SELECT b.path, th.sym, th.theme,
+       |    ${Hash60.sql("b.path || '|' || th.sym")} % 1000 AS h
+       |  FROM bpaths b CROSS JOIN ${BiclusterOps.themesValuesSql})""".stripMargin
+
+  val biclusterPaths: String =
+    docPipeline(unitsDocCte, pairCountsSql("units_doc", Seq("doc_id")), biclusterPathCtes) +
+      """SELECT path, theme, CAST(h AS DOUBLE) / 1000.0 AS score
+        |FROM pth WHERE h % 5 = 0""".stripMargin
+
+  /** part-ii instance rows (lowest-ordinal OP/DS mention per sentence)
+    * joined to their path's flagship themes. */
+  private val biclusterInstCtes: String =
+    s"""bm AS (
+       |  SELECT doc_id, (ord - 1) // $W AS sent_id, ord, tok, concept_id,
+       |    split_part(concept_id, ':', 1) AS prefix
+       |  FROM pp),
+       |e1 AS (SELECT doc_id, sent_id, tok, concept_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id, sent_id ORDER BY ord) AS rn
+       |    FROM bm WHERE prefix = 'OP') WHERE rn = 1),
+       |e2 AS (SELECT doc_id, sent_id, tok, concept_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id, sent_id ORDER BY ord) AS rn
+       |    FROM bm WHERE prefix = 'DS') WHERE rn = 1),
+       |sents AS (
+       |  SELECT doc_id, (ord - 1) // $W AS sent_id,
+       |    string_agg(tok, ' ' ORDER BY ord) AS sent_text
+       |  FROM tok GROUP BY 1, 2),
+       |binst AS (
+       |  SELECT p.theme, e1.doc_id AS pmid, e1.sent_id AS sentence_num,
+       |    e1.tok AS entity1_name, e2.tok AS entity2_name,
+       |    'OPERATION' AS entity1_type, 'DATASHAPE' AS entity2_type,
+       |    lower(e1.concept_id || '|rel|' || e2.concept_id) AS dep_path,
+       |    s.sent_text || ' -LRB- ref -RRB- , end .' AS tokenized_sentence
+       |  FROM e1 JOIN e2 ON e1.doc_id = e2.doc_id AND e1.sent_id = e2.sent_id
+       |  JOIN sents s ON s.doc_id = e1.doc_id AND s.sent_id = e1.sent_id
+       |  JOIN (SELECT path, theme FROM pth WHERE h % 5 = 0) p
+       |    ON p.path = lower(e1.concept_id || '|rel|' || e2.concept_id))""".stripMargin
+
+  val biclusterSentences: String =
+    docPipeline(unitsDocCte, pairCountsSql("units_doc", Seq("doc_id")),
+      biclusterPathCtes, biclusterInstCtes) +
+      """SELECT theme, pmid, sentence_num, entity1_name, entity2_name,
+        |  entity1_type, entity2_type, dep_path, tokenized_sentence
+        |FROM binst""".stripMargin
+
+  val biclusterBert: String = {
+    val themesIn = BiclusterOps.BertThemes.map(t => s"'$t'").mkString("(", ", ", ")")
+    docPipeline(unitsDocCte, pairCountsSql("units_doc", Seq("doc_id")),
+      biclusterPathCtes, biclusterInstCtes,
+      s"""b1 AS (
+         |  SELECT theme, entity1_name, entity2_name, entity1_type, entity2_type,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      tokenized_sentence,
+         |      '-LRB- ', '(', 'g'), '-LSB- ', '[', 'g'), ' -RRB-', ')', 'g'),
+         |      ' -RSB-', ']', 'g'), ' ,', ',', 'g'), ' \\.', '.', 'g') AS detok
+         |  FROM binst WHERE theme IN $themesIn),
+         |b2 AS (
+         |  SELECT theme, entity2_name, entity2_type,
+         |    CASE WHEN strpos(detok, entity1_name) > 0 THEN
+         |      substr(detok, 1, strpos(detok, entity1_name) - 1) ||
+         |      '@' || upper(entity1_type) || '$$' ||
+         |      substr(detok, strpos(detok, entity1_name) + length(entity1_name))
+         |    ELSE detok END AS s1
+         |  FROM b1),
+         |b3 AS (
+         |  SELECT lower(theme) AS label0,
+         |    CASE WHEN strpos(s1, entity2_name) > 0 THEN
+         |      substr(s1, 1, strpos(s1, entity2_name) - 1) ||
+         |      '@' || upper(entity2_type) || '$$' ||
+         |      substr(s1, strpos(s1, entity2_name) + length(entity2_name))
+         |    ELSE s1 END AS sentence
+         |  FROM b2)""".stripMargin) +
+      """SELECT md5(sentence) AS sentence_id, sentence, min(label0) AS label
+        |FROM b3 GROUP BY 1, 2""".stripMargin
+  }
+
   /** LabelQa.labelFilterByEmbedding twin: md5-keyed label→vector pick,
     * micro-unit centroid (truncating integer division matches Spark's
     * `div`), exact integer dot/norm sums, one rounded division. */
@@ -4020,6 +4107,9 @@ object OracleSql {
     "trapi_nodes" -> trapiNodes,
     "trapi_edges" -> trapiEdges,
     "ontology_closure" -> ontologyClosure,
+    "bicluster_paths" -> biclusterPaths,
+    "bicluster_sentences" -> biclusterSentences,
+    "bicluster_bert" -> biclusterBert,
     "pmid_html_flag" -> pmidHtmlFlag,
     "pmid_to_year" -> pmidToYear,
     "concept_pairs_pos" -> conceptPairsPos,

@@ -156,6 +156,52 @@ class Round11OpsSpec extends SparkSpec {
       (1L, "false", "join table @OPERATION$ @DATASHAPE$")))
   }
 
+  test("bicluster part-i: header-driven parse keeps only flagship (path, theme) rows") {
+    import graft.operators.Bicluster
+    val d = docs("join table fast", "merge row slow", "join row big")
+    val lines = Bicluster.serializePartI(pp(d))
+    val header = lines.where(col("line_no") === 0).select("line").as[String].head()
+    val hcols = header.split("\t")
+    assert(hcols(0) == "path" && Bicluster.Themes.map(_._1) ==
+      hcols.zipWithIndex.filter(_._2 % 2 == 1).map(_._1).toSeq)
+    val parsed = Bicluster.parsePartI(lines).collect()
+    assert(parsed.nonEmpty)
+    parsed.foreach { r =>
+      assert(Bicluster.Themes.map(_._2).contains(r.getAs[String]("theme")))
+      val s = r.getAs[Double]("score")
+      assert(s >= 0.0 && s < 1.0)
+    }
+    // flagship rule: every emitted (path, theme) has flag>0 in its line
+    val byPath = lines.where(col("line_no") > 0).select("line").as[String].collect()
+      .map { l => val c = l.split("\t"); c(0) ->
+        Bicluster.Themes.indices.filter(i => c(2 + 2 * i).toLong > 0)
+          .map(i => Bicluster.Themes(i)._2).toSet }.toMap
+    val got = parsed.groupBy(_.getAs[String]("path"))
+      .view.mapValues(_.map(_.getAs[String]("theme")).toSet).toMap
+    assert(got == byPath.filter(_._2.nonEmpty))
+  }
+
+  test("bicluster bert: detokenize, first-occurrence masking, theme filter, hash dedup") {
+    import graft.operators.Bicluster
+    val sent = Seq(
+      ("B_BINDING", 1L, 0L, "join", "table", "OPERATION", "DATASHAPE", "p1",
+        "join table join -LRB- ref -RRB- , end ."),
+      ("Rg_REGULATION", 1L, 0L, "join", "table", "OPERATION", "DATASHAPE", "p1",
+        "join table join -LRB- ref -RRB- , end ."), // same masked line → dedup
+      ("T_TREATMENT", 2L, 0L, "scan", "row", "OPERATION", "DATASHAPE", "p2",
+        "scan row .")) // excluded theme
+      .toDF("theme", "pmid", "sentence_num", "entity1_name", "entity2_name",
+        "entity1_type", "entity2_type", "dep_path", "tokenized_sentence")
+    val rows = Bicluster.bertTrainingLines(sent).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    // detok: "-LRB- "→"(", " -RRB-"→")", " ,"→",", " ."→"."; mask replaces
+    // the FIRST "join" and the first "table" only
+    assert(r.getAs[String]("sentence") == "@OPERATION$ @DATASHAPE$ join (ref), end.")
+    assert(r.getAs[String]("label") == "b_binding") // min of the two colliding themes
+    assert(r.getAs[String]("sentence_id").length == 32)
+  }
+
   test("label_filter_embedding: bounded cosine, threshold-consistent flag, deterministic") {
     val emb = (0 until 16).map { i =>
       (i.toLong, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11 - 5) / 5.0f), i % 3)
