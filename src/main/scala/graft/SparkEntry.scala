@@ -247,6 +247,8 @@ object SparkEntry {
         .select(sha2(col("sent_text"), 256).as("sent_hash"))
       Exports.annotationBatch(sents, prev)
     }),
+    "batch_stats" -> ((s, d) => Exports.batchStats(docs(s, d), pp(s, d))),
+    "batch_overlap" -> ((s, d) => Exports.batchOverlap(docs(s, d))),
     "annotation_batch_files" -> ((s, d) => {
       val sents = TextOps.sentences(docs(s, d))
       val prev = sents.where(pmod(col("doc_id"), lit(7L)) === 0L)

@@ -87,7 +87,9 @@ object ConceptPairs {
                     targetPredicateUri: String = RoLocatedIn): DataFrame = {
     val pos = parsePositivePairs(lines, targetPredicateUri)
     val subjects = pos.select("subject_curie").distinct()
-    val objects = pos.select("object_curie").distinct()
+    // the object-curie side is the target predicate's object VOCABULARY
+    // (ontology-sized, never corpus-sized) — broadcast-declared small
+    val objects = broadcast(pos.select("object_curie").distinct())
     val candidates = subjects.crossJoin(objects)
     val negatives = candidates.join(pos.select("subject_curie", "object_curie"),
       Seq("subject_curie", "object_curie"), "left_anti")

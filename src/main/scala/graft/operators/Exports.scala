@@ -422,6 +422,60 @@ object Exports {
       .select(col("doc_id"), col("lang"), col("source"), col("concept_id"),
         col("char_start"), col("char_end"))
 
+  /** Annotator count for the annotation-repo statistics (the reference's
+    * repo lays batches out as `<annotator>/<batch>/` directories). */
+  val RepoAnnotators = 3
+
+  private def annotatorBatch(sents: DataFrame, a: Int): DataFrame = {
+    val prev = sents.where(pmod(col("doc_id"), lit(7L)) === a)
+      .select(sha2(col("sent_text"), 256).as("sent_hash"))
+    annotationBatch(sents, prev)
+  }
+
+  /** annotator, page, sent_hash — the whole annotation repo: one batch per
+    * annotator (each with its own already-annotated exclusion set, so the
+    * batches genuinely differ AND overlap). */
+  def batchRepo(docs: DataFrame): DataFrame = {
+    val sents = TextOps.sentences(docs)
+    (0 until RepoAnnotators).map(a =>
+      annotatorBatch(sents, a).withColumn("annotator", lit(s"ann$a")))
+      .reduce(_ unionByName _)
+  }
+
+  /** annotator, file, n_sentences — per-annotator per-batch sentence
+    * counts (reference: relation_extraction/annot_batch_cli/
+    * RepoStatsCommand.java:72-182 — walk the repo's `.txt` files, count
+    * non-blank non-`DONE` lines per (annotator, batch)). Counted from the
+    * REAL file bodies ([[annotationBatchFiles]]' txt channel), exactly as
+    * the reference counts file lines. */
+  def batchStats(docs: DataFrame, annots: DataFrame): DataFrame = {
+    val sents = TextOps.sentences(docs)
+    (0 until RepoAnnotators).map { a =>
+      annotationBatchFiles(annotatorBatch(sents, a), sents, annots)
+        .withColumn("annotator", lit(s"ann$a"))
+    }.reduce(_ unionByName _)
+      .where(col("file").endsWith(".txt") && col("line") =!= "DONE" &&
+        trim(col("line")) =!= "")
+      .groupBy("annotator", "file")
+      .agg(count(lit(1)).as("n_sentences"))
+  }
+
+  /** batch_a, batch_b, n_shared — the batch overlap matrix (reference:
+    * RepoStatsCommand.java:184-260 — shared sentence-identifier counts
+    * between batch keys; here the sparse nonzero half-matrix, keys
+    * `<annotator>/batch_<page>`). One hash equi-join, never per-batch set
+    * intersection on the driver. */
+  def batchOverlap(docs: DataFrame): DataFrame = {
+    val b = batchRepo(docs).select(
+      concat(col("annotator"), lit("/batch_"), col("page")).as("batch_key"),
+      col("sent_hash")).persist()
+    b.select(col("batch_key").as("batch_a"), col("sent_hash"))
+      .join(b.select(col("batch_key").as("batch_b"), col("sent_hash")), "sent_hash")
+      .where(col("batch_a") < col("batch_b"))
+      .groupBy("batch_a", "batch_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** sentence_id — the distinct sentence-hash catalog (reference:
     * relation_extraction/SentenceIdFileGenerator.java:27-46 walks sentence
     * files and collects ElasticsearchDocumentCreatorFn

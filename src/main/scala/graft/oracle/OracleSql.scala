@@ -1101,6 +1101,45 @@ object OracleSql {
        |  sent_hash, doc_id, sent_id, sent_text
        |FROM pos""".stripMargin
 
+  /** Shared CTE set for the annotation-repo statistics: the per-annotator
+    * batches (annotationBatch's canonical/anti-join/limit shape, one prev
+    * set per annotator) flattened to (annotator, page, sent_hash). */
+  private val repoBatchCtes: String = {
+    val head =
+      s"""sent AS (SELECT doc_id, (ord - 1) // $W AS sent_id,
+         |    string_agg(tok, ' ' ORDER BY ord) AS sent_text
+         |  FROM tok GROUP BY 1, 2),
+         |h AS (SELECT sha256(sent_text) AS sent_hash, doc_id, sent_id, sent_text FROM sent),
+         |canon AS (SELECT sent_hash, min(sent_text) AS sent_text FROM h GROUP BY 1)""".stripMargin
+    val per = (0 until graft.operators.Exports.RepoAnnotators).map { a =>
+      s"""prev$a AS (SELECT DISTINCT sha256(sent_text) AS sent_hash FROM sent WHERE doc_id % 7 = $a),
+         |batch$a AS (SELECT c.sent_hash FROM canon c LEFT JOIN prev$a p ON c.sent_hash = p.sent_hash
+         |  WHERE p.sent_hash IS NULL ORDER BY c.sent_hash LIMIT 100),
+         |pos$a AS (SELECT sent_hash,
+         |  CAST(row_number() OVER (ORDER BY sent_hash) AS BIGINT) AS pos FROM batch$a)""".stripMargin
+    }
+    val union = (0 until graft.operators.Exports.RepoAnnotators)
+      .map(a => s"SELECT 'ann$a' AS annotator, (pos - 1) // 20 AS page, sent_hash FROM pos$a")
+      .mkString("bb AS (", "\n  UNION ALL ", ")")
+    (Seq(head) ++ per :+ union).mkString(",\n")
+  }
+
+  val batchStats: String =
+    s"""WITH $tokCte,
+       |$repoBatchCtes
+       |SELECT annotator, 'batch_' || CAST(page AS VARCHAR) || '.txt' AS file,
+       |  CAST(count(*) AS BIGINT) AS n_sentences
+       |FROM bb GROUP BY 1, 2""".stripMargin
+
+  val batchOverlap: String =
+    s"""WITH $tokCte,
+       |$repoBatchCtes,
+       |bk AS (SELECT annotator || '/batch_' || CAST(page AS VARCHAR) AS batch_key, sent_hash FROM bb)
+       |SELECT x.batch_key AS batch_a, y.batch_key AS batch_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM bk x JOIN bk y ON x.sent_hash = y.sent_hash AND x.batch_key < y.batch_key
+       |GROUP BY 1, 2""".stripMargin
+
   /** Exports.inception twin: header block + hash-ordered bounded batch,
     * sentences renumbered 1..n, char offsets re-based to run consecutively
     * through the file, blank separator after every sentence but the last. */
@@ -4107,6 +4146,8 @@ object OracleSql {
     "trapi_nodes" -> trapiNodes,
     "trapi_edges" -> trapiEdges,
     "ontology_closure" -> ontologyClosure,
+    "batch_stats" -> batchStats,
+    "batch_overlap" -> batchOverlap,
     "bicluster_paths" -> biclusterPaths,
     "bicluster_sentences" -> biclusterSentences,
     "bicluster_bert" -> biclusterBert,

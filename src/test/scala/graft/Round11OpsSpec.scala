@@ -202,6 +202,26 @@ class Round11OpsSpec extends SparkSpec {
     assert(r.getAs[String]("sentence_id").length == 32)
   }
 
+  test("batch_stats / batch_overlap: file-body counts and hash-join overlap matrix") {
+    val d = docs((0 until 30).map(i => s"w$i x$i y$i z$i join table"): _*)
+    val stats = Exports.batchStats(d, pp(d)).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      assert(r.getAs[String]("file").endsWith(".txt"))
+      val n = r.getAs[Long]("n_sentences")
+      assert(n >= 1L && n <= 20L) // perPage bound; DONE lines never counted
+    }
+    assert(stats.map(_.getAs[String]("annotator")).distinct.sorted.toSeq ==
+      (0 until Exports.RepoAnnotators).map(i => s"ann$i"))
+    val overlap = Exports.batchOverlap(d).collect()
+    overlap.foreach { r =>
+      assert(r.getAs[String]("batch_a") < r.getAs[String]("batch_b"))
+      assert(r.getAs[Long]("n_shared") >= 1L)
+    }
+    // annotators share most of the candidate pool → overlaps must exist
+    assert(overlap.nonEmpty)
+  }
+
   test("label_filter_embedding: bounded cosine, threshold-consistent flag, deterministic") {
     val emb = (0 until 16).map { i =>
       (i.toLong, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11 - 5) / 5.0f), i % 3)
