@@ -44,9 +44,14 @@ object ScaleBench {
     "retrieval" -> Seq("tfidf", "bm25_scores", "bm25_topk", "bm25_mrr", "concept_idf",
       "cooccur_counts_doc", "cooccur_metrics_doc"),
     "graph" -> Seq("kg_pagerank", "kg_khop", "kg_triangles", "kg_jaccard",
-      "tfidf_doc_sim", "kg_degree_dist"),
+      "tfidf_doc_sim", "kg_degree_dist", "kgx_edges_evidence"),
     "ingest" -> Seq("xml_roundtrip", "medline_ingest", "medline_metadata",
-      "medline_subsup", "doc_upsert_delete", "semmed_eval_rows"))
+      "medline_subsup", "doc_upsert_delete", "semmed_eval_rows",
+      "pmid_html_flag", "pmid_to_year"),
+    // round-11 relation/annotation corpus flows: pair-driven masked lines,
+    // bicluster instance join + BERT file, batch overlap, sentence catalog
+    "relation" -> Seq("concept_pair_sentences", "bicluster_sentences",
+      "bicluster_bert", "batch_overlap", "sentence_ids"))
 
   /** sf parsed from a ".../sf0.01"-style dir name; None when absent. */
   private def sfOf(dir: String): Option[Double] = {

@@ -168,6 +168,7 @@ object SparkEntry {
     "medline_pmid_files" -> ((s, d) =>
       XmlIngest.parseUpdateFilePmids(XmlIngest.serializeMedlineUpdateFiles(docs(s, d)))),
     "pmid_html_flag" -> ((s, d) => XmlIngest.pmidHtmlFlagRoundTrip(docs(s, d))),
+    "medline_download_manifest" -> ((s, _) => XmlIngest.medlineDownloadManifest(s)),
     "pmid_to_year" -> ((s, d) => XmlIngest.pmidToYearRoundTrip(docs(s, d))),
     "concept_pairs_pos" -> ((s, d) =>
       ConceptPairs.parsePositivePairs(ConceptPairs.serializePairsFile(pp(s, d)))),

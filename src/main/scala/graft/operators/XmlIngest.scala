@@ -521,6 +521,31 @@ object XmlIngest {
   def pmidToYearRoundTrip(docs: DataFrame): DataFrame =
     pmidToYear(serializeMedlinePubdates(docs))
 
+  /** file_set, file_ord, filename, url — the Medline download manifest
+    * (corpora/MedlineDownloadScriptBuilder.java:20-56: per index a
+    * zero-padded `pubmed{yy}n{idx}.xml.gz` plus its `.md5` twin, fetched
+    * from the public NCBI FTP path for the file set; the reference's
+    * cloud-bucket destination half of each command is out-of-scope
+    * plumbing). A sequence explode — no driver loop. */
+  def medlineDownloadManifest(spark: org.apache.spark.sql.SparkSession,
+                              twoDigitYear: Int = 25,
+                              baselineMax: Int = 40,
+                              updateMax: Int = 50): DataFrame = {
+    import spark.implicits._
+    val sets = Seq(("baseline", 1, baselineMax), ("updatefiles", baselineMax + 1, updateMax))
+      .toDF("file_set", "min_idx", "max_idx")
+    sets
+      .select(col("file_set"),
+        explode(sequence(col("min_idx"), col("max_idx"))).as("file_ord"))
+      .select(col("file_set"), col("file_ord").cast("long").as("file_ord"),
+        explode(array(
+          format_string(s"pubmed${twoDigitYear}n%04d.xml.gz", col("file_ord")),
+          format_string(s"pubmed${twoDigitYear}n%04d.xml.gz.md5", col("file_ord")))).as("filename"))
+      .withColumn("url",
+        concat(lit("ftp://ftp.ncbi.nlm.nih.gov/pubmed/"), col("file_set"),
+          lit("/"), col("filename")))
+  }
+
   /** Entity probe injected into every ArticleTitle by
     * [[serializeMedlineEntities]]: named ISO-8879 (Greek, deg, le), decimal
     * and hex numeric refs, and a builtin (&amp;) the parser must resolve —

@@ -3021,6 +3021,20 @@ object OracleSql {
   /** XmlIngest.pmidToYearRoundTrip twin: each fallback channel carries a
     * channel-offset year, so the resolved value proves WHICH source the
     * chain read (Year +0, MedlineDate regex +1, ArticleDate +2). */
+  /** XmlIngest.medlineDownloadManifest twin. */
+  val medlineDownloadManifest: String =
+    """WITH sets(file_set, min_idx, max_idx) AS
+      |  (VALUES ('baseline', 1, 40), ('updatefiles', 41, 50)),
+      |idx AS (SELECT file_set, CAST(unnest(range(min_idx, max_idx + 1)) AS BIGINT) AS file_ord
+      |  FROM sets),
+      |fn AS (
+      |  SELECT file_set, file_ord, printf('pubmed25n%04d.xml.gz', file_ord) AS filename FROM idx
+      |  UNION ALL
+      |  SELECT file_set, file_ord, printf('pubmed25n%04d.xml.gz.md5', file_ord) AS filename FROM idx)
+      |SELECT file_set, file_ord, filename,
+      |  'ftp://ftp.ncbi.nlm.nih.gov/pubmed/' || file_set || '/' || filename AS url
+      |FROM fn""".stripMargin
+
   val pmidToYear: String =
     """SELECT doc_id, 'PMID:' || doc_id AS pmid,
       |  CAST(1990 + doc_id % 30 + (doc_id % 3) AS VARCHAR) AS year
@@ -3080,13 +3094,20 @@ object OracleSql {
          |ment AS (
          |  SELECT doc_id, sent_id, ord, concept_id, split_part(concept_id, ':', 1) AS prefix
          |  FROM pm WHERE concept_id NOT IN $exclIn),
-         |insent AS (
+         |insent0 AS (
          |  SELECT DISTINCT p.subject_curie, p.object_curie, p.predicate_biolink,
          |    s.doc_id, s.sent_id
          |  FROM pos0 p
          |  JOIN ment s ON s.concept_id = p.subject_curie
          |  JOIN ment o ON o.doc_id = s.doc_id AND o.sent_id = s.sent_id
          |    AND o.concept_id = p.object_curie),
+         |insent AS (
+         |  SELECT subject_curie, object_curie, predicate_biolink, doc_id, sent_id
+         |  FROM (SELECT *, row_number() OVER (
+         |      PARTITION BY subject_curie, object_curie
+         |      ORDER BY doc_id, sent_id) AS rn
+         |    FROM insent0)
+         |  WHERE rn <= ${ConceptPairsOps.MaxSentencesPerPair}),
          |m0 AS (
          |  SELECT i.subject_curie, i.object_curie, i.predicate_biolink,
          |    mm.doc_id, mm.sent_id, mm.ord,
@@ -4153,6 +4174,7 @@ object OracleSql {
     "bicluster_bert" -> biclusterBert,
     "pmid_html_flag" -> pmidHtmlFlag,
     "pmid_to_year" -> pmidToYear,
+    "medline_download_manifest" -> medlineDownloadManifest,
     "concept_pairs_pos" -> conceptPairsPos,
     "concept_pairs_neg" -> conceptPairsNeg,
     "concept_pair_sentences" -> conceptPairSentences,
