@@ -162,6 +162,23 @@ class PlanAuditSpec extends SparkSpec {
       mrr.executedPlan.toString.take(2000))
   }
 
+  test("r11 shapes: pair-sentence hygiene stays in-row; bicluster/bert and overlap plan no windows") {
+    // concept_pair_sentences: overlap removals + pair enumeration are
+    // in-row array ops after ONE grouped shuffle; the only legal Window is
+    // the pair-partitioned maxReturned cap (never corpus-global), and the
+    // relational formulation's anti-join cascade must not reappear
+    val cps = SparkEntry.queries("concept_pair_sentences")(spark, sfDir).queryExecution
+    val wins = cps.optimizedPlan.collect { case w: Window => w }
+    assert(wins.size == 1 && wins.forall(_.partitionSpec.nonEmpty),
+      s"concept_pair_sentences windows:\n${wins.mkString("\n")}")
+    // bicluster_bert / batch_overlap: pure agg/join shapes, no window at all
+    Seq("bicluster_bert", "batch_overlap").foreach { n =>
+      val qe = SparkEntry.queries(n)(spark, sfDir).queryExecution
+      assert(qe.optimizedPlan.collect { case w: Window => w }.isEmpty,
+        s"$n plans a Window:\n${qe.optimizedPlan}")
+    }
+  }
+
   test("knn_graph tops-k through the bounded-heap aggregate; hybrid_rrf windows stay pool-bounded") {
     // knn_graph: a hot LSH bucket must never become a ranking-window
     // partition — same straggler argument as bm25_topk; pin the partial
