@@ -139,6 +139,15 @@ object SparkEntry {
     "conll03_export" -> ((s, d) => Conllu.conll03(docs(s, d))),
     "dict_export" -> ((s, _) => graft.functions.ConceptDict.dictExport(s)),
     "ontology_labels" -> ((s, _) => graft.functions.ConceptDict.labelMapDF(s)),
+    "oger_dict_build" -> ((s, d) => OgerDict.build(Tables.part(s, d))),
+    "oger_dict_chebi" -> ((s, d) => OgerDict.chebi(Tables.part(s, d))),
+    "oger_dict_drugbank" -> ((s, d) => OgerDict.drugbank(Tables.part(s, d))),
+    "oger_dict_mondo" -> ((s, d) => OgerDict.mondo(Tables.part(s, d))),
+    "chem_label_norm" -> ((s, d) => OgerDict.chemLabelNorm(Tables.part(s, d))),
+    "taxon_promotion" -> ((s, d) => OgerDict.taxonPromotion(Tables.part(s, d))),
+    "pr_gene_rollup" -> ((s, d) => OgerDict.geneRollup(Tables.part(s, d))),
+    "span_validate" -> ((s, d) => Concepts.spanValidate(docs(s, d), pp(s, d))),
+    "semmed_idf" -> ((s, d) => Concepts.semmedIdf(docs(s, d), pp(s, d))),
     "abbrev" -> ((s, d) => Abbreviations.partAbbreviations(Tables.part(s, d))),
     // C. cooccurrence & corpus stats
     "cooccur_counts_doc" -> ((s, d) =>

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.ConceptDict
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dictionary concept recognition + post-processing.
@@ -205,5 +205,46 @@ object Concepts {
     val kept = reverted.join(
       broadcast(knownIds.select(col("concept_id")).distinct()), Seq("concept_id"), "left_semi")
     orig.unionByName(kept.select(orig.columns.map(col): _*))
+  }
+
+  /** Span-offset validation (reference: etl/util/SpanValidator.java:17-43):
+    * an annotation is valid when its covered text equals the document
+    * substring at its span, after BOTH sides replace newlines with spaces
+    * and are forced to ASCII (the reference round-trips through US-ASCII
+    * bytes, mapping every unmappable char to '?'). A deterministic `%97`
+    * ordinal channel shifts spans by one to give the validator a negative
+    * class (same device as concepts_ext_revert's channel split). One
+    * equi-join on doc_id — annotations against their documents — and pure
+    * column arithmetic after it. Output: doc_id, concept_id, ord, valid. */
+  def spanValidate(docs: DataFrame, annots: DataFrame): DataFrame = {
+    def asciiNorm(c: Column): Column =
+      regexp_replace(regexp_replace(c, "\n", " "), "[^\\x00-\\x7F]", "?")
+    val start = when(col("ord") % 97 === 0, col("char_start") + 1)
+      .otherwise(col("char_start"))
+    val covered = expr("substr(text, cast(vstart + 1 as int), cast(char_end - vstart as int))")
+    annots.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .withColumn("vstart", start)
+      .select(col("doc_id"), col("concept_id"), col("ord"),
+        (asciiNorm(covered) === asciiNorm(col("tok"))).as("valid"))
+  }
+
+  /** SemMedDB-style entity IDF (reference: corpora/semmed/SemmedDbIdf.java:
+    * 308-358 computeIdf + 155-199 createCui2PmidFile): distinct
+    * (entity, document) pairs are counted per entity and scored
+    * `log(pmidCount / TOTAL_PMIDS)` — the reference's inverted ratio kept
+    * faithfully (its TOTAL_PMIDS is a corpus constant; here the corpus
+    * document count) — then joined with the entity label map. The 3-decimal
+    * display format of the output file is determinized as integer
+    * milli-units. Output: cui, name, idf_milli. */
+  def semmedIdf(docs: DataFrame, annots: DataFrame): DataFrame = {
+    val spark = annots.sparkSession
+    val total = docs.select(countDistinct(col("doc_id")).as("total_pmids"))
+    val counts = annots.select(col("concept_id"), col("doc_id")).distinct()
+      .groupBy("concept_id").agg(count(lit(1)).as("pmid_count"))
+    counts.crossJoin(broadcast(total))
+      .join(broadcast(ConceptDict.labelMapDF(spark)), Seq("concept_id"))
+      .select(col("concept_id").as("cui"), col("label").as("name"),
+        round(log(col("pmid_count").cast("double") / col("total_pmids").cast("double")) * 1000)
+          .cast("long").as("idf_milli"))
   }
 }

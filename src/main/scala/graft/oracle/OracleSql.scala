@@ -1,7 +1,7 @@
 package graft.oracle
 
 import graft.functions.{ConceptDict, Hash60}
-import graft.operators.{Cooccurrence, Dedup, Embeddings, SentencePairs, TextOps, TextStats, XmlIngest}
+import graft.operators.{Cooccurrence, Dedup, Embeddings, LabelQa, SentencePairs, TextOps, TextStats, XmlIngest}
 
 /** DuckDB oracle SQL for every oracle-checked query in SparkEntry.queries.
   *
@@ -374,6 +374,287 @@ object OracleSql {
   val ontologyLabels: String =
     s"""SELECT concept_id, regexp_replace(raw_label, '"$$', '') AS label
        |FROM ${ConceptDict.labelValuesSql}""".stripMargin
+
+  // ---------- OGER dictionary builds (OgerDict twins) ----------
+
+  /** isCaseSensitive scalar core twin (OgerDictFileFactory.java:185-214):
+    * single-digit full match, >40% uppercase-or-digit of the trimmed string
+    * (as the exact integer test), lowercase-then-uppercase. */
+  private def ogerCsScalarSql(x: String): String =
+    s"(regexp_full_match($x, '[0-9]') OR " +
+      s"(length(trim($x)) > 0 AND 10 * (length(trim($x)) - length(regexp_replace(trim($x), '[A-Z0-9]', '', 'g'))) > 4 * length(trim($x))) OR " +
+      s"regexp_matches($x, '[a-z][A-Z]'))"
+
+  /** Full isCaseSensitive twin including the per-token pass (216-223). */
+  private def ogerCsSql(x: String): String =
+    s"(${ogerCsScalarSql(x)} OR (len(string_split($x, ' ')) > 1 AND " +
+      s"len(list_filter(string_split($x, ' '), t -> ${ogerCsScalarSql("t")})) > 0))"
+
+  /** fixLabel twin (OgerDictFileFactory.java:640-662) over a CTE `raw`
+    * carrying (concept_id, label, pk, s); yields `fixed` with a trimmed
+    * `syn` column. The Java `split("\"").length % 2 == 1` parity check is
+    * re-expressed as in OgerDict.fixLabel: after stripping trailing
+    * quotes the remainder is non-empty with an even quote count. */
+  private val ogerFixCte =
+    """fx1 AS (SELECT concept_id, label, pk, regexp_replace(s, '\\"', '"', 'g') AS u FROM raw),
+      |fx2 AS (SELECT concept_id, label, pk, u, regexp_replace(u, '"+$', '') AS rt FROM fx1),
+      |fixed AS (SELECT DISTINCT concept_id, label, pk,
+      |  trim(regexp_replace(
+      |    CASE WHEN u LIKE '%"' AND length(rt) > 0
+      |              AND (length(rt) - length(replace(rt, '"', ''))) % 2 = 0
+      |         THEN substr(u, 1, length(u) - 1) ELSE u END,
+      |    ' \([^)]+\)$', '')) AS syn FROM fx2)""".stripMargin
+
+  /** Case split + gene-symbol alternates + final dict lines
+    * (OgerDictFileFactory.java:90-105, 145-170) over a CTE `syns`
+    * carrying DISTINCT trimmed (concept_id, label, syn). */
+  private def ogerCaseSplitSql(ontKey: String, mainType: String): String =
+    s"""cls AS (SELECT concept_id, label, syn, ${ogerCsSql("syn")} AS cs FROM syns),
+       |alts AS (SELECT DISTINCT concept_id, label,
+       |    upper(substr(syn, 1, 1)) || lower(substr(syn, 2)) AS syn
+       |  FROM cls WHERE cs AND regexp_full_match(syn, '[A-Z]+[0-9]+')),
+       |cs_all AS (SELECT DISTINCT concept_id, label, syn FROM
+       |  (SELECT concept_id, label, syn FROM cls WHERE cs
+       |   UNION ALL SELECT concept_id, label, syn FROM alts)),
+       |ci AS (SELECT c.concept_id, c.label, c.syn FROM cls c WHERE NOT c.cs AND NOT EXISTS
+       |  (SELECT 1 FROM cs_all a WHERE a.concept_id = c.concept_id AND a.syn = c.syn))
+       |SELECT '$ontKey' AS ont_key, concept_id, syn, trim(label) AS label,
+       |  '$mainType' AS main_type, true AS case_sensitive FROM cs_all
+       |UNION ALL
+       |SELECT '$ontKey', concept_id, syn, trim(label), '$mainType', false FROM ci""".stripMargin
+
+  private val ogerStopSql: String =
+    ConceptDict.stopwords.map(s => s"'${s.toLowerCase}'").mkString(", ")
+
+  /** OgerDict.build twin (the base factory flow, identity augment). */
+  val ogerDictBuild: String =
+    s"""WITH raw0 AS (
+       |  SELECT 'P:' || p_partkey AS concept_id, p_name AS label, p_partkey AS pk,
+       |    unnest([
+       |      p_name,
+       |      p_name || ' (' || p_type || ')',
+       |      CASE WHEN p_partkey % 7 = 0 THEN p_name || '"' END,
+       |      upper(split_part(p_name, ' ', 2)) || CAST(p_size AS VARCHAR),
+       |      p_type]) AS s
+       |  FROM part),
+       |raw AS (SELECT * FROM raw0 WHERE s IS NOT NULL),
+       |$ogerFixCte,
+       |syns AS (SELECT DISTINCT concept_id, label, syn FROM fixed),
+       |${ogerCaseSplitSql("P", "part")}""".stripMargin
+
+  /** OgerDict.chebi twin (stopwords, length, hyphen/comma shape, specific
+    * removals, then the formula add, then excluded individuals). */
+  val ogerDictChebi: String =
+    s"""WITH raw0 AS (
+       |  SELECT 'CHEBI:' || p_partkey AS concept_id, p_name AS label, p_partkey AS pk,
+       |    unnest([
+       |      p_name,
+       |      replace(p_name, ' ', '-') || '-' || lower(p_type),
+       |      CASE WHEN p_partkey % 13 = 0 THEN replace(p_name, ' ', '-') || '-' || lower(p_type) || '-alpha-beta' END,
+       |      CASE WHEN p_partkey % 9 = 0 THEN p_name || ', ' || lower(p_type) || ', grade, pure' END,
+       |      CASE WHEN p_partkey % 11 = 0 THEN 'the' END,
+       |      CASE WHEN p_partkey % 13 = 5 THEN substr(p_name, 1, 2) END]) AS s
+       |  FROM part),
+       |raw AS (SELECT * FROM raw0 WHERE s IS NOT NULL),
+       |$ogerFixCte,
+       |aug AS (SELECT * FROM fixed
+       |  WHERE lower(syn) NOT IN ($ogerStopSql) AND length(syn) >= 3
+       |    AND length(syn) - length(replace(syn, '-', '')) < 4
+       |    AND length(syn) - length(replace(syn, ',', '')) < 3
+       |    AND NOT (pk % 19 = 0 AND syn = label)),
+       |formula AS (SELECT 'CHEBI:' || p_partkey AS concept_id, p_name AS label, p_partkey AS pk,
+       |    'C' || CAST(p_size AS VARCHAR) || 'H' || CAST(p_size * 2 AS VARCHAR) AS syn FROM part),
+       |syns AS (SELECT DISTINCT concept_id, label, syn FROM
+       |  (SELECT * FROM aug UNION ALL SELECT * FROM formula) WHERE pk % 23 <> 0),
+       |${ogerCaseSplitSql("CHEBI", "chemical")}""".stripMargin
+
+  /** OgerDict.drugbank twin (description skip, class-level body-part regex
+    * drop tested on the ORIGINAL synonyms, stopwords, length, exclusions;
+    * no fixLabels in the DrugBank flow). */
+  val ogerDictDrugbank: String =
+    s"""WITH raw0 AS (
+       |  SELECT p_partkey AS pk, p_name,
+       |    unnest([
+       |      p_name,
+       |      p_brand,
+       |      CASE WHEN p_partkey % 31 = 0 THEN p_name || ' liver extract' END]) AS s
+       |  FROM part WHERE p_partkey % 29 <> 0),
+       |raw AS (SELECT * FROM raw0 WHERE s IS NOT NULL),
+       |dropc AS (SELECT DISTINCT pk FROM raw
+       |  WHERE regexp_matches(s, '\\b([Ee]xtracts?|[Vv]enom|[Dd]ander|[Aa]llergenic|[Ss]tomach|[Ll]iver)\\b')),
+       |syns AS (SELECT DISTINCT 'DRUGBANK:DB' || pk AS concept_id, p_name AS label, s AS syn
+       |  FROM raw WHERE lower(s) NOT IN ($ogerStopSql) AND length(s) >= 3
+       |    AND pk % 23 <> 0 AND pk NOT IN (SELECT pk FROM dropc)),
+       |${ogerCaseSplitSql("DrugBank", "drug")}""".stripMargin
+
+  /** OgerDict.mondo twin: the sequential variant-add chain applied on the
+    * evolving set in the reference's order, then length/specific/excluded. */
+  val ogerDictMondo: String =
+    s"""WITH raw0 AS (
+       |  SELECT 'MONDO:' || p_partkey AS concept_id, p_name AS label, p_partkey AS pk,
+       |    unnest([
+       |      p_name,
+       |      CASE WHEN p_partkey % 4 = 0 THEN p_name || ' virus infection' END,
+       |      CASE WHEN p_partkey % 4 = 1 THEN p_name || ' virus infections' END,
+       |      CASE WHEN p_partkey % 6 = 0 THEN p_name || ', formerly' END,
+       |      CASE WHEN p_partkey % 6 = 3 THEN 'acute (formerly) ' || p_name END,
+       |      CASE WHEN p_partkey % 5 = 0 THEN 'hemo' || replace(p_name, ' ', '') END,
+       |      CASE WHEN p_partkey % 7 = 0 THEN p_name || ' heart' END]) AS s
+       |  FROM part),
+       |raw AS (SELECT * FROM raw0 WHERE s IS NOT NULL),
+       |$ogerFixCte,
+       |m0 AS (SELECT * FROM fixed WHERE lower(syn) NOT IN ($ogerStopSql)),
+       |m1 AS (SELECT DISTINCT concept_id, label, pk, syn FROM (
+       |  SELECT * FROM m0
+       |  UNION ALL
+       |  SELECT concept_id, label, pk,
+       |    CASE WHEN syn LIKE '%virus infections' THEN regexp_replace(syn, ' infections$$', '')
+       |         ELSE regexp_replace(syn, ' infection$$', '') END
+       |  FROM m0 WHERE syn LIKE '%virus infection' OR syn LIKE '%virus infections')),
+       |m2 AS (SELECT DISTINCT concept_id, label, pk, syn FROM (
+       |  SELECT * FROM m1
+       |  UNION ALL
+       |  SELECT concept_id, label, pk,
+       |    CASE WHEN contains(syn, ', formerly') THEN replace(syn, ', formerly', '')
+       |         ELSE replace(syn, '(formerly)', '') END
+       |  FROM m1 WHERE contains(syn, ', formerly') OR contains(syn, '(formerly)'))),
+       |m3 AS (SELECT DISTINCT concept_id, label, pk, syn FROM (
+       |  SELECT * FROM m2
+       |  UNION ALL
+       |  SELECT concept_id, label, pk, replace(syn, 'hemo', 'haemo') FROM m2 WHERE syn LIKE 'hemo%')),
+       |m4 AS (SELECT DISTINCT concept_id, label, pk, syn FROM (
+       |  SELECT * FROM m3
+       |  UNION ALL
+       |  SELECT concept_id, label, pk, replace(syn, 'heart', 'cardiac') FROM m3 WHERE contains(syn, 'heart'))),
+       |syns AS (SELECT DISTINCT concept_id, label, syn FROM m4
+       |  WHERE length(syn) >= 4 AND NOT (pk % 19 = 0 AND syn = label) AND pk % 23 <> 0),
+       |${ogerCaseSplitSql("MONDO", "disease")}""".stripMargin
+
+  /** OgerDict.chemLabelNorm twin (processChemicalLabel's early-return
+    * cascade as a CASE). */
+  val chemLabelNorm: String =
+    """WITH rows0 AS (
+      |  SELECT 'PC:' || p_partkey AS concept_id,
+      |    unnest([
+      |      p_name,
+      |      CASE WHEN p_partkey % 3 = 0 THEN split_part(p_name, ' ', 2) || ', ' || split_part(p_name, ' ', 1) END,
+      |      CASE WHEN p_partkey % 5 = 0 THEN '[' || p_name || ']' END,
+      |      CASE WHEN p_partkey % 7 = 0 THEN p_name || ' ' || CAST(p_partkey AS VARCHAR) END,
+      |      CASE WHEN p_partkey % 11 = 0 THEN '!!' || substr(p_name, 1, 1) END,
+      |      CASE WHEN p_partkey % 13 = 0 THEN p_name || ', a, b' END]) AS raw_label
+      |  FROM part),
+      |rows_ AS (SELECT * FROM rows0 WHERE raw_label IS NOT NULL),
+      |norm AS (SELECT concept_id, raw_label,
+      |  CASE WHEN length(regexp_replace(raw_label, '[[:punct:]]', '', 'g')) < 4 THEN NULL
+      |       WHEN length(raw_label) - length(replace(raw_label, ',', '')) = 1 THEN
+      |         substr(raw_label, instr(raw_label, ',') + 1) ||
+      |         CASE WHEN substr(raw_label, instr(raw_label, ',') + 1) LIKE '%-' THEN '' ELSE ' ' END ||
+      |         substr(raw_label, 1, instr(raw_label, ',') - 1)
+      |       WHEN length(raw_label) - length(replace(raw_label, ',', '')) >= 2 THEN NULL
+      |       WHEN 10 * (length(raw_label) - length(regexp_replace(raw_label, '[0-9\s]', '', 'g'))) > 3 * length(raw_label) THEN NULL
+      |       WHEN raw_label LIKE '[%' AND raw_label LIKE '%]' THEN substr(raw_label, 2, length(raw_label) - 2)
+      |       ELSE raw_label END AS label
+      |  FROM rows_)
+      |SELECT concept_id, raw_label, label FROM norm WHERE label IS NOT NULL""".stripMargin
+
+  /** OgerDict.taxonPromotion twin: per-label groups, >20 short-circuit to
+    * the minimum id, pairwise ancestor removals otherwise. */
+  val taxonPromotionSql: String =
+    """WITH names AS (SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS noun FROM part),
+      |sized AS (SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS noun, p_size FROM part WHERE p_size % 5 = 0),
+      |dict AS (
+      |  SELECT noun AS label, 'W:' || noun AS id FROM names
+      |  UNION SELECT noun, 'X:' || noun FROM names
+      |  UNION SELECT p_name, 'N:' || p_name FROM names
+      |  UNION SELECT noun, 'N:' || p_name FROM names
+      |  UNION SELECT p_name, 'B:' || p_name || '#' || p_size FROM sized
+      |  UNION SELECT 'universal', 'B:' || p_name || '#' || p_size FROM sized),
+      |anc AS (
+      |  SELECT 'N:' || p_name AS child, 'W:' || noun AS anc FROM names
+      |  UNION SELECT 'B:' || p_name || '#' || p_size, 'N:' || p_name FROM sized
+      |  UNION SELECT 'B:' || p_name || '#' || p_size, 'W:' || noun FROM sized),
+      |grp AS (SELECT label, count(DISTINCT id) AS n, min(id) AS min_id FROM dict GROUP BY label),
+      |big AS (SELECT label, min_id AS concept_id FROM grp WHERE n > 20),
+      |small AS (SELECT DISTINCT d.label, d.id FROM dict d JOIN grp g ON d.label = g.label AND g.n <= 20),
+      |removals AS (SELECT DISTINCT a.label, a.id
+      |  FROM small a JOIN small b ON a.label = b.label AND a.id <> b.id
+      |  JOIN anc ON anc.child = a.id AND anc.anc = b.id)
+      |SELECT label, concept_id FROM (
+      |  SELECT s.label, s.id AS concept_id FROM small s WHERE NOT EXISTS
+      |    (SELECT 1 FROM removals r WHERE r.label = s.label AND r.id = s.id)
+      |  UNION ALL SELECT label, concept_id FROM big)""".stripMargin
+
+  /** OgerDict.geneRollup twin: descendant synonym roll-up to the gene
+    * level with pipe-joined sorted sources; family level keeps its own;
+    * CS alternates surface as CS_addition. */
+  val prGeneRollup: String = {
+    val english = LabelQa.wordsAlpha.map(w => s"'${w.toLowerCase}'").mkString(", ")
+    s"""WITH drows0 AS (
+       |  SELECT 'G:' || p_name || '#' || p_brand AS concept_id,
+       |    unnest([
+       |      p_name,
+       |      lower(p_type) || ' ' || p_name,
+       |      CASE WHEN p_partkey % 5 = 0 THEN split_part(p_name, ' ', 1) END,
+       |      upper(split_part(p_name, ' ', 2)) || CAST(p_size AS VARCHAR)]) AS s,
+       |    'PR:' || p_partkey AS source
+       |  FROM part),
+       |orows AS (SELECT DISTINCT 'G:' || p_name || '#' || p_brand AS concept_id,
+       |    p_name || ' (' || p_brand || ')' AS s,
+       |    'G:' || p_name || '#' || p_brand AS source FROM part),
+       |raw0 AS (SELECT * FROM drows0 WHERE s IS NOT NULL UNION ALL SELECT * FROM orows),
+       |fx1 AS (SELECT concept_id, source, regexp_replace(s, '\\\\"', '"', 'g') AS u FROM raw0),
+       |fx2 AS (SELECT concept_id, source, u, regexp_replace(u, '"+$$', '') AS rt FROM fx1),
+       |frows AS (SELECT concept_id, source,
+       |  trim(regexp_replace(
+       |    CASE WHEN u LIKE '%"' AND length(rt) > 0
+       |              AND (length(rt) - length(replace(rt, '"', ''))) % 2 = 0
+       |         THEN substr(u, 1, length(u) - 1) ELSE u END,
+       |    ' \\([^)]+\\)$$', '')) AS syn FROM fx2),
+       |minr AS (SELECT 'min' AS norm, concept_id, syn,
+       |    array_to_string(list_sort(list(DISTINCT source)), '|') AS sources
+       |  FROM frows WHERE lower(syn) NOT IN ($english) GROUP BY concept_id, syn),
+       |maxr AS (SELECT DISTINCT 'max' AS norm,
+       |    'F:' || split_part(p_name, ' ', 2) AS concept_id,
+       |    split_part(p_name, ' ', 2) AS syn,
+       |    'F:' || split_part(p_name, ' ', 2) AS sources FROM part),
+       |base AS (SELECT norm, concept_id, syn, sources, ${ogerCsSql("syn")} AS case_sensitive
+       |  FROM (SELECT * FROM minr UNION ALL SELECT * FROM maxr)),
+       |alts AS (SELECT norm, concept_id,
+       |    upper(substr(syn, 1, 1)) || lower(substr(syn, 2)) AS syn,
+       |    'CS_addition' AS sources, true AS case_sensitive
+       |  FROM base WHERE case_sensitive AND regexp_full_match(syn, '[A-Z]+[0-9]+')),
+       |fresh AS (SELECT a.* FROM alts a WHERE NOT EXISTS
+       |  (SELECT 1 FROM base b WHERE b.concept_id = a.concept_id AND b.syn = a.syn))
+       |SELECT norm, concept_id, syn, sources, case_sensitive FROM base
+       |UNION ALL SELECT norm, concept_id, syn, sources, case_sensitive FROM fresh""".stripMargin
+  }
+
+  /** Concepts.spanValidate twin (SpanValidator.java:17-43): newline→space
+    * then force-ASCII ('?' for unmappable) on both sides before comparing
+    * the document substring with the annotation text; the `%97` ordinal
+    * channel shifts spans to give the validator a negative class. */
+  val spanValidateSql: String =
+    docPipeline() +
+      """SELECT p.doc_id, p.concept_id, p.ord,
+        |  (regexp_replace(regexp_replace(substr(d.text,
+        |      CAST((CASE WHEN p.ord % 97 = 0 THEN p.char_start + 1 ELSE p.char_start END) + 1 AS INT),
+        |      CAST(p.char_end - (CASE WHEN p.ord % 97 = 0 THEN p.char_start + 1 ELSE p.char_start END) AS INT)),
+        |      '\n', ' ', 'g'), '[^\x00-\x7F]', '?', 'g')
+        |   = regexp_replace(regexp_replace(p.tok, '\n', ' ', 'g'), '[^\x00-\x7F]', '?', 'g')) AS valid
+        |FROM pp p JOIN documents d ON p.doc_id = d.doc_id""".stripMargin
+
+  /** Concepts.semmedIdf twin (SemmedDbIdf.computeIdf): distinct
+    * (entity, doc) counts, log(count/total) in milli-units, label join. */
+  val semmedIdfSql: String =
+    docPipeline(
+      s"""cnt AS (SELECT concept_id, CAST(count(DISTINCT doc_id) AS BIGINT) AS pmid_count
+         |  FROM pp GROUP BY concept_id),
+         |tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS total FROM documents),
+         |lbl AS (SELECT concept_id, regexp_replace(raw_label, '"$$', '') AS label
+         |  FROM ${ConceptDict.labelValuesSql})""".stripMargin) +
+      """SELECT c.concept_id AS cui, l.label AS name,
+        |  CAST(round(ln(CAST(c.pmid_count AS DOUBLE) / CAST(t.total AS DOUBLE)) * 1000) AS BIGINT) AS idf_milli
+        |FROM cnt c JOIN lbl l ON l.concept_id = c.concept_id CROSS JOIN tot t""".stripMargin
 
   // ---------- C. cooccurrence & corpus stats ----------
 
@@ -4158,6 +4439,15 @@ object OracleSql {
     "conll03_export" -> conll03Export,
     "dict_export" -> dictExport,
     "ontology_labels" -> ontologyLabels,
+    "oger_dict_build" -> ogerDictBuild,
+    "oger_dict_chebi" -> ogerDictChebi,
+    "oger_dict_drugbank" -> ogerDictDrugbank,
+    "oger_dict_mondo" -> ogerDictMondo,
+    "chem_label_norm" -> chemLabelNorm,
+    "taxon_promotion" -> taxonPromotionSql,
+    "pr_gene_rollup" -> prGeneRollup,
+    "span_validate" -> spanValidateSql,
+    "semmed_idf" -> semmedIdfSql,
     "kg_nodes" -> kgNodes,
     "kg_edges" -> kgEdges,
     "kg_pagerank" -> kgPagerank,
