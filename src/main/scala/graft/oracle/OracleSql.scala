@@ -656,6 +656,162 @@ object OracleSql {
         |  CAST(round(ln(CAST(c.pmid_count AS DOUBLE) / CAST(t.total AS DOUBLE)) * 1000) AS BIGINT) AS idf_milli
         |FROM cnt c JOIN lbl l ON l.concept_id = c.concept_id CROSS JOIN tot t""".stripMargin
 
+  // ---------- SemMedDB relay results compilation (Relay twins) ----------
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** Relay.serializeResults→parseResults twin: the oracle derives the final
+    * (feedback_id, predication_id, answer) row set straight from orders;
+    * the Spark side additionally proves the CSV round trip. `resolved` is
+    * the any-incorrect-wins resolution over non-test verdict rows
+    * (SemmedDbFebRelayResultsCompiler.java:100-106). */
+  private val relayCte: String = {
+    val reasons = sqlList(graft.operators.Relay.Reasons)
+    val improvements = sqlList(graft.operators.Relay.Improvements)
+    s"""relay AS (
+       |  SELECT 'FB' || CAST(o_orderkey*10+1 AS VARCHAR) AS feedback_id,
+       |         CAST(o_orderkey AS VARCHAR) AS predication_id,
+       |         CASE WHEN o_orderkey % 5 = 0 THEN 'Assertion Incorrect'
+       |              ELSE 'Assertion Correct' END AS answer
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT 'FB' || CAST(o_orderkey*10+1 AS VARCHAR), CAST(o_orderkey AS VARCHAR),
+       |         ($reasons)[CAST(o_orderkey % 4 AS INT) + 1]
+       |  FROM orders WHERE o_orderkey % 5 = 0
+       |  UNION ALL
+       |  SELECT 'FB' || CAST(o_orderkey*10+1 AS VARCHAR), CAST(o_orderkey AS VARCHAR),
+       |         ($improvements)[CAST(o_orderkey % 2 AS INT) + 1]
+       |  FROM orders WHERE o_orderkey % 5 <> 0 AND o_orderkey % 3 = 0
+       |  UNION ALL
+       |  SELECT 'FB' || CAST(o_orderkey*10+2 AS VARCHAR), CAST(o_orderkey AS VARCHAR),
+       |         'Assertion Correct'
+       |  FROM orders WHERE o_orderkey % 7 = 0
+       |  UNION ALL
+       |  SELECT 'FBTEST' || CAST(o_orderkey AS VARCHAR), '10595361', 'Assertion Correct'
+       |  FROM orders WHERE o_orderkey % 50 = 0
+       |  UNION ALL
+       |  SELECT 'FBTEST' || CAST(o_orderkey AS VARCHAR), '10612762', 'Assertion Incorrect'
+       |  FROM orders WHERE o_orderkey % 50 = 1),
+       |relay_nt AS (SELECT * FROM relay
+       |  WHERE predication_id NOT IN ('10595361', '10612762')),
+       |resolved AS (
+       |  SELECT predication_id,
+       |    CASE WHEN max(CASE WHEN answer = 'Assertion Incorrect' THEN 1 ELSE 0 END) = 1
+       |         THEN 'Assertion Incorrect' ELSE 'Assertion Correct' END AS answer
+       |  FROM relay_nt
+       |  WHERE answer IN ('Assertion Correct', 'Assertion Incorrect')
+       |  GROUP BY predication_id)""".stripMargin
+  }
+
+  /** Relay.serializeMetadata→parseMetadata twin. */
+  private val relayMetaCte: String = {
+    val chem = sqlList(graft.operators.Relay.ChemicalTypes)
+    val treat = sqlList(graft.operators.Relay.TreatmentTypes)
+    s"""relay_meta AS (
+       |  SELECT CAST(o_orderkey AS VARCHAR) AS predication_id,
+       |         CAST(o_orderkey % 23 AS INT) AS intervening_token_count,
+       |         CASE WHEN o_orderkey % 2 = 0
+       |              THEN ($chem)[CAST(o_orderkey % 20 AS INT) + 1]
+       |              ELSE ($treat)[CAST(o_orderkey % 10 AS INT) + 1] END AS subject_type
+       |  FROM orders)""".stripMargin
+  }
+
+  private def r6Sql(x: String): String = s"floor(($x) * 1000000 + 0.5) / 1000000"
+
+  val relayAccuracy: String =
+    s"""WITH $relayCte
+       |SELECT (SELECT CAST(count(DISTINCT feedback_id) AS BIGINT) FROM relay_nt) AS n_reviewed,
+       |  CAST(count(*) AS BIGINT) AS n_unique,
+       |  CAST(sum(CASE WHEN answer = 'Assertion Correct' THEN 1 ELSE 0 END) AS BIGINT) AS correct_count,
+       |  CAST(sum(CASE WHEN answer = 'Assertion Incorrect' THEN 1 ELSE 0 END) AS BIGINT) AS incorrect_count,
+       |  ${r6Sql("CAST(sum(CASE WHEN answer = 'Assertion Correct' THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS accuracy
+       |FROM resolved""".stripMargin
+
+  val relayReasons: String =
+    s"""WITH $relayCte,
+       |winners AS (SELECT predication_id, max(feedback_id) AS feedback_id
+       |  FROM relay_nt WHERE answer = 'Assertion Incorrect' GROUP BY predication_id),
+       |n_inc AS (SELECT CAST(count(*) AS BIGINT) AS n_incorrect FROM winners)
+       |SELECT r.answer, CAST(count(*) AS BIGINT) AS n,
+       |  ${r6Sql("CAST(count(*) AS DOUBLE) / CAST(any_value(i.n_incorrect) AS DOUBLE)")} AS fraction
+       |FROM relay r
+       |JOIN (SELECT DISTINCT feedback_id FROM winners) w ON r.feedback_id = w.feedback_id
+       |CROSS JOIN n_inc i
+       |GROUP BY r.answer""".stripMargin
+
+  val relayImprovements: String =
+    s"""WITH $relayCte,
+       |correct AS (SELECT predication_id FROM resolved WHERE answer = 'Assertion Correct'),
+       |winners AS (SELECT r.predication_id, max(r.feedback_id) AS feedback_id
+       |  FROM relay_nt r JOIN correct c ON r.predication_id = c.predication_id
+       |  GROUP BY r.predication_id),
+       |counts AS (SELECT r.answer, CAST(count(*) AS BIGINT) AS n
+       |  FROM relay_nt r JOIN winners w
+       |    ON r.predication_id = w.predication_id AND r.feedback_id = w.feedback_id
+       |  GROUP BY r.answer),
+       |total AS (SELECT n AS n_correct FROM counts WHERE answer = 'Assertion Correct')
+       |SELECT c.answer, c.n,
+       |  ${r6Sql("CAST(c.n AS DOUBLE) / CAST(t.n_correct AS DOUBLE)")} AS fraction
+       |FROM counts c CROSS JOIN total t""".stripMargin
+
+  val relayAccuracyByType: String = {
+    val chem = sqlList(graft.operators.Relay.ChemicalTypes)
+    val treat = sqlList(graft.operators.Relay.TreatmentTypes)
+    s"""WITH $relayCte, $relayMetaCte,
+       |bucketed AS (
+       |  SELECT CASE WHEN list_contains($chem, m.subject_type) THEN 'CHEMICAL'
+       |              WHEN list_contains($treat, m.subject_type) THEN 'TREATMENT' END AS subject_group,
+       |         r.answer
+       |  FROM resolved r JOIN relay_meta m ON r.predication_id = m.predication_id)
+       |SELECT subject_group,
+       |  CAST(sum(CASE WHEN answer = 'Assertion Correct' THEN 1 ELSE 0 END) AS BIGINT) AS correct_count,
+       |  CAST(sum(CASE WHEN answer = 'Assertion Incorrect' THEN 1 ELSE 0 END) AS BIGINT) AS incorrect_count,
+       |  CAST(count(*) AS BIGINT) AS total,
+       |  ${r6Sql("CAST(sum(CASE WHEN answer = 'Assertion Correct' THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS accuracy
+       |FROM bucketed WHERE subject_group IS NOT NULL
+       |GROUP BY subject_group""".stripMargin
+  }
+
+  val relayAccuracyByComplexity: String =
+    s"""WITH $relayCte, $relayMetaCte
+       |SELECT CASE WHEN m.intervening_token_count <= 10 THEN 'LOW' ELSE 'HIGH' END AS complexity,
+       |  CAST(sum(CASE WHEN r.answer = 'Assertion Correct' THEN 1 ELSE 0 END) AS BIGINT) AS correct_count,
+       |  CAST(sum(CASE WHEN r.answer = 'Assertion Incorrect' THEN 1 ELSE 0 END) AS BIGINT) AS incorrect_count,
+       |  CAST(count(*) AS BIGINT) AS total,
+       |  ${r6Sql("CAST(sum(CASE WHEN r.answer = 'Assertion Correct' THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS accuracy
+       |FROM resolved r JOIN relay_meta m ON r.predication_id = m.predication_id
+       |GROUP BY 1""".stripMargin
+
+  val relayIaa: String =
+    s"""WITH $relayCte,
+       |verdicts AS (
+       |  SELECT predication_id, feedback_id,
+       |    max(CASE WHEN answer = 'Assertion Incorrect' THEN 1 ELSE 0 END) AS inc
+       |  FROM relay_nt
+       |  WHERE answer IN ('Assertion Correct', 'Assertion Incorrect')
+       |  GROUP BY predication_id, feedback_id),
+       |paired AS (
+       |  SELECT min(struct_pack(feedback_id := feedback_id, inc := inc)).inc AS a,
+       |         max(struct_pack(feedback_id := feedback_id, inc := inc)).inc AS b
+       |  FROM verdicts GROUP BY predication_id HAVING count(*) = 2),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree_count,
+       |    CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a_correct,
+       |    CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b_correct
+       |  FROM paired),
+       |pp0 AS (
+       |  SELECT n_pairs, agree_count,
+       |    CAST(agree_count AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS po,
+       |    CAST(a_correct * b_correct + (n_pairs - a_correct) * (n_pairs - b_correct) AS DOUBLE)
+       |      / CAST(n_pairs * n_pairs AS DOUBLE) AS pe
+       |  FROM agg)
+       |SELECT n_pairs, agree_count,
+       |  ${r6Sql("po")} AS po, ${r6Sql("pe")} AS pe,
+       |  ${r6Sql("CASE WHEN pe = 1.0 THEN 0.0 ELSE (po - pe) / (1.0 - pe) END")} AS kappa
+       |FROM pp0""".stripMargin
+
   // ---------- C. cooccurrence & corpus stats ----------
 
   private def pairCountsSql(units: String, unitKeys: Seq[String]): String = {
@@ -4448,6 +4604,12 @@ object OracleSql {
     "pr_gene_rollup" -> prGeneRollup,
     "span_validate" -> spanValidateSql,
     "semmed_idf" -> semmedIdfSql,
+    "relay_accuracy" -> relayAccuracy,
+    "relay_reasons" -> relayReasons,
+    "relay_improvements" -> relayImprovements,
+    "relay_accuracy_by_type" -> relayAccuracyByType,
+    "relay_accuracy_by_complexity" -> relayAccuracyByComplexity,
+    "relay_iaa" -> relayIaa,
     "kg_nodes" -> kgNodes,
     "kg_edges" -> kgEdges,
     "kg_pagerank" -> kgPagerank,

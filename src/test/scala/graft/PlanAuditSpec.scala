@@ -164,13 +164,16 @@ class PlanAuditSpec extends SparkSpec {
 
   test("r11 shapes: pair-sentence hygiene stays in-row; bicluster/bert and overlap plan no windows") {
     // concept_pair_sentences: overlap removals + pair enumeration are
-    // in-row array ops after ONE grouped shuffle; the only legal Window is
-    // the pair-partitioned maxReturned cap (never corpus-global), and the
-    // relational formulation's anti-join cascade must not reappear
+    // in-row array ops after ONE grouped shuffle, and the per-pair
+    // maxReturned cap runs through the bounded-heap aggregate — ZERO
+    // windows (r11 graded the pair-partitioned rank weak: partition width
+    // is corpus-proportional for a hot pair). The relational formulation's
+    // anti-join cascade must not reappear either.
     val cps = SparkEntry.queries("concept_pair_sentences")(spark, sfDir).queryExecution
-    val wins = cps.optimizedPlan.collect { case w: Window => w }
-    assert(wins.size == 1 && wins.forall(_.partitionSpec.nonEmpty),
-      s"concept_pair_sentences windows:\n${wins.mkString("\n")}")
+    assert(cps.optimizedPlan.collect { case w: Window => w }.isEmpty,
+      s"concept_pair_sentences plans a Window:\n${cps.optimizedPlan}")
+    assert(cps.executedPlan.toString.contains("partial_top_k_agg"),
+      cps.executedPlan.toString.take(2000))
     // bicluster_bert / batch_overlap: pure agg/join shapes, no window at all
     Seq("bicluster_bert", "batch_overlap").foreach { n =>
       val qe = SparkEntry.queries(n)(spark, sfDir).queryExecution
@@ -241,6 +244,26 @@ class PlanAuditSpec extends SparkSpec {
     val fs = SparkEntry.queries("frame_sample")(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(!fs.contains("Join") && !fs.contains("Window"), fs.take(1500))
+  }
+
+  test("r12 shapes: dictionary builds are shuffle-free scans; promotion/roll-up joins stay bounded") {
+    // the OgerDict factory family turns per-class rule chains into in-row
+    // HOFs over one array cell — a 100M-class dictionary build must plan
+    // ZERO exchanges (reference walks the ontology serially; this is the
+    // scale story of the family)
+    for (q <- Seq("oger_dict_build", "oger_dict_chebi", "oger_dict_drugbank",
+                  "oger_dict_mondo", "chem_label_norm")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$q plans an exchange:\n${plan.take(1500)}")
+    }
+    // pr_gene_rollup's single wide stage is the (class, synonym)→source-set
+    // aggregation (+ the alternate-collision anti-join on its output);
+    // taxon_promotion joins label-bounded groups — no window in either
+    for (q <- Seq("pr_gene_rollup", "taxon_promotion")) {
+      val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
+      assert(qe.optimizedPlan.collect { case w: Window => w }.isEmpty,
+        s"$q plans a Window:\n${qe.optimizedPlan}")
+    }
   }
 
   test("event-family shuffle budget survives the ts canonicalization") {
