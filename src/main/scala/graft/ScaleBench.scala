@@ -51,7 +51,13 @@ object ScaleBench {
     // round-11 relation/annotation corpus flows: pair-driven masked lines,
     // bicluster instance join + BERT file, batch overlap, sentence catalog
     "relation" -> Seq("concept_pair_sentences", "bicluster_sentences",
-      "bicluster_bert", "batch_overlap", "sentence_ids"))
+      "bicluster_bert", "batch_overlap", "sentence_ids"),
+    // round-12 flows: shuffle-free dictionary builds, the promotion/roll-up
+    // joins, relay rollups, sheet batches, and the assertion-DB star
+    "dict_eval" -> Seq("oger_dict_build", "oger_dict_mondo", "oger_dict_rest",
+      "taxon_promotion", "pr_gene_rollup", "relay_accuracy",
+      "relay_accuracy_by_type", "sheets_batch", "assertion_db_evidence",
+      "assertion_db_integrity"))
 
   /** sf parsed from a ".../sf0.01"-style dir name; None when absent. */
   private def sfOf(dir: String): Option[Double] = {

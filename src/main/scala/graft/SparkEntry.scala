@@ -144,6 +144,43 @@ object SparkEntry {
     "oger_dict_drugbank" -> ((s, d) => OgerDict.drugbank(Tables.part(s, d))),
     "oger_dict_mondo" -> ((s, d) => OgerDict.mondo(Tables.part(s, d))),
     "chem_label_norm" -> ((s, d) => OgerDict.chemLabelNorm(Tables.part(s, d))),
+    "oger_dict_rest" -> ((s, d) => OgerDict.residual(Tables.part(s, d))),
+    "pr_promote_pairs" -> ((s, d) =>
+      ConceptPairs.promotePairsFile(ConceptPairs.stagedPairsFile(pp(s, d), d))),
+    // assertion-annotation sheet batches (Sheets.scala): batch 1 over an
+    // empty previous-ids file, batch 2 over the carried-forward hashes,
+    // and the annotated-sheet → BERT back-conversion
+    // all three read the staged candidate-row file (the reference's input
+    // sentence TSV is a file a prior stage wrote)
+    "sheets_batch" -> ((s, d) => {
+      import s.implicits._
+      Sheets.batchFrom(Sheets.stagedCandidateRows(docs(s, d), pp(s, d), d),
+        Seq.empty[String].toDF("hash"))
+    }),
+    "sheets_batch_carryforward" -> ((s, d) => {
+      import s.implicits._
+      val rows = Sheets.stagedCandidateRows(docs(s, d), pp(s, d), d)
+      val empty = Seq.empty[String].toDF("hash")
+      val b1 = Sheets.batchFrom(rows, empty)
+      Sheets.batchFrom(rows, Sheets.carryForward(empty, b1))
+    }),
+    "sheets_to_bert" -> ((s, d) => {
+      import s.implicits._
+      Sheets.toBertInput(Sheets.batchFrom(
+        Sheets.stagedCandidateRows(docs(s, d), pp(s, d), d), Seq.empty[String].toDF("hash")))
+    }),
+    // the normalized text-mined-assertion DB star (AssertionDb.scala);
+    // all five queries read the staged one-load evidence base
+    "assertion_db_assertions" -> ((s, d) =>
+      AssertionDb.assertionsFrom(AssertionDb.stagedBase(docs(s, d), pp(s, d), d))),
+    "assertion_db_evidence" -> ((s, d) =>
+      AssertionDb.evidenceFrom(AssertionDb.stagedBase(docs(s, d), pp(s, d), d))),
+    "assertion_db_entities" -> ((s, d) =>
+      AssertionDb.entitiesFrom(AssertionDb.stagedBase(docs(s, d), pp(s, d), d))),
+    "assertion_db_scores" -> ((s, d) =>
+      AssertionDb.evidenceScoresFrom(AssertionDb.stagedBase(docs(s, d), pp(s, d), d))),
+    "assertion_db_integrity" -> ((s, d) =>
+      AssertionDb.integrityFrom(AssertionDb.stagedBase(docs(s, d), pp(s, d), d))),
     "taxon_promotion" -> ((s, d) => OgerDict.taxonPromotion(Tables.part(s, d))),
     "pr_gene_rollup" -> ((s, d) => OgerDict.geneRollup(Tables.part(s, d))),
     "span_validate" -> ((s, d) => Concepts.spanValidate(docs(s, d), pp(s, d))),
@@ -151,21 +188,21 @@ object SparkEntry {
     // SemMedDB relay-session results compilation (Relay.scala); every query
     // parses the serialized results/metadata CSV lines first
     "relay_accuracy" -> ((s, d) =>
-      Relay.overallAccuracy(Relay.parseResults(Relay.serializeResults(Tables.orders(s, d))))),
+      Relay.overallAccuracy(Relay.parseResults(Relay.stagedResults(Tables.orders(s, d), d)))),
     "relay_reasons" -> ((s, d) =>
-      Relay.incorrectReasonDistribution(Relay.parseResults(Relay.serializeResults(Tables.orders(s, d))))),
+      Relay.incorrectReasonDistribution(Relay.parseResults(Relay.stagedResults(Tables.orders(s, d), d)))),
     "relay_improvements" -> ((s, d) =>
-      Relay.improvementDistribution(Relay.parseResults(Relay.serializeResults(Tables.orders(s, d))))),
+      Relay.improvementDistribution(Relay.parseResults(Relay.stagedResults(Tables.orders(s, d), d)))),
     "relay_accuracy_by_type" -> ((s, d) =>
       Relay.accuracyBySubjectType(
-        Relay.parseResults(Relay.serializeResults(Tables.orders(s, d))),
-        Relay.parseMetadata(Relay.serializeMetadata(Tables.orders(s, d))))),
+        Relay.parseResults(Relay.stagedResults(Tables.orders(s, d), d)),
+        Relay.parseMetadata(Relay.stagedMetadata(Tables.orders(s, d), d)))),
     "relay_accuracy_by_complexity" -> ((s, d) =>
       Relay.accuracyByComplexity(
-        Relay.parseResults(Relay.serializeResults(Tables.orders(s, d))),
-        Relay.parseMetadata(Relay.serializeMetadata(Tables.orders(s, d))))),
+        Relay.parseResults(Relay.stagedResults(Tables.orders(s, d), d)),
+        Relay.parseMetadata(Relay.stagedMetadata(Tables.orders(s, d), d)))),
     "relay_iaa" -> ((s, d) =>
-      Relay.relayIaa(Relay.parseResults(Relay.serializeResults(Tables.orders(s, d))))),
+      Relay.relayIaa(Relay.parseResults(Relay.stagedResults(Tables.orders(s, d), d)))),
     "abbrev" -> ((s, d) => Abbreviations.partAbbreviations(Tables.part(s, d))),
     // C. cooccurrence & corpus stats
     "cooccur_counts_doc" -> ((s, d) =>

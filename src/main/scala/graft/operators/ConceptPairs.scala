@@ -73,6 +73,26 @@ object ConceptPairs {
     annots.sparkSession.read.parquet(path)
   }
 
+  /** line — the concept-pairs file with its subject column rewritten
+    * through the species-promotion map (reference: relation_extraction/
+    * distant_supervision/PrPromoter.java:25-46: col0 looked up in the
+    * promotion map — map entries normalized `:` → `_` at :56, matching the
+    * URI-form ids the pairs file carries — promoted when present, passed
+    * through unchanged otherwise; cols 1-2 copied). One broadcast LEFT
+    * join against the ontology-sized map; no per-line driver loop. */
+  def promotePairsFile(lines: DataFrame): DataFrame = {
+    val spark = lines.sparkSession
+    val promo = broadcast(graft.functions.ConceptDict.promotionsDF(spark)
+      .select(concat(lit(OboNs), regexp_replace(col("concept_id"), ":", "_")).as("subj"),
+        concat(lit(OboNs), regexp_replace(col("promoted_id"), ":", "_")).as("promoted")))
+    val cols = split(col("line"), "\t")
+    lines.where(trim(col("line")) =!= "")
+      .select(cols.getItem(0).as("subj"), cols.getItem(1).as("c1"), cols.getItem(2).as("c2"))
+      .join(promo, Seq("subj"), "left_outer")
+      .select(concat_ws("\t", coalesce(col("promoted"), col("subj")),
+        col("c1"), col("c2")).as("line"))
+  }
+
   /** subject_curie, object_curie, predicate_biolink — the positive pairs
     * for the target predicate, parsed back out of the file lines
     * (ConceptPairsFileParser.extractPositivePairs:36-62: split on tabs,

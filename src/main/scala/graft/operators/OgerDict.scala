@@ -258,6 +258,129 @@ object OgerDict {
     assemble(classes, "MONDO", "disease")
   }
 
+  // -------------------------------------------------------- oger_dict_rest
+
+  /** Shared synthetic channels for the residual factories: the name (CI),
+    * the all-caps NOUN+size symbol (CS + Titlecase alternate), a stopword
+    * on `%11`, and a 2-char synonym on `%13==5` (the min-length rule). */
+  private def residualRaw(extra: Column*): Column =
+    notNull(array(Seq(
+      col("p_name"),
+      concat(upper(element_at(split(col("p_name"), " "), 2)), col("p_size")),
+      when(pk % 11 === 0, lit("the")),
+      when(pk % 13 === 5, col("p_name").substr(1, 2))) ++ extra: _*))
+
+  private def fixAll(a: Column): Column = array_distinct(transform(a, fixLabel _))
+
+  /** removeStopWords + removeWordsLessThenLength(3) — the shared head of
+    * every residual augmentSynonyms override. */
+  private def stdFilters(a: Column): Column = {
+    val stop = ConceptDict.stopwords.map(_.toLowerCase)
+    filter(filter(a, s => !lower(s).isin(stop: _*)), s => length(s) >= 3)
+  }
+
+  /** The per-class filterSpecificSynonyms map, stood in by the `%19`
+    * channel removing the class's own name (as in [[chebi]]/[[mondo]]). */
+  private def specific19(a: Column): Column =
+    when(pk % 19 === 0, filter(a, s => s =!= col("p_name"))).otherwise(a)
+
+  /** EXCLUDED_INDIVIDUAL_CLASSES → empty synonym set, `%23` channel. */
+  private def empty23(a: Column): Column =
+    when(pk % 23 === 0, array().cast("array<string>")).otherwise(a)
+
+  private def addWhen(a: Column, cond: Column, v: Column): Column =
+    when(cond, array_distinct(concat(a, array(v)))).otherwise(a)
+
+  private def classesOf(part: DataFrame, idPrefix: String, syns: Column): DataFrame =
+    part.select(concat(lit(idPrefix), pk).as("concept_id"),
+      col("p_name").as("label"), syns.as("syns"))
+
+  /** The nine residual per-ontology factories as one parameterized family
+    * over the shared machinery, unioned with an ont_key discriminator.
+    * Each arm applies ITS reference's augmentSynonyms chain in order:
+    *
+    *  - CL (oger/dict/ClOgerDictFileFactory.java:26-40): stopwords, min-len,
+    *    per-class synonym ADDITIONS (:29-34, `%17` channel), then excluded
+    *    individuals.
+    *  - GO_CC (GoCcOgerDictFileFactory.java:27-48): id add-on `_CC` (:28-30);
+    *    its nucleoli addition (:37-39) mutates the PRE-filter set after the
+    *    filtered copy was taken — a no-op in the reference, so NO addition
+    *    channel here, quirk kept; its excluded set is EMPTY (:32), so no
+    *    `%23` empty either.
+    *  - GO_BP (GoBpOgerDictFileFactory.java:28-50): `_BP`, specific-synonym
+    *    filter, the :33-35 addition (`%17`), excluded.
+    *  - GO_MF (GoMfOgerDictFileFactory.java:30-97): `_MF`, specific filter,
+    *    then for every synonym ending ` activity` ADD the suffix-stripped
+    *    variant (augmentActivitySynonyms:81-90; planted by the `%3`
+    *    channel), then excluded.
+    *  - HP (HpOgerDictFileFactory.java:34-45): specific filter, excluded.
+    *  - UBERON (UberonOgerDictFileFactory.java:22-38): specific filter,
+    *    excluded, THEN the eyes/ears pluralization additions (:31-36 run
+    *    after the excluded-empty — order kept; `%17` adds noun+'s').
+    *  - SO (SoOgerDictFileFactory.java:20-75): the large specific-synonym
+    *    map (one `%19` channel), excluded.
+    *  - SNOMED procedures (ProcedureOgerDictFileFactory.java:44-120): a
+    *    SEPARATE flow — no fixLabels (SNOMED description rows, not OWL
+    *    labels), membership in the procedure subtree loaded from the
+    *    transitive-subclass file and applied per concept (:36-41, here a
+    *    broadcast semi-join against the `p_size%3` projection), the line's
+    *    label an arbitrary PRE-augment synonym (:97 — determinized as the
+    *    minimum), stopword/min-len/excluded only (its
+    *    filterSpecificSynonyms is defined but never called — quirk kept).
+    *  - Utility (UtilityOgerDictFileFactory.java:24-37): one constant
+    *    case-sensitive line for the document-end marker.
+    */
+  def residual(part: DataFrame): DataFrame = {
+    val spark = part.sparkSession
+    import spark.implicits._
+    val noun = element_at(split(col("p_name"), " "), 2)
+
+    val cl = assemble(classesOf(part, "CL:",
+      empty23(addWhen(stdFilters(fixAll(residualRaw())), pk % 17 === 0,
+        lit("outer hair cell")))), "CL", "cell")
+
+    val goCc = assemble(classesOf(part, "GO_CC:",
+      stdFilters(fixAll(residualRaw()))), "GO_CC", "cellular_component")
+
+    val goBp = assemble(classesOf(part, "GO_BP:",
+      empty23(addWhen(specific19(stdFilters(fixAll(residualRaw()))), pk % 17 === 0,
+        lit("alternative splicing")))), "GO_BP", "biological_process")
+
+    val mfRaw = residualRaw(
+      when(pk % 3 === 0, concat(lower(col("p_type")), lit(" transporter activity"))))
+    val mfSpecific = specific19(stdFilters(fixAll(mfRaw)))
+    val mfActivity = array_distinct(concat(mfSpecific,
+      transform(filter(mfSpecific, s => s.endsWith(" activity")),
+        s => regexp_replace(s, " activity$", ""))))
+    val goMf = assemble(classesOf(part, "GO_MF:", empty23(mfActivity)),
+      "GO_MF", "molecular_function")
+
+    val hp = assemble(classesOf(part, "HP:",
+      empty23(specific19(stdFilters(fixAll(residualRaw()))))), "HP", "phenotype")
+
+    val uberon = assemble(classesOf(part, "UBERON:",
+      addWhen(empty23(specific19(stdFilters(fixAll(residualRaw())))), pk % 17 === 0,
+        concat(noun, lit("s")))), "UBERON", "anatomy")
+
+    val so = assemble(classesOf(part, "SO:",
+      empty23(specific19(stdFilters(fixAll(residualRaw()))))), "SO", "sequence_feature")
+
+    val procRaw = array_distinct(transform(residualRaw(), s => trim(s)))
+    val procMembers = broadcast(part.where(col("p_size") % 3 === 0)
+      .select(concat(lit("SNOMEDCT:"), pk).as("concept_id")))
+    val procClasses = part.select(concat(lit("SNOMEDCT:"), pk).as("concept_id"),
+        array_min(procRaw).as("label"), empty23(stdFilters(procRaw)).as("syns"))
+      .join(procMembers, Seq("concept_id"), "left_semi")
+    val procedure = assemble(procClasses, "SNOMEDCT", "procedure")
+
+    val utility = Seq(("Utility", "TMKPUTIL:1", "zzzDOCUMENTzENDzzz",
+      "zzzDOCUMENTzENDzzz", "util", true))
+      .toDF("ont_key", "concept_id", "syn", "label", "main_type", "case_sensitive")
+
+    cl.unionByName(goCc).unionByName(goBp).unionByName(goMf).unionByName(hp)
+      .unionByName(uberon).unionByName(so).unionByName(procedure).unionByName(utility)
+  }
+
   // ------------------------------------------------------- chem_label_norm
 
   /** MolePro chemical-label normalization (reference: oger/util/

@@ -105,6 +105,33 @@ object Relay {
     header.unionByName(data)
   }
 
+  private val relayStaged = scala.collection.mutable.Set[String]()
+
+  private def stage(name: String, sfDir: String, derive: => DataFrame,
+                    spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val path = graft.infra.Staging.oracleStagePath(name, sfDir)
+    relayStaged.synchronized {
+      if (!relayStaged.contains(path)) {
+        derive.write.mode("overwrite").parquet(path)
+        relayStaged.add(path)
+      }
+    }
+    spark.read.parquet(path)
+  }
+
+  /** [[serializeResults]] staged ONCE per (process, corpus): the reference
+    * compiles a results FILE, and every rollup here references the parsed
+    * rows several times (resolution + winners + counts) — without the
+    * staged artifact each reference re-derives the serialize chain
+    * (measured 5.1 s isolated for relay_improvements; file-backed, the
+    * re-references are cheap parquet scans). */
+  def stagedResults(orders: DataFrame, sfDir: String): DataFrame =
+    stage("relay_results", sfDir, serializeResults(orders), orders.sparkSession)
+
+  /** [[serializeMetadata]] staged ONCE per (process, corpus). */
+  def stagedMetadata(orders: DataFrame, sfDir: String): DataFrame =
+    stage("relay_metadata", sfDir, serializeMetadata(orders), orders.sparkSession)
+
   // ----------------------------------------------------------------- parse
 
   /** feedback_id, predication_id, answer_id, answer, response — the parsed
@@ -195,14 +222,19 @@ object Relay {
     val winners = nonTest(results)
       .join(correct, Seq("predication_id"), "left_semi")
       .groupBy("predication_id").agg(max(col("feedback_id")).as("feedback_id"))
-    val counts = nonTest(results)
+    // counts and their denominator (the "Assertion Correct" row count) come
+    // out of ONE derivation: grouped counts collect into a single row and
+    // the denominator is an in-row fold over that (answer-cardinality-sized)
+    // array — no second pass over the winner join
+    nonTest(results)
       .join(winners, Seq("predication_id", "feedback_id"))
       .groupBy("answer").agg(count(lit(1)).as("n"))
-    val total = counts.where(col("answer") === AssertionCorrect)
-      .select(col("n").as("n_correct"))
-    counts.crossJoin(broadcast(total))
-      .select(col("answer"), col("n"),
-        Num.r6(col("n").cast("double") / col("n_correct").cast("double")).as("fraction"))
+      .agg(collect_list(struct(col("answer"), col("n"))).as("cs"))
+      .select(explode(col("cs")).as("e"),
+        expr(s"aggregate(filter(cs, x -> x.answer = '$AssertionCorrect'), 0L, (a, x) -> a + x.n)")
+          .as("n_correct"))
+      .select(col("e.answer").as("answer"), col("e.n").as("n"),
+        Num.r6(col("e.n").cast("double") / col("n_correct").cast("double")).as("fraction"))
   }
 
   /** subject_group, correct_count, incorrect_count, total, accuracy

@@ -532,6 +532,97 @@ object OracleSql {
 
   /** OgerDict.chemLabelNorm twin (processChemicalLabel's early-return
     * cascade as a CASE). */
+  /** One residual-factory arm (OgerDict.residual): the shared channel
+    * array + fixLabels + the arm's augment CTEs (which must yield `syns`)
+    * + the case split, wrapped as a UNION-able subquery. */
+  private def residualArmSql(idPrefix: String, ontKey: String, mainType: String,
+                             extraChannels: Seq[String], augmentCtes: String): String =
+    s"""SELECT * FROM (WITH raw0 AS (
+       |  SELECT '$idPrefix' || p_partkey AS concept_id, p_name AS label, p_partkey AS pk,
+       |    unnest([
+       |      p_name,
+       |      upper(split_part(p_name, ' ', 2)) || CAST(p_size AS VARCHAR),
+       |      CASE WHEN p_partkey % 11 = 0 THEN 'the' END,
+       |      CASE WHEN p_partkey % 13 = 5 THEN substr(p_name, 1, 2) END${extraChannels.map(",\n      " + _).mkString}]) AS s
+       |  FROM part),
+       |raw AS (SELECT * FROM raw0 WHERE s IS NOT NULL),
+       |$ogerFixCte,
+       |$augmentCtes,
+       |${ogerCaseSplitSql(ontKey, mainType)})""".stripMargin
+
+  private def residualStdWhere(specific: Boolean, excluded: Boolean): String =
+    s"lower(syn) NOT IN ($ogerStopSql) AND length(syn) >= 3" +
+      (if (specific) " AND NOT (pk % 19 = 0 AND syn = label)" else "") +
+      (if (excluded) " AND pk % 23 <> 0" else "")
+
+  /** OgerDict.residual twin — the nine residual factories + the Utility
+    * constant line, unioned. Per-arm augment chains mirror the reference
+    * orders documented on OgerDict.residual. */
+  val ogerDictRest: String = {
+    val cl = residualArmSql("CL:", "CL", "cell", Nil,
+      s"""flt AS (SELECT * FROM fixed WHERE ${residualStdWhere(specific = false, excluded = false)}),
+         |syns AS (SELECT DISTINCT concept_id, label, syn FROM (
+         |  SELECT concept_id, label, pk, syn FROM flt
+         |  UNION ALL
+         |  SELECT DISTINCT concept_id, label, pk, 'outer hair cell' FROM raw0 WHERE pk % 17 = 0
+         |) WHERE pk % 23 <> 0)""".stripMargin)
+    val goCc = residualArmSql("GO_CC:", "GO_CC", "cellular_component", Nil,
+      s"""syns AS (SELECT DISTINCT concept_id, label, syn FROM fixed
+         |  WHERE ${residualStdWhere(specific = false, excluded = false)})""".stripMargin)
+    val goBp = residualArmSql("GO_BP:", "GO_BP", "biological_process", Nil,
+      s"""flt AS (SELECT * FROM fixed WHERE ${residualStdWhere(specific = true, excluded = false)}),
+         |syns AS (SELECT DISTINCT concept_id, label, syn FROM (
+         |  SELECT concept_id, label, pk, syn FROM flt
+         |  UNION ALL
+         |  SELECT DISTINCT concept_id, label, pk, 'alternative splicing' FROM raw0 WHERE pk % 17 = 0
+         |) WHERE pk % 23 <> 0)""".stripMargin)
+    val goMf = residualArmSql("GO_MF:", "GO_MF", "molecular_function",
+      Seq("CASE WHEN p_partkey % 3 = 0 THEN lower(p_type) || ' transporter activity' END"),
+      s"""flt AS (SELECT concept_id, label, pk, syn FROM fixed
+         |  WHERE ${residualStdWhere(specific = true, excluded = false)}),
+         |act AS (SELECT concept_id, label, pk, regexp_replace(syn, ' activity$$', '') AS syn
+         |  FROM flt WHERE syn LIKE '% activity'),
+         |syns AS (SELECT DISTINCT concept_id, label, syn FROM (
+         |  SELECT * FROM flt UNION ALL SELECT * FROM act) WHERE pk % 23 <> 0)""".stripMargin)
+    val hp = residualArmSql("HP:", "HP", "phenotype", Nil,
+      s"""syns AS (SELECT DISTINCT concept_id, label, syn FROM fixed
+         |  WHERE ${residualStdWhere(specific = true, excluded = true)})""".stripMargin)
+    val uberon = residualArmSql("UBERON:", "UBERON", "anatomy", Nil,
+      s"""flt AS (SELECT * FROM fixed WHERE ${residualStdWhere(specific = true, excluded = true)}),
+         |syns AS (SELECT DISTINCT concept_id, label, syn FROM (
+         |  SELECT concept_id, label, syn FROM flt
+         |  UNION ALL
+         |  SELECT DISTINCT concept_id, label, split_part(label, ' ', 2) || 's'
+         |  FROM raw0 WHERE pk % 17 = 0))""".stripMargin)
+    val so = residualArmSql("SO:", "SO", "sequence_feature", Nil,
+      s"""syns AS (SELECT DISTINCT concept_id, label, syn FROM fixed
+         |  WHERE ${residualStdWhere(specific = true, excluded = true)})""".stripMargin)
+    val procedure =
+      s"""SELECT * FROM (WITH raw0 AS (
+         |  SELECT 'SNOMEDCT:' || p_partkey AS concept_id, p_partkey AS pk,
+         |    unnest([
+         |      p_name,
+         |      upper(split_part(p_name, ' ', 2)) || CAST(p_size AS VARCHAR),
+         |      CASE WHEN p_partkey % 11 = 0 THEN 'the' END,
+         |      CASE WHEN p_partkey % 13 = 5 THEN substr(p_name, 1, 2) END]) AS s
+         |  FROM part),
+         |praw AS (SELECT DISTINCT concept_id, pk, trim(s) AS syn FROM raw0 WHERE s IS NOT NULL),
+         |plabel AS (SELECT concept_id, min(syn) AS label FROM praw GROUP BY 1),
+         |pf AS (SELECT p.concept_id, l.label, p.pk, p.syn
+         |  FROM praw p JOIN plabel l ON p.concept_id = l.concept_id
+         |  WHERE lower(p.syn) NOT IN ($ogerStopSql) AND length(p.syn) >= 3
+         |    AND p.pk % 23 <> 0
+         |    AND p.concept_id IN (SELECT 'SNOMEDCT:' || p_partkey FROM part WHERE p_size % 3 = 0)),
+         |syns AS (SELECT DISTINCT concept_id, label, syn FROM pf),
+         |${ogerCaseSplitSql("SNOMEDCT", "procedure")})""".stripMargin
+    val utility =
+      """SELECT 'Utility' AS ont_key, 'TMKPUTIL:1' AS concept_id,
+        |  'zzzDOCUMENTzENDzzz' AS syn, 'zzzDOCUMENTzENDzzz' AS label,
+        |  'util' AS main_type, true AS case_sensitive""".stripMargin
+    Seq(cl, goCc, goBp, goMf, hp, uberon, so, procedure, utility)
+      .mkString("\nUNION ALL\n")
+  }
+
   val chemLabelNorm: String =
     """WITH rows0 AS (
       |  SELECT 'PC:' || p_partkey AS concept_id,
@@ -4515,6 +4606,187 @@ object OracleSql {
       |  floor(((CAST(sum(norm_micro) AS DOUBLE) / 1000000) / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS avg_norm
       |FROM v GROUP BY 1""".stripMargin
 
+  // ---------- PrPromoter, Sheets batches, assertion-DB star ----------
+
+  /** ConceptPairs.promotePairsFile twin over the derived pairs-file lines
+    * (PrPromoter.java:25-46: col0 through the promotion map, unmapped pass
+    * through). */
+  val prPromotePairs: String = {
+    val obo = ConceptPairsOps.OboNs
+    docPipeline(unitsDocCte, pairCountsSql("units_doc", Seq("doc_id")),
+      s"""lines0 AS (
+         |  SELECT '$obo' || replace(concept2, ':', '_') AS subj,
+         |         '$obo' || replace(concept1, ':', '_') AS obj,
+         |         CASE WHEN ${Hash60.sql("concept2 || '|' || concept1")} % 2 = 0
+         |              THEN '${ConceptPairsOps.RoLocatedIn}'
+         |              ELSE '${ConceptPairsOps.RoHasPhenotype}' END AS pred
+         |  FROM pairs
+         |  WHERE split_part(concept1, ':', 1) = 'DS' AND split_part(concept2, ':', 1) = 'OP'),
+         |promo2 AS (SELECT '$obo' || replace(concept_id, ':', '_') AS k,
+         |    '$obo' || replace(promoted_id, ':', '_') AS v
+         |  FROM ${ConceptDict.promotionsValuesSql})""".stripMargin) +
+      """SELECT coalesce(p.v, l.subj) || chr(9) || l.obj || chr(9) || l.pred AS line
+        |FROM lines0 l LEFT JOIN promo2 p ON l.subj = p.k""".stripMargin
+  }
+
+  /** Sheets.batch CTE chain: pair rows + blinded/raw sentence text +
+    * mention texts + sha256 sentence ids, the exclusion sets applied
+    * (`rows0`), and the hash-ordered batch cut of size n skipping the
+    * first `skip` hashes (`cut` — skip=0 is the first batch; skip=n is the
+    * carried-forward second batch, since the carried file holds exactly
+    * the first batch's hashes). */
+  private def sheetsRowsCte(n: Int, skip: Int): String = {
+    val excl = (graft.operators.Sheets.IdsToExclude ++
+      graft.operators.Sheets.ValidateExclude).map(s => s"'$s'").mkString("(", ", ", ")")
+    Seq(
+      s"""sent AS (SELECT doc_id, (ord - 1) // $W AS sent_id,
+         |  string_agg(tok, ' ' ORDER BY ord) AS sent_text FROM tok GROUP BY 1, 2)""".stripMargin,
+      s"""blin AS (
+         |  SELECT p.doc_id, p.sent_id, p.concept_x, p.concept_y, p.x_ord, p.y_ord,
+         |    string_agg(CASE WHEN t.ord = p.x_ord THEN '@CONCEPT_X$$'
+         |                    WHEN t.ord = p.y_ord THEN '@CONCEPT_Y$$'
+         |                    ELSE t.tok END, ' ' ORDER BY t.ord) AS blinded
+         |  FROM prs p JOIN tok t ON t.doc_id = p.doc_id AND (t.ord - 1) // $W = p.sent_id
+         |  WHERE p.concept_x NOT IN $excl AND p.concept_y NOT IN $excl
+         |  GROUP BY 1, 2, 3, 4, 5, 6)""".stripMargin,
+      s"""rows0 AS (
+         |  SELECT b.*, s.sent_text, sha256(s.sent_text) AS sentence_id,
+         |    xt.tok AS subject_text, yt.tok AS object_text
+         |  FROM blin b
+         |  JOIN sent s ON s.doc_id = b.doc_id AND s.sent_id = b.sent_id
+         |  JOIN (SELECT DISTINCT doc_id, ord, tok FROM pp) xt
+         |    ON xt.doc_id = b.doc_id AND xt.ord = b.x_ord
+         |  JOIN (SELECT DISTINCT doc_id, ord, tok FROM pp) yt
+         |    ON yt.doc_id = b.doc_id AND yt.ord = b.y_ord)""".stripMargin,
+      s"""cut AS (SELECT DISTINCT sentence_id FROM rows0
+         |  ORDER BY sentence_id LIMIT $n OFFSET $skip)""".stripMargin,
+      """chosen AS (
+        |  SELECT sentence_id,
+        |    min(struct_pack(x_ord := x_ord, y_ord := y_ord, concept_x := concept_x,
+        |      concept_y := concept_y, doc_id := doc_id, sent_id := sent_id,
+        |      blinded := blinded, subject_text := subject_text,
+        |      object_text := object_text, sent_text := sent_text)) AS r
+        |  FROM rows0 WHERE sentence_id IN (SELECT sentence_id FROM cut)
+        |  GROUP BY 1)""".stripMargin).mkString(",\n")
+  }
+
+  private val sheetsPad = "'" + (" " * 18) + "'"
+
+  private def sheetsBatchSelect: String =
+    s"""SELECT sentence_id, r.blinded AS sentence_with_placeholders,
+       |  'PMID:' || r.doc_id AS document_id,
+       |  r.concept_x AS subject_id, r.subject_text AS subject_text,
+       |  r.concept_y AS object_id, r.object_text AS object_text,
+       |  r.sent_text || $sheetsPad AS sentence,
+       |  true AS no_relation, false AS inverse
+       |FROM chosen
+       |UNION ALL
+       |SELECT sentence_id, r.blinded, 'PMID:' || r.doc_id,
+       |  r.concept_y, r.object_text, r.concept_x, r.subject_text,
+       |  r.sent_text || $sheetsPad, true, true
+       |FROM chosen""".stripMargin
+
+  val sheetsBatch: String =
+    docPipeline(pairsCte, sheetsRowsCte(graft.operators.Sheets.DefaultBatchSize, 0)) +
+      sheetsBatchSelect
+
+  val sheetsBatchCarryforward: String =
+    docPipeline(pairsCte, sheetsRowsCte(graft.operators.Sheets.DefaultBatchSize,
+      graft.operators.Sheets.DefaultBatchSize)) + sheetsBatchSelect
+
+  /** Sheets.toBertInput twin over the first batch's rows. */
+  val sheetsToBert: String = {
+    val abbrevs = graft.operators.Sheets.PredicateAbbrevs
+    docPipeline(pairsCte, sheetsRowsCte(graft.operators.Sheets.DefaultBatchSize, 0),
+      s"batch AS ($sheetsBatchSelect)") +
+      s"""SELECT sha256(sentence_with_placeholders) AS hash, sentence_with_placeholders,
+         |  CASE WHEN c IN (2, 3) THEN '${abbrevs(2)}'
+         |       WHEN c = 1 THEN '${abbrevs(1)}'
+         |       ELSE '${abbrevs.head}' END AS label
+         |FROM (SELECT *,
+         |  ${Hash60.sql("sentence_id || '|' || CAST(inverse AS VARCHAR)")} % 4 AS c
+         |  FROM batch)""".stripMargin
+  }
+
+  /** AssertionDb.evidenceBase CTE chain: the classified pairs with their
+    * sentence text, mention spans/texts, association curie, digest ids,
+    * and document provenance (text-mined-assertion-db.sql:26-79). */
+  private val assertionBaseCte: String =
+    s"""cls AS (SELECT * FROM (
+       |    SELECT doc_id, sent_id, concept_x, concept_y, x_ord, y_ord,
+       |      floor((CAST((doc_id * 31 + sent_id * 17 + x_ord * 7 + y_ord) % 1000 AS DOUBLE) / 1000.0) * 1000000 + 0.5) / 1000000 AS score
+       |    FROM prs)
+       |  WHERE score >= 0.5),
+       |sent AS (SELECT doc_id, (ord - 1) // $W AS sent_id,
+       |  string_agg(tok, ' ' ORDER BY ord) AS sent_text FROM tok GROUP BY 1, 2),
+       |m AS (SELECT DISTINCT doc_id, ord, tok, char_start, char_end FROM pp),
+       |abase AS (
+       |  SELECT c.*,
+       |    CASE WHEN ${Hash60.sql("c.concept_x || '|' || c.concept_y")} % 2 = 0
+       |         THEN 'biolink:located_in' ELSE 'biolink:has_phenotype' END AS assoc,
+       |    s.sent_text,
+       |    xt.tok AS x_tok, xt.char_start AS x_start, xt.char_end AS x_end,
+       |    yt.tok AS y_tok, yt.char_start AS y_start, yt.char_end AS y_end
+       |  FROM cls c
+       |  JOIN sent s ON s.doc_id = c.doc_id AND s.sent_id = c.sent_id
+       |  JOIN m xt ON xt.doc_id = c.doc_id AND xt.ord = c.x_ord
+       |  JOIN m yt ON yt.doc_id = c.doc_id AND yt.ord = c.y_ord),
+       |ev AS (
+       |  SELECT *,
+       |    sha256(concept_x || '|' || concept_y || '|' || assoc) AS assertion_id,
+       |    sha256(doc_id || '|' || sent_id || '|' || concept_x || '|' || concept_y || '|' || assoc) AS evidence_id,
+       |    sha256(doc_id || '|' || x_ord || '|' || concept_x) AS subject_entity_id,
+       |    sha256(doc_id || '|' || y_ord || '|' || concept_y) AS object_entity_id,
+       |    CASE WHEN sent_id = 0 THEN 'title' WHEN sent_id <= 2 THEN 'abstract'
+       |         ELSE 'body' END AS document_zone,
+       |    CASE WHEN doc_id % 10 = 0 THEN 'Review' ELSE 'Journal Article' END AS document_publication_type,
+       |    CAST(CASE WHEN doc_id % 7 = 0 THEN 2155 ELSE doc_id % 30 + 1990 END AS BIGINT) AS document_year_published
+       |  FROM abase)""".stripMargin
+
+  val assertionDbAssertions: String =
+    docPipeline(pairsCte, assertionBaseCte) +
+      """SELECT DISTINCT assertion_id, concept_x AS subject_curie,
+        |  concept_y AS object_curie, assoc AS association_curie FROM ev""".stripMargin
+
+  val assertionDbEvidence: String =
+    docPipeline(pairsCte, assertionBaseCte) +
+      """SELECT DISTINCT evidence_id, assertion_id, 'PMID:' || doc_id AS document_id,
+        |  sent_text AS sentence, subject_entity_id, object_entity_id,
+        |  document_zone, document_publication_type, document_year_published
+        |FROM ev""".stripMargin
+
+  val assertionDbEntities: String =
+    docPipeline(pairsCte, assertionBaseCte) +
+      """SELECT DISTINCT entity_id, span, covered_text FROM (
+        |  SELECT subject_entity_id AS entity_id,
+        |    x_start || '|' || x_end AS span, x_tok AS covered_text FROM ev
+        |  UNION ALL
+        |  SELECT object_entity_id, y_start || '|' || y_end, y_tok FROM ev)""".stripMargin
+
+  val assertionDbScores: String =
+    docPipeline(pairsCte, assertionBaseCte) +
+      """SELECT DISTINCT evidence_id, assoc AS predicate_curie, score FROM ev""".stripMargin
+
+  val assertionDbIntegrity: String =
+    docPipeline(pairsCte, assertionBaseCte,
+      """a2 AS (SELECT DISTINCT assertion_id FROM ev),
+        |e2 AS (SELECT DISTINCT evidence_id, assertion_id, subject_entity_id, object_entity_id FROM ev),
+        |s2 AS (SELECT DISTINCT evidence_id FROM ev),
+        |ent2 AS (SELECT DISTINCT entity_id FROM (
+        |  SELECT subject_entity_id AS entity_id FROM ev
+        |  UNION ALL SELECT object_entity_id FROM ev))""".stripMargin) +
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e2
+        |   WHERE assertion_id NOT IN (SELECT assertion_id FROM a2)) AS evidence_without_assertion,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s2
+        |   WHERE evidence_id NOT IN (SELECT evidence_id FROM e2)) AS scores_without_evidence,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM (
+        |     SELECT subject_entity_id AS entity_id FROM e2
+        |     UNION ALL SELECT object_entity_id FROM e2)
+        |   WHERE entity_id NOT IN (SELECT entity_id FROM ent2)) AS evidence_without_entity,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM (
+        |     SELECT evidence_id FROM e2 GROUP BY 1 HAVING count(*) > 1)) AS duplicate_evidence_ids""".stripMargin
+
   val all: Map[String, String] = Map(
     "pack_efficiency" -> packEfficiency,
     "source_kl" -> sourceKl,
@@ -4599,6 +4871,16 @@ object OracleSql {
     "oger_dict_chebi" -> ogerDictChebi,
     "oger_dict_drugbank" -> ogerDictDrugbank,
     "oger_dict_mondo" -> ogerDictMondo,
+    "oger_dict_rest" -> ogerDictRest,
+    "pr_promote_pairs" -> prPromotePairs,
+    "sheets_batch" -> sheetsBatch,
+    "sheets_batch_carryforward" -> sheetsBatchCarryforward,
+    "sheets_to_bert" -> sheetsToBert,
+    "assertion_db_assertions" -> assertionDbAssertions,
+    "assertion_db_evidence" -> assertionDbEvidence,
+    "assertion_db_entities" -> assertionDbEntities,
+    "assertion_db_scores" -> assertionDbScores,
+    "assertion_db_integrity" -> assertionDbIntegrity,
     "chem_label_norm" -> chemLabelNorm,
     "taxon_promotion" -> taxonPromotionSql,
     "pr_gene_rollup" -> prGeneRollup,
