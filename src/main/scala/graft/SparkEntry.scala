@@ -169,6 +169,18 @@ object SparkEntry {
       Sheets.toBertInput(Sheets.batchFrom(
         Sheets.stagedCandidateRows(docs(s, d), pp(s, d), d), Seq.empty[String].toDF("hash")))
     }),
+    "sheets_batch_iaa" -> ((s, d) => {
+      import s.implicits._
+      val rows = Sheets.stagedCandidateRows(docs(s, d), pp(s, d), d)
+      Sheets.iaaOverlapBatch(rows,
+        Sheets.batchFrom(rows, Seq.empty[String].toDF("hash")))
+    }),
+    "sheets_batch_idf" -> ((s, d) => {
+      import s.implicits._
+      Sheets.idfFilteredBatch(Sheets.stagedCandidateRows(docs(s, d), pp(s, d), d),
+        Cooccurrence.stagedIdf(pp(s, d), d), 0.23, Seq.empty[String].toDF("hash"))
+    }),
+    "pr_uniprot_map" -> ((s, d) => KnowledgeGraph.prToUniprotMap(Tables.part(s, d))),
     // the normalized text-mined-assertion DB star (AssertionDb.scala);
     // all five queries read the staged one-load evidence base
     "assertion_db_assertions" -> ((s, d) =>
@@ -203,6 +215,14 @@ object SparkEntry {
         Relay.parseMetadata(Relay.stagedMetadata(Tables.orders(s, d), d)))),
     "relay_iaa" -> ((s, d) =>
       Relay.relayIaa(Relay.parseResults(Relay.stagedResults(Tables.orders(s, d), d)))),
+    // the metadata-retriever enrichment + its BERT-input file
+    "relay_metadata_enriched" -> ((s, d) => Relay.enrichedMetadata(
+      Relay.parseMetadata(Relay.stagedMetadata(Tables.orders(s, d), d)),
+      Relay.parseSampleSentences(Relay.stagedSampleSentences(Tables.orders(s, d), d)),
+      Relay.bertOutput(Tables.orders(s, d)),
+      Relay.nodeNormIc(Tables.orders(s, d)), Relay.cuiIdf(Tables.orders(s, d)))),
+    "relay_bert_input" -> ((s, d) => Relay.relayBertInput(
+      Relay.parseSampleSentences(Relay.stagedSampleSentences(Tables.orders(s, d), d)))),
     "abbrev" -> ((s, d) => Abbreviations.partAbbreviations(Tables.part(s, d))),
     // C. cooccurrence & corpus stats
     "cooccur_counts_doc" -> ((s, d) =>

@@ -423,4 +423,84 @@ object KnowledgeGraph {
       .select(col("subject"), col("object"),
         (col("ord0") + 1).cast("long").as("triple_ord"), col("line"))
   }
+
+  /** pr_id, uniprot_id, taxon_id — the PR→UniProt map file (reference:
+    * trapi/PrToUniProtMapFileCreator.java:34-95 + the bounded hierarchy
+    * walk :97-126): every class with a DIRECT UniProtKB xref maps with its
+    * only-in-taxon annotation; a GENE-LEVEL class (Category=gene comment,
+    * :151-161) IGNORES any direct xref (:69-81 replaces the class BEFORE
+    * the direct lookup) and instead searches ≤2 subclass levels for a
+    * HUMAN (NCBITaxon:9606) class with a UniProt xref — ALL level-1
+    * children first, then their children (:97-126); classes finding
+    * nothing emit no row. The reference's HashSet iteration order is
+    * determinized as the minimum qualifying (child[, grandchild]) id.
+    *
+    * Spark-first: the OWL walk becomes xref/taxon/subclass-edge TABLES
+    * (ontology-sized) and the per-level searches are bounded join chains
+    * with a grouped min — no per-class iteration. Synthetic universe from
+    * `part`: each PR:{pk} has children CA/CB:{pk} and grandchild GB:{pk}
+    * under CB; xref channels `%3` (direct), `%4==0` (human child CA),
+    * even keys (MOUSE child CB — the human filter must skip it), `%4==1`
+    * (human grandchild); gene-level on `%5` (so `%15` keys carry a direct
+    * xref the walk must ignore). */
+  def prToUniprotMap(part: DataFrame): DataFrame = {
+    val pk = col("p_partkey")
+    val human = "NCBITaxon:9606"
+    val prId = concat(lit("PR:"), pk)
+    val caId = concat(lit("CA:"), pk)
+    val cbId = concat(lit("CB:"), pk)
+    val gbId = concat(lit("GB:"), pk)
+
+    val classes = part.select(prId.as("class_id"), (pk % 5 === 0).as("gene_level"))
+    val edges1 = part.select(prId.as("parent"), caId.as("child"))
+      .unionByName(part.select(prId.as("parent"), cbId.as("child")))
+    val edges2 = part.select(cbId.as("parent"), gbId.as("child"))
+    val xrefs = part.where(pk % 3 === 0)
+      .select(prId.as("class_id"), concat(lit("UniProtKB:P"), pk).as("xref"))
+      .unionByName(part.where(pk % 4 === 0)
+        .select(caId.as("class_id"), concat(lit("UniProtKB:C"), pk, lit("A")).as("xref")))
+      .unionByName(part.where(pk % 2 === 0)
+        .select(cbId.as("class_id"), concat(lit("UniProtKB:C"), pk, lit("B")).as("xref")))
+      .unionByName(part.where(pk % 4 === 1)
+        .select(gbId.as("class_id"), concat(lit("UniProtKB:G"), pk).as("xref")))
+    val taxa = part.select(prId.as("class_id"),
+        when(pk % 2 === 0, human).otherwise("NCBITaxon:10090").as("taxon"))
+      .unionByName(part.select(caId.as("class_id"), lit(human).as("taxon")))
+      .unionByName(part.select(cbId.as("class_id"), lit("NCBITaxon:10090").as("taxon")))
+      .unionByName(part.select(gbId.as("class_id"), lit(human).as("taxon")))
+
+    // classes carrying an xref, with their taxon annotation
+    val xt = xrefs.join(taxa, Seq("class_id"))
+    val humanXt = xt.where(col("taxon") === human)
+
+    val direct = classes.where(!col("gene_level"))
+      .join(xt, Seq("class_id"))
+      .select(col("class_id").as("pr_id"), col("xref").as("uniprot_id"),
+        col("taxon").as("taxon_id"))
+
+    val gene = classes.where(col("gene_level")).select(col("class_id").as("pr_id"))
+    // level 1: min human xref-bearing child per gene-level class
+    val l1 = gene.join(edges1, gene("pr_id") === edges1("parent"))
+      .join(humanXt, edges1("child") === humanXt("class_id"))
+      .groupBy("pr_id")
+      .agg(min(struct(col("child"), col("xref"), col("taxon"))).as("r"))
+      .select(col("pr_id"), col("r.xref").as("uniprot_id"), col("r.taxon").as("taxon_id"))
+    // level 2, only for gene-level classes with NO qualifying child: min
+    // (child, grandchild) human xref-bearing grandchild
+    // fresh aliases: edges1/humanXt already appear in the l1 chain and
+    // Spark's ambiguous-self-join check rejects reusing the same instance
+    val e1b = edges1.select(col("parent").as("p1"), col("child").as("mid"))
+    val e2b = edges2.select(col("parent").as("p2"), col("child").as("gchild"))
+    val hx2 = humanXt.select(col("class_id").as("cid2"), col("xref").as("xref2"),
+      col("taxon").as("taxon2"))
+    val l2 = gene.join(l1.select("pr_id"), Seq("pr_id"), "left_anti")
+      .join(e1b, col("pr_id") === col("p1"))
+      .join(e2b, col("mid") === col("p2"))
+      .join(hx2, col("gchild") === col("cid2"))
+      .groupBy("pr_id")
+      .agg(min(struct(col("mid"), col("gchild"), col("xref2"), col("taxon2"))).as("r"))
+      .select(col("pr_id"), col("r.xref2").as("uniprot_id"), col("r.taxon2").as("taxon_id"))
+
+    direct.unionByName(l1).unionByName(l2)
+  }
 }

@@ -105,6 +105,147 @@ object Relay {
     header.unionByName(data)
   }
 
+  // ------------------------------------- metadata retriever (enrichment)
+
+  val SubjectPlaceholder = "@CHEMICAL$"
+  val ObjectPlaceholder = "@DISEASE$"
+
+  /** line — the relay sample-sentences CSV (SemmedDbMetadataRetriever
+    * .compileMetadata:491-539 consumes indices {2,4,5,10,14,18,26,29-31,
+    * 35,38-40} of the 44-column SemMedDB dump; modeled here as the consumed
+    * projection in a documented order: predication_id, zone, subject_score,
+    * object_score, subject_cui, object_cui, sent_start, sentence,
+    * subject_text, subj_start, subj_end, object_text, obj_start, obj_end).
+    *
+    * Channels: CUIs are SHARED across predications (subject C{k%50},
+    * object C{k%30+50}) so the cui-keyed map joins are genuinely
+    * many-to-one; the sentence carries exact entity spans in DOCUMENT
+    * coordinates with sent_start as the offset; the subject precedes the
+    * object for even k and follows it for odd k (both placeholder-
+    * replacement orderings exercised); the `%41` channel shifts the
+    * subject span by one so the covered-text check has a negative class. */
+  def serializeSampleSentences(orders: DataFrame): DataFrame = {
+    val subjText = concat(lit("drug"), k % 50)
+    val objText = concat(lit("cond"), k % 30 + 50)
+    val sentStart = k % 17
+    val subjFirst = k % 2 === 0
+    val sentence = when(subjFirst, concat(subjText, lit(" treats "), objText))
+      .otherwise(concat(objText, lit(" occurs with "), subjText))
+    val subjOff = when(subjFirst, lit(0L)).otherwise(length(objText) + 13)
+    val objOff = when(subjFirst, length(subjText) + 8).otherwise(lit(0L))
+    val subjStart = sentStart + subjOff + when(k % 41 === 0, 1L).otherwise(0L)
+    val zone = element_at(lit(Array("title", "abstract", "body")), (k % 3 + 1).cast("int"))
+    orders.select(concat_ws(",",
+      k.cast("string"), zone,
+      Num.r6((k % 100).cast("double") / 100.0), Num.r6((k % 90).cast("double") / 90.0),
+      concat(lit("C"), k % 50), concat(lit("C"), k % 30 + 50),
+      sentStart, sentence, subjText,
+      subjStart, subjStart + length(subjText),
+      objText, sentStart + objOff, sentStart + objOff + length(objText)).as("line"))
+  }
+
+  /** The parsed sample-sentences rows (compileMetadata's Metadata). */
+  def parseSampleSentences(lines: DataFrame): DataFrame = {
+    val c = split(col("line"), ",")
+    lines.select(
+      c.getItem(0).as("predication_id"), c.getItem(1).as("zone"),
+      c.getItem(2).cast("double").as("subject_score"),
+      c.getItem(3).cast("double").as("object_score"),
+      c.getItem(4).as("subject_cui"), c.getItem(5).as("object_cui"),
+      c.getItem(6).cast("long").as("sent_start"), c.getItem(7).as("sentence"),
+      c.getItem(8).as("subject_text"),
+      c.getItem(9).cast("long").as("subj_start"), c.getItem(10).cast("long").as("subj_end"),
+      c.getItem(11).as("object_text"),
+      c.getItem(12).cast("long").as("obj_start"), c.getItem(13).cast("long").as("obj_end"))
+  }
+
+  /** predication_id, is_treats — the parsed BERT classifier output
+    * (parseBertOutputFile:347-365), a deterministic channel per
+    * predication. */
+  def bertOutput(orders: DataFrame): DataFrame =
+    orders.select(k.cast("string").as("predication_id"),
+      (k % 2 === 0).as("is_treats"))
+
+  /** cui, nn_ic — the node-norm information-content map
+    * (getCuiToNodeNormInformationContentMap; PARTIAL: some CUIs have no
+    * IC, the `%5` channel) keyed by the SHARED cui universe. */
+  def nodeNormIc(orders: DataFrame): DataFrame =
+    orders.select(explode(array(k % 50, k % 30 + 50)).as("i")).distinct()
+      .where(col("i") % 5 =!= 1)
+      .select(concat(lit("C"), col("i")).as("cui"),
+        Num.r6(col("i").cast("double") / 97.0).as("nn_ic"))
+
+  /** cui, idf — the cui2idf map (loadCuiToIdfMap:60-100; PARTIAL via the
+    * `%4` channel). */
+  def cuiIdf(orders: DataFrame): DataFrame =
+    orders.select(explode(array(k % 50, k % 30 + 50)).as("i")).distinct()
+      .where(col("i") % 4 =!= 3)
+      .select(concat(lit("C"), col("i")).as("cui"),
+        Num.r6(log(lit(1.0) + (col("i") % 13).cast("double"))).as("idf"))
+
+  /** The updated-metadata file (writeUpdatedMetadataFile:553-600): the
+    * existing metadata rows LEFT-enriched with the sentence metadata's
+    * zone/scores, the classifier's treats flag, and the PARTIAL cui-keyed
+    * node-norm-IC and IDF maps for both entities (absent keys → null,
+    * exactly the reference's null-printing format columns). */
+  def enrichedMetadata(metadata: DataFrame, sampleSentences: DataFrame,
+                       bert: DataFrame, nnIc: DataFrame, idf: DataFrame): DataFrame = {
+    val sm = sampleSentences.select("predication_id", "zone", "subject_score",
+      "object_score", "subject_cui", "object_cui")
+    metadata
+      .join(sm, Seq("predication_id"))
+      .join(bert, Seq("predication_id"))
+      .join(broadcast(nnIc.select(col("cui").as("subject_cui"), col("nn_ic").as("subj_nn_ic"))),
+        Seq("subject_cui"), "left_outer")
+      .join(broadcast(nnIc.select(col("cui").as("object_cui"), col("nn_ic").as("obj_nn_ic"))),
+        Seq("object_cui"), "left_outer")
+      .join(broadcast(idf.select(col("cui").as("subject_cui"), col("idf").as("subj_idf"))),
+        Seq("subject_cui"), "left_outer")
+      .join(broadcast(idf.select(col("cui").as("object_cui"), col("idf").as("obj_idf"))),
+        Seq("object_cui"), "left_outer")
+      .select(col("predication_id"), col("intervening_token_count"),
+        col("sentence_token_count"), col("pmid_count"), col("subject_type"),
+        col("object_type"), col("zone"), col("subject_score"), col("object_score"),
+        col("is_treats").as("tmkp_treats"), col("subj_nn_ic"), col("obj_nn_ic"),
+        col("subj_idf"), col("obj_idf"))
+  }
+
+  /** predication_id, sentence_with_placeholders, valid — the BERT input
+    * file (writeBertInputFile:370-381 + getSentenceWithPlaceholders:
+    * 385-398): span-anchored placeholder replacement performed LATER
+    * ENTITY FIRST so the earlier span stays valid, with the reference's
+    * covered-text equality check (:425-437 — it throws; here the failing
+    * `%41` channel rows surface as valid=false with a null sentence,
+    * the repo's spanValidate convention). All column arithmetic; spans
+    * are document-relative minus sent_start. */
+  def relayBertInput(sampleSentences: DataFrame): DataFrame = {
+    val s = col("sentence")
+    def rel(c: Column): Column = c - col("sent_start") + 1 // 1-based substr
+    val subjOk = substring(s, rel(col("subj_start")).cast("int"),
+      (col("subj_end") - col("subj_start")).cast("int")) === col("subject_text")
+    val objOk = substring(s, rel(col("obj_start")).cast("int"),
+      (col("obj_end") - col("obj_start")).cast("int")) === col("object_text")
+    // cut the sentence at both spans directly (they never overlap) — the
+    // reference's replace-later-entity-first ordering realized as one
+    // 5-piece concat per branch
+    val ss = rel(col("subj_start")).cast("int")
+    val os = rel(col("obj_start")).cast("int")
+    val subjFirst = col("subj_start") < col("obj_start")
+    val masked = when(subjFirst,
+      concat(substring(s, lit(1), ss - 1), lit(SubjectPlaceholder),
+        expr("substr(sentence, cast(subj_end - sent_start + 1 as int), cast(obj_start - subj_end as int))"),
+        lit(ObjectPlaceholder),
+        expr("substr(sentence, cast(obj_end - sent_start + 1 as int))")))
+      .otherwise(
+        concat(substring(s, lit(1), os - 1), lit(ObjectPlaceholder),
+          expr("substr(sentence, cast(obj_end - sent_start + 1 as int), cast(subj_start - obj_end as int))"),
+          lit(SubjectPlaceholder),
+          expr("substr(sentence, cast(subj_end - sent_start + 1 as int))")))
+    sampleSentences.select(col("predication_id"),
+      when(subjOk && objOk, masked).as("sentence_with_placeholders"),
+      (subjOk && objOk).as("valid"))
+  }
+
   private val relayStaged = scala.collection.mutable.Set[String]()
 
   private def stage(name: String, sfDir: String, derive: => DataFrame,
@@ -131,6 +272,11 @@ object Relay {
   /** [[serializeMetadata]] staged ONCE per (process, corpus). */
   def stagedMetadata(orders: DataFrame, sfDir: String): DataFrame =
     stage("relay_metadata", sfDir, serializeMetadata(orders), orders.sparkSession)
+
+  /** [[serializeSampleSentences]] staged ONCE per (process, corpus). */
+  def stagedSampleSentences(orders: DataFrame, sfDir: String): DataFrame =
+    stage("relay_sample_sentences", sfDir, serializeSampleSentences(orders),
+      orders.sparkSession)
 
   // ----------------------------------------------------------------- parse
 

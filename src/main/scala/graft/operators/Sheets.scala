@@ -116,6 +116,52 @@ object Sheets {
     if (includeInverse) side(false).unionByName(side(true)) else side(false)
   }
 
+  /** A second annotator's batch with a deliberate IAA overlap share
+    * (reference: relation_extraction/annot_batch_cli/BatchCreateCommand
+    * .java:135-174 + its --overlap-sentence-percentage option: when a
+    * second annotator's first batch is created, a percentage of its
+    * sentences is drawn from the FIRST annotator's batch so agreement can
+    * be measured; the rest are fresh sentences not yet in use). Overlap
+    * pick determinized as the hash-ordered head of batch 1; output rows
+    * carry is_overlap. */
+  def iaaOverlapBatch(rows: DataFrame, firstBatch: DataFrame,
+                      batchSize: Int = DefaultBatchSize,
+                      overlapPct: Double = 0.25): DataFrame = {
+    val nOverlap = math.ceil(batchSize * overlapPct).toInt
+    val b1Hashes = firstBatch.select(col("sentence_id").as("hash")).distinct()
+    val overlapIds = b1Hashes.orderBy("hash").limit(nOverlap)
+      .select(col("hash").as("sentence_id"))
+    val overlap = firstBatch.where(!col("inverse"))
+      .join(overlapIds, Seq("sentence_id"), "left_semi")
+      .withColumn("is_overlap", lit(true))
+    val freshPart = batchFrom(rows, b1Hashes, batchSize - nOverlap,
+      includeInverse = false).withColumn("is_overlap", lit(false))
+    overlap.unionByName(freshPart)
+  }
+
+  /** [[batchFrom]] restricted to an ALLOWABLE concept-id set — the
+    * IDF-threshold filter of BatchCreateCommand.loadOntologyPrefixToAllowableConceptIdsMap
+    * (:183-260 + addConceptIdsAboveIdfThreshold: only concepts whose IDF
+    * clears the threshold may anchor a batch sentence, cutting the
+    * too-common concepts annotators waste time on). Both entities must be
+    * allowable; the filter is two broadcast semi-joins against the
+    * ontology-sized concept-IDF cut. */
+  def idfFilteredBatch(rows: DataFrame, conceptIdf: DataFrame, idfThreshold: Double,
+                       previousHashes: DataFrame,
+                       batchSize: Int = DefaultBatchSize): DataFrame = {
+    // one canonical cut plan, two aliased references: the broadcast
+    // exchange canonicalizes identically and is REUSED across both
+    // semi-joins (a withColumnRenamed per side defeats the reuse and
+    // derives the idf chain twice — measured 2× the query's cost)
+    val cut = conceptIdf.where(col("idf") >= idfThreshold).select("concept_id")
+    val filtered = rows
+      .join(broadcast(cut.as("idf_a")),
+        col("concept_x") === col("idf_a.concept_id"), "left_semi")
+      .join(broadcast(cut.as("idf_b")),
+        col("concept_y") === col("idf_b.concept_id"), "left_semi")
+    batchFrom(filtered, previousHashes, batchSize)
+  }
+
   /** The previous-ids carry-forward (:326-336): the file after this batch =
     * old hashes ∪ this batch's hashes. */
   def carryForward(previousHashes: DataFrame, batchRows: DataFrame): DataFrame =

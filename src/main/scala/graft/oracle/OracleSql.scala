@@ -802,9 +802,12 @@ object OracleSql {
     s"""relay_meta AS (
        |  SELECT CAST(o_orderkey AS VARCHAR) AS predication_id,
        |         CAST(o_orderkey % 23 AS INT) AS intervening_token_count,
+       |         CAST(o_orderkey % 30 + 12 AS INT) AS sentence_token_count,
+       |         CAST(o_orderkey % 7 + 1 AS INT) AS pmid_count,
        |         CASE WHEN o_orderkey % 2 = 0
        |              THEN ($chem)[CAST(o_orderkey % 20 AS INT) + 1]
-       |              ELSE ($treat)[CAST(o_orderkey % 10 AS INT) + 1] END AS subject_type
+       |              ELSE ($treat)[CAST(o_orderkey % 10 AS INT) + 1] END AS subject_type,
+       |         'dsyn' AS object_type
        |  FROM orders)""".stripMargin
   }
 
@@ -4606,6 +4609,99 @@ object OracleSql {
       |  floor(((CAST(sum(norm_micro) AS DOUBLE) / 1000000) / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS avg_norm
       |FROM v GROUP BY 1""".stripMargin
 
+  /** Relay.serializeSampleSentences→parseSampleSentences twin. */
+  private val relaySampleCte: String =
+    s"""rs0 AS (SELECT o_orderkey AS k,
+       |    'drug' || CAST(o_orderkey % 50 AS VARCHAR) AS subj_text,
+       |    'cond' || CAST(o_orderkey % 30 + 50 AS VARCHAR) AS obj_text
+       |  FROM orders),
+       |relay_sample AS (
+       |  SELECT CAST(k AS VARCHAR) AS predication_id,
+       |    (['title', 'abstract', 'body'])[CAST(k % 3 AS INT) + 1] AS zone,
+       |    ${r6Sql("CAST(k % 100 AS DOUBLE) / 100.0")} AS subject_score,
+       |    ${r6Sql("CAST(k % 90 AS DOUBLE) / 90.0")} AS object_score,
+       |    'C' || CAST(k % 50 AS VARCHAR) AS subject_cui,
+       |    'C' || CAST(k % 30 + 50 AS VARCHAR) AS object_cui,
+       |    k % 17 AS sent_start,
+       |    CASE WHEN k % 2 = 0 THEN subj_text || ' treats ' || obj_text
+       |         ELSE obj_text || ' occurs with ' || subj_text END AS sentence,
+       |    subj_text AS subject_text,
+       |    (k % 17) + (CASE WHEN k % 2 = 0 THEN 0 ELSE length(obj_text) + 13 END)
+       |      + (CASE WHEN k % 41 = 0 THEN 1 ELSE 0 END) AS subj_start,
+       |    (k % 17) + (CASE WHEN k % 2 = 0 THEN 0 ELSE length(obj_text) + 13 END)
+       |      + (CASE WHEN k % 41 = 0 THEN 1 ELSE 0 END) + length(subj_text) AS subj_end,
+       |    obj_text AS object_text,
+       |    (k % 17) + (CASE WHEN k % 2 = 0 THEN length(subj_text) + 8 ELSE 0 END) AS obj_start,
+       |    (k % 17) + (CASE WHEN k % 2 = 0 THEN length(subj_text) + 8 ELSE 0 END)
+       |      + length(obj_text) AS obj_end
+       |  FROM rs0)""".stripMargin
+
+  /** Relay.enrichedMetadata twin (writeUpdatedMetadataFile). */
+  val relayMetadataEnriched: String =
+    s"""WITH $relayMetaCte, $relaySampleCte,
+       |cuis AS (SELECT DISTINCT i FROM
+       |  (SELECT unnest([o_orderkey % 50, o_orderkey % 30 + 50]) AS i FROM orders)),
+       |nn AS (SELECT 'C' || CAST(i AS VARCHAR) AS cui,
+       |    ${r6Sql("CAST(i AS DOUBLE) / 97.0")} AS nn_ic
+       |  FROM cuis WHERE i % 5 <> 1),
+       |idfm AS (SELECT 'C' || CAST(i AS VARCHAR) AS cui,
+       |    ${r6Sql("ln(1.0 + CAST(i % 13 AS DOUBLE))")} AS idf
+       |  FROM cuis WHERE i % 4 <> 3)
+       |SELECT m.predication_id, m.intervening_token_count, m.sentence_token_count,
+       |  m.pmid_count, m.subject_type, m.object_type,
+       |  s.zone, s.subject_score, s.object_score,
+       |  (CAST(m.predication_id AS BIGINT) % 2 = 0) AS tmkp_treats,
+       |  ns.nn_ic AS subj_nn_ic, no_.nn_ic AS obj_nn_ic,
+       |  fs.idf AS subj_idf, fo.idf AS obj_idf
+       |FROM relay_meta m
+       |JOIN relay_sample s ON m.predication_id = s.predication_id
+       |LEFT JOIN nn ns ON s.subject_cui = ns.cui
+       |LEFT JOIN nn no_ ON s.object_cui = no_.cui
+       |LEFT JOIN idfm fs ON s.subject_cui = fs.cui
+       |LEFT JOIN idfm fo ON s.object_cui = fo.cui""".stripMargin
+
+  /** Relay.relayBertInput twin (getSentenceWithPlaceholders + the
+    * covered-text check). */
+  val relayBertInput: String =
+    s"""WITH $relaySampleCte,
+       |checked AS (
+       |  SELECT *,
+       |    (substr(sentence, CAST(subj_start - sent_start + 1 AS INT),
+       |       CAST(subj_end - subj_start AS INT)) = subject_text
+       |     AND substr(sentence, CAST(obj_start - sent_start + 1 AS INT),
+       |       CAST(obj_end - obj_start AS INT)) = object_text) AS valid,
+       |    CASE WHEN subj_start < obj_start THEN
+       |      substr(sentence, 1, CAST(subj_start - sent_start AS INT)) || '@CHEMICAL$$' ||
+       |      substr(sentence, CAST(subj_end - sent_start + 1 AS INT),
+       |        CAST(obj_start - subj_end AS INT)) || '@DISEASE$$' ||
+       |      substr(sentence, CAST(obj_end - sent_start + 1 AS INT))
+       |    ELSE
+       |      substr(sentence, 1, CAST(obj_start - sent_start AS INT)) || '@DISEASE$$' ||
+       |      substr(sentence, CAST(obj_end - sent_start + 1 AS INT),
+       |        CAST(subj_start - obj_end AS INT)) || '@CHEMICAL$$' ||
+       |      substr(sentence, CAST(subj_end - sent_start + 1 AS INT))
+       |    END AS masked
+       |  FROM relay_sample)
+       |SELECT predication_id,
+       |  CASE WHEN valid THEN masked END AS sentence_with_placeholders, valid
+       |FROM checked""".stripMargin
+
+  /** KnowledgeGraph.prToUniprotMap twin — the oracle computes the walk's
+    * RESULT directly from the channel definitions (independent of the
+    * engine's join formulation). */
+  val prUniprotMap: String =
+    """SELECT 'PR:' || p_partkey AS pr_id,
+      |  'UniProtKB:P' || p_partkey AS uniprot_id,
+      |  CASE WHEN p_partkey % 2 = 0 THEN 'NCBITaxon:9606'
+      |       ELSE 'NCBITaxon:10090' END AS taxon_id
+      |FROM part WHERE p_partkey % 3 = 0 AND p_partkey % 5 <> 0
+      |UNION ALL
+      |SELECT 'PR:' || p_partkey, 'UniProtKB:C' || p_partkey || 'A', 'NCBITaxon:9606'
+      |FROM part WHERE p_partkey % 5 = 0 AND p_partkey % 4 = 0
+      |UNION ALL
+      |SELECT 'PR:' || p_partkey, 'UniProtKB:G' || p_partkey, 'NCBITaxon:9606'
+      |FROM part WHERE p_partkey % 5 = 0 AND p_partkey % 4 = 1""".stripMargin
+
   // ---------- PrPromoter, Sheets batches, assertion-DB star ----------
 
   /** ConceptPairs.promotePairsFile twin over the derived pairs-file lines
@@ -4635,7 +4731,8 @@ object OracleSql {
     * first `skip` hashes (`cut` — skip=0 is the first batch; skip=n is the
     * carried-forward second batch, since the carried file holds exactly
     * the first batch's hashes). */
-  private def sheetsRowsCte(n: Int, skip: Int): String = {
+  private def sheetsRowsCte(n: Int, skip: Int, preCut: String = "",
+                            src: String = "rows0", cutRel: String = "cut"): String = {
     val excl = (graft.operators.Sheets.IdsToExclude ++
       graft.operators.Sheets.ValidateExclude).map(s => s"'$s'").mkString("(", ", ", ")")
     Seq(
@@ -4658,16 +4755,17 @@ object OracleSql {
          |    ON xt.doc_id = b.doc_id AND xt.ord = b.x_ord
          |  JOIN (SELECT DISTINCT doc_id, ord, tok FROM pp) yt
          |    ON yt.doc_id = b.doc_id AND yt.ord = b.y_ord)""".stripMargin,
-      s"""cut AS (SELECT DISTINCT sentence_id FROM rows0
+      (if (preCut.isEmpty) "" else preCut + ",\n") +
+      s"""cut AS (SELECT DISTINCT sentence_id FROM $src
          |  ORDER BY sentence_id LIMIT $n OFFSET $skip)""".stripMargin,
-      """chosen AS (
-        |  SELECT sentence_id,
-        |    min(struct_pack(x_ord := x_ord, y_ord := y_ord, concept_x := concept_x,
-        |      concept_y := concept_y, doc_id := doc_id, sent_id := sent_id,
-        |      blinded := blinded, subject_text := subject_text,
-        |      object_text := object_text, sent_text := sent_text)) AS r
-        |  FROM rows0 WHERE sentence_id IN (SELECT sentence_id FROM cut)
-        |  GROUP BY 1)""".stripMargin).mkString(",\n")
+      s"""chosen AS (
+         |  SELECT sentence_id,
+         |    min(struct_pack(x_ord := x_ord, y_ord := y_ord, concept_x := concept_x,
+         |      concept_y := concept_y, doc_id := doc_id, sent_id := sent_id,
+         |      blinded := blinded, subject_text := subject_text,
+         |      object_text := object_text, sent_text := sent_text)) AS r
+         |  FROM $src WHERE sentence_id IN (SELECT sentence_id FROM $cutRel)
+         |  GROUP BY 1)""".stripMargin).mkString(",\n")
   }
 
   private val sheetsPad = "'" + (" " * 18) + "'"
@@ -4706,6 +4804,58 @@ object OracleSql {
          |FROM (SELECT *,
          |  ${Hash60.sql("sentence_id || '|' || CAST(inverse AS VARCHAR)")} % 4 AS c
          |  FROM batch)""".stripMargin
+  }
+
+  /** Sheets.iaaOverlapBatch twin: batch 1 is the first 8 hashes, the
+    * overlap share is its hash-ordered head (ceil(8*0.25) = 2), the fresh
+    * share is the next 6 unused hashes; forward rows only, is_overlap
+    * flagged. */
+  val sheetsBatchIaa: String = {
+    val n = graft.operators.Sheets.DefaultBatchSize
+    val nOv = math.ceil(n * 0.25).toInt
+    val preCut =
+      s"""cut1 AS (SELECT DISTINCT sentence_id FROM rows0
+         |  ORDER BY sentence_id LIMIT $n),
+         |cutov AS (SELECT sentence_id FROM cut1 ORDER BY sentence_id LIMIT $nOv),
+         |cut2 AS (SELECT DISTINCT sentence_id FROM rows0
+         |  WHERE sentence_id NOT IN (SELECT sentence_id FROM cut1)
+         |  ORDER BY sentence_id LIMIT ${n - nOv}),
+         |included AS (SELECT sentence_id, true AS is_overlap FROM cutov
+         |  UNION ALL SELECT sentence_id, false FROM cut2)""".stripMargin
+    // the outer cut is unused (cutRel = included); LIMIT large keeps it valid
+    docPipeline(pairsCte,
+      sheetsRowsCte(n, 0, preCut = preCut, cutRel = "included")) +
+      s"""SELECT c.sentence_id, c.r.blinded AS sentence_with_placeholders,
+         |  'PMID:' || c.r.doc_id AS document_id,
+         |  c.r.concept_x AS subject_id, c.r.subject_text AS subject_text,
+         |  c.r.concept_y AS object_id, c.r.object_text AS object_text,
+         |  c.r.sent_text || $sheetsPad AS sentence,
+         |  true AS no_relation, false AS inverse, i.is_overlap
+         |FROM chosen c JOIN included i ON c.sentence_id = i.sentence_id""".stripMargin
+  }
+
+  /** Sheets.idfFilteredBatch twin: candidates restricted to pairs whose
+    * BOTH concepts clear the IDF threshold (the allowable-id map of
+    * BatchCreateCommand.addConceptIdsAboveIdfThreshold), then the standard
+    * batch cut. The IDF formula is Cooccurrence.idf's (ancestor-expanded
+    * doc units). */
+  val sheetsBatchIdf: String = {
+    val preCut =
+      s"""allowable AS (
+         |  SELECT concept_id FROM (
+         |    SELECT concept_id,
+         |      ${r6Sql("ln(CAST(nu AS DOUBLE) / CAST(unit_count AS DOUBLE))")} AS idf
+         |    FROM (SELECT concept_id, CAST(count(*) AS BIGINT) AS unit_count
+         |          FROM units_doc GROUP BY 1)
+         |    CROSS JOIN (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nu FROM units_doc))
+         |  WHERE idf >= 0.23),
+         |rows1 AS (SELECT * FROM rows0
+         |  WHERE concept_x IN (SELECT concept_id FROM allowable)
+         |    AND concept_y IN (SELECT concept_id FROM allowable))""".stripMargin
+    docPipeline(unitsDocCte, pairsCte,
+      sheetsRowsCte(graft.operators.Sheets.DefaultBatchSize, 0,
+        preCut = preCut, src = "rows1")) +
+      sheetsBatchSelect
   }
 
   /** AssertionDb.evidenceBase CTE chain: the classified pairs with their
@@ -4892,6 +5042,11 @@ object OracleSql {
     "relay_accuracy_by_type" -> relayAccuracyByType,
     "relay_accuracy_by_complexity" -> relayAccuracyByComplexity,
     "relay_iaa" -> relayIaa,
+    "relay_metadata_enriched" -> relayMetadataEnriched,
+    "relay_bert_input" -> relayBertInput,
+    "sheets_batch_iaa" -> sheetsBatchIaa,
+    "sheets_batch_idf" -> sheetsBatchIdf,
+    "pr_uniprot_map" -> prUniprotMap,
     "kg_nodes" -> kgNodes,
     "kg_edges" -> kgEdges,
     "kg_pagerank" -> kgPagerank,

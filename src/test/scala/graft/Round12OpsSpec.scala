@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AssertionDb, Bicluster, ConceptPairs, Concepts, OgerDict, Relay, Sheets}
+import graft.operators.{AssertionDb, Bicluster, ConceptPairs, Concepts, KnowledgeGraph, OgerDict, Relay, Sheets}
 import org.apache.spark.sql.functions._
 
 class Round12OpsSpec extends SparkSpec {
@@ -194,6 +194,87 @@ class Round12OpsSpec extends SparkSpec {
     val out = ConceptPairs.promotePairsFile(lines).as[String].collect().toSet
     assert(out.contains(s"${ConceptPairs.OboNs}OP_JOINLIKE\t${ConceptPairs.OboNs}DS_line\tp"))
     assert(out.contains(s"${ConceptPairs.OboNs}OP_scan\t${ConceptPairs.OboNs}DS_line\tp"))
+  }
+
+  // ------------------------------------- metadata retriever + uniprot map
+
+  test("relay enrichment: partial maps leave nulls, treats flag joins") {
+    // k=4: subject cui C4 (4%5≠1 → IC present; 4%4==0 → idf present);
+    // k=11: odd → treats=false, subject cui C11 (11%5==1 → NO IC)
+    val o = orders(4L, 11L)
+    val out = Relay.enrichedMetadata(
+      Relay.parseMetadata(Relay.serializeMetadata(o)),
+      Relay.parseSampleSentences(Relay.serializeSampleSentences(o)),
+      Relay.bertOutput(o), Relay.nodeNormIc(o), Relay.cuiIdf(o))
+      .collect().map(r => r.getAs[String]("predication_id") -> r).toMap
+    assert(out("4").getAs[Boolean]("tmkp_treats"))
+    assert(!out("11").getAs[Boolean]("tmkp_treats"))
+    assert(out("4").getAs[Any]("subj_nn_ic") != null)
+    assert(out("11").getAs[Any]("subj_nn_ic") == null) // C11: 11%5==1 → absent
+    assert(out.values.forall(_.schema.fieldNames.contains("subj_idf")))
+  }
+
+  test("relay bert input: later-entity-first replacement and the span check") {
+    // k=4: subject first; k=7: object first; k=41: shifted span → invalid
+    val out = Relay.relayBertInput(
+      Relay.parseSampleSentences(Relay.serializeSampleSentences(orders(4L, 7L, 41L))))
+      .collect().map(r => r.getAs[String]("predication_id") -> r).toMap
+    assert(out("4").getAs[String]("sentence_with_placeholders") ==
+      s"${Relay.SubjectPlaceholder} treats ${Relay.ObjectPlaceholder}")
+    assert(out("7").getAs[String]("sentence_with_placeholders") ==
+      s"${Relay.ObjectPlaceholder} occurs with ${Relay.SubjectPlaceholder}")
+    assert(out("4").getAs[Boolean]("valid") && out("7").getAs[Boolean]("valid"))
+    assert(!out("41").getAs[Boolean]("valid"))
+    assert(out("41").getAs[String]("sentence_with_placeholders") == null)
+  }
+
+  test("pr→uniprot map: direct xrefs, gene-level walk, human filter, precedence") {
+    val p = Seq(
+      (3L, "a b", "B", "T", 1),   // %3: direct xref, odd → mouse taxon
+      (6L, "a b", "B", "T", 1),   // %3 and even → human taxon
+      (20L, "a b", "B", "T", 1),  // gene-level, %4==0 → human child CA
+      (5L, "a b", "B", "T", 1),   // gene-level, %4==1 → grandchild GB
+      (10L, "a b", "B", "T", 1),  // gene-level, %4==2 → NO mapping (CB is mouse)
+      (15L, "a b", "B", "T", 1),  // gene-level WITH direct xref (%3) → walk wins; %4==3 → none
+      (7L, "a b", "B", "T", 1))   // no xref, not gene-level → no row
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+    val out = KnowledgeGraph.prToUniprotMap(p).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out("PR:3") == ("UniProtKB:P3", "NCBITaxon:10090"))
+    assert(out("PR:6") == ("UniProtKB:P6", "NCBITaxon:9606"))
+    assert(out("PR:20") == ("UniProtKB:C20A", "NCBITaxon:9606"))
+    assert(out("PR:5") == ("UniProtKB:G5", "NCBITaxon:9606"))
+    assert(!out.contains("PR:10") && !out.contains("PR:15") && !out.contains("PR:7"))
+  }
+
+  test("sheets iaa batch: overlap share from batch 1, fresh share disjoint") {
+    val d = docs("join table fast merge row", "merge line slow join key",
+      "stream row join table", "key value join column", "sort vector merge batch")
+    val rows = Sheets.candidateRows(d, pp(d))
+    val b1 = Sheets.batchFrom(rows, Seq.empty[String].toDF("hash"), batchSize = 4)
+    val iaa = Sheets.iaaOverlapBatch(rows, b1, batchSize = 4, overlapPct = 0.5)
+    val got = iaa.collect()
+    val (ov, fresh) = got.partition(_.getAs[Boolean]("is_overlap"))
+    val b1Hashes = b1.collect().map(_.getAs[String]("sentence_id")).toSet
+    // overlap = the 2 hash-ordered head sentences of batch 1
+    assert(ov.map(_.getAs[String]("sentence_id")).toSet ==
+      b1Hashes.toSeq.sorted.take(2).toSet)
+    // fresh sentences never collide with batch 1
+    assert(fresh.map(_.getAs[String]("sentence_id")).toSet.intersect(b1Hashes).isEmpty)
+    assert(got.forall(!_.getAs[Boolean]("inverse")))
+  }
+
+  test("sheets idf filter: common concepts cannot anchor a batch") {
+    val d = docs("join table fast", "join row slow", "merge table fast")
+    // a tiny hand-made idf table: DS:table is 'too common'
+    val idf = Seq(("OP:join", 0.5), ("OP:merge", 0.5), ("DS:row", 0.5), ("DS:table", 0.01))
+      .toDF("concept_id", "idf")
+    val out = Sheets.idfFilteredBatch(Sheets.candidateRows(d, pp(d)), idf, 0.2,
+      Seq.empty[String].toDF("hash"))
+    val ids = out.collect().flatMap(r =>
+      Seq(r.getAs[String]("subject_id"), r.getAs[String]("object_id"))).toSet
+    assert(!ids.contains("DS:table"))
+    assert(ids.contains("OP:join") && ids.contains("DS:row"))
   }
 
   // ------------------------------------------------- staging + heap-cap laws
