@@ -266,6 +266,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("r12 shapes: sheet batches cut via ordered limits; relay/star plans stay windowless") {
+    // the deterministic 'random sample' must stay a TakeOrderedAndProject
+    // (per-partition bounded heaps) — a global Sort of the candidate hashes
+    // is the shape that breaks at corpus scale
+    for (q <- Seq("sheets_batch", "sheets_batch_idf")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"), s"$q: ${plan.take(1500)}")
+      assert(!plan.contains("Exchange rangepartitioning"),
+        s"$q plans a global range sort:\n${plan.take(1500)}")
+    }
+    // relay rollups, the uniprot walk and the assertion star are pure
+    // agg/join shapes — no window anywhere (the grouped-min determinization
+    // must never regress to a ranking window)
+    for (q <- Seq("relay_improvements", "relay_iaa", "relay_metadata_enriched",
+                  "pr_uniprot_map", "assertion_db_integrity")) {
+      val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
+      assert(qe.optimizedPlan.collect { case w: Window => w }.isEmpty,
+        s"$q plans a Window:\n${qe.optimizedPlan}")
+    }
+  }
+
   test("event-family shuffle budget survives the ts canonicalization") {
     // The epoch-µs canonicalization is a Project over the scan; it must not
     // cost an exchange. Pin each repaired query's shuffle count at the
