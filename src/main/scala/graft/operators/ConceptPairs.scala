@@ -223,18 +223,19 @@ object ConceptPairs {
     // the per-pair cap through the bounded-heap aggregate, NOT a window:
     // a pair-partitioned row_number has partition WIDTH proportional to how
     // often the pair cooccurs — corpus-proportional for a hot pair, the
-    // exact straggler shape VERDICT r11 named. TopKAgg ships ≤ maxReturned
-    // entries per pair through partial aggregation instead. The ascending
-    // heap on (score=doc_id, id=sent_id) realizes the same deterministic
-    // (doc_id ASC, sent_id ASC) order the window used (ties on doc_id break
-    // by id ASC); exact while doc_id fits a double's 2^53 integer range.
+    // exact straggler shape VERDICT r11 named. The LONG-score heap
+    // (TopKLongAgg) ships ≤ maxReturned entries per pair through partial
+    // aggregation in the integer lane: the ascending order on
+    // (score=doc_id, id=sent_id) is the window's (doc_id ASC, sent_id ASC)
+    // exactly, at ANY id magnitude (no 2^53 double caveat).
     val inSent = if (maxReturned <= 0) inSent0 else inSent0
       .groupBy("subject_curie", "object_curie", "predicate_biolink")
-      .agg(graft.functions.TopKAgg.topKAsc(col("doc_id"), col("sent_id"), maxReturned).as("tk"))
+      .agg(graft.functions.TopKLongAgg.topK(
+        col("doc_id"), col("sent_id"), maxReturned, asc = true).as("tk"))
       .select(col("subject_curie"), col("object_curie"), col("predicate_biolink"),
         explode(col("tk")).as("e"))
       .select(col("subject_curie"), col("object_curie"), col("predicate_biolink"),
-        col("e.score").cast("long").as("doc_id"), col("e.id").as("sent_id"))
+        col("e.score").as("doc_id"), col("e.id").as("sent_id"))
 
     // typed mention sets per qualifying (pair, sentence)
     val m = inSent.join(mentions, Seq("doc_id", "sent_id"))

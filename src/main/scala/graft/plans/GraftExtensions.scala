@@ -48,10 +48,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * Eligible shape (deliberately narrow — the rewrite must lose nothing):
   *   Project(proj, Filter(rank <= K, Window(row_number as rank
   *     partitionBy p... orderBy s DESC|ASC, id ASC, child)))
-  * where s is a NON-NULLABLE DOUBLE attribute, id a NON-NULLABLE BIGINT
-  * attribute (TopKAgg skips null-id rows that row_number would rank, so a
-  * nullable id could silently change the result set — ADVICE r8), and K a
-  * literal. The filter may carry ADDITIONAL conjuncts beside the rank
+  * where s is a NON-NULLABLE DOUBLE or BIGINT attribute (doubles ride
+  * TopKAgg; integer keys ride the TopKLongAgg sibling, EXACT at any
+  * magnitude — the composite-integer-key shape like "first k per pair by
+  * (doc_id, sent_id)" that round 12's concept_pair_sentences cap needed),
+  * id a NON-NULLABLE BIGINT attribute (the heaps skip null-id rows that
+  * row_number would rank, so a nullable id could silently change the
+  * result set — ADVICE r8), and K a literal. The filter may carry ADDITIONAL conjuncts beside the rank
   * bound (`rank <= 3 AND score > 0.5` — Catalyst cannot push non-partition
   * predicates below a Window, so realistic top-N filters keep them here);
   * they re-apply above the heap output, the same post-ranking point they
@@ -106,11 +109,12 @@ object WindowTopKToBoundedHeap extends Rule[LogicalPlan] {
   }
 
   /** Destructure Filter(Window) into the pieces the rewrite needs, when the
-    * window is a single row_number ranked by (DOUBLE attr, BIGINT attr id
-    * ASC) over attribute partition keys. Both sort directions are served by
-    * TopKAgg's own `asc` flag (no score negation — negation would invert
-    * where NaN ranks). Both rank columns must be provably non-null: TopKAgg
-    * skips null score/id rows, row_number ranks them. */
+    * window is a single row_number ranked by (DOUBLE|BIGINT attr, BIGINT
+    * attr id ASC) over attribute partition keys. Both sort directions are
+    * served by the heaps' own `asc` flag (no score negation — negation
+    * would invert where NaN ranks on the double lane, and overflows
+    * Long.MinValue on the integer lane). Both rank columns must be provably
+    * non-null: the heaps skip null score/id rows, row_number ranks them. */
   private def eligible(cond: Expression, w: LWindow):
       Option[(Alias, Seq[AttributeReference], AttributeReference, Boolean, AttributeReference, Long, Seq[Expression], LogicalPlan)] =
     w match {
@@ -120,7 +124,8 @@ object WindowTopKToBoundedHeap extends Rule[LogicalPlan] {
           Seq(SortOrder(score: AttributeReference, dir, _, _),
               SortOrder(id: AttributeReference, Ascending, _, _)),
           child, _)
-        if score.dataType == org.apache.spark.sql.types.DoubleType &&
+        if (score.dataType == org.apache.spark.sql.types.DoubleType ||
+            score.dataType == LongType) &&
           id.dataType == LongType &&
           !score.nullable &&
           !id.nullable &&
@@ -161,8 +166,17 @@ object WindowTopKToBoundedHeap extends Rule[LogicalPlan] {
       id: AttributeReference, k: Long, residual: Seq[Expression],
       payload: Seq[AttributeReference],
       child: LogicalPlan): LogicalPlan = {
-    val heap = graft.functions.TopKAgg(score, id, k.toInt, asc = !desc,
-      payload = payload).toAggregateExpression()
+    // integer score keys take the exact long-lane heap; doubles the NaN-
+    // consistent double lane — the entry struct's score field matches the
+    // original attribute's type either way, so no cast rides the output
+    val longMode = score.dataType == LongType
+    val heap =
+      if (longMode)
+        graft.functions.TopKLongAgg(score, id, k.toInt, asc = !desc,
+          payload = payload).toAggregateExpression()
+      else
+        graft.functions.TopKAgg(score, id, k.toInt, asc = !desc,
+          payload = payload).toAggregateExpression()
     val tkAlias = Alias(heap, "__tk")()
     val agg = Aggregate(partAttrs, (partAttrs: Seq[NamedExpression]) :+ tkAlias, child)
     val posAttr = AttributeReference("__pos", IntegerType, nullable = false)()
@@ -170,7 +184,7 @@ object WindowTopKToBoundedHeap extends Rule[LogicalPlan] {
       org.apache.spark.sql.types.StructField(s"p$i", a.dataType, a.nullable)
     })
     val entryBase = new StructType()
-      .add("score", org.apache.spark.sql.types.DoubleType).add("id", LongType)
+      .add("score", score.dataType).add("id", LongType)
     val entryType =
       if (payload.isEmpty) entryBase else entryBase.add("payload", payloadSchema, nullable = false)
     val entryAttr = AttributeReference("__e", entryType, nullable = false)()

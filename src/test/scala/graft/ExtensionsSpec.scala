@@ -90,6 +90,36 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("WindowTopKToBoundedHeap routes INTEGER score keys through the exact long-lane heap") {
+    // the composite-integer-key shape ("first k per key by (major, minor)")
+    // — the r12 concept_pair_sentences cap — must rewrite through
+    // TopKLongAgg, exact at any magnitude (no 2^53 double caveat), and stay
+    // row-identical to the window plan including HUGE keys
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    def q(s: SparkSession) = {
+      import s.implicits._
+      // majors beyond 2^53: the double lane would collapse neighbors
+      (0L until 120L).map(i => (i % 4, (1L << 60) + (i * 7 % 31), i))
+        .toDF("g", "major", "id")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("g").orderBy(col("major").asc, col("id").asc)))
+        .where(col("rank") <= 3)
+        .select("g", "rank", "major", "id")
+    }
+    val rewritten = q(spark)
+    assert(rewritten.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.isEmpty,
+      s"window survived:\n${rewritten.queryExecution.optimizedPlan}")
+    assert(rewritten.queryExecution.executedPlan.toString.contains("top_k_long_agg"),
+      rewritten.queryExecution.executedPlan.toString.take(2000))
+    val expected = q(SparkSpec.session).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val got = rewritten.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected && got.size == 12)
+  }
+
   test("WindowTopKToBoundedHeap carries extra projection columns as heap payload") {
     // column x (a child attribute outside {keys, rank, score, id}) rides
     // the heap as cargo — the r8 verdict's top_parts_per_brand shape

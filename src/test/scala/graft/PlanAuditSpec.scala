@@ -172,7 +172,9 @@ class PlanAuditSpec extends SparkSpec {
     val cps = SparkEntry.queries("concept_pair_sentences")(spark, sfDir).queryExecution
     assert(cps.optimizedPlan.collect { case w: Window => w }.isEmpty,
       s"concept_pair_sentences plans a Window:\n${cps.optimizedPlan}")
-    assert(cps.executedPlan.toString.contains("partial_top_k_agg"),
+    // the cap rides the EXACT integer-lane heap (TopKLongAgg) with a
+    // partial phase — not the double lane, not a window
+    assert(cps.executedPlan.toString.contains("partial_top_k_long_agg"),
       cps.executedPlan.toString.take(2000))
     // bicluster_bert / batch_overlap: pure agg/join shapes, no window at all
     Seq("bicluster_bert", "batch_overlap").foreach { n =>
