@@ -53,6 +53,21 @@ object ExtBench {
       .where(col("rk") <= 5)
   }
 
+  /** The r12 integer-key shape: first-k per supplier by the composite
+    * (l_orderkey, linenumber-id) ascending key — the lane TopKLongAgg
+    * serves exactly; under extensions the rule must route it through
+    * `top_k_long_agg`. */
+  private def windowTopKLongKey(s: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("okey").asc, col("id").asc)
+    graft.sources.Tables.lineitem(s, sfDir)
+      .select(col("l_suppkey"),
+        coalesce(col("l_orderkey"), lit(-1L)).as("okey"),
+        coalesce(col("l_orderkey") * 10 + col("l_linenumber"), lit(-1L)).as("id"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -64,7 +79,7 @@ object ExtBench {
         val w = (System.nanoTime() - t) / 1e9; quiesce(); w
       }.min
     }
-    def runKind(kind: String): (Map[String, Double], Double, Double, Boolean) = {
+    def runKind(kind: String): (Map[String, Double], Double, Double, Double, Boolean, Boolean) = {
       val spark =
         if (kind == "ext") GraftSession.local(cpus)
         else {
@@ -80,18 +95,21 @@ object ExtBench {
       }.toMap
       val win = minOf2(windowTopK(spark, sfDir).count())
       val winBig = minOf2(windowTopKBig(spark, sfDir).count())
+      val winLong = minOf2(windowTopKLongKey(spark, sfDir).count())
       val fired = windowTopK(spark, sfDir)
         .queryExecution.executedPlan.toString.contains("top_k_agg")
+      val longFired = windowTopKLongKey(spark, sfDir)
+        .queryExecution.executedPlan.toString.contains("top_k_long_agg")
       spark.stop()
       // a fresh builder after stop() must not inherit this session
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      (fam, win, winBig, fired)
+      (fam, win, winBig, winLong, fired, longFired)
     }
-    val (plainFam, plainWin, plainWinBig, plainFired) = runKind("plain")
-    val (extFam, extWin, extWinBig, extFired) = runKind("ext")
+    val (plainFam, plainWin, plainWinBig, plainWinLong, plainFired, plainLongFired) = runKind("plain")
+    val (extFam, extWin, extWinBig, extWinLong, extFired, extLongFired) = runKind("ext")
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def jm(m: Map[String, Double]) =
       m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"ext_vs_plain","sf":"$sfDir","win_topk_plain":${f3(plainWin)},"win_topk_ext":${f3(extWin)},"win_topk_big_plain":${f3(plainWinBig)},"win_topk_big_ext":${f3(extWinBig)},"rule_fired_plain":$plainFired,"rule_fired_ext":$extFired,"family_plain":${jm(plainFam)},"family_ext":${jm(extFam)}}""")
+    println(s"""{"metric":"ext_vs_plain","sf":"$sfDir","win_topk_plain":${f3(plainWin)},"win_topk_ext":${f3(extWin)},"win_topk_big_plain":${f3(plainWinBig)},"win_topk_big_ext":${f3(extWinBig)},"win_topk_longkey_plain":${f3(plainWinLong)},"win_topk_longkey_ext":${f3(extWinLong)},"rule_fired_plain":$plainFired,"rule_fired_ext":$extFired,"long_rule_fired_plain":$plainLongFired,"long_rule_fired_ext":$extLongFired,"family_plain":${jm(plainFam)},"family_ext":${jm(extFam)}}""")
   }
 }
