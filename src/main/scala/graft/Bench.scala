@@ -77,6 +77,13 @@ object Bench {
         quiesce()
         w
       }.min
+      // operator-internal persists are bounded BY DESIGN, not by audit
+      // (VERDICT r12 item 8): whatever this query registered is dropped
+      // before the next query runs, so no managed entry survives a suite
+      // phase and later queries' latency never depends on what an earlier
+      // query pinned. Deliberate cross-query shares (staged file artifacts)
+      // are files, not caches, and are unaffected.
+      graft.infra.Caches.unpersistManaged()
       name -> warm
     }
     // The harness captures only the LAST ~2000 chars of stdout, and sbt's
@@ -90,12 +97,22 @@ object Bench {
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // round-over-round comparability: the query set grows every round, so
+    // also report the warm total restricted to the round-1 query set (and
+    // use it to normalize the regression gate for machine-state pressure)
+    val r1Total = results.collect { case (k, v) if R1Queries(k) => v }.sum
     // Per-query regression check against the FROZEN baseline
-    // (baselines/bench_per_query_sf0.1.json — re-frozen at r8, with the
-    // r8-named suspects pinned at their tighter r7 values pending the
-    // PERF_AUDIT_r9 adjudication; the r7 map is kept at
-    // bench_per_query_sf0.1_r7.json for history): a single query
-    // regressing 5× inside a flat total must be NAMED, not averaged away.
+    // (baselines/bench_per_query_sf0.1.json — re-frozen for r13 from the
+    // DRIVER'S r12 in-suite values; VERDICT r12 item 3 named the r12 freeze
+    // mis-calibrated: isolated-minimum denominators made the very next
+    // driver run trip 35 flags from machine-state pressure alone). A single
+    // query regressing 5× inside a flat total must be NAMED, not averaged
+    // away — but uniform machine-state pressure must NOT mass-trip the
+    // gate, so each run's flags are normalized by its r1-subset ratio vs
+    // the freeze run's recorded r1 total: a box running the whole suite
+    // 1.5× slower raises every denominator 1.5× and only PLAN-correlated
+    // drift (a query moving off its family's curve) still flags. The ratio
+    // is floored at 1.0 so a fast box still catches absolute regressions.
     // Same-sf only; a 0.25 s absolute floor keeps sub-100ms queries'
     // run-to-run noise (documented 2-3× single-pass swings) from crying
     // wolf. Advisory — it names suspects for the plan audit, it doesn't
@@ -104,12 +121,18 @@ object Bench {
     val regressions: Seq[(String, Double, Double)] =
       if (sfDir.endsWith("sf0.1") && java.nio.file.Files.exists(baselineFile)) {
         val txt = new String(java.nio.file.Files.readAllBytes(baselineFile), "UTF-8")
+        val frozenR1 = "\"warm_total_r1_queries\"\\s*:\\s*([0-9]+\\.?[0-9]*)".r
+          .findFirstMatchIn(txt).map(_.group(1).toDouble)
         val qSection = txt.substring(txt.indexOf("\"queries\""))
         val base = "\"([a-z0-9_]+)\"\\s*:\\s*([0-9]+\\.[0-9]+)".r
           .findAllMatchIn(qSection).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val ratio = frozenR1 match {
+          case Some(f) if f > 0 && r1Total > 0 => math.max(1.0, r1Total / f)
+          case _ => 1.0
+        }
         results.flatMap { case (name, warm) =>
           base.get(name).collect {
-            case b if warm > 2.0 * b && warm - b > 0.25 => (name, b, warm)
+            case b if warm > 2.0 * b * ratio && warm - b * ratio > 0.25 => (name, b, warm)
           }
         }.sortBy { case (_, b, w) => -(w / b) }
       } else Seq.empty
@@ -118,9 +141,6 @@ object Bench {
     if (regressions.nonEmpty)
       println(s"[bench-regressions vs frozen baseline] ${regJson.mkString("{", ",", "}")}")
     val total = results.map(_._2).sum
-    // round-over-round comparability: the query set grows every round, so
-    // also report the warm total restricted to the round-1 query set
-    val r1Total = results.collect { case (k, v) if R1Queries(k) => v }.sum
     val detailPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "target/bench_detail.json"))
     val fullJson =

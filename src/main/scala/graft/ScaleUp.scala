@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesizes an N× scaled copy of a testdata dir for the SCALE PROBE
+  * (VERDICT r12 item 7: run the full driver-protocol bench one scale step
+  * above the pinned sf0.1 to surface any query whose constant-factor
+  * overheads were hiding a knee). Bench-only — the correctness gate stays
+  * on the driver's own sf dirs; nothing here feeds an oracle.
+  *
+  * Replication is key-offset ( += replica * 1e9 on every BIGINT key, FKs
+  * shifted together so join cardinalities scale exactly linearly), with two
+  * deliberate departures from naive copying:
+  *  - `documents`: replica texts are REMIXED (first half of doc i's words +
+  *    second half of a shifted partner's words, partner = (i + 1009·r) mod
+  *    N), because exact triplicates would turn every near-dup family's
+  *    band buckets into replica-squared pair generators and corrupt the
+  *    linearity read — a real 3× corpus has borderline similarity, not
+  *    3-way exact clones of every doc. n_chars is recomputed.
+  *  - `embeddings`: replica vectors are ROTATED by r positions (norms and
+  *    coordinate distribution preserved, vectors distinct), for the same
+  *    reason on the cosine families.
+  * Dimension roots (`region`, `nation`) stay constant, as in TPC-H itself.
+  *
+  * Usage: runMain graft.ScaleUp <srcDir> <dstDir> <replicas>
+  * e.g.    runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/graft-scale/sf0.3 3
+  */
+object ScaleUp {
+
+  val Off = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, repStr) = args.take(3)
+    val reps = repStr.toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def wr(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    def replicate(df: DataFrame, keyCols: Seq[String]): DataFrame =
+      (0 until reps).map { r =>
+        keyCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(r * Off)))
+      }.reduce(_ unionByName _)
+
+    wr(rd("region"), "region")
+    wr(rd("nation"), "nation")
+    wr(replicate(rd("customer"), Seq("c_custkey")), "customer")
+    wr(replicate(rd("supplier"), Seq("s_suppkey")), "supplier")
+    wr(replicate(rd("part"), Seq("p_partkey")), "part")
+    wr(replicate(rd("orders"), Seq("o_orderkey", "o_custkey")), "orders")
+    wr(replicate(rd("lineitem"), Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+    wr(replicate(rd("events"), Seq("event_id", "user_id")), "events")
+
+    // documents: replica 0 verbatim; replicas r>0 remix halves with a
+    // shifted partner (both sides scanned from the same file — one join)
+    val docs = rd("documents")
+    val n = docs.count()
+    val remixed = (1 until reps).map { r =>
+      val left = docs.select(col("doc_id"), col("lang"), col("source"),
+        expr("slice(split(text, ' '), 1, greatest(1, size(split(text, ' ')) div 2))").as("w1"))
+      val right = docs.select(
+        pmod(col("doc_id") + lit(1009L * r), lit(n)).as("doc_id"),
+        expr("slice(split(text, ' '), size(split(text, ' ')) div 2 + 1, size(split(text, ' ')))").as("w2"))
+      left.join(right, "doc_id")
+        .select((col("doc_id") + lit(r * Off)).as("doc_id"),
+          array_join(concat(col("w1"), col("w2")), " ").as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }
+    wr(remixed.foldLeft(docs.select("doc_id", "text", "lang", "source", "n_chars"))(_ unionByName _),
+      "documents")
+
+    // embeddings: replica r rotates the vector r positions
+    val emb = rd("embeddings")
+    val embAll = (0 until reps).map { r =>
+      if (r == 0) emb
+      else emb.select((col("vec_id") + lit(r * Off)).as("vec_id"),
+        expr(s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), slice(embedding, 1, $r))")
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+    wr(embAll, "embeddings")
+
+    println(s"[scaleup] wrote ${reps}x of $src to $dst")
+    spark.stop()
+  }
+}

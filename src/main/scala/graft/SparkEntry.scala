@@ -14,14 +14,13 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
-  /** Post-processed concept annotations — the shared prefix of most queries.
-    * persist() registers the plan with the CacheManager, so ALL queries in a
-    * session (Verify/Bench run them back to back) reuse one materialization
-    * instead of recomputing the tokenize→recognize→post-process chain.
-    * Session-lifetime by design; infra.Caches.unpersistAll releases every
-    * such registration in a long-lived service embedding. */
+  /** Post-processed concept annotations — the shared prefix of most queries,
+    * staged once per (process, corpus) as a doc_id-bucketed parquet artifact
+    * (Concepts.stagedPostProcessed). Every consumer scans the file instead
+    * of hoping a session-lifetime cache survived eviction — the r9-r12
+    * driver-bench flag waves all traced to exactly that cache dependence. */
   private def pp(s: SparkSession, dir: String): DataFrame =
-    Concepts.postProcess(Concepts.recognize(docs(s, dir))).persist()
+    Concepts.stagedPostProcessed(docs(s, dir), dir)
 
   /** Per-sf-dir staging dirs for the standoff-source round trip (write once,
     * re-read on repeat invocations — see `bionlp_source`). */
@@ -145,6 +144,10 @@ object SparkEntry {
     "oger_dict_mondo" -> ((s, d) => OgerDict.mondo(Tables.part(s, d))),
     "chem_label_norm" -> ((s, d) => OgerDict.chemLabelNorm(Tables.part(s, d))),
     "oger_dict_rest" -> ((s, d) => OgerDict.residual(Tables.part(s, d))),
+    "oger_dict_entry_map" -> ((s, d) => OgerDict.idToEntryMap(
+      OgerDict.build(Tables.part(s, d)), OgerDict.residual(Tables.part(s, d)))),
+    "biolink_category_map" -> ((s, d) => KnowledgeGraph.biolinkCategoryMap(
+      KnowledgeGraph.biolinkClassUniverse(Tables.part(s, d)))),
     "pr_promote_pairs" -> ((s, d) =>
       ConceptPairs.promotePairsFile(ConceptPairs.stagedPairsFile(pp(s, d), d))),
     // assertion-annotation sheet batches (Sheets.scala): batch 1 over an
@@ -261,7 +264,8 @@ object SparkEntry {
     "concept_pairs_neg" -> ((s, d) =>
       ConceptPairs.negativePairs(ConceptPairs.stagedPairsFile(pp(s, d), d))),
     "concept_pair_sentences" -> ((s, d) => ConceptPairs.pairSentences(docs(s, d), pp(s, d),
-      ConceptPairs.parsePositivePairs(ConceptPairs.stagedPairsFile(pp(s, d), d)))),
+      ConceptPairs.parsePositivePairs(ConceptPairs.stagedPairsFile(pp(s, d), d)),
+      stageDir = Some(d))),
     "jats_ingest" -> ((s, d) => XmlIngest.jatsRoundTrip(docs(s, d))),
     "bioc_ingest" -> ((s, d) => XmlIngest.biocRoundTrip(docs(s, d))),
     "webanno_export" -> ((s, d) => Exports.webanno(docs(s, d), pp(s, d))),

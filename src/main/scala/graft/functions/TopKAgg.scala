@@ -180,17 +180,6 @@ object TopKAgg {
         ColumnBridge.expression(id.cast("long")), k)
         .toAggregateExpression())
 
-  /** Column API, ascending: BOTTOM-k (score, id) pairs per group — the
-    * (score ASC, id ASC) order, smallest first. The bounded-plan form of
-    * "first k by a composite ascending key": put the major key in score and
-    * the minor key in id (e.g. (doc_id, sent_id) — exact while the major
-    * key fits a double's 2^53 integer range). */
-  def topKAsc(score: Column, id: Column, k: Int): Column =
-    ColumnBridge.column(
-      TopKAgg(ColumnBridge.expression(score.cast("double")),
-        ColumnBridge.expression(id.cast("long")), k, asc = true)
-        .toAggregateExpression())
-
   /** Column API with payload cargo: top-k (score, id, payload-struct)
     * entries per group. The payload rides through the heap untouched — the
     * bounded-plan answer to "top-N per group, but I also need these other

@@ -35,6 +35,12 @@ object Caches {
   /** Record an operator-internal persist for later targeted cleanup. */
   def registerManaged(df: org.apache.spark.sql.Dataset[_]): Unit = managed.add(df)
 
+  /** Managed entries currently registered — the suite-phase invariant the
+    * driver mains enforce (Verify/Bench call [[unpersistManaged]] after
+    * every query, so no operator-internal persist survives into the next
+    * query's timing; InfraSpec pins the contract). */
+  def managedCount: Int = managed.size()
+
   /** Unpersist every registered operator-internal cache (blocking=false:
     * lazy async drop; plans recompute from lineage if re-run). */
   def unpersistManaged(): Unit = {

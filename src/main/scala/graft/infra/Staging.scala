@@ -2,6 +2,8 @@ package graft.infra
 
 import java.nio.file.{Files, Path}
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Process-lifetime temp staging with guaranteed cleanup.
   *
   * Streaming sinks, checkpoints, and the per-sf fixture stages used to
@@ -55,5 +57,69 @@ object Staging {
     val tag = f"${canon.hashCode & 0x7fffffff}%x"
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-oracle-stage",
       kind + "_" + key + "_" + tag).toString
+  }
+
+  // -------------------------------------------------------- staged artifacts
+
+  private val stagedOnce = scala.collection.mutable.Set[String]()
+
+  /** A DataFrame derivation materialized ONCE per (process, corpus) as a
+    * parquet file artifact and read back on every reference — the Spark
+    * re-expression of the reference's write-once/read-many FILE contracts
+    * (pairs files, relay exports, bicluster part-i/ii, ...). Unlike a
+    * `persist()`, the artifact is immune to CacheManager eviction, so
+    * suite-level latency does not depend on what else pinned memory first
+    * (the r9-r12 flag-wave mechanism).
+    *
+    * CONTRACT — canonical inputs only: the artifact is keyed by
+    * (`name`, `sfDir`) and the `derive` thunk is evaluated only on the first
+    * call in a process. Callers MUST pass the canonical derivation for that
+    * corpus (the same plan every consumer wants); a later in-process call
+    * with a DIFFERENT derivation for the same key silently reads the first
+    * derivation's rows. Non-canonical inputs (filtered/unioned variants)
+    * must use a distinct `name`. */
+  def stageOnce(name: String, sfDir: String, derive: => DataFrame,
+                spark: SparkSession): DataFrame = {
+    val path = oracleStagePath(name, sfDir)
+    stagedOnce.synchronized {
+      if (!stagedOnce.contains(path)) {
+        derive.write.mode("overwrite").parquet(path)
+        stagedOnce.add(path)
+      }
+    }
+    spark.read.parquet(path)
+  }
+
+  /** [[stageOnce]], but materialized as a BUCKETED (+ per-bucket sorted)
+    * parquet table — the storage layout the 100 TB path reads: every
+    * downstream equi-join / aggregation keyed on `bucketCol` (or a superset)
+    * scans the artifact with ZERO exchanges on this side
+    * (BucketedCooccurDemo measured 17 → 1 exchanges on the cooccurrence
+    * pair join). Same canonical-inputs contract as [[stageOnce]].
+    *
+    * The table lives in a process-lifetime temp dir (registered for exit
+    * cleanup) and its catalog entry in the session's SharedState, so the key
+    * includes the SharedState identity: a second SparkContext in one JVM
+    * (test suites) re-derives rather than reading a table its catalog has
+    * never heard of. */
+  def stageOnceBucketed(name: String, sfDir: String, derive: => DataFrame,
+                        spark: SparkSession, bucketCol: String,
+                        buckets: Int = 32): DataFrame = {
+    val canon = try new java.io.File(sfDir).getCanonicalPath
+                catch { case _: java.io.IOException => new java.io.File(sfDir).getAbsolutePath }
+    val table = f"graft_${name}_${canon.hashCode & 0x7fffffff}%x"
+    val key = s"${System.identityHashCode(spark.sharedState)}:$table"
+    stagedOnce.synchronized {
+      if (!stagedOnce.contains(key)) {
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        val dir = tempDir(s"graft-stage-$name")
+        derive.write.mode("overwrite")
+          .option("path", dir.resolve(table).toString)
+          .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+          .format("parquet").saveAsTable(table)
+        stagedOnce.add(key)
+      }
+    }
+    spark.table(table)
   }
 }

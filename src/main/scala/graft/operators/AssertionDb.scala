@@ -65,24 +65,15 @@ object AssertionDb {
         when(col("doc_id") % 7 === 0, lit(2155L)).otherwise(col("doc_id") % 30 + 1990))
   }
 
-  private val starStaged = scala.collection.mutable.Set[String]()
-
   /** [[evidenceBase]] staged ONCE per (process, corpus): the star's four
     * tables and the integrity gate are projections of one load — in
     * production they read the LOADED database, not a per-table re-run of
     * the NLP pipeline. The integrity query alone references the base from
     * eight join branches (14 s at sf0.1 un-staged; file-backed each branch
     * is a parquet scan). */
-  def stagedBase(docs: DataFrame, annots: DataFrame, sfDir: String): DataFrame = {
-    val path = graft.infra.Staging.oracleStagePath("assertion_db_base", sfDir)
-    starStaged.synchronized {
-      if (!starStaged.contains(path)) {
-        evidenceBase(docs, annots).write.mode("overwrite").parquet(path)
-        starStaged.add(path)
-      }
-    }
-    docs.sparkSession.read.parquet(path)
-  }
+  def stagedBase(docs: DataFrame, annots: DataFrame, sfDir: String): DataFrame =
+    graft.infra.Staging.stageOnce("assertion_db_base", sfDir,
+      evidenceBase(docs, annots), docs.sparkSession)
 
   /** assertion_id, subject_curie, object_curie, association_curie. */
   def assertions(docs: DataFrame, annots: DataFrame): DataFrame =

@@ -78,19 +78,9 @@ object Bicluster {
     header.unionByName(data)
   }
 
-  private val biclusterStaged = scala.collection.mutable.Set[String]()
-
   private def stage(name: String, sfDir: String, derive: => DataFrame,
-                    spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    val path = graft.infra.Staging.oracleStagePath(name, sfDir)
-    biclusterStaged.synchronized {
-      if (!biclusterStaged.contains(path)) {
-        derive.write.mode("overwrite").parquet(path)
-        biclusterStaged.add(path)
-      }
-    }
-    spark.read.parquet(path)
-  }
+                    spark: org.apache.spark.sql.SparkSession): DataFrame =
+    graft.infra.Staging.stageOnce(name, sfDir, derive, spark)
 
   /** [[serializePartI]] staged ONCE per (process, corpus). The reference
     * models FILES written once by the Percha-Altman pipeline and read by

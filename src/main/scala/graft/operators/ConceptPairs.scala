@@ -53,7 +53,6 @@ object ConceptPairs {
     domainPairs(annots).select(concat_ws("\t",
       uriOf(col("subject_id")), uriOf(col("object_id")), col("predicate_uri")).as("line"))
 
-  private val pairsStaged = scala.collection.mutable.Set[String]()
 
   /** [[serializePairsFile]] staged ONCE per (process, corpus) and read back
     * as the file artifact. The reference models a FILE the pipeline writes
@@ -62,16 +61,9 @@ object ConceptPairs {
     * consumer queries multiplied the whole pair-derivation cost per query
     * (VERDICT r11 item 4 — same disease, and same staging cure, as the r10
     * cluster labels). */
-  def stagedPairsFile(annots: DataFrame, sfDir: String): DataFrame = {
-    val path = graft.infra.Staging.oracleStagePath("concept_pairs_file", sfDir)
-    pairsStaged.synchronized {
-      if (!pairsStaged.contains(path)) {
-        serializePairsFile(annots).write.mode("overwrite").parquet(path)
-        pairsStaged.add(path)
-      }
-    }
-    annots.sparkSession.read.parquet(path)
-  }
+  def stagedPairsFile(annots: DataFrame, sfDir: String): DataFrame =
+    graft.infra.Staging.stageOnce("concept_pairs_file", sfDir,
+      serializePairsFile(annots), annots.sparkSession)
 
   /** line — the concept-pairs file with its subject column rewritten
     * through the species-promotion map (reference: relation_extraction/
@@ -184,25 +176,38 @@ object ConceptPairs {
     * (doc_id, sent_id). */
   val MaxSentencesPerPair = 10
 
-  def pairSentences(docs: DataFrame, annots: DataFrame, pairs: DataFrame,
-                    maxReturned: Int = MaxSentencesPerPair): DataFrame = {
-    val spark = docs.sparkSession
+  /** doc_id, sent_id, ord, concept_id, prefix — the mention table with
+    * promoted-id expansion (same span, promoted curie), exclusions applied. */
+  def promotedMentions(annots: DataFrame): DataFrame = {
     val w = TextOps.SentWindow
-    // mention table with promoted-id expansion (same span, promoted curie).
-    // Persisted: the subject-side, object-side and typing joins below each
-    // scan it; one materialization instead of three derivations of the
-    // distinct shuffle. Registered for targeted cleanup.
     val base = annots.select(col("doc_id"),
       expr(s"(ord - 1) div $w").as("sent_id"), col("ord"), col("concept_id"))
     val promoted = base
-      .join(broadcast(graft.functions.ConceptDict.promotionsDF(spark)), "concept_id")
+      .join(broadcast(graft.functions.ConceptDict.promotionsDF(annots.sparkSession)), "concept_id")
       .select(col("doc_id"), col("sent_id"), col("ord"),
         col("promoted_id").as("concept_id"))
-    val mentions = base.unionByName(promoted).distinct()
+    base.unionByName(promoted).distinct()
       .where(!col("concept_id").isin(IdentifiersToExclude: _*))
       .withColumn("prefix", substring_index(col("concept_id"), ":", 1))
-      .persist()
-    graft.infra.Caches.registerManaged(mentions)
+  }
+
+  def pairSentences(docs: DataFrame, annots: DataFrame, pairs: DataFrame,
+                    maxReturned: Int = MaxSentencesPerPair,
+                    stageDir: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val w = TextOps.SentWindow
+    // The subject-side, object-side and typing joins below each scan the
+    // corpus-sized mention table. Through r12 it was a session-lifetime
+    // persist() — the table the VERDICT named as the prime suspect for the
+    // 35-flag eviction wave (it pinned ~2× the annotation table for the
+    // rest of the session). Staged as a doc_id-bucketed file artifact
+    // instead: one materialization, eviction-immune, and the final
+    // (doc_id, sent_id) typing join reads this side exchange-free.
+    val mentions = stageDir match {
+      case Some(d) => graft.infra.Staging.stageOnceBucketed(
+        "concept_pair_mentions", d, promotedMentions(annots), spark, "doc_id")
+      case None => promotedMentions(annots)
+    }
 
     val p = broadcast(pairs.select(col("subject_curie"), col("object_curie"),
       col("predicate_biolink")))

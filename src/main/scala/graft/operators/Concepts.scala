@@ -38,6 +38,19 @@ object Concepts {
       .select(col("doc_id"), col("concept_id"), col("ord"), col("tok"), col("char_start"), col("char_end"))
   }
 
+  /** The tokenize→recognize→post-process chain staged ONCE per (process,
+    * corpus) as a doc_id-bucketed parquet artifact — the shared prefix of
+    * ~60 queries. This was a session-lifetime `persist()` through r12, which
+    * made every consumer's latency depend on whether OTHER queries' caches
+    * had evicted it (the recurring r9-r12 driver flag waves, VERDICT r12
+    * item 2); a file artifact is eviction-immune, and the doc_id bucketing
+    * means every doc-keyed consumer join/aggregation reads it exchange-free
+    * on this side. Canonical-inputs contract per Staging.stageOnce: `docs`
+    * must be the corpus's full documents table. */
+  def stagedPostProcessed(docs: DataFrame, sfDir: String): DataFrame =
+    graft.infra.Staging.stageOnceBucketed("concepts_pp", sfDir,
+      postProcess(recognize(docs)), docs.sparkSession, "doc_id")
+
   /** Dedup identical (doc, concept, span) annots, then drop annotations whose
     * span is strictly contained in a longer annotation's span (nested-annot
     * removal). The anti-join is equi on doc_id — per-doc work only. */

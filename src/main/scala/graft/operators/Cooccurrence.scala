@@ -184,22 +184,13 @@ object Cooccurrence {
         Num.r6(log(col("n_units") / col("unit_count").cast("double"))).as("idf"))
   }
 
-  private val idfStaged = scala.collection.mutable.Set[String]()
-
   /** [[idf]] staged ONCE per (process, corpus) — the concept-IDF table is
     * a FILE in the reference (BatchCreateCommand's --concept-idf input and
     * ConceptIdfPipeline's output); consumers that broadcast the cut from
     * two join sides would otherwise derive the units chain per side. */
-  def stagedIdf(annots: DataFrame, sfDir: String): DataFrame = {
-    val path = graft.infra.Staging.oracleStagePath("concept_idf", sfDir)
-    idfStaged.synchronized {
-      if (!idfStaged.contains(path)) {
-        idf(annots).write.mode("overwrite").parquet(path)
-        idfStaged.add(path)
-      }
-    }
-    annots.sparkSession.read.parquet(path)
-  }
+  def stagedIdf(annots: DataFrame, sfDir: String): DataFrame =
+    graft.infra.Staging.stageOnce("concept_idf", sfDir, idf(annots),
+      annots.sparkSession)
 
   /** concept_count (distinct concepts in doc), num_docs histogram. */
   def countDistribution(annots: DataFrame): DataFrame =

@@ -43,6 +43,82 @@ object KnowledgeGraph {
     categories.toSeq.toDF("prefix", "category")
   }
 
+  /** The ontology-prefix → biolink-category map (reference: etl/util/
+    * OntologyClassBiolinkCategoryMapFactory.main:106-116 — public Biolink
+    * model curies). Map DATA, broadcast wherever used. */
+  val biolinkPrefixMap: Map[String, String] = Map(
+    "CHEBI" -> "biolink:ChemicalSubstance",
+    "CL" -> "biolink:Cell",
+    "MOP" -> "biolink:MolecularActivity",
+    "NCBITaxon" -> "biolink:OrganismTaxon",
+    "PR" -> "biolink:GeneOrGeneProduct",
+    "SO" -> "biolink:SequenceFeature",
+    "UBERON" -> "biolink:AnatomicalEntity",
+    "MONDO" -> "biolink:Disease",
+    "HP" -> "biolink:PhenotypicFeature")
+
+  /** concept_id, namespace, default_category — the synthetic ontology-class
+    * universe the biolink map factory walks (the reference iterates every
+    * OWL class of each ontology file; ontologies here derive from `part`
+    * like the dict factories). Channels exercised: GO classes with the
+    * three-way namespace split, a `%5` trailing-quote namespace variant
+    * (the :45-47 strip), a `%17` missing-namespace channel, prefix-mapped
+    * classes (CHEBI/MONDO), a pr-ontology class with an UNMAPPED prefix
+    * (EXT — takes the per-ontology default, :151-154), and an unmapped
+    * prefix with no default (ZZ — the `biolink:Thing` fallback, :68-70). */
+  def biolinkClassUniverse(part: DataFrame): DataFrame = {
+    val pk = col("p_partkey")
+    val ns0 = when(pmod(pk, lit(3)) === 0, lit("biological_process"))
+      .when(pmod(pk, lit(3)) === 1, lit("cellular_component"))
+      .otherwise(lit("molecular_function"))
+    val goNs = when(pmod(pk, lit(17)) === 0, lit(null).cast("string"))
+      .otherwise(when(pmod(pk, lit(5)) === 0, concat(ns0, lit("\""))).otherwise(ns0))
+    part.select(explode(array(
+      struct(concat(lit("GO:"), pk).as("concept_id"), goNs.as("namespace"),
+        lit(null).cast("string").as("default_category")),
+      struct(concat(lit("CHEBI:"), pk).as("concept_id"),
+        lit(null).cast("string").as("namespace"),
+        lit(null).cast("string").as("default_category")),
+      struct(concat(lit("MONDO:"), pk).as("concept_id"),
+        lit(null).cast("string").as("namespace"),
+        lit(null).cast("string").as("default_category")),
+      struct(concat(lit("EXT:"), pk).as("concept_id"),
+        lit(null).cast("string").as("namespace"),
+        lit("biolink:GeneOrGeneProduct").as("default_category")),
+      struct(concat(lit("ZZ:"), pk).as("concept_id"),
+        lit(null).cast("string").as("namespace"),
+        lit(null).cast("string").as("default_category")))).as("c"))
+      .select(col("c.concept_id"), col("c.namespace"), col("c.default_category"))
+  }
+
+  /** concept_id, category — the class-id → biolink-category map file
+    * (reference: etl/util/OntologyClassBiolinkCategoryMapFactory.java:30-75:
+    * GO classes route on their namespace annotation — biological_process /
+    * cellular_component / molecular_function, a trailing quote stripped
+    * first (:45-47), empty category when the namespace is missing (:58-60);
+    * every other id takes prefixToBiolinkMap on its prefix (:61-66), falling
+    * back to the per-ontology default, then `biolink:Thing` (:68-70)).
+    * One broadcast join on the prefix — the class universe is
+    * ontology-sized. The reference throws on an unknown GO namespace (:55);
+    * callers guarantee the three known namespaces, as its ontology files do. */
+  def biolinkCategoryMap(classes: DataFrame): DataFrame = {
+    val spark = classes.sparkSession
+    import spark.implicits._
+    val pfxMap = broadcast(biolinkPrefixMap.toSeq.toDF("prefix", "mapped"))
+    val ns = regexp_replace(col("namespace"), "\"$", "")
+    classes
+      .withColumn("prefix", substring_index(col("concept_id"), ":", 1))
+      .join(pfxMap, Seq("prefix"), "left")
+      .select(col("concept_id"),
+        when(col("prefix") === "GO",
+          when(col("namespace").isNull, lit(""))
+            .when(ns === "biological_process", lit("biolink:BiologicalProcess"))
+            .when(ns === "cellular_component", lit("biolink:CellularComponent"))
+            .when(ns === "molecular_function", lit("biolink:MolecularActivity")))
+          .otherwise(coalesce(col("mapped"), col("default_category"),
+            lit("biolink:Thing"))).as("category"))
+  }
+
   /** Left-broadcast-join `outCol` onto `df` from the prefix of `conceptCol`. */
   private def joinCategory(df: DataFrame, conceptCol: String, outCol: String): DataFrame = {
     val pfx = s"__pfx_$outCol"

@@ -540,4 +540,19 @@ object OgerDict {
     base.select("norm", "concept_id", "syn", "sources", "case_sensitive")
       .unionByName(freshAlts.select("norm", "concept_id", "syn", "sources", "case_sensitive"))
   }
+
+  // --------------------------------------------------- oger_dict_entry_map
+
+  /** concept_id, entries — the id → `|`-joined dictionary-entry-set map
+    * over the dict-file family (reference: etl/util/
+    * IdToOgerDictEntryMapFileFactory.java:27-60 — cols[2]=id, cols[3]=entry
+    * accumulated into a one-to-many unique map across the input dict files,
+    * then written `id \t entry1|entry2|...`). The reference's HashMap/
+    * HashSet iteration order is JVM-dependent; the sorted set join is the
+    * deterministic choice. One groupBy with map-side-combinable collect_set
+    * — the map is ontology-sized, never corpus-sized. */
+  def idToEntryMap(dictRows: DataFrame*): DataFrame =
+    dictRows.map(_.select("concept_id", "syn")).reduce(_ unionByName _)
+      .groupBy("concept_id")
+      .agg(array_join(array_sort(collect_set(col("syn"))), "|").as("entries"))
 }

@@ -246,19 +246,9 @@ object Relay {
       (subjOk && objOk).as("valid"))
   }
 
-  private val relayStaged = scala.collection.mutable.Set[String]()
-
   private def stage(name: String, sfDir: String, derive: => DataFrame,
-                    spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    val path = graft.infra.Staging.oracleStagePath(name, sfDir)
-    relayStaged.synchronized {
-      if (!relayStaged.contains(path)) {
-        derive.write.mode("overwrite").parquet(path)
-        relayStaged.add(path)
-      }
-    }
-    spark.read.parquet(path)
-  }
+                    spark: org.apache.spark.sql.SparkSession): DataFrame =
+    graft.infra.Staging.stageOnce(name, sfDir, derive, spark)
 
   /** [[serializeResults]] staged ONCE per (process, corpus): the reference
     * compiles a results FILE, and every rollup here references the parsed
@@ -279,6 +269,15 @@ object Relay {
       orders.sparkSession)
 
   // ----------------------------------------------------------------- parse
+  //
+  // INVARIANT shared by parseResults / parseMetadata / parseSampleSentences:
+  // lines split on BARE commas with no quote handling. This is correct only
+  // because the serialize* builders above guarantee comma-free fields (the
+  // documented contract on serializeResults); the reference reads real
+  // SemMedDB exports through a quote-aware CSVReader, and a free-text
+  // sentence or response field containing a comma would silently mis-split
+  // here. If these parsers are ever pointed at real exports, parse with
+  // from_csv (quote-aware) instead of split.
 
   /** feedback_id, predication_id, answer_id, answer, response — the parsed
     * results rows (the compiler's per-line CSVReader, test records NOT yet

@@ -69,23 +69,14 @@ object Sheets {
       .withColumn("sentence_id", sha2(col("sent_text"), 256))
   }
 
-  private val sheetsStaged = scala.collection.mutable.Set[String]()
-
   /** [[candidateRows]] staged ONCE per (process, corpus) — the reference's
     * inputSentenceFiles ARE files a prior pipeline stage wrote
     * (createNewSpreadsheet:240-245 streams them from disk); each sheets
     * query re-deriving the extraction chain per invocation measured 3-16 s
     * at sf0.1, file-backed it is a scan. */
-  def stagedCandidateRows(docs: DataFrame, annots: DataFrame, sfDir: String): DataFrame = {
-    val path = graft.infra.Staging.oracleStagePath("sheets_rows", sfDir)
-    sheetsStaged.synchronized {
-      if (!sheetsStaged.contains(path)) {
-        candidateRows(docs, annots).write.mode("overwrite").parquet(path)
-        sheetsStaged.add(path)
-      }
-    }
-    docs.sparkSession.read.parquet(path)
-  }
+  def stagedCandidateRows(docs: DataFrame, annots: DataFrame, sfDir: String): DataFrame =
+    graft.infra.Staging.stageOnce("sheets_rows", sfDir,
+      candidateRows(docs, annots), docs.sparkSession)
 
   /** [[batch]] over a pre-built candidate-row table. */
   def batchFrom(rows: DataFrame, previousHashes: DataFrame,

@@ -623,6 +623,45 @@ object OracleSql {
       .mkString("\nUNION ALL\n")
   }
 
+  /** OgerDict.idToEntryMap twin over build ∪ residual. */
+  val ogerDictEntryMap: String =
+    s"""WITH u AS (
+       |  SELECT DISTINCT concept_id, syn FROM (
+       |    SELECT concept_id, syn FROM ($ogerDictBuild)
+       |    UNION ALL
+       |    SELECT concept_id, syn FROM ($ogerDictRest)))
+       |SELECT concept_id, string_agg(syn, '|' ORDER BY syn) AS entries
+       |FROM u GROUP BY concept_id""".stripMargin
+
+  /** KnowledgeGraph.biolinkCategoryMap twin over the synthetic universe. */
+  val biolinkCategoryMap: String = {
+    val pfxValues = graft.operators.KnowledgeGraph.biolinkPrefixMap.toSeq.sorted
+      .map { case (p, c) => s"('$p','$c')" }
+      .mkString("(VALUES ", ", ", ") AS m(prefix, mapped)")
+    s"""WITH cls AS (
+       |  SELECT 'GO:' || p_partkey AS concept_id,
+       |    CASE WHEN p_partkey % 17 = 0 THEN NULL ELSE
+       |      (CASE WHEN p_partkey % 3 = 0 THEN 'biological_process'
+       |            WHEN p_partkey % 3 = 1 THEN 'cellular_component'
+       |            ELSE 'molecular_function' END)
+       |      || (CASE WHEN p_partkey % 5 = 0 THEN '"' ELSE '' END)
+       |    END AS namespace,
+       |    NULL AS default_category FROM part
+       |  UNION ALL SELECT 'CHEBI:' || p_partkey, NULL, NULL FROM part
+       |  UNION ALL SELECT 'MONDO:' || p_partkey, NULL, NULL FROM part
+       |  UNION ALL SELECT 'EXT:' || p_partkey, NULL, 'biolink:GeneOrGeneProduct' FROM part
+       |  UNION ALL SELECT 'ZZ:' || p_partkey, NULL, NULL FROM part)
+       |SELECT concept_id,
+       |  CASE WHEN split_part(concept_id, ':', 1) = 'GO' THEN
+       |    CASE WHEN namespace IS NULL THEN ''
+       |         WHEN regexp_replace(namespace, '"$$', '') = 'biological_process' THEN 'biolink:BiologicalProcess'
+       |         WHEN regexp_replace(namespace, '"$$', '') = 'cellular_component' THEN 'biolink:CellularComponent'
+       |         WHEN regexp_replace(namespace, '"$$', '') = 'molecular_function' THEN 'biolink:MolecularActivity' END
+       |  ELSE coalesce(m.mapped, default_category, 'biolink:Thing') END AS category
+       |FROM cls LEFT JOIN $pfxValues
+       |  ON split_part(cls.concept_id, ':', 1) = m.prefix""".stripMargin
+  }
+
   val chemLabelNorm: String =
     """WITH rows0 AS (
       |  SELECT 'PC:' || p_partkey AS concept_id,
@@ -5022,6 +5061,8 @@ object OracleSql {
     "oger_dict_drugbank" -> ogerDictDrugbank,
     "oger_dict_mondo" -> ogerDictMondo,
     "oger_dict_rest" -> ogerDictRest,
+    "oger_dict_entry_map" -> ogerDictEntryMap,
+    "biolink_category_map" -> biolinkCategoryMap,
     "pr_promote_pairs" -> prPromotePairs,
     "sheets_batch" -> sheetsBatch,
     "sheets_batch_carryforward" -> sheetsBatchCarryforward,

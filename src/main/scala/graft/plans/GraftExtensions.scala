@@ -47,11 +47,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   *
   * Eligible shape (deliberately narrow — the rewrite must lose nothing):
   *   Project(proj, Filter(rank <= K, Window(row_number as rank
-  *     partitionBy p... orderBy s DESC|ASC, id ASC, child)))
-  * where s is a NON-NULLABLE DOUBLE or BIGINT attribute (doubles ride
-  * TopKAgg; integer keys ride the TopKLongAgg sibling, EXACT at any
-  * magnitude — the composite-integer-key shape like "first k per pair by
-  * (doc_id, sent_id)" that round 12's concept_pair_sentences cap needed),
+  *     partitionBy p... orderBy s1 DESC|ASC [, s2 ..., all same direction],
+  *     id ASC, child)))
+  * where a single s is a NON-NULLABLE DOUBLE or BIGINT attribute (doubles
+  * ride TopKAgg; integer keys ride the TopKLongAgg sibling, EXACT at any
+  * magnitude), MULTIPLE sort keys are NON-NULLABLE BIGINT attributes in one
+  * shared direction and ride the lexicographic TopKLexAgg lane (the
+  * "first k per pair by (doc_id, sent_id, id)" shape that round 12's
+  * concept_pair_sentences had to express by hand-placing its minor key in
+  * the heap's id slot),
   * id a NON-NULLABLE BIGINT attribute (the heaps skip null-id rows that
   * row_number would rank, so a nullable id could silently change the
   * result set — ADVICE r8), and K a literal. The filter may carry ADDITIONAL conjuncts beside the rank
@@ -109,34 +113,49 @@ object WindowTopKToBoundedHeap extends Rule[LogicalPlan] {
   }
 
   /** Destructure Filter(Window) into the pieces the rewrite needs, when the
-    * window is a single row_number ranked by (DOUBLE|BIGINT attr, BIGINT
-    * attr id ASC) over attribute partition keys. Both sort directions are
-    * served by the heaps' own `asc` flag (no score negation — negation
-    * would invert where NaN ranks on the double lane, and overflows
-    * Long.MinValue on the integer lane). Both rank columns must be provably
-    * non-null: the heaps skip null score/id rows, row_number ranks them. */
+    * window is a single row_number ranked by one of
+    *   - (DOUBLE|BIGINT attr, BIGINT attr id ASC) — the single-key lanes, or
+    *   - (BIGINT attr, ..., BIGINT attr, BIGINT attr id ASC), every key in
+    *     the SAME direction — the multi-key lexicographic lane (TopKLexAgg;
+    *     `(k1 ASC, k2 ASC, id ASC)` shapes like "first k sentences per pair
+    *     by (doc_id, sent_id)" get the bounded plan without hand-placing
+    *     the minor key in the id slot)
+    * over attribute partition keys. Both sort directions are served by the
+    * heaps' own `asc` flag (no score negation — negation would invert where
+    * NaN ranks on the double lane, and overflows Long.MinValue on the
+    * integer lanes). All rank columns must be provably non-null: the heaps
+    * skip null score/id rows, row_number ranks them. */
   private def eligible(cond: Expression, w: LWindow):
-      Option[(Alias, Seq[AttributeReference], AttributeReference, Boolean, AttributeReference, Long, Seq[Expression], LogicalPlan)] =
+      Option[(Alias, Seq[AttributeReference], Seq[AttributeReference], Boolean, AttributeReference, Long, Seq[Expression], LogicalPlan)] =
     w match {
       case LWindow(
           Seq(rankAlias @ Alias(WindowExpression(_: RowNumber, WindowSpecDefinition(_, _, _)), _)),
-          partSpec,
-          Seq(SortOrder(score: AttributeReference, dir, _, _),
-              SortOrder(id: AttributeReference, Ascending, _, _)),
-          child, _)
-        if (score.dataType == org.apache.spark.sql.types.DoubleType ||
-            score.dataType == LongType) &&
-          id.dataType == LongType &&
-          !score.nullable &&
-          !id.nullable &&
-          partSpec.forall(_.isInstanceOf[AttributeReference]) &&
-          (dir == Descending || dir == Ascending) =>
-        splitBound(cond, rankAlias.exprId.id)
-          .filter { case (k, _) => k > 0 && k <= 1000000 }
-          .map { case (k, residual) =>
-            (rankAlias, partSpec.map(_.asInstanceOf[AttributeReference]), score,
-              dir == Descending, id, k, residual, child)
-          }
+          partSpec, sortOrders, child, _)
+        if sortOrders.length >= 2 &&
+          partSpec.forall(_.isInstanceOf[AttributeReference]) => {
+        val (keyOrders, idOrder) = (sortOrders.init, sortOrders.last)
+        val dirs = keyOrders.map(_.direction).distinct
+        val keysOk = dirs.length == 1 &&
+          (dirs.head == Descending || dirs.head == Ascending) &&
+          keyOrders.forall(so => so.child.isInstanceOf[AttributeReference] &&
+            !so.child.nullable &&
+            (so.child.dataType == LongType ||
+              (keyOrders.length == 1 &&
+                so.child.dataType == org.apache.spark.sql.types.DoubleType)))
+        val idOk = idOrder.direction == Ascending &&
+          idOrder.child.isInstanceOf[AttributeReference] &&
+          idOrder.child.dataType == LongType && !idOrder.child.nullable
+        if (keysOk && idOk)
+          splitBound(cond, rankAlias.exprId.id)
+            .filter { case (k, _) => k > 0 && k <= 1000000 }
+            .map { case (k, residual) =>
+              (rankAlias, partSpec.map(_.asInstanceOf[AttributeReference]),
+                keyOrders.map(_.child.asInstanceOf[AttributeReference]),
+                dirs.head == Descending,
+                idOrder.child.asInstanceOf[AttributeReference], k, residual, child)
+            }
+        else None
+      }
       case _ => None
     }
 
@@ -147,9 +166,10 @@ object WindowTopKToBoundedHeap extends Rule[LogicalPlan] {
     * None ⇒ ineligible (a computed column the child doesn't expose can't
     * ride the heap). */
   private def payloadAttrs(refs: Seq[Expression], rankAlias: Alias,
-      partAttrs: Seq[AttributeReference], score: AttributeReference,
+      partAttrs: Seq[AttributeReference], scores: Seq[AttributeReference],
       id: AttributeReference, child: LogicalPlan): Option[Seq[AttributeReference]] = {
-    val allowed = (partAttrs.map(_.exprId) ++ Seq(rankAlias.exprId, score.exprId, id.exprId)).toSet
+    val allowed = (partAttrs.map(_.exprId) ++ scores.map(_.exprId) ++
+      Seq(rankAlias.exprId, id.exprId)).toSet
     val extraRefs = refs.flatMap(_.references.toSeq)
       .filterNot(r => allowed.contains(r.exprId))
       .foldLeft(Vector.empty[org.apache.spark.sql.catalyst.expressions.Attribute]) { (acc, r) =>
@@ -162,20 +182,24 @@ object WindowTopKToBoundedHeap extends Rule[LogicalPlan] {
   }
 
   private def rewrite(projList: Seq[NamedExpression], rankAlias: Alias,
-      partAttrs: Seq[AttributeReference], score: AttributeReference, desc: Boolean,
+      partAttrs: Seq[AttributeReference], scores: Seq[AttributeReference], desc: Boolean,
       id: AttributeReference, k: Long, residual: Seq[Expression],
       payload: Seq[AttributeReference],
       child: LogicalPlan): LogicalPlan = {
-    // integer score keys take the exact long-lane heap; doubles the NaN-
-    // consistent double lane — the entry struct's score field matches the
-    // original attribute's type either way, so no cast rides the output
-    val longMode = score.dataType == LongType
+    // single integer key takes the exact long lane; a single double the
+    // NaN-consistent double lane; ≥2 keys the lexicographic long lane —
+    // entry struct fields match the original attribute types, so no cast
+    // rides the output
+    val lexMode = scores.length >= 2
     val heap =
-      if (longMode)
-        graft.functions.TopKLongAgg(score, id, k.toInt, asc = !desc,
+      if (lexMode)
+        graft.functions.TopKLexAgg(scores, id, k.toInt, asc = !desc,
+          payload = payload).toAggregateExpression()
+      else if (scores.head.dataType == LongType)
+        graft.functions.TopKLongAgg(scores.head, id, k.toInt, asc = !desc,
           payload = payload).toAggregateExpression()
       else
-        graft.functions.TopKAgg(score, id, k.toInt, asc = !desc,
+        graft.functions.TopKAgg(scores.head, id, k.toInt, asc = !desc,
           payload = payload).toAggregateExpression()
     val tkAlias = Alias(heap, "__tk")()
     val agg = Aggregate(partAttrs, (partAttrs: Seq[NamedExpression]) :+ tkAlias, child)
@@ -183,25 +207,34 @@ object WindowTopKToBoundedHeap extends Rule[LogicalPlan] {
     val payloadSchema = StructType(payload.zipWithIndex.map { case (a, i) =>
       org.apache.spark.sql.types.StructField(s"p$i", a.dataType, a.nullable)
     })
-    val entryBase = new StructType()
-      .add("score", score.dataType).add("id", LongType)
+    val entryBase =
+      if (lexMode)
+        scores.indices.foldLeft(new StructType()) { (st, i) => st.add(s"s$i", LongType) }
+          .add("id", LongType)
+      else new StructType().add("score", scores.head.dataType).add("id", LongType)
+    val idFieldIdx = if (lexMode) scores.length else 1
+    val payloadFieldIdx = idFieldIdx + 1
     val entryType =
       if (payload.isEmpty) entryBase else entryBase.add("payload", payloadSchema, nullable = false)
     val entryAttr = AttributeReference("__e", entryType, nullable = false)()
     val gen = Generate(PosExplode(tkAlias.toAttribute), Nil, outer = false, None,
       Seq(posAttr, entryAttr), agg)
     val payloadIdx = payload.map(_.exprId).zipWithIndex.toMap
+    val scoreIdx = scores.map(_.exprId).zipWithIndex.toMap
+    def scoreField(i: Int): GetStructField =
+      if (lexMode) GetStructField(entryAttr, i, Some(s"s$i"))
+      else GetStructField(entryAttr, 0, Some("score"))
     // substitution shared by the projection rebuild and the residual
     // filter: every original attribute re-derives from the heap entry
     def substitute(e: Expression): Expression = e.transformUp {
       case a: AttributeReference if a.exprId == rankAlias.exprId =>
         Cast(Add(posAttr, Literal(1, IntegerType)), a.dataType)
-      case a: AttributeReference if a.exprId == score.exprId =>
-        GetStructField(entryAttr, 0, Some("score"))
+      case a: AttributeReference if scoreIdx.contains(a.exprId) =>
+        scoreField(scoreIdx(a.exprId))
       case a: AttributeReference if a.exprId == id.exprId =>
-        GetStructField(entryAttr, 1, Some("id"))
+        GetStructField(entryAttr, idFieldIdx, Some("id"))
       case a: AttributeReference if payloadIdx.contains(a.exprId) =>
-        GetStructField(GetStructField(entryAttr, 2, Some("payload")),
+        GetStructField(GetStructField(entryAttr, payloadFieldIdx, Some("payload")),
           payloadIdx(a.exprId), Some(s"p${payloadIdx(a.exprId)}"))
     }
     // residual non-rank conjuncts re-apply above the heap output — the

@@ -120,6 +120,51 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == expected && got.size == 12)
   }
 
+  test("WindowTopKToBoundedHeap routes MULTI-KEY integer sorts through the lexicographic heap") {
+    // the `(k1 ASC, k2 ASC, id ASC)` shape (verdict r12 item 6): the user
+    // writes the multi-column rank window directly — no hand-placing the
+    // minor key in the heap's id slot — and gets the bounded TopKLexAgg
+    // plan, exact at any 64-bit magnitude on every lane
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    def q(s: SparkSession) = {
+      import s.implicits._
+      (0L until 180L).map(i => (i % 4, (1L << 60) + (i * 7 % 13), i * 11 % 17, i))
+        .toDF("g", "major", "minor", "id")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("g").orderBy(col("major").asc, col("minor").asc, col("id").asc)))
+        .where(col("rank") <= 3)
+        .select("g", "rank", "major", "minor", "id")
+    }
+    val rewritten = q(spark)
+    assert(rewritten.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.isEmpty,
+      s"window survived:\n${rewritten.queryExecution.optimizedPlan}")
+    assert(rewritten.queryExecution.executedPlan.toString.contains("top_k_lex_agg"),
+      rewritten.queryExecution.executedPlan.toString.take(2000))
+    val expected = q(SparkSpec.session).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val got = rewritten.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected && got.size == 12)
+  }
+
+  test("WindowTopKToBoundedHeap leaves MIXED-direction multi-key sorts alone") {
+    // (k1 ASC, k2 DESC, id ASC) has no shared heap direction — the rewrite
+    // must not fire (a wrong direction on one lane would reorder results)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val q = (0L until 60L).map(i => (i % 3, i % 5, i % 7, i))
+      .toDF("g", "major", "minor", "id")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("g").orderBy(col("major").asc, col("minor").desc, col("id").asc)))
+      .where(col("rank") <= 2)
+    assert(q.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.nonEmpty,
+      "mixed-direction sort must keep the window plan")
+  }
+
   test("WindowTopKToBoundedHeap carries extra projection columns as heap payload") {
     // column x (a child attribute outside {keys, rank, score, id}) rides
     // the heap as cargo — the r8 verdict's top_parts_per_brand shape

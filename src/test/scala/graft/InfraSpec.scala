@@ -61,6 +61,23 @@ class InfraSpec extends SparkSpec {
     assert(probe.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
 
+  test("Caches.unpersistManaged drops every registered entry (suite-phase invariant)") {
+    // the driver mains (Verify/Bench) call unpersistManaged after EVERY
+    // query, so no operator-internal persist survives a suite phase
+    // (VERDICT r12 item 8: bounded by design, not by audit). This pins the
+    // mechanism: register → unpersistManaged → storage released AND the
+    // registry drained, so a later phase cannot re-drop someone else's work
+    val probe = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "v").persist()
+    probe.count()
+    graft.infra.Caches.registerManaged(probe)
+    assert(graft.infra.Caches.managedCount >= 1)
+    graft.infra.Caches.unpersistManaged()
+    assert(graft.infra.Caches.managedCount == 0,
+      "managed registry must drain completely")
+    assert(probe.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "registered entry must be unpersisted")
+  }
+
   test("sinks write parquet (partitioned), tsv and jsonl that read back") {
     val dir = Files.createTempDirectory("graft-sinks").toString
     val df = Seq((1L, "en", "x"), (2L, "de", "y")).toDF("id", "lang", "v")
