@@ -41,8 +41,22 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
-    def wr(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    // single-FILE parquet per table, exactly the testdata layout — the
+    // streaming queries stage `<dir>/events.parquet` with Files.copy, which
+    // only works on a plain file (a Spark output DIRECTORY broke the five
+    // streaming queries on the first sf0.3 probe)
+    def wr(df: DataFrame, t: String): Unit = {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val staging = s"$dst/.stage_$t"
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = Files.list(Paths.get(staging)).iterator()
+      var single: java.nio.file.Path = null
+      while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) single = p }
+      Files.createDirectories(Paths.get(dst))
+      Files.move(single, Paths.get(s"$dst/$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      Files.walk(Paths.get(staging)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
 
     def replicate(df: DataFrame, keyCols: Seq[String]): DataFrame =
       (0 until reps).map { r =>

@@ -447,24 +447,38 @@ object OgerDict {
     * minimum. Output: label, concept_id (the surviving rows). */
   def taxonPromotion(part: DataFrame): DataFrame = {
     val noun = element_at(split(col("p_name"), " "), 2)
-    val nW = part.select(noun.as("label"), concat(lit("W:"), noun).as("id")).distinct()
-    val nX = part.select(noun.as("label"), concat(lit("X:"), noun).as("id")).distinct()
-    val nN = part.select(col("p_name").as("label"),
-      concat(lit("N:"), col("p_name")).as("id")).distinct()
-    val nNw = part.select(noun.as("label"),
-      concat(lit("N:"), col("p_name")).as("id")).distinct()
     val bId = concat(lit("B:"), col("p_name"), lit("#"), col("p_size"))
-    val bs = part.where(col("p_size") % 5 === 0)
-    val nB = bs.select(col("p_name").as("label"), bId.as("id")).distinct()
-    val nU = bs.select(lit("universal").as("label"), bId.as("id")).distinct()
-    val dict = nW.union(nX).union(nN).union(nNw).union(nB).union(nU)
+    val isB = col("p_size") % 5 === 0
+    // All six label channels derive in ONE scan (struct array + explode +
+    // one distinct) instead of a 6-way union of per-channel distincts: the
+    // dict subtree is reused four times below (grouping, both self-join
+    // sides, the anti-join), and with the union formulation every reuse
+    // duplicated the whole 6-scan subtree — the physical plan measured 360
+    // parquet scans / 824 aggregates of pure fixed overhead (the
+    // r11→r12→r13 2.9→4.1→5.2 s drift was this plan's compile+schedule
+    // cost moving with machine state, not data). Channels never collide on
+    // (label, id) — W:/X:/N:/B: prefixes and distinct label sources — so
+    // one global distinct is row-equivalent to the per-channel distincts.
+    // The B-only channels emit null labels on non-B rows, dropped before
+    // the distinct.
+    val dict = part.select(explode(array(
+        struct(noun.as("label"), concat(lit("W:"), noun).as("id")),
+        struct(noun.as("label"), concat(lit("X:"), noun).as("id")),
+        struct(col("p_name").as("label"), concat(lit("N:"), col("p_name")).as("id")),
+        struct(noun.as("label"), concat(lit("N:"), col("p_name")).as("id")),
+        struct(when(isB, col("p_name")).as("label"), bId.as("id")),
+        struct(when(isB, lit("universal")).as("label"), bId.as("id")))).as("e"))
+      .select(col("e.label").as("label"), col("e.id").as("id"))
+      .where(col("label").isNotNull).distinct()
 
-    // proper-ancestor edges of the synthetic hierarchy (child, anc)
-    val ancN = part.select(concat(lit("N:"), col("p_name")).as("child"),
-      concat(lit("W:"), noun).as("anc")).distinct()
-    val ancB = bs.select(bId.as("child"), concat(lit("N:"), col("p_name")).as("anc"))
-      .union(bs.select(bId.as("child"), concat(lit("W:"), noun).as("anc"))).distinct()
-    val anc = ancN.union(ancB)
+    // proper-ancestor edges of the synthetic hierarchy (child, anc) — same
+    // single-scan explode shape; B-only channels null out on non-B rows
+    val anc = part.select(explode(array(
+        struct(concat(lit("N:"), col("p_name")).as("child"), concat(lit("W:"), noun).as("anc")),
+        struct(when(isB, bId).as("child"), concat(lit("N:"), col("p_name")).as("anc")),
+        struct(when(isB, bId).as("child"), concat(lit("W:"), noun).as("anc")))).as("e"))
+      .select(col("e.child").as("child"), col("e.anc").as("anc"))
+      .where(col("child").isNotNull).distinct()
 
     val grouped = dict.groupBy("label")
       .agg(countDistinct(col("id")).as("n"), min(col("id")).as("min_id"))
