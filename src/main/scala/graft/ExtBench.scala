@@ -68,6 +68,22 @@ object ExtBench {
       .where(col("rk") <= 5)
   }
 
+  /** The r13 multi-key shape: first-k per supplier by the LEXICOGRAPHIC
+    * (l_orderkey ASC, l_linenumber ASC, id ASC) composite — three sort
+    * keys, the lane TopKLexAgg serves; under extensions the rule must
+    * route it through `top_k_lex_agg`. */
+  private def windowTopKLexKey(s: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("okey").asc, col("lnum").asc, col("id").asc)
+    graft.sources.Tables.lineitem(s, sfDir)
+      .select(col("l_suppkey"),
+        coalesce(col("l_orderkey"), lit(-1L)).as("okey"),
+        coalesce(col("l_linenumber").cast("long"), lit(-1L)).as("lnum"),
+        coalesce(col("l_orderkey") * 10 + col("l_linenumber"), lit(-1L)).as("id"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -79,7 +95,7 @@ object ExtBench {
         val w = (System.nanoTime() - t) / 1e9; quiesce(); w
       }.min
     }
-    def runKind(kind: String): (Map[String, Double], Double, Double, Double, Boolean, Boolean) = {
+    def runKind(kind: String): (Map[String, Double], Double, Double, Double, Double, Boolean, Boolean, Boolean) = {
       val spark =
         if (kind == "ext") GraftSession.local(cpus)
         else {
@@ -96,20 +112,23 @@ object ExtBench {
       val win = minOf2(windowTopK(spark, sfDir).count())
       val winBig = minOf2(windowTopKBig(spark, sfDir).count())
       val winLong = minOf2(windowTopKLongKey(spark, sfDir).count())
+      val winLex = minOf2(windowTopKLexKey(spark, sfDir).count())
       val fired = windowTopK(spark, sfDir)
         .queryExecution.executedPlan.toString.contains("top_k_agg")
       val longFired = windowTopKLongKey(spark, sfDir)
         .queryExecution.executedPlan.toString.contains("top_k_long_agg")
+      val lexFired = windowTopKLexKey(spark, sfDir)
+        .queryExecution.executedPlan.toString.contains("top_k_lex_agg")
       spark.stop()
       // a fresh builder after stop() must not inherit this session
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      (fam, win, winBig, winLong, fired, longFired)
+      (fam, win, winBig, winLong, winLex, fired, longFired, lexFired)
     }
-    val (plainFam, plainWin, plainWinBig, plainWinLong, plainFired, plainLongFired) = runKind("plain")
-    val (extFam, extWin, extWinBig, extWinLong, extFired, extLongFired) = runKind("ext")
+    val (plainFam, plainWin, plainWinBig, plainWinLong, plainWinLex, plainFired, plainLongFired, plainLexFired) = runKind("plain")
+    val (extFam, extWin, extWinBig, extWinLong, extWinLex, extFired, extLongFired, extLexFired) = runKind("ext")
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def jm(m: Map[String, Double]) =
       m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"ext_vs_plain","sf":"$sfDir","win_topk_plain":${f3(plainWin)},"win_topk_ext":${f3(extWin)},"win_topk_big_plain":${f3(plainWinBig)},"win_topk_big_ext":${f3(extWinBig)},"win_topk_longkey_plain":${f3(plainWinLong)},"win_topk_longkey_ext":${f3(extWinLong)},"rule_fired_plain":$plainFired,"rule_fired_ext":$extFired,"long_rule_fired_plain":$plainLongFired,"long_rule_fired_ext":$extLongFired,"family_plain":${jm(plainFam)},"family_ext":${jm(extFam)}}""")
+    println(s"""{"metric":"ext_vs_plain","sf":"$sfDir","win_topk_plain":${f3(plainWin)},"win_topk_ext":${f3(extWin)},"win_topk_big_plain":${f3(plainWinBig)},"win_topk_big_ext":${f3(extWinBig)},"win_topk_longkey_plain":${f3(plainWinLong)},"win_topk_longkey_ext":${f3(extWinLong)},"win_topk_lexkey_plain":${f3(plainWinLex)},"win_topk_lexkey_ext":${f3(extWinLex)},"rule_fired_plain":$plainFired,"rule_fired_ext":$extFired,"long_rule_fired_plain":$plainLongFired,"long_rule_fired_ext":$extLongFired,"lex_rule_fired_plain":$plainLexFired,"lex_rule_fired_ext":$extLexFired,"family_plain":${jm(plainFam)},"family_ext":${jm(extFam)}}""")
   }
 }

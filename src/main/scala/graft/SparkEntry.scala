@@ -138,14 +138,28 @@ object SparkEntry {
     "conll03_export" -> ((s, d) => Conllu.conll03(docs(s, d))),
     "dict_export" -> ((s, _) => graft.functions.ConceptDict.dictExport(s)),
     "ontology_labels" -> ((s, _) => graft.functions.ConceptDict.labelMapDF(s)),
-    "oger_dict_build" -> ((s, d) => OgerDict.build(Tables.part(s, d))),
-    "oger_dict_chebi" -> ((s, d) => OgerDict.chebi(Tables.part(s, d))),
-    "oger_dict_drugbank" -> ((s, d) => OgerDict.drugbank(Tables.part(s, d))),
-    "oger_dict_mondo" -> ((s, d) => OgerDict.mondo(Tables.part(s, d))),
-    "chem_label_norm" -> ((s, d) => OgerDict.chemLabelNorm(Tables.part(s, d))),
-    "oger_dict_rest" -> ((s, d) => OgerDict.residual(Tables.part(s, d))),
+    // The OGER dict-factory family outputs are FILES in the reference
+    // (each factory's createOgerDictionaryFile writes the dict the docker
+    // deployment reads), so each stages once per (process, corpus) and
+    // repeat references scan the artifact — the same write-once/read-many
+    // discipline as the pairs/bicluster/relay files. The in-row rule
+    // chains (interpreted HOFs) are ontology-bounded but were ~15 s of the
+    // warm suite when re-derived per query.
+    "oger_dict_build" -> ((s, d) => graft.infra.Staging.stageOnce(
+      "oger_dict_build", d, OgerDict.build(Tables.part(s, d)), s)),
+    "oger_dict_chebi" -> ((s, d) => graft.infra.Staging.stageOnce(
+      "oger_dict_chebi", d, OgerDict.chebi(Tables.part(s, d)), s)),
+    "oger_dict_drugbank" -> ((s, d) => graft.infra.Staging.stageOnce(
+      "oger_dict_drugbank", d, OgerDict.drugbank(Tables.part(s, d)), s)),
+    "oger_dict_mondo" -> ((s, d) => graft.infra.Staging.stageOnce(
+      "oger_dict_mondo", d, OgerDict.mondo(Tables.part(s, d)), s)),
+    "chem_label_norm" -> ((s, d) => graft.infra.Staging.stageOnce(
+      "chem_label_norm", d, OgerDict.chemLabelNorm(Tables.part(s, d)), s)),
+    "oger_dict_rest" -> ((s, d) => graft.infra.Staging.stageOnce(
+      "oger_dict_rest", d, OgerDict.residual(Tables.part(s, d)), s)),
     "oger_dict_entry_map" -> ((s, d) => OgerDict.idToEntryMap(
-      OgerDict.build(Tables.part(s, d)), OgerDict.residual(Tables.part(s, d)))),
+      graft.infra.Staging.stageOnce("oger_dict_build", d, OgerDict.build(Tables.part(s, d)), s),
+      graft.infra.Staging.stageOnce("oger_dict_rest", d, OgerDict.residual(Tables.part(s, d)), s))),
     "biolink_category_map" -> ((s, d) => KnowledgeGraph.biolinkCategoryMap(
       KnowledgeGraph.biolinkClassUniverse(Tables.part(s, d)))),
     "pr_promote_pairs" -> ((s, d) =>
@@ -183,7 +197,8 @@ object SparkEntry {
       Sheets.idfFilteredBatch(Sheets.stagedCandidateRows(docs(s, d), pp(s, d), d),
         Cooccurrence.stagedIdf(pp(s, d), d), 0.23, Seq.empty[String].toDF("hash"))
     }),
-    "pr_uniprot_map" -> ((s, d) => KnowledgeGraph.prToUniprotMap(Tables.part(s, d))),
+    "pr_uniprot_map" -> ((s, d) => graft.infra.Staging.stageOnce(
+      "pr_uniprot_map", d, KnowledgeGraph.prToUniprotMap(Tables.part(s, d)), s)),
     // the normalized text-mined-assertion DB star (AssertionDb.scala);
     // all five queries read the staged one-load evidence base
     "assertion_db_assertions" -> ((s, d) =>
@@ -196,8 +211,10 @@ object SparkEntry {
       AssertionDb.evidenceScoresFrom(AssertionDb.stagedBase(docs(s, d), pp(s, d), d))),
     "assertion_db_integrity" -> ((s, d) =>
       AssertionDb.integrityFrom(AssertionDb.stagedBase(docs(s, d), pp(s, d), d))),
-    "taxon_promotion" -> ((s, d) => OgerDict.taxonPromotion(Tables.part(s, d))),
-    "pr_gene_rollup" -> ((s, d) => OgerDict.geneRollup(Tables.part(s, d))),
+    "taxon_promotion" -> ((s, d) => graft.infra.Staging.stageOnce(
+      "taxon_promotion", d, OgerDict.taxonPromotion(Tables.part(s, d)), s)),
+    "pr_gene_rollup" -> ((s, d) => graft.infra.Staging.stageOnce(
+      "pr_gene_rollup", d, OgerDict.geneRollup(Tables.part(s, d)), s)),
     "span_validate" -> ((s, d) => Concepts.spanValidate(docs(s, d), pp(s, d))),
     "semmed_idf" -> ((s, d) => Concepts.semmedIdf(docs(s, d), pp(s, d))),
     // SemMedDB relay-session results compilation (Relay.scala); every query
@@ -208,6 +225,8 @@ object SparkEntry {
       Relay.incorrectReasonDistribution(Relay.parseResults(Relay.stagedResults(Tables.orders(s, d), d)))),
     "relay_improvements" -> ((s, d) =>
       Relay.improvementDistribution(Relay.parseResults(Relay.stagedResults(Tables.orders(s, d), d)))),
+    "relay_sheet_rows" -> ((s, d) => Relay.sheetRows(
+      Relay.parseMetadata(Relay.stagedMetadata(Tables.orders(s, d), d)))),
     "relay_accuracy_by_type" -> ((s, d) =>
       Relay.accuracyBySubjectType(
         Relay.parseResults(Relay.stagedResults(Tables.orders(s, d), d)),

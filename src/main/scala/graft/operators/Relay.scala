@@ -53,6 +53,23 @@ object Relay {
 
   val Improvements: Seq[String] = Seq("Could be more specific", "Negation missed")
 
+  /** The feedback-UI base the relay evaluation sheets link to (reference:
+    * corpora/semmed/SemmedDbFebRelay2023GoogleSheetsCreator.java:79). */
+  val BaseTmuiUrl = "https://tmui.text-mining-kp.org/semmed/predication"
+
+  /** predication_id, ui_url, reviewed — the 2-column google-sheet row
+    * contract of the Feb-2023 relay evaluation sheets (reference: corpora/
+    * semmed/SemmedDbFebRelay2023GoogleSheetsCreator.java:55-58: per sampled
+    * predication, (1) a link to the feedback UI — :396 uri =
+    * BASE_TMUI_URL/predicationId — and (2) a reviewed checkbox, initially
+    * unchecked). The Sheets OAuth/API plumbing is out of scope; this is the
+    * row-content kernel, one distinct projection over the sampled ids. */
+  def sheetRows(metadata: DataFrame): DataFrame =
+    metadata.select(col("predication_id")).distinct()
+      .select(col("predication_id"),
+        concat(lit(BaseTmuiUrl + "/"), col("predication_id")).as("ui_url"),
+        lit(false).as("reviewed"))
+
   private val k = col("o_orderkey")
 
   // ------------------------------------------------------------- serialize

@@ -906,6 +906,14 @@ object OracleSql {
        |GROUP BY subject_group""".stripMargin
   }
 
+  /** Relay.sheetRows twin — the metadata CTE's predication universe is
+    * CAST(o_orderkey AS VARCHAR) over orders. */
+  val relaySheetRows: String =
+    """SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS predication_id,
+      |  'https://tmui.text-mining-kp.org/semmed/predication/' || CAST(o_orderkey AS VARCHAR) AS ui_url,
+      |  false AS reviewed
+      |FROM orders""".stripMargin
+
   val relayAccuracyByComplexity: String =
     s"""WITH $relayCte, $relayMetaCte
        |SELECT CASE WHEN m.intervening_token_count <= 10 THEN 'LOW' ELSE 'HIGH' END AS complexity,
@@ -5084,6 +5092,7 @@ object OracleSql {
     "relay_accuracy_by_complexity" -> relayAccuracyByComplexity,
     "relay_iaa" -> relayIaa,
     "relay_metadata_enriched" -> relayMetadataEnriched,
+    "relay_sheet_rows" -> relaySheetRows,
     "relay_bert_input" -> relayBertInput,
     "sheets_batch_iaa" -> sheetsBatchIaa,
     "sheets_batch_idf" -> sheetsBatchIdf,
