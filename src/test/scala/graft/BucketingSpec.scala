@@ -173,6 +173,28 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("stageOnceBucketed derives once, reads back bucketed, and survives a distinct without exchange") {
+    // the r13 staged-prefix mechanism (Concepts.stagedPostProcessed rides
+    // this): the derive thunk runs exactly once per (process, corpus); the
+    // read-back scan carries the bucket metadata, so a distinct clustered
+    // on a superset of the bucket key plans WITHOUT an exchange — the
+    // eviction-immune version of the old session-lifetime persist
+    var derivations = 0
+    def derive = {
+      derivations += 1
+      (1L to 500L).map(i => (i % 23, s"c${i % 7}")).toDF("doc_id", "concept_id")
+    }
+    val dir = graft.infra.Staging.tempDir("graft-stage-spec").toString
+    val a = graft.infra.Staging.stageOnceBucketed("bucketspec_pp", dir, derive, spark, "doc_id", 4)
+    val b = graft.infra.Staging.stageOnceBucketed("bucketspec_pp", dir, derive, spark, "doc_id", 4)
+    assert(derivations == 1, "second call must read the artifact, not re-derive")
+    assert(b.count() == 500L)
+    val distinctPlan = a.select("doc_id", "concept_id").distinct()
+      .queryExecution.executedPlan.toString
+    assert(!distinctPlan.contains("Exchange hashpartitioning"),
+      s"distinct over the bucketed artifact must not shuffle:\n$distinctPlan")
+  }
+
   test("bucketed table round-trips data intact") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "v")
     Sinks.bucketedTable(df, "graft_bucket_rt", "doc_id", buckets = 4)
