@@ -113,10 +113,18 @@ object Bench {
     // 1.5× slower raises every denominator 1.5× and only PLAN-correlated
     // drift (a query moving off its family's curve) still flags. The ratio
     // is floored at 1.0 so a fast box still catches absolute regressions.
-    // Same-sf only; a 0.25 s absolute floor keeps sub-100ms queries'
-    // run-to-run noise (documented 2-3× single-pass swings) from crying
-    // wolf. Advisory — it names suspects for the plan audit, it doesn't
-    // fail the bench.
+    // The candidate query's OWN contribution is excluded from both sides of
+    // the ratio (ADVICE r13): with it included, a heavy r1 query regressing
+    // 5× inflates its own denominator enough to mask itself — a query that
+    // is 40% of the r1 total at 5× raises the ratio to ~2.6 and its own
+    // threshold to 5.2×, contradicting the must-be-NAMED invariant.
+    // Same-sf only; a 0.5 s absolute floor keeps sub-half-second queries'
+    // run-to-run noise from crying wolf (the gate flagged sub-0.5 s
+    // queries on pure machine-state swing three rounds running — r11
+    // top_parts_per_brand, r12 es_bulk, r13 bionlp_source — all of which
+    // measured at baseline in every isolated run; VERDICT r13 item 3 asks
+    // for exactly this recalibration). Advisory — it names suspects for
+    // the plan audit, it doesn't fail the bench.
     val baselineFile = java.nio.file.Paths.get("baselines/bench_per_query_sf0.1.json")
     val regressions: Seq[(String, Double, Double)] =
       if (sfDir.endsWith("sf0.1") && java.nio.file.Files.exists(baselineFile)) {
@@ -126,13 +134,21 @@ object Bench {
         val qSection = txt.substring(txt.indexOf("\"queries\""))
         val base = "\"([a-z0-9_]+)\"\\s*:\\s*([0-9]+\\.[0-9]+)".r
           .findAllMatchIn(qSection).map(m => m.group(1) -> m.group(2).toDouble).toMap
-        val ratio = frozenR1 match {
-          case Some(f) if f > 0 && r1Total > 0 => math.max(1.0, r1Total / f)
-          case _ => 1.0
+        def ratioExcluding(name: String, warm: Double): Double = {
+          val ownFrozen = if (R1Queries(name)) base.getOrElse(name, 0.0) else 0.0
+          val ownWarm = if (R1Queries(name)) warm else 0.0
+          frozenR1 match {
+            case Some(f) if f - ownFrozen > 0 && r1Total - ownWarm > 0 =>
+              math.max(1.0, (r1Total - ownWarm) / (f - ownFrozen))
+            case _ => 1.0
+          }
         }
         results.flatMap { case (name, warm) =>
           base.get(name).collect {
-            case b if warm > 2.0 * b * ratio && warm - b * ratio > 0.25 => (name, b, warm)
+            case b if {
+              val ratio = ratioExcluding(name, warm)
+              warm > 2.0 * b * ratio && warm - b * ratio > 0.5
+            } => (name, b, warm)
           }
         }.sortBy { case (_, b, w) => -(w / b) }
       } else Seq.empty

@@ -49,9 +49,18 @@ object ScaleUp {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val staging = s"$dst/.stage_$t"
       df.coalesce(1).write.mode("overwrite").parquet(staging)
-      val part = Files.list(Paths.get(staging)).iterator()
-      var single: java.nio.file.Path = null
-      while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) single = p }
+      // Files.list holds an fd until closed (ADVICE r13: ten unclosed
+      // streams per run); close it and fail loudly if no part file exists
+      // rather than NPE-ing on the move below
+      val listing = Files.list(Paths.get(staging))
+      val single =
+        try {
+          val it = listing.iterator()
+          var found: java.nio.file.Path = null
+          while (it.hasNext) { val p = it.next(); if (p.toString.endsWith(".parquet")) found = p }
+          found
+        } finally listing.close()
+      require(single != null, s"no .parquet part file under $staging for table $t")
       Files.createDirectories(Paths.get(dst))
       Files.move(single, Paths.get(s"$dst/$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
       Files.walk(Paths.get(staging)).sorted(java.util.Comparator.reverseOrder())
@@ -77,10 +86,15 @@ object ScaleUp {
     val docs = rd("documents")
     val n = docs.count()
     val remixed = (1 until reps).map { r =>
+      // partner shift: 1009*r mod n, bumped to 1 when n divides 1009*r —
+      // a zero shift pairs every doc with ITSELF and the replica becomes
+      // an exact clone of the base corpus, the degenerate case the remix
+      // exists to avoid (ADVICE r13)
+      val shift = { val s = (1009L * r) % n; if (s == 0L) 1L else s }
       val left = docs.select(col("doc_id"), col("lang"), col("source"),
         expr("slice(split(text, ' '), 1, greatest(1, size(split(text, ' ')) div 2))").as("w1"))
       val right = docs.select(
-        pmod(col("doc_id") + lit(1009L * r), lit(n)).as("doc_id"),
+        pmod(col("doc_id") + lit(shift), lit(n)).as("doc_id"),
         expr("slice(split(text, ' '), size(split(text, ' ')) div 2 + 1, size(split(text, ' ')))").as("w2"))
       left.join(right, "doc_id")
         .select((col("doc_id") + lit(r * Off)).as("doc_id"),

@@ -35,6 +35,23 @@ object Caches {
   /** Record an operator-internal persist for later targeted cleanup. */
   def registerManaged(df: org.apache.spark.sql.Dataset[_]): Unit = managed.add(df)
 
+  /** persist() + [[registerManaged]] in one call — THE way graft operators
+    * cache a multiply-read intermediate plan. Every operator-internal
+    * persist goes through here (PlanAuditSpec greps the source tree for
+    * bare `.persist()` and fails on any outside this file): the suite
+    * driver drains managed entries after each query, so no persist's
+    * lifetime outlives the query that created it and no query's latency
+    * depends on what earlier queries pinned (the r9–r13 eviction-wave
+    * class, closed per VERDICT r13 item 2). Within one query the timing
+    * is unchanged — the cold pass establishes the cache, the same plan
+    * reuses it, the drain runs after. Plans meant to be shared ACROSS
+    * queries are staged file artifacts (Staging.stageOnce*), not caches. */
+  def managed[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
+    ds.persist()
+    registerManaged(ds)
+    ds
+  }
+
   /** Managed entries currently registered — the suite-phase invariant the
     * driver mains enforce (Verify/Bench call [[unpersistManaged]] after
     * every query, so no operator-internal persist survives into the next

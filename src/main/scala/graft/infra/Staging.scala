@@ -107,7 +107,13 @@ object Staging {
                         buckets: Int = 32): DataFrame = {
     val canon = try new java.io.File(sfDir).getCanonicalPath
                 catch { case _: java.io.IOException => new java.io.File(sfDir).getAbsolutePath }
-    val table = f"graft_${name}_${canon.hashCode & 0x7fffffff}%x"
+    // sanitized path + hash, same injectivity discipline as oracleStagePath
+    // (ADVICE r13: the 32-bit hash alone could collide across two corpus
+    // dirs and silently serve one corpus's bucketed artifact to the other;
+    // the sanitized component disambiguates every realistic collision, the
+    // hash covers the residual sanitization-lossy cases)
+    val pathKey = canon.toLowerCase.replaceAll("[^a-z0-9_]", "_").dropWhile(_ == '_').takeRight(64)
+    val table = f"graft_${name}_${pathKey}_${canon.hashCode & 0x7fffffff}%x"
     val key = s"${System.identityHashCode(spark.sharedState)}:$table"
     stagedOnce.synchronized {
       if (!stagedOnce.contains(key)) {

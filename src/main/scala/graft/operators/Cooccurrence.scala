@@ -27,20 +27,25 @@ object Cooccurrence {
   def unitConcepts(annots: DataFrame, unitCols: Seq[String], addAncestors: Boolean = true): DataFrame = {
     val base = annots.select(unitCols.map(col) :+ col("concept_id"): _*).distinct()
     val expanded = if (addAncestors) Concepts.withAncestors(base, unitCols) else base
-    // persist: counts/metrics/idf/tfidf all build on the same unit sets — the
-    // CacheManager shares one materialization across those queries.
-    // repartition by the unit key first: the cached partitioning then already
-    // satisfies the pair self-join's distribution on both sides, so the join
-    // plans with ZERO exchanges (only the final pair aggregation shuffles) —
-    // the in-session analog of the doc_id-bucketed table layout measured in
-    // BucketedCooccurDemo (pair-join exchanges 17 → 1), and the layout the
-    // 100 TB path gets from bucketed storage.
-    expanded.repartition(unitCols.map(col): _*).persist()
+    // managed cache (drained after the query): counts/metrics/idf/tfidf all
+    // read the unit sets several times WITHIN one query — each query's cold
+    // pass re-establishes the cache from the staged concepts-pp artifact,
+    // so nothing depends on a cache surviving across queries (the r9-r13
+    // eviction-wave class). repartition by the unit key first: the cached
+    // partitioning then already satisfies the pair self-join's distribution
+    // on both sides, so the join plans with ZERO exchanges (only the final
+    // pair aggregation shuffles) — the in-session analog of the
+    // doc_id-bucketed table layout measured in BucketedCooccurDemo
+    // (pair-join exchanges 17 → 1), the layout the 100 TB path gets from
+    // bucketed storage.
+    graft.infra.Caches.managed(expanded.repartition(unitCols.map(col): _*))
   }
 
   /** concept1, concept2, pair_count over units. */
   def pairCounts(unitsIn: DataFrame, unitCols: Seq[String]): DataFrame = {
-    val units = unitsIn.persist() // scanned twice (both sides of the pair join)
+    // scanned twice (both sides of the pair join); managed is idempotent on
+    // an input [[unitConcepts]] already cached (same Dataset object)
+    val units = graft.infra.Caches.managed(unitsIn)
     val l = units.select(unitCols.map(col) :+ col("concept_id").as("concept1"): _*)
     val r = units.select(unitCols.map(col) :+ col("concept_id").as("concept2"): _*)
     l.join(r, unitCols)
@@ -89,8 +94,9 @@ object Cooccurrence {
     * all rounded to 6dp. Pairs whose NGD denominator is 0 (a concept present
     * in every unit) are excluded — the reference would emit NaN/Inf there. */
   def metrics(annots: DataFrame, unitCols: Seq[String]): DataFrame = {
-    // reused 4× below (pair l/r, singletons, total) — materialize once
-    val units = unitConcepts(annots, unitCols).persist()
+    // reused 4x below (pair l/r, singletons, total) — unitConcepts returns
+    // a managed cache already
+    val units = unitConcepts(annots, unitCols)
     val pairs = pairCounts(units, unitCols)
     val singles = singletonCounts(units)
     // total unit count as a 1-row aggregate cross-joined (broadcast) into the
@@ -126,9 +132,6 @@ object Cooccurrence {
         Num.r6(pmi / (-lit(1.0) * log(greatest(px, py) + 1e-9))).as("npmim"),
         Num.r6(md).as("md"),
         Num.r6(md + log(pxy)).as("lfmd"))
-      .persist() // shared by cooccur_metrics_doc, kg_edges, distant_supervision;
-                 // session-lifetime by design — infra.Caches.unpersistAll
-                 // releases it in service embeddings
   }
 
   /** The reference counts cooccurrence at DOCUMENT/SENTENCE/TITLE/ABSTRACT
@@ -219,7 +222,7 @@ object Cooccurrence {
     * agrees bit-for-bit. Concepts present in every unit are excluded
     * (degenerate zero denominator — no marginal variance). */
   def chi2Metrics(annots: DataFrame, unitCols: Seq[String]): DataFrame = {
-    val units = unitConcepts(annots, unitCols).persist()
+    val units = unitConcepts(annots, unitCols) // managed cache already
     val pairs = pairCounts(units, unitCols)
     val singles = singletonCounts(units)
     val total = units.select(unitCols.map(col): _*).distinct()
@@ -264,7 +267,7 @@ object Cooccurrence {
       .select(col("doc_id"), col("concept_id"),
         floor(col("tfidf") * lit(1000000.0) + lit(0.5)).cast("long").as("u"))
       .where(col("u") > 0) // zero-idf (every-doc) concepts carry no signal; keeps norms > 0
-      .persist()
+    graft.infra.Caches.managed(vec) // read 4x below (norms + three pair-join sides)
     val norms = vec.groupBy("doc_id").agg(sum(col("u") * col("u")).as("n2_u"))
     Dedup.minhashCandidates(docs).select("doc_a", "doc_b")
       .join(vec.select(col("doc_id").as("doc_a"), col("concept_id"), col("u").as("ua")),

@@ -120,7 +120,7 @@ object Embeddings {
     * per query·probe on average), never a full scan per query. */
   def ivfTopK(embeddings: DataFrame, numQueries: Int = 8, k: Int = 5,
               probes: Int = NumProbes): DataFrame = {
-    val ranks = cellRanks(embeddings).persist()
+    val ranks = graft.infra.Caches.managed(cellRanks(embeddings))
     val cells = ranks.where(col("rnk") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cell"))
     val qProbe = ranks.where(col("vec_id") < numQueries && col("rnk") <= probes)
@@ -235,8 +235,8 @@ object Embeddings {
     * the sweep costs maxProbes small plans, not maxProbes corpus scans. */
   def ivfProbeSweep(embeddings: DataFrame, numQueries: Int = 8, k: Int = 5,
                     maxProbes: Int = NumProbes): DataFrame = {
-    val truth = cosineTopK(embeddings, numQueries, k)
-      .select("query_id", "neighbor_id").persist()
+    val truth = graft.infra.Caches.managed(cosineTopK(embeddings, numQueries, k)
+      .select("query_id", "neighbor_id"))
     (1 to maxProbes).map { p =>
       val approx = ivfTopK(embeddings, numQueries, k, p)
         .select(col("query_id").as("a_qid"), col("neighbor_id").as("a_nid"))
@@ -260,8 +260,8 @@ object Embeddings {
     * SQ8's rounding-only degradation and PQ's coarser 8-byte codes order
     * themselves in this table exactly as the FAISS docs predict. */
   def indexRecallMatrix(embeddings: DataFrame, numQueries: Int = 8, k: Int = 5): DataFrame = {
-    val truth = cosineTopK(embeddings, numQueries, k)
-      .select("query_id", "neighbor_id").persist()
+    val truth = graft.infra.Caches.managed(cosineTopK(embeddings, numQueries, k)
+      .select("query_id", "neighbor_id"))
     val denom = (numQueries * k).toDouble
     def row(name: String, approx: DataFrame): DataFrame =
       truth.join(
@@ -289,7 +289,7 @@ object Embeddings {
     * and here composed under its own oracle. */
   def ivfSqTopK(embeddings: DataFrame, numQueries: Int = 8, k: Int = 5,
                 probes: Int = NumProbes): DataFrame = {
-    val ranks = cellRanks(embeddings).persist()
+    val ranks = graft.infra.Caches.managed(cellRanks(embeddings))
     val cells = ranks.where(col("rnk") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cell"))
     val qProbe = ranks.where(col("vec_id") < numQueries && col("rnk") <= probes)
@@ -389,7 +389,7 @@ object Embeddings {
     def residual(vec: Column, cell: Column): Column =
       transform(vec, (x, i) =>
         x - element_at(cm, (cell * EmbDim).cast("int") + i + 1))
-    val ranks = cellRanks(embeddings).persist()
+    val ranks = graft.infra.Caches.managed(cellRanks(embeddings))
     val cells = ranks.where(col("rnk") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cell"))
     val nCodes = embeddings
@@ -595,7 +595,7 @@ object Embeddings {
   /** vec_a, vec_b, cosine — near-duplicate embedding pairs, candidate-limited
     * to shared LSH buckets (never all-pairs). */
   def dupPairs(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {
-    val buckets = lshBuckets(embeddings).persist()
+    val buckets = graft.infra.Caches.managed(lshBuckets(embeddings))
     val vecs = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("ve"))
     val pairs = buckets.select(col("bucket"), col("vec_id").as("vec_a"))
       .join(buckets.select(col("bucket"), col("vec_id").as("vec_b")), "bucket")
@@ -638,7 +638,7 @@ object Embeddings {
   def semanticDedup(embeddings: DataFrame, tau: Double = 0.35): DataFrame = {
     val cells = cellRanks(embeddings).where(col("rnk") === 1).select("vec_id", "cell")
     val vecs = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("ve"))
-    val m = cells.join(vecs, "vec_id").persist()
+    val m = graft.infra.Caches.managed(cells.join(vecs, "vec_id"))
     val dropped = m.select(col("cell"), col("vec_id").as("vec_a"), col("ve").as("ea"))
       .join(m.select(col("cell"), col("vec_id").as("vec_b"), col("ve").as("eb")), "cell")
       .where(col("vec_a") < col("vec_b"))
@@ -686,9 +686,9 @@ object Embeddings {
     * (7·rel_u − 3·max_sim_u, ties to the smaller id via struct sort). */
   def mmrRerank(embeddings: DataFrame, numQueries: Int = 8,
                 m: Int = MmrPool, k: Int = MmrK): DataFrame = {
-    val pool = cosineTopK(embeddings, numQueries, m)
-      .withColumn("rel_u", floor(col("cosine") * lit(1000000.0) + lit(0.5)).cast("long"))
-      .persist() // pool, pair sims, and the final cosine join all read it
+    // pool, pair sims, and the final cosine join all read it
+    val pool = graft.infra.Caches.managed(cosineTopK(embeddings, numQueries, m)
+      .withColumn("rel_u", floor(col("cosine") * lit(1000000.0) + lit(0.5)).cast("long")))
     val v = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("ve"))
     val sims = pool.select(col("query_id"), col("neighbor_id").as("ida"))
       .join(pool.select(col("query_id"), col("neighbor_id").as("idb")), Seq("query_id"))
@@ -740,7 +740,8 @@ object Embeddings {
       .select(col("src"), posexplode(col("tk")).as(Seq("pos", "e")))
       .select(col("src").as("vec_id"), (col("pos") + 1).cast("long").as("rank"),
         col("e.id").as("neighbor_id"), col("e.score").as("cosine"))
-      .persist() // referenced twice: as the edge list and as its own reverse
+    // referenced twice: as the edge list and as its own reverse
+    graft.infra.Caches.managed(edges)
     val rev = edges.select(col("neighbor_id").as("vec_id"),
       col("vec_id").as("neighbor_id"), lit(true).as("rev"))
     edges.join(rev, Seq("vec_id", "neighbor_id"), "left")

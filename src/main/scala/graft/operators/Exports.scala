@@ -128,10 +128,9 @@ object Exports {
     // pair self-join, and this parse subtree is not CacheManager-shared like
     // the concept pipeline is — without the persist the whole serialize →
     // regex → join subtree recomputes per branch (measured 5.4s → ~1.5s)
-    val annots = spans
+    val annots = graft.infra.Caches.managed(spans
       .join(TextOps.tokens(docs), Seq("doc_id", "char_start", "char_end"))
-      .select("doc_id", "concept_id", "ord", "tok", "char_start", "char_end")
-      .persist()
+      .select("doc_id", "concept_id", "ord", "tok", "char_start", "char_end"))
     SentencePairs.extractWithBlinded(docs, annots)
   }
 
@@ -153,6 +152,61 @@ object Exports {
       .agg(concat(lit("{\"target\":\"doc:"), col("doc_id"), lit("\",\"denotations\":["),
         Agg.orderedStringAgg(col("t_num"), col("denotation"), ","),
         lit("]}")).as("pubannotation"))
+  }
+
+  /** Inverse of [[pubannotation]] — parse PubAnnotation JSON documents back
+    * into concept annotations (reference: file/conversion/pubannotation/
+    * PubAnnotationDocumentReader.java:66-124, the gold-set loading
+    * direction brat already has via [[bratImport]]): one annotation per
+    * denotation (span.begin/end + obj = the ontology id), covered text
+    * recovered from the document text exactly as the reader's
+    * `documentText.substring(begin, end)` (:92-95, under the
+    * DocumentReaderUtil.validateSpans discipline), and
+    * `_lexicallyChainedTo` relations merged — the subject annotation
+    * absorbs the object fragment's span and the fragment row disappears
+    * (:103-112 subjAnnot.addSpan + map.remove(obj)); the relational
+    * single-span model represents the merged discontinuous annotation by
+    * its aggregate span (min begin .. max end — the reader's
+    * getAggregateSpan). Other relation predicates leave both endpoint
+    * annotations in place (the reader attaches an annotation relation;
+    * the flat model keeps the rows). The merge is wholly IN-ROW — the
+    * denotation and relation arrays of one JSON document are one row, so
+    * chain resolution is a HOF fold with no shuffle at any corpus size;
+    * the only wide stage is the doc-keyed join to the text column. */
+  def pubannotationImport(docs: DataFrame, pa: DataFrame): DataFrame = {
+    val paSchema = "target STRING, denotations ARRAY<STRUCT<id: STRING, " +
+      "span: STRUCT<begin: BIGINT, `end`: BIGINT>, obj: STRING>>, " +
+      "relations ARRAY<STRUCT<pred: STRING, subj: STRING, obj: STRING>>"
+    val base = pa.select(
+      from_json(col("pubannotation"), paSchema, Map.empty[String, String]).as("j"))
+    val dens = coalesce(col("j.denotations"),
+      array().cast("array<struct<id:string,span:struct<begin:bigint,end:bigint>,obj:string>>"))
+    val chains = filter(
+      coalesce(col("j.relations"),
+        array().cast("array<struct<pred:string,subj:string,obj:string>>")),
+      r => r("pred") === lit("_lexicallyChainedTo"))
+    // heads = denotations that are not a chained-to fragment; each head's
+    // span folds in the spans of the fragments chained onto it
+    val merged = transform(
+      filter(dens, d => !exists(chains, c => c("obj") === d("id"))),
+      d => {
+        val fragSpans = transform(filter(chains, c => c("subj") === d("id")),
+          c => element_at(filter(dens, x => x("id") === c("obj")), 1)("span"))
+        struct(
+          d("obj").as("concept_id"),
+          aggregate(fragSpans, d("span")("begin"),
+            (acc, s) => least(acc, s("begin"))).as("char_start"),
+          aggregate(fragSpans, d("span")("end"),
+            (acc, s) => greatest(acc, s("end"))).as("char_end"))
+      })
+    base.select(
+        regexp_extract(col("j.target"), "doc:(-?[0-9]+)", 1).cast("long").as("doc_id"),
+        explode(merged).as("m"))
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("m.concept_id").as("concept_id"),
+        col("m.char_start").as("char_start"), col("m.char_end").as("char_end"),
+        col("text").substr(col("m.char_start") + 1,
+          col("m.char_end") - col("m.char_start")).as("tok"))
   }
 
   /** doc_id, line — the sentence-cooccurrence BigQuery load file (reference:
@@ -263,12 +317,11 @@ object Exports {
       .rowsBetween(Window.unboundedPreceding, -1)
     // The three union branches below (ann/txt/DONE lines) would each
     // re-evaluate the batch subtree — two corpus-wide sentence passes per
-    // branch — so materialize the ≤ batchSize rows once. Session-lifetime
-    // like every graft persist() site; infra.Caches.unpersistAll releases.
-    val b = broadcast(
+    // branch — so materialize the <= batchSize rows once (managed: drained
+    // after the query like every graft cache).
+    val b = broadcast(graft.infra.Caches.managed(
       batch.withColumn("off",
-        coalesce(sum(length(col("sent_text")) + 1).over(wOff), lit(0L)))
-        .persist())
+        coalesce(sum(length(col("sent_text")) + 1).over(wOff), lit(0L)))))
     val txtFile = concat(lit("batch_"), col("page"), lit(".txt"))
     val txtLines = b.select(col("page"), txtFile.as("file"),
       row_number().over(Window.partitionBy("page").orderBy("pos"))
@@ -342,13 +395,12 @@ object Exports {
     val wOff = wPos.rowsBetween(Window.unboundedPreceding, -1)
     // ≤ batchSize rows from here down: the partition-less windows are over
     // the bounded batch, never the corpus (annotationBatch discipline)
-    val batch = broadcast(
+    val batch = broadcast(graft.infra.Caches.managed(
       canonical.orderBy("sent_hash").limit(batchSize)
         .withColumn("pos", row_number().over(wPos).cast("long"))
         .withColumn("off", coalesce(sum(length(col("sent_text")) + 1).over(wOff), lit(0L)))
         .withColumn("n_batch", count(lit(1)).over(
-          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        .persist())
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))))
     val header = Seq(
       (0L, 1L, "#FORMAT=WebAnno TSV 3.3"),
       (0L, 2L, "#T_SP=custom.Span|label"),
@@ -466,9 +518,9 @@ object Exports {
     * `<annotator>/batch_<page>`). One hash equi-join, never per-batch set
     * intersection on the driver. */
   def batchOverlap(docs: DataFrame): DataFrame = {
-    val b = batchRepo(docs).select(
+    val b = graft.infra.Caches.managed(batchRepo(docs).select(
       concat(col("annotator"), lit("/batch_"), col("page")).as("batch_key"),
-      col("sent_hash")).persist()
+      col("sent_hash")))
     b.select(col("batch_key").as("batch_a"), col("sent_hash"))
       .join(b.select(col("batch_key").as("batch_b"), col("sent_hash")), "sent_hash")
       .where(col("batch_a") < col("batch_b"))

@@ -110,7 +110,7 @@ object LabelQa {
   def labelFilterByEmbedding(emb: DataFrame, domainPrefix: String = "OP"): DataFrame = {
     val spark = emb.sparkSession
     val all = labelsDF(spark).select("concept_id", "label").distinct()
-    val vecs = labelVectors(spark, emb, all).persist()
+    val vecs = graft.infra.Caches.managed(labelVectors(spark, emb, all))
     // domain centroid per dim: mean of the domain labels' micro-units
     // (integer division — deterministic), carried as a broadcast dim table
     val centroid = vecs

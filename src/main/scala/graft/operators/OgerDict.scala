@@ -460,7 +460,14 @@ object OgerDict {
     // (label, id) — W:/X:/N:/B: prefixes and distinct label sources — so
     // one global distinct is row-equivalent to the per-channel distincts.
     // The B-only channels emit null labels on non-B rows, dropped before
-    // the distinct.
+    // the distinct. PRECONDITION (ADVICE r13): p_name must be multi-word —
+    // on a single-word p_name the noun (element_at(split, 2)) is itself
+    // null, so the W/X/Nw channels also null out and the global
+    // null-label filter drops them where the old per-channel formulation
+    // kept them. TPC-H p_name is always five words, and the DuckDB twin
+    // (OracleSql.taxonPromotionSql) has the same multi-word dependence —
+    // split_part returns '' there, a different third behavior — so the
+    // precondition is pinned here and on the twin rather than guarded.
     val dict = part.select(explode(array(
         struct(noun.as("label"), concat(lit("W:"), noun).as("id")),
         struct(noun.as("label"), concat(lit("X:"), noun).as("id")),
@@ -569,4 +576,70 @@ object OgerDict {
     dictRows.map(_.select("concept_id", "syn")).reduce(_ unionByName _)
       .groupBy("concept_id")
       .agg(array_join(array_sort(collect_set(col("syn"))), "|").as("entries"))
+
+  // ----------------------------------------------------- mondo_hp_equiv
+
+  /** indicator, hp_id, mondo_ids, hp_label, mondo_labels — HP→MONDO
+    * equivalence-map DERIVATION (reference: etl/util/
+    * MondoToHpEquivalenceMapFileFactory.java:41-186). The reference walks
+    * two OWL files and connects an HP class to MONDO classes through two
+    * channels: (1) DIRECT — a MONDO class carries an oboInOwl:hasDbXref to
+    * the HP id (:90-99); (2) INDIRECT — a MONDO skos:exactMatch curie
+    * (MSH:/UMLS:/SNOMEDCT_US:, :67-88) and an HP hasDbXref land on the
+    * same external id, and every such co-cited HP×MONDO combination pairs
+    * (:124-146). Per HP row it writes (:173-182) an indicator — `**` when
+    * any pairing is direct, else `####` when any MONDO label matches the
+    * HP label case-insensitively (:160-168 equalsIgnoreCase), else empty —
+    * plus the `|`-joined MONDO ids and their labels in the same order.
+    * The reference iterates HashSets (JVM-dependent order); ids sort
+    * ascending here and labels ride in id order — the deterministic choice
+    * a diffable 100 TB export needs.
+    *
+    * Synthetic class universe from `part` (same device as the sibling
+    * dict factories): every part is a MONDO class (label = p_name); even
+    * keys are also HP classes (label = upper(p_name) on key%4==0 — the
+    * equalsIgnoreCase channel — else p_name + ' variant'); key%6==0 MONDO
+    * classes xref their own HP id (direct channel); key%5==0 MONDO and
+    * key%10==0 HP classes cite an external curie keyed by (key%3 prefix,
+    * p_brand) (indirect channel). Every reference branch has firing and
+    * non-firing rows. Plan: ontology-sized equi-joins only — the indirect
+    * channel joins through the curie key (bounded groups: prefix×brand),
+    * never a label cross join; at real ontology scale every input is
+    * broadcast-sized but nothing here requires it. */
+  def mondoHpEquiv(part: DataFrame): DataFrame = {
+    val k = col("p_partkey")
+    val mondo = part.select(concat(lit("MONDO:"), k).as("mondo_id"),
+      col("p_name").as("mondo_label"))
+    val hp = part.where(k % 2 === 0).select(concat(lit("HP:"), k).as("hp_id"),
+      when(k % 4 === 0, upper(col("p_name")))
+        .otherwise(concat(col("p_name"), lit(" variant"))).as("hp_label"))
+    val direct = part.where(k % 6 === 0).select(
+      concat(lit("HP:"), k).as("hp_id"),
+      concat(lit("MONDO:"), k).as("mondo_id"), lit(true).as("direct"))
+    val curie = concat(
+      when(k % 3 === 0, lit("MSH:"))
+        .when(k % 3 === 1, lit("UMLS:"))
+        .otherwise(lit("SNOMEDCT_US:")),
+      col("p_brand"))
+    val mx = part.where(k % 5 === 0)
+      .select(curie.as("curie"), concat(lit("MONDO:"), k).as("mondo_id")).distinct()
+    val hx = part.where(k % 10 === 0)
+      .select(curie.as("curie"), concat(lit("HP:"), k).as("hp_id")).distinct()
+    val indirect = hx.join(mx, "curie")
+      .select(col("hp_id"), col("mondo_id"), lit(false).as("direct"))
+    val pairs = direct.unionByName(indirect)
+      .groupBy("hp_id", "mondo_id").agg(max("direct").as("direct"))
+    pairs.join(hp, "hp_id").join(mondo, "mondo_id")
+      .withColumn("exact", lower(col("hp_label")) === lower(col("mondo_label")))
+      .groupBy("hp_id")
+      .agg(
+        max("direct").as("any_direct"), max("exact").as("any_exact"),
+        graft.functions.Agg.orderedStringAgg(col("mondo_id"), col("mondo_id"), "|").as("mondo_ids"),
+        min("hp_label").as("hp_label"),
+        graft.functions.Agg.orderedStringAgg(col("mondo_id"), col("mondo_label"), "|").as("mondo_labels"))
+      .select(
+        when(col("any_direct"), "**").when(col("any_exact"), "####")
+          .otherwise("").as("indicator"),
+        col("hp_id"), col("mondo_ids"), col("hp_label"), col("mondo_labels"))
+  }
 }

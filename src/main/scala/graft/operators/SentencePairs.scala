@@ -227,8 +227,8 @@ object SentencePairs {
       .select(col("doc_id"), col("sent_id"),
         col("concept_x").as("subj_concept"), col("concept_y").as("obj_concept"),
         col("x_ord").as("subj_ord"), col("y_ord").as("obj_ord"))
-      .persist() // the support aggregation AND the final join both read it
-    graft.infra.Caches.registerManaged(pairs)
+    // the support aggregation AND the final join both read it
+    graft.infra.Caches.managed(pairs)
     val sentLen = TextOps.tokens(docs)
       .withColumn("sent_id", expr(s"(ord - 1) div ${TextOps.SentWindow}"))
       .groupBy("doc_id", "sent_id").agg(count(lit(1)).as("sentence_tokens"))

@@ -200,9 +200,8 @@ object TextStats {
     * driver-side limit) — never a global sort of the vocabulary; totals
     * fold in as a broadcast 1-row aggregate. */
   def vocabCoverage(docs: DataFrame, cutoffs: Seq[Long] = VocabCutoffs): DataFrame = {
-    val counts = TextOps.tokens(docs)
-      .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .persist()
+    val counts = graft.infra.Caches.managed(TextOps.tokens(docs)
+      .groupBy("tok").agg(count(lit(1)).as("cnt")))
     val total = counts.agg(sum("cnt").as("total_tokens"))
     cutoffs.map { n =>
       counts.orderBy(col("cnt").desc, col("tok")).limit(n.toInt)

@@ -118,6 +118,13 @@ object OracleSql {
   val bratImport: String =
     docPipeline() + "SELECT doc_id, concept_id, char_start, char_end, tok FROM pp"
 
+  /** PubAnnotation round-trip import lands back on the same set: the JSON
+    * denotations carry (span, obj) and the covered text is recovered by
+    * substring over the document text — which equals pp's tok because token
+    * spans index into the space-joined text exactly. */
+  val pubannotationImport: String =
+    docPipeline() + "SELECT doc_id, concept_id, char_start, char_end, tok FROM pp"
+
   val crfOverlap: String =
     docPipeline(
       """crf AS (SELECT doc_id, char_start, char_end FROM tok
@@ -688,7 +695,14 @@ object OracleSql {
       |SELECT concept_id, raw_label, label FROM norm WHERE label IS NOT NULL""".stripMargin
 
   /** OgerDict.taxonPromotion twin: per-label groups, >20 short-circuit to
-    * the minimum id, pairwise ancestor removals otherwise. */
+    * the minimum id, pairwise ancestor removals otherwise. PRECONDITION
+    * (shared with the engine side, ADVICE r13): p_name must be multi-word.
+    * On a single-word name the engines diverge three ways — Spark's
+    * element_at(split, 2) yields null (row dropped by the null-label
+    * filter), DuckDB's split_part yields '' (row kept with an empty
+    * label), and the reference's per-channel formulation kept the null
+    * row. TPC-H p_name is always five words, so all three agree on every
+    * real input; the twin is defined only under that precondition. */
   val taxonPromotionSql: String =
     """WITH names AS (SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS noun FROM part),
       |sized AS (SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS noun, p_size FROM part WHERE p_size % 5 = 0),
@@ -713,6 +727,41 @@ object OracleSql {
       |  SELECT s.label, s.id AS concept_id FROM small s WHERE NOT EXISTS
       |    (SELECT 1 FROM removals r WHERE r.label = s.label AND r.id = s.id)
       |  UNION ALL SELECT label, concept_id FROM big)""".stripMargin
+
+  /** OgerDict.mondoHpEquiv twin: direct hasDbXref pairs union curie-shared
+    * indirect pairs, rolled up per HP id with sorted pipe-joins and the
+    * three-state indicator ('**' / '####' / empty). Same synthetic
+    * universe derivation. */
+  val mondoHpEquivSql: String =
+    """WITH mondo AS (SELECT 'MONDO:' || p_partkey AS mondo_id, p_name AS mondo_label, p_partkey AS k FROM part),
+      |hp AS (SELECT 'HP:' || p_partkey AS hp_id,
+      |    CASE WHEN p_partkey % 4 = 0 THEN upper(p_name) ELSE p_name || ' variant' END AS hp_label
+      |  FROM part WHERE p_partkey % 2 = 0),
+      |direct AS (SELECT 'HP:' || p_partkey AS hp_id, 'MONDO:' || p_partkey AS mondo_id, true AS direct
+      |  FROM part WHERE p_partkey % 6 = 0),
+      |mx AS (SELECT DISTINCT
+      |    CASE WHEN p_partkey % 3 = 0 THEN 'MSH:' WHEN p_partkey % 3 = 1 THEN 'UMLS:' ELSE 'SNOMEDCT_US:' END
+      |      || p_brand AS curie,
+      |    'MONDO:' || p_partkey AS mondo_id
+      |  FROM part WHERE p_partkey % 5 = 0),
+      |hx AS (SELECT DISTINCT
+      |    CASE WHEN p_partkey % 3 = 0 THEN 'MSH:' WHEN p_partkey % 3 = 1 THEN 'UMLS:' ELSE 'SNOMEDCT_US:' END
+      |      || p_brand AS curie,
+      |    'HP:' || p_partkey AS hp_id
+      |  FROM part WHERE p_partkey % 10 = 0),
+      |pairs AS (SELECT hp_id, mondo_id, max(direct) AS direct FROM (
+      |    SELECT hp_id, mondo_id, direct FROM direct
+      |    UNION ALL SELECT hx.hp_id, mx.mondo_id, false FROM hx JOIN mx USING (curie))
+      |  GROUP BY hp_id, mondo_id),
+      |lab AS (SELECT p.hp_id, p.mondo_id, p.direct, h.hp_label, m.mondo_label,
+      |    lower(h.hp_label) = lower(m.mondo_label) AS exact
+      |  FROM pairs p JOIN hp h USING (hp_id) JOIN mondo m USING (mondo_id))
+      |SELECT CASE WHEN bool_or(direct) THEN '**' WHEN bool_or(exact) THEN '####' ELSE '' END AS indicator,
+      |  hp_id,
+      |  string_agg(mondo_id, '|' ORDER BY mondo_id) AS mondo_ids,
+      |  min(hp_label) AS hp_label,
+      |  string_agg(mondo_label, '|' ORDER BY mondo_id) AS mondo_labels
+      |FROM lab GROUP BY hp_id""".stripMargin
 
   /** OgerDict.geneRollup twin: descendant synonym roll-up to the gene
     * level with pipe-joined sorted sources; family level keeps its own;
@@ -5045,6 +5094,8 @@ object OracleSql {
     "streaming_concepts" -> concepts,
     "streaming_cooccur" -> streamingCooccur,
     "brat_import" -> bratImport,
+    "pubannotation_import" -> pubannotationImport,
+    "mondo_hp_equiv" -> mondoHpEquivSql,
     "bionlp_source" -> bionlpSource,
     "processing_ledger" -> processingLedger,
     "concepts_pp_strict" -> conceptsPpStrict,

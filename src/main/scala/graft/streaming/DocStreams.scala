@@ -337,7 +337,8 @@ object DocStreams {
       .writeStream.format("parquet")
       .option("path", log).option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Append()).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable()
+    finally { StreamTelemetry.record(q); q.stop() }
     val base = XmlIngest.medlineRoundTrip(docs)
     val updSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id BIGINT, pmid STRING, year STRING, title STRING, `abstract` STRING, doc_text STRING")
@@ -357,7 +358,8 @@ object DocStreams {
     val q = updates.writeStream.format("parquet")
       .option("path", log).option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Append()).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable()
+    finally { StreamTelemetry.record(q); q.stop() }
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
     val base = spark.read.schema(schema).parquet(s"$sfDir/documents.parquet")

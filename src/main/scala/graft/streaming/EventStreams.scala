@@ -76,7 +76,8 @@ object EventStreams {
     val (narrow, df) = narrowSession(streamed)
     val name = s"stream_q_${System.nanoTime}"
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    try { q.processAllAvailable() } finally q.stop()
+    try { q.processAllAvailable() }
+    finally { StreamTelemetry.record(q); q.stop() }
     narrow.table(name)
   }
 
@@ -109,7 +110,8 @@ object EventStreams {
     val q = df.writeStream.format("parquet")
       .option("path", out).option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Append()).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable()
+    finally { StreamTelemetry.record(q); q.stop() }
     streamed.sparkSession.read.schema(streamed.schema).parquet(out)
   }
 

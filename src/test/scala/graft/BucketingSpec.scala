@@ -109,7 +109,7 @@ class BucketingSpec extends SparkSpec {
       // one file per id
       val table = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(
-          f"graft_band_index_w_${"/root/testdata/sf0.001".hashCode & 0x7fffffff}%x"))
+          f"graft_band_index_w_root_testdata_sf0_001_${"/root/testdata/sf0.001".hashCode & 0x7fffffff}%x"))
       val files = new java.io.File(new java.net.URI(table.location.toString))
         .listFiles().filter(_.getName.endsWith(".parquet"))
       val bucketIds = files.map(_.getName.replaceAll(".*_(\\d{5})\\.c.*", "$1"))

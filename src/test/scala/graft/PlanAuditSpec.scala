@@ -309,4 +309,59 @@ class PlanAuditSpec extends SparkSpec {
         assert(plan.contains("PushedFilters: [In(event_type"), plan.take(2000))
     }
   }
+
+  test("every operator persist() goes through Caches.managed (lifecycle gate)") {
+    // The r9-r13 driver-bench flag waves all traced to session-lifetime
+    // persist() sites: a query's latency depended on whether OTHER queries'
+    // caches had pinned memory first, and mid-query eviction of a
+    // multiply-read intermediate recomputed its subtree once per read
+    // (window_dup's 10.5x r13 flag). The closure (VERDICT r13 item 2):
+    // bare Dataset.persist() is banned in main sources — all caching goes
+    // through Caches.managed, which the suite drivers drain after each
+    // query, so no cache's lifetime outlives its query. Cross-query shares
+    // are staged file artifacts (Staging.stageOnce*); iterative operators
+    // use localCheckpoint (lineage truncation, ContextCleaner-collected),
+    // which is per-plan-bounded and exempt.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .filterNot(_.toString.endsWith("infra/Caches.scala"))
+      .flatMap { p =>
+        val lines = java.nio.file.Files.readAllLines(p).asScala
+        lines.zipWithIndex.collect {
+          case (l, i) if l.contains(".persist(") && !l.trim.startsWith("//") &&
+            !l.trim.startsWith("*") => s"$p:${i + 1}: ${l.trim}"
+        }
+      }.toList
+    assert(offenders.isEmpty,
+      "bare .persist() outside Caches.managed:\n" + offenders.mkString("\n"))
+  }
+
+  test("managed caches drain to an empty CacheManager after each query (runtime gate)") {
+    // Representative members of every cache-carrying family (dedup shingle
+    // sets, cooccurrence unit sets, embedding cell ranks, export batches,
+    // pair extraction, vocab counts): run the query, drain like the suite
+    // drivers do, and require the session CacheManager to be EMPTY — any
+    // entry left is an unregistered persist, exactly the class this gate
+    // closes. (The concept-pp prefix is a staged file artifact, not a
+    // cache, so it cannot appear here.)
+    val cacheFamilies = Seq(
+      "window_dedup_apply", "cooccur_metrics_doc", "ngram_jaccard",
+      "emb_mmr", "knn_graph", "tfidf_doc_sim", "semmed_eval_rows",
+      "batch_overlap", "vocab_coverage", "label_filter_embedding",
+      "concepts_span_generality", "minhash_est", "dedup_incremental",
+      "cooccur_chi2", "ivf_topk", "semantic_dedup", "annotation_batch_files")
+    val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager
+    graft.infra.Caches.unpersistAll(spark) // start clean
+    val leftovers = cacheFamilies.flatMap { q =>
+      SparkEntry.queries(q)(spark, sfDir).count()
+      graft.infra.Caches.unpersistManaged()
+      if (cm.isEmpty) None
+      else { graft.infra.Caches.unpersistAll(spark); Some(q) }
+    }
+    assert(leftovers.isEmpty,
+      s"queries leaving undrained CacheManager entries: $leftovers")
+  }
 }
