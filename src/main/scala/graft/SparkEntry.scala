@@ -22,6 +22,24 @@ object SparkEntry {
   private def pp(s: SparkSession, dir: String): DataFrame =
     Concepts.stagedPostProcessed(docs(s, dir), dir)
 
+  /** The per-level unit-concept tables of the cooccurrence family, staged
+    * once per (process, corpus, level) as doc_id-bucketed artifacts
+    * (Cooccurrence.stagedUnitConcepts) — counts/metrics/chi2/idf at one
+    * level all read the same file instead of each rebuilding the
+    * distinct+ancestor-expand chain from pp (the cross-query share that was
+    * a session cache until r14). */
+  private def unitsAt(s: SparkSession, d: String, level: String): DataFrame = level match {
+    case "document" =>
+      Cooccurrence.stagedUnitConcepts(pp(s, d), d, "document", Seq("doc_id"))
+    case "sentence" =>
+      Cooccurrence.stagedUnitConcepts(
+        Cooccurrence.levelAnnots(pp(s, d), "sentence"), d, "sentence",
+        Seq("doc_id", "sent_id"))
+    case lvl =>
+      Cooccurrence.stagedUnitConcepts(
+        Cooccurrence.levelAnnots(pp(s, d), lvl), d, lvl, Seq("doc_id"))
+  }
+
   /** Per-sf-dir staging dirs for the standoff-source round trip (write once,
     * re-read on repeat invocations — see `bionlp_source`). */
   private val bionlpStage = scala.collection.mutable.Map[String, String]()
@@ -252,21 +270,17 @@ object SparkEntry {
     "abbrev" -> ((s, d) => Abbreviations.partAbbreviations(Tables.part(s, d))),
     // C. cooccurrence & corpus stats
     "cooccur_counts_doc" -> ((s, d) =>
-      Cooccurrence.pairCounts(Cooccurrence.unitConcepts(pp(s, d), Seq("doc_id")), Seq("doc_id"))
+      Cooccurrence.pairCounts(unitsAt(s, d, "document"), Seq("doc_id"))
         .select(col("concept1"), col("concept2"), col("pair_count"))),
     "cooccur_counts_bucketed" -> ((s, d) => Cooccurrence.pairCountsBucketed(pp(s, d), d)),
-    "cooccur_counts_sent" -> ((s, d) => {
-      val annots = pp(s, d).withColumn("sent_id", expr(s"(ord - 1) div ${TextOps.SentWindow}"))
-      Cooccurrence.pairCounts(Cooccurrence.unitConcepts(annots, Seq("doc_id", "sent_id")), Seq("doc_id", "sent_id"))
-        .select(col("concept1"), col("concept2"), col("pair_count"))
-    }),
+    "cooccur_counts_sent" -> ((s, d) =>
+      Cooccurrence.pairCounts(unitsAt(s, d, "sentence"), Seq("doc_id", "sent_id"))
+        .select(col("concept1"), col("concept2"), col("pair_count"))),
     "cooccur_counts_title" -> ((s, d) =>
-      Cooccurrence.pairCounts(
-        Cooccurrence.unitConcepts(Cooccurrence.levelAnnots(pp(s, d), "title"), Seq("doc_id")), Seq("doc_id"))
+      Cooccurrence.pairCounts(unitsAt(s, d, "title"), Seq("doc_id"))
         .select(col("concept1"), col("concept2"), col("pair_count"))),
     "cooccur_counts_abstract" -> ((s, d) =>
-      Cooccurrence.pairCounts(
-        Cooccurrence.unitConcepts(Cooccurrence.levelAnnots(pp(s, d), "abstract"), Seq("doc_id")), Seq("doc_id"))
+      Cooccurrence.pairCounts(unitsAt(s, d, "abstract"), Seq("doc_id"))
         .select(col("concept1"), col("concept2"), col("pair_count"))),
     "xml_roundtrip" -> ((s, d) => XmlIngest.roundTrip(docs(s, d))),
     "medline_ingest" -> ((s, d) => XmlIngest.medlineRoundTrip(docs(s, d))),
@@ -387,19 +401,19 @@ object SparkEntry {
         .select(col("concept1"), col("concept2"), col("pair_count"))),
     "sentence_pairs_kw" -> ((s, d) => SentencePairs.extractWithKeyword(docs(s, d), pp(s, d))),
     "brat_export" -> ((s, d) => Exports.brat(pp(s, d))),
-    "cooccur_metrics_doc" -> ((s, d) => Cooccurrence.metrics(pp(s, d), Seq("doc_id"))),
-    "cooccur_metrics_sent" -> ((s, d) => Cooccurrence.metrics(
-      pp(s, d).withColumn("sent_id", expr(s"(ord - 1) div ${TextOps.SentWindow}")),
-      Seq("doc_id", "sent_id"))),
+    "cooccur_metrics_doc" -> ((s, d) =>
+      Cooccurrence.metricsFromUnits(unitsAt(s, d, "document"), Seq("doc_id"))),
+    "cooccur_metrics_sent" -> ((s, d) =>
+      Cooccurrence.metricsFromUnits(unitsAt(s, d, "sentence"), Seq("doc_id", "sent_id"))),
     // metrics at the remaining CooccurLevels (r8 verdict item 6): the same
     // level-parameterized plan as the counts queries, through the same
     // metrics tail the reference applies per level
     // (ConceptCooccurrenceMetricsPipeline.java:772-860)
-    "cooccur_metrics_title" -> ((s, d) => Cooccurrence.metrics(
-      Cooccurrence.levelAnnots(pp(s, d), "title"), Seq("doc_id"))),
-    "cooccur_metrics_abstract" -> ((s, d) => Cooccurrence.metrics(
-      Cooccurrence.levelAnnots(pp(s, d), "abstract"), Seq("doc_id"))),
-    "concept_idf" -> ((s, d) => Cooccurrence.idf(pp(s, d))),
+    "cooccur_metrics_title" -> ((s, d) =>
+      Cooccurrence.metricsFromUnits(unitsAt(s, d, "title"), Seq("doc_id"))),
+    "cooccur_metrics_abstract" -> ((s, d) =>
+      Cooccurrence.metricsFromUnits(unitsAt(s, d, "abstract"), Seq("doc_id"))),
+    "concept_idf" -> ((s, d) => Cooccurrence.idfFromUnits(unitsAt(s, d, "document"))),
     "concept_count_dist" -> ((s, d) => Cooccurrence.countDistribution(pp(s, d))),
     "tfidf" -> ((s, d) => Cooccurrence.tfidf(pp(s, d))),
     "bm25_scores" -> ((s, d) => Cooccurrence.bm25(pp(s, d))),
@@ -581,7 +595,8 @@ object SparkEntry {
     "kg_khop" -> ((s, d) => KnowledgeGraph.kHop(pp(s, d))),
     "kg_triangles" -> ((s, d) => KnowledgeGraph.triangles(pp(s, d))),
     "kg_jaccard" -> ((s, d) => KnowledgeGraph.neighborJaccard(pp(s, d))),
-    "cooccur_chi2" -> ((s, d) => Cooccurrence.chi2Metrics(pp(s, d), Seq("doc_id"))),
+    "cooccur_chi2" -> ((s, d) =>
+      Cooccurrence.chi2FromUnits(unitsAt(s, d, "document"), Seq("doc_id"))),
     "tfidf_doc_sim" -> ((s, d) => Cooccurrence.tfidfDocSim(docs(s, d), pp(s, d))),
     "span_corruption" -> ((s, d) => TextOps.spanCorruption(docs(s, d))),
     "source_lm_matrix" -> ((s, d) => TextStats.sourceLmMatrix(docs(s, d))),
@@ -598,13 +613,15 @@ object SparkEntry {
     "chunk_stride" -> ((s, d) => TextOps.chunkStride(docs(s, d))),
     "quality_classifier" -> ((s, d) => TextStats.qualityClassifier(docs(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(docs(s, d))),
-    "lsh_band_tuning" -> ((s, d) => Dedup.lshBandTuning(docs(s, d))),
+    "lsh_band_tuning" -> ((s, d) =>
+      Dedup.lshBandTuningFromValues(Dedup.stagedMinhashValues(docs(s, d), d))),
     "minhash_precision" -> ((s, d) => Dedup.minhashPrecision(docs(s, d))),
     "heavy_hitters_cms" -> ((s, d) => TextStats.heavyHittersCms(docs(s, d))),
     "dedup_incremental" -> ((s, d) => Dedup.minhashIncremental(docs(s, d))),
     "dedup_incremental_staged" -> ((s, d) => Dedup.minhashIncrementalStaged(docs(s, d), d)),
     "dedup_minhash_hashed" -> ((s, d) => Dedup.minhashCandidatesHashedStaged(docs(s, d), d)),
-    "minhash_est" -> ((s, d) => Dedup.minhashEstimate(docs(s, d))),
+    "minhash_est" -> ((s, d) =>
+      Dedup.minhashEstimateFrom(Dedup.stagedMinhashValues(docs(s, d), d))),
     // the CC fixpoint runs ONCE per (process, corpus): every consumer of
     // the cluster labels reads the staged artifact (VERDICT r9 item 2)
     "dedup_clusters" -> ((s, d) => Dedup.stagedClusters(docs(s, d), d)),

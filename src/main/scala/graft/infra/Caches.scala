@@ -47,8 +47,15 @@ object Caches {
     * reuses it, the drain runs after. Plans meant to be shared ACROSS
     * queries are staged file artifacts (Staging.stageOnce*), not caches. */
   def managed[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
-    ds.persist()
-    registerManaged(ds)
+    // idempotent: composed operators each wrap their multiply-read inputs
+    // (metricsFromUnits → pairCounts hand the same Dataset down), so a plan
+    // may arrive here already cached — skip the re-persist (CacheManager
+    // would WARN and no-op) and the duplicate registration (unpersist on a
+    // drained duplicate is itself a no-op, but the queue needn't grow)
+    if (ds.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      ds.persist()
+      registerManaged(ds)
+    }
     ds
   }
 

@@ -22,24 +22,51 @@ import org.apache.spark.sql.functions._
   */
 object Cooccurrence {
 
-  /** distinct (unit, concept) pairs, optionally ancestor-expanded.
-    * unitCols e.g. Seq("doc_id") or Seq("doc_id","sent_id"). */
-  def unitConcepts(annots: DataFrame, unitCols: Seq[String], addAncestors: Boolean = true): DataFrame = {
+  /** distinct (unit, concept) pairs, optionally ancestor-expanded — the
+    * bare derivation, no caching/partitioning policy attached (feeds both
+    * the in-session [[unitConcepts]] and the staged file artifact
+    * [[stagedUnitConcepts]]). unitCols e.g. Seq("doc_id") or
+    * Seq("doc_id","sent_id"). */
+  def unitConceptsRaw(annots: DataFrame, unitCols: Seq[String], addAncestors: Boolean = true): DataFrame = {
     val base = annots.select(unitCols.map(col) :+ col("concept_id"): _*).distinct()
-    val expanded = if (addAncestors) Concepts.withAncestors(base, unitCols) else base
-    // managed cache (drained after the query): counts/metrics/idf/tfidf all
-    // read the unit sets several times WITHIN one query — each query's cold
-    // pass re-establishes the cache from the staged concepts-pp artifact,
-    // so nothing depends on a cache surviving across queries (the r9-r13
-    // eviction-wave class). repartition by the unit key first: the cached
-    // partitioning then already satisfies the pair self-join's distribution
-    // on both sides, so the join plans with ZERO exchanges (only the final
-    // pair aggregation shuffles) — the in-session analog of the
-    // doc_id-bucketed table layout measured in BucketedCooccurDemo
-    // (pair-join exchanges 17 → 1), the layout the 100 TB path gets from
-    // bucketed storage.
-    graft.infra.Caches.managed(expanded.repartition(unitCols.map(col): _*))
+    if (addAncestors) Concepts.withAncestors(base, unitCols) else base
   }
+
+  /** [[unitConceptsRaw]] as a managed per-query cache (drained after the
+    * query): counts/metrics/idf/tfidf all read the unit sets several times
+    * WITHIN one query — each query's cold pass re-establishes the cache
+    * from the staged concepts-pp artifact, so nothing depends on a cache
+    * surviving across queries (the r9-r13 eviction-wave class).
+    * repartition by the unit key first: the cached partitioning then
+    * already satisfies the pair self-join's distribution on both sides, so
+    * the join plans with ZERO exchanges (only the final pair aggregation
+    * shuffles) — the in-session analog of the doc_id-bucketed table layout
+    * measured in BucketedCooccurDemo (pair-join exchanges 17 → 1), the
+    * layout the 100 TB path gets from bucketed storage. */
+  def unitConcepts(annots: DataFrame, unitCols: Seq[String], addAncestors: Boolean = true): DataFrame =
+    graft.infra.Caches.managed(
+      unitConceptsRaw(annots, unitCols, addAncestors).repartition(unitCols.map(col): _*))
+
+  /** The unit-concept set staged ONCE per (process, corpus, level) as a
+    * doc_id-bucketed parquet table — the cross-QUERY share of the
+    * cooccurrence family (counts/metrics/chi2/idf at one level all read the
+    * same unit sets), as a FILE artifact rather than a session cache (the
+    * r9-r13 eviction-wave class; same move as Concepts.stagedPostProcessed).
+    * In the reference these unit sets are exactly the per-level
+    * concept-id sets ConceptCooccurrenceCountsFn emits once and every
+    * downstream metric/IDF pipeline re-reads ('fn/ConceptCooccurrenceCountsFn
+    * .java' → 'ConceptCooccurrenceMetricsPipeline', 'ConceptIdfPipeline') —
+    * write-once/read-many is the reference's own contract. Bucketed+sorted
+    * by doc_id: the pair self-join and per-doc aggregations scan it
+    * exchange-free on the scan sides (hash(doc_id) clustering satisfies the
+    * (doc_id[, sent_id]) join requirement), which is the 100 TB layout.
+    * Canonical-inputs contract per Staging.stageOnce: `annots` must be the
+    * corpus's standard level restriction of the concepts-pp table; `level`
+    * keys the artifact. */
+  def stagedUnitConcepts(annots: DataFrame, sfDir: String, level: String,
+                         unitCols: Seq[String]): DataFrame =
+    graft.infra.Staging.stageOnceBucketed(s"units_$level", sfDir,
+      unitConceptsRaw(annots, unitCols), annots.sparkSession, "doc_id")
 
   /** concept1, concept2, pair_count over units. */
   def pairCounts(unitsIn: DataFrame, unitCols: Seq[String]): DataFrame = {
@@ -93,10 +120,17 @@ object Cooccurrence {
     * ngd uses log10, the rest natural log; 1e-9 offsets as in the reference;
     * all rounded to 6dp. Pairs whose NGD denominator is 0 (a concept present
     * in every unit) are excluded — the reference would emit NaN/Inf there. */
-  def metrics(annots: DataFrame, unitCols: Seq[String]): DataFrame = {
-    // reused 4x below (pair l/r, singletons, total) — unitConcepts returns
-    // a managed cache already
-    val units = unitConcepts(annots, unitCols)
+  def metrics(annots: DataFrame, unitCols: Seq[String]): DataFrame =
+    metricsFromUnits(unitConcepts(annots, unitCols), unitCols)
+
+  /** [[metrics]] over a prebuilt unit-concept table — pass
+    * [[stagedUnitConcepts]] for the eviction-immune bucketed artifact
+    * (query wiring), or [[unitConcepts]] for a one-shot in-session run. */
+  def metricsFromUnits(unitsIn: DataFrame, unitCols: Seq[String]): DataFrame = {
+    // reused 4x below (pair l/r, singletons, total) — one managed per-query
+    // cache whether the input is the staged file scan or already cached
+    // (managed is idempotent on a cached Dataset)
+    val units = graft.infra.Caches.managed(unitsIn)
     val pairs = pairCounts(units, unitCols)
     val singles = singletonCounts(units)
     // total unit count as a 1-row aggregate cross-joined (broadcast) into the
@@ -177,8 +211,13 @@ object Cooccurrence {
 
   /** concept_id, df, idf = Num.r6(ln(N/df)) at document level. N is a 1-row
     * broadcast aggregate inside the plan (no driver-side count()). */
-  def idf(annots: DataFrame): DataFrame = {
-    val units = unitConcepts(annots, Seq("doc_id"))
+  def idf(annots: DataFrame): DataFrame =
+    idfFromUnits(unitConcepts(annots, Seq("doc_id")))
+
+  /** [[idf]] over a prebuilt doc-level unit-concept table
+    * ([[stagedUnitConcepts]] in the query wiring). */
+  def idfFromUnits(unitsIn: DataFrame): DataFrame = {
+    val units = graft.infra.Caches.managed(unitsIn)
     val total = units.select("doc_id").distinct()
       .agg(count(lit(1)).cast("double").as("n_units"))
     singletonCounts(units)
@@ -221,8 +260,13 @@ object Cooccurrence {
     * written with IDENTICAL operation order in the oracle so 6dp rounding
     * agrees bit-for-bit. Concepts present in every unit are excluded
     * (degenerate zero denominator — no marginal variance). */
-  def chi2Metrics(annots: DataFrame, unitCols: Seq[String]): DataFrame = {
-    val units = unitConcepts(annots, unitCols) // managed cache already
+  def chi2Metrics(annots: DataFrame, unitCols: Seq[String]): DataFrame =
+    chi2FromUnits(unitConcepts(annots, unitCols), unitCols)
+
+  /** [[chi2Metrics]] over a prebuilt unit-concept table
+    * ([[stagedUnitConcepts]] in the query wiring). */
+  def chi2FromUnits(unitsIn: DataFrame, unitCols: Seq[String]): DataFrame = {
+    val units = graft.infra.Caches.managed(unitsIn)
     val pairs = pairCounts(units, unitCols)
     val singles = singletonCounts(units)
     val total = units.select(unitCols.map(col): _*).distinct()

@@ -197,7 +197,14 @@ object Dedup {
 
   /** doc_id, band, band_key — LSH band buckets from MinHash signatures. */
   def minhashBands(shingleSets: DataFrame): DataFrame =
-    minhashValues(shingleSets)
+    minhashBandsFromValues(minhashValues(shingleSets))
+
+  /** Banding over a prebuilt (doc_id, j, mh) signature table — 12 longs per
+    * doc in, one ordered-string agg per (doc, band) out. Pass
+    * [[stagedMinhashValues]] so re-banding consumers (estimate, band-shape
+    * sweep) never rebuild signatures from the shingle stream. */
+  def minhashBandsFromValues(values: DataFrame): DataFrame =
+    values
       .withColumn("band", (col("j") / RowsPerBand).cast("long"))
       .groupBy("doc_id", "band")
       .agg(Agg.orderedStringAgg(col("j"), col("mh").cast("string"), ",")
@@ -209,13 +216,21 @@ object Dedup {
     * from 12 longs per doc instead of the full shingle sets. At 100 TB this
     * is the pruning stage between banding and the exact confirm join
     * (ngramJaccard) — signatures are what the candidate join already
-    * carries, so estimation adds no extra corpus scan. The shingle-set
-    * cache below is managed (drained after the query) — cross-query shares
-    * in this family are staged file artifacts, not caches. */
-  def minhashEstimate(docs: DataFrame): DataFrame = {
-    val sets = graft.infra.Caches.managed(shingleSets(docs))
-    val mh = minhashValues(sets)
-    minhashCandidatesFrom(sets).select("doc_a", "doc_b")
+    * carries, so estimation adds no extra corpus scan. Caches here are
+    * managed (drained after the query) — the cross-query share in this
+    * family is the staged signature artifact [[stagedMinhashValues]]. */
+  def minhashEstimate(docs: DataFrame): DataFrame =
+    minhashEstimateFrom(graft.infra.Caches.managed(
+      minhashValues(graft.infra.Caches.managed(shingleSets(docs)))))
+
+  /** [[minhashEstimate]] over a prebuilt (doc_id, j, mh) signature table —
+    * pass [[stagedMinhashValues]] (query wiring) and the whole estimate runs
+    * off 12 longs per doc with no shingle-stream scan: bands re-derive from
+    * the signatures, candidates from the bands, and the component-match
+    * count from the same table on both pair sides. */
+  def minhashEstimateFrom(mhIn: DataFrame): DataFrame = {
+    val mh = graft.infra.Caches.managed(mhIn)
+    minhashCandidatesFromBands(minhashBandsFromValues(mh)).select("doc_a", "doc_b")
       .join(mh.select(col("doc_id").as("doc_a"), col("j"), col("mh").as("ma")), "doc_a")
       .join(mh.select(col("doc_id").as("doc_b"), col("j").as("jb"), col("mh").as("mb")), "doc_b")
       .where(col("j") === col("jb"))
@@ -252,8 +267,16 @@ object Dedup {
     * path. Estimates come from the signatures the joins already carry, so
     * the whole sweep adds zero corpus scans. */
   def lshBandTuning(docs: DataFrame,
-                    rowsPerBandShapes: Seq[Int] = BandTuningConfigs): DataFrame = {
-    val mh = graft.infra.Caches.managed(minhashValues(shingleSets(docs)))
+                    rowsPerBandShapes: Seq[Int] = BandTuningConfigs): DataFrame =
+    lshBandTuningFromValues(
+      graft.infra.Caches.managed(minhashValues(shingleSets(docs))), rowsPerBandShapes)
+
+  /** [[lshBandTuning]] over a prebuilt signature table
+    * ([[stagedMinhashValues]] in the query wiring — the sweep then runs
+    * entirely off the staged 12-longs-per-doc artifact). */
+  def lshBandTuningFromValues(mhIn: DataFrame,
+                              rowsPerBandShapes: Seq[Int] = BandTuningConfigs): DataFrame = {
+    val mh = graft.infra.Caches.managed(mhIn)
     rowsPerBandShapes.map { r =>
       val b = NumHashes / r
       val bands = mh.withColumn("band", (col("j") / r).cast("long"))
@@ -298,8 +321,12 @@ object Dedup {
   def minhashCandidatesHashed(docs: DataFrame): DataFrame =
     minhashCandidatesFrom(shingleSetsHashed(docs))
 
-  def minhashCandidatesFrom(sets: DataFrame): DataFrame = {
-    val bands = graft.infra.Caches.managed(minhashBands(sets))
+  def minhashCandidatesFrom(sets: DataFrame): DataFrame =
+    minhashCandidatesFromBands(graft.infra.Caches.managed(minhashBands(sets)))
+
+  /** Candidate pairs from a prebuilt band table (both self-join sides read
+    * the same input; callers cache or stage it). */
+  def minhashCandidatesFromBands(bands: DataFrame): DataFrame = {
     val l = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
     val r = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
     l.join(r, Seq("band", "band_key"))
@@ -307,6 +334,19 @@ object Dedup {
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared_bands"))
   }
+
+  /** The (doc_id, j, mh) MinHash signature table staged ONCE per
+    * (process, corpus) as a doc_id-bucketed parquet artifact — signatures
+    * are the write-once/read-many asset of the near-dup family (the
+    * estimate, the band-shape sweep, and incremental probes all re-band the
+    * same 12 longs per doc), and at 100 TB they are exactly what a
+    * deployment persists beside the corpus rather than recomputing from the
+    * shingle stream (one tokenize+shingle+min-agg corpus pass each time).
+    * Canonical-inputs contract per Staging.stageOnce: `docs` must be the
+    * corpus documents table for `sfDir`. */
+  def stagedMinhashValues(docs: DataFrame, sfDir: String): DataFrame =
+    graft.infra.Staging.stageOnceBucketed("minhash_sig", sfDir,
+      minhashValues(shingleSets(docs)), docs.sparkSession, "doc_id")
 
   /** new_id, old_id, shared_bands — INCREMENTAL near-dup check: a new
     * ingest batch's bands probe the existing corpus's bands instead of

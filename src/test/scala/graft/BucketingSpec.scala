@@ -201,4 +201,74 @@ class BucketingSpec extends SparkSpec {
     val back = spark.table("graft_bucket_rt").orderBy("doc_id").as[(Long, String)].collect()
     assert(back.toSeq == Seq((1L, "a"), (2L, "b")))
   }
+
+  test("staged unit-concepts artifact: pair join plans exchange-free scan sides, results equal the in-session derivation") {
+    // the r14 cross-query share of the cooccurrence family: counts/metrics/
+    // chi2/idf at one level read ONE doc_id-bucketed file artifact
+    // (Cooccurrence.stagedUnitConcepts) instead of each rebuilding the
+    // distinct+ancestor-expand chain — and the pair self-join over the
+    // bucketed scan must not shuffle its scan sides (hash(doc_id) bucketing
+    // satisfies the join's clustering), the 100 TB layout
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val sf = "/root/testdata/sf0.001"
+    val docs = sources.Tables.documents(spark, sf)
+    // the CANONICAL annots input of the staged artifact (same derivation
+    // SparkEntry.unitsAt passes — the stage-once contract keys on it)
+    val annots = operators.Concepts.stagedPostProcessed(docs, sf)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val staged = operators.Cooccurrence.stagedUnitConcepts(
+        annots, sf, "document", Seq("doc_id"))
+      // plan shape: the self-join's scan sides carry no exchange (only the
+      // final (concept1, concept2) aggregation may shuffle). Assert on the
+      // UNCACHED staged scan so the bucketing, not an InMemoryRelation,
+      // carries the distribution.
+      val l = staged.select(col("doc_id"), col("concept_id").as("concept1"))
+      val r = staged.select(col("doc_id"), col("concept_id").as("concept2"))
+      val joined = l.join(r, Seq("doc_id")).where(col("concept1") < col("concept2"))
+      val plan = joined.queryExecution.executedPlan
+      val smj = plan.collect { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, s"expected a sort-merge pair join:\n$plan")
+      assert(Seq(smj.head.left, smj.head.right).forall(
+        _.collect { case e: ShuffleExchangeExec => e }.isEmpty),
+        s"pair-join scan side shuffled despite the bucketed artifact:\n$plan")
+      // results: staged path == in-session derivation, for the pair counts
+      // and the metrics tail
+      val viaStaged = operators.Cooccurrence
+        .pairCounts(staged, Seq("doc_id")).collect().map(_.toSeq).toSet
+      val direct = operators.Cooccurrence
+        .pairCounts(operators.Cooccurrence.unitConcepts(annots, Seq("doc_id")), Seq("doc_id"))
+        .collect().map(_.toSeq).toSet
+      assert(viaStaged == direct)
+      val mStaged = operators.Cooccurrence
+        .metricsFromUnits(staged, Seq("doc_id")).collect().map(_.toSeq).toSet
+      val mDirect = operators.Cooccurrence
+        .metrics(annots, Seq("doc_id")).collect().map(_.toSeq).toSet
+      assert(mStaged == mDirect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      graft.infra.Caches.unpersistManaged()
+    }
+  }
+
+  test("staged minhash signatures: estimate and band sweep equal their from-scratch derivations") {
+    // the r14 cross-query share of the near-dup family: the (doc_id, j, mh)
+    // signature table staged once (Dedup.stagedMinhashValues); estimate and
+    // band-shape sweep re-band the staged 12 longs/doc with no
+    // shingle-stream scan
+    val sf = "/root/testdata/sf0.001"
+    val docs = sources.Tables.documents(spark, sf)
+    try {
+      val mh = operators.Dedup.stagedMinhashValues(docs, sf)
+      assert(operators.Dedup.minhashEstimateFrom(mh).collect().map(_.toSeq).toSet ==
+        operators.Dedup.minhashEstimate(docs).collect().map(_.toSeq).toSet)
+      assert(operators.Dedup.lshBandTuningFromValues(mh).collect().map(_.toSeq).toSet ==
+        operators.Dedup.lshBandTuning(docs).collect().map(_.toSeq).toSet)
+    } finally graft.infra.Caches.unpersistManaged()
+  }
 }
