@@ -460,7 +460,7 @@ object SparkEntry {
       TextStats.labelSourceMatrix(docs(s, d), Tables.embeddings(s, d))),
     "snapshot_diff" -> ((s, d) => {
       val base = docs(s, d)
-      val h = pmod(col("doc_id") * 2654435761L, lit(1000L))
+      val h = graft.functions.Num.mulMod(col("doc_id"), 2654435761L, 1000L)
       val changed = base.where(h < 100)
         .withColumn("lang", lit("xx")).withColumn("source", lit("updated"))
       val kept = base.where(h >= 100 && !(h >= 150 && h < 200))
@@ -472,14 +472,14 @@ object SparkEntry {
     "doc_history" -> ((s, d) => {
       val all = docs(s, d)
       val base = all.select("doc_id", "lang", "source")
-      val updates = all.where(pmod(col("doc_id") * 2654435761L, lit(1000L)) < 100)
+      val updates = all.where(graft.functions.Num.mulMod(col("doc_id"), 2654435761L, 1000L) < 100)
         .select(col("doc_id"), lit("xx").as("lang"), lit("updated").as("source"))
       graft.infra.Etl.scd2(Seq((0L, base), (1L, updates)), "doc_id")
         .select("doc_id", "lang", "source", "version", "valid_from", "valid_to", "is_current")
     }),
     "doc_upsert" -> ((s, d) => {
       val base = docs(s, d)
-      val updates = base.where(pmod(col("doc_id") * 2654435761L, lit(1000L)) < 100)
+      val updates = base.where(graft.functions.Num.mulMod(col("doc_id"), 2654435761L, 1000L) < 100)
         .withColumn("lang", lit("xx")).withColumn("source", lit("updated"))
       graft.infra.Etl.upsert(base, updates, "doc_id")
     }),

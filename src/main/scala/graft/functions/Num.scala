@@ -20,4 +20,18 @@ object Num {
   }
   def r6(c: Column): Column = r(c, 6)
   def r2(c: Column): Column = r(c, 2)
+
+  /** Overflow-free multiplicative hash bucket: (c * k) mod m computed as
+    * ((c mod m) * (k mod m)) mod m — congruence-identical by modular
+    * arithmetic, but the operands stay below m² instead of k·max(c).
+    *
+    * The direct form overflowed int64 under ANSI mode on ScaleUp-offset
+    * keys (replica·10⁹ + id: 9·10⁹ × 2654435761 ≈ 2.4·10¹⁹ > Long.Max —
+    * the sf1.0 probe's doc_sample/doc_upsert failures), and at a real
+    * 100 TB deployment 10-digit document ids are the NORM, not the probe
+    * artifact. The DuckDB oracle twins keep the direct form (the gate runs
+    * at sf0.01 where both forms agree exactly); m² must stay < 2⁶³
+    * (m ≤ ~3·10⁹ — every graft bucket count is ≤ 10⁶). */
+  def mulMod(c: Column, k: Long, m: Long): Column =
+    pmod(pmod(c, lit(m)) * lit(k % m), lit(m))
 }

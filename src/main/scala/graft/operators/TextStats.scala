@@ -504,7 +504,7 @@ object TextStats {
       .select(col("doc_id"), col("n_chars"),
         size(split(col("text"), " ")).cast("long").as("n_toks"))
       .join(q, "doc_id")
-      .withColumn("shard_id", pmod(col("doc_id") * lit(2654435761L), lit(numShards.toLong)))
+      .withColumn("shard_id", Num.mulMod(col("doc_id"), 2654435761L, numShards.toLong))
       .groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
         sum("n_chars").as("n_bytes"), sum("quality_u").as("sum_q_u"))
@@ -589,7 +589,7 @@ object TextStats {
     * engines (pure integer math), the sampling discipline a training-data
     * pipeline needs for audits. */
   def sampleDocs(docs: DataFrame, permille: Int = 100): DataFrame =
-    docs.where(pmod(col("doc_id") * 2654435761L, lit(1000L)) < permille)
+    docs.where(Num.mulMod(col("doc_id"), 2654435761L, 1000L) < permille)
       .select(col("doc_id"), col("lang"), col("source"))
 
   /** Stratified reproducible sampling: exactly `k` documents per stratum
@@ -599,7 +599,7 @@ object TextStats {
     * per-stratum window becomes the two-level pattern used by corpusMix. */
   def stratifiedSample(docs: DataFrame, k: Int = 5): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window.partitionBy("source")
-      .orderBy(pmod(col("doc_id") * 2654435761L, lit(1000000L)), col("doc_id"))
+      .orderBy(Num.mulMod(col("doc_id"), 2654435761L, 1000000L), col("doc_id"))
     docs.select(col("doc_id"), col("source"))
       .withColumn("draw_rank", row_number().over(win).cast("long"))
       .where(col("draw_rank") <= k)
@@ -679,7 +679,7 @@ object TextStats {
     * order ≡ the flat permutation order and cum_tokens is bit-identical to
     * the single-window formulation the oracle states. */
   def corpusMix(docs: DataFrame, budget: Long = 20000L, buckets: Int = 100): DataFrame = {
-    val perm = pmod(col("doc_id") * 2654435761L, lit(1000000L))
+    val perm = Num.mulMod(col("doc_id"), 2654435761L, 1000000L)
     val weighted = docs
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
@@ -717,7 +717,7 @@ object TextStats {
     * offset table + within-bucket windows), never one source-wide window —
     * bit-identical to the flat window the oracle states. */
   def multimodalBatches(docs: DataFrame, batchBytes: Long = 4096L, buckets: Int = 100): DataFrame = {
-    val perm = pmod(col("doc_id") * 2654435761L, lit(1000000L))
+    val perm = Num.mulMod(col("doc_id"), 2654435761L, 1000000L)
     val sized = docs
       .select(col("doc_id"), col("source"),
         length(col("text").cast("binary")).cast("long").as("byte_len"))

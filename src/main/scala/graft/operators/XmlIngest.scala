@@ -240,7 +240,7 @@ object XmlIngest {
     * hash the upsert family uses): hash < 100 → the citation was REVISED in
     * this update cycle; hash ≥ 900 → the citation was RETRACTED and appears
     * only in its file's DeleteCitation list. */
-  private def updateHash: Column = pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+  private def updateHash: Column = graft.functions.Num.mulMod(col("doc_id"), 2654435761L, 1000L)
   val UpdateFileMod = 10L
 
   /** file_id, xml — Medline UPDATE files: each nightly file is one

@@ -353,7 +353,7 @@ object DocStreams {
     val log = graft.infra.Staging.tempDir("graft-upsert-log").toString
     val ckpt = graft.infra.Staging.tempDir("graft-upsert-ckpt").toString
     val updates = stagedDocsStream(spark, sfDir)
-      .where(pmod(col("doc_id") * 2654435761L, lit(1000L)) < 100)
+      .where(graft.functions.Num.mulMod(col("doc_id"), 2654435761L, 1000L) < 100)
       .withColumn("lang", lit("xx")).withColumn("source", lit("updated"))
     val q = updates.writeStream.format("parquet")
       .option("path", log).option("checkpointLocation", ckpt)
