@@ -601,11 +601,18 @@ object OgerDict {
     * equalsIgnoreCase channel — else p_name + ' variant'); key%6==0 MONDO
     * classes xref their own HP id (direct channel); key%5==0 MONDO and
     * key%10==0 HP classes cite an external curie keyed by (key%3 prefix,
-    * p_brand) (indirect channel). Every reference branch has firing and
-    * non-firing rows. Plan: ontology-sized equi-joins only — the indirect
-    * channel joins through the curie key (bounded groups: prefix×brand),
-    * never a label cross join; at real ontology scale every input is
-    * broadcast-sized but nothing here requires it. */
+    * p_brand, key div 64 block) (indirect channel). Every reference branch
+    * has firing and non-firing rows — the self co-citation (key%10==0
+    * implies key%5==0, identical curie by construction) guarantees
+    * indirect pairs at every corpus size. Plan: ontology-sized equi-joins
+    * only — the indirect channel joins through the curie key, never a
+    * label cross join. The `div 64` block keeps curie CARDINALITY
+    * proportional to the class universe so each co-citation group stays
+    * constant-bounded (≤13 MONDO + ≤7 HP citers per curie) — the property
+    * real curies have (a UMLS CUI maps to a handful of classes), and what
+    * keeps the join linear-in-classes: the r14 sf1.0 probe caught the
+    * prefix×brand-only key going quadratic (constant #groups × linearly
+    * growing groups → 32× wall-clock at 10× rows). */
   def mondoHpEquiv(part: DataFrame): DataFrame = {
     val k = col("p_partkey")
     val mondo = part.select(concat(lit("MONDO:"), k).as("mondo_id"),
@@ -620,7 +627,7 @@ object OgerDict {
       when(k % 3 === 0, lit("MSH:"))
         .when(k % 3 === 1, lit("UMLS:"))
         .otherwise(lit("SNOMEDCT_US:")),
-      col("p_brand"))
+      col("p_brand"), lit("#"), expr("p_partkey div 64"))
     val mx = part.where(k % 5 === 0)
       .select(curie.as("curie"), concat(lit("MONDO:"), k).as("mondo_id")).distinct()
     val hx = part.where(k % 10 === 0)

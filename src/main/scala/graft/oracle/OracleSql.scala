@@ -741,12 +741,12 @@ object OracleSql {
       |  FROM part WHERE p_partkey % 6 = 0),
       |mx AS (SELECT DISTINCT
       |    CASE WHEN p_partkey % 3 = 0 THEN 'MSH:' WHEN p_partkey % 3 = 1 THEN 'UMLS:' ELSE 'SNOMEDCT_US:' END
-      |      || p_brand AS curie,
+      |      || p_brand || '#' || (p_partkey // 64) AS curie,
       |    'MONDO:' || p_partkey AS mondo_id
       |  FROM part WHERE p_partkey % 5 = 0),
       |hx AS (SELECT DISTINCT
       |    CASE WHEN p_partkey % 3 = 0 THEN 'MSH:' WHEN p_partkey % 3 = 1 THEN 'UMLS:' ELSE 'SNOMEDCT_US:' END
-      |      || p_brand AS curie,
+      |      || p_brand || '#' || (p_partkey // 64) AS curie,
       |    'HP:' || p_partkey AS hp_id
       |  FROM part WHERE p_partkey % 10 = 0),
       |pairs AS (SELECT hp_id, mondo_id, max(direct) AS direct FROM (
