@@ -104,4 +104,30 @@ class FunctionsSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(out == Map("X:a" -> "plain", "X:b" -> "quoted", "X:c" -> "double\""))
   }
+
+  test("mulMod equals the direct multiplicative hash on small ids and survives 10-digit ids") {
+    // congruence identity: ((id mod m)*(k mod m)) mod m == (id*k) mod m —
+    // the overflow-free form must agree exactly with the direct form
+    // wherever the direct form is computable (the oracle twins keep the
+    // direct form at the sf0.01 gate scale)
+    val k = 2654435761L
+    val small = Seq(0L, 1L, 7L, 999L, 60000L, 1234567L).toDF("id")
+    val both = small.select(
+      graft.functions.Num.mulMod(col("id"), k, 1000L).as("safe"),
+      pmod(col("id") * k, lit(1000L)).as("direct")).collect()
+    assert(both.forall(r => r.getLong(0) == r.getLong(1)))
+    // 10-digit ids (ScaleUp replica offsets; the norm at 100 TB): the
+    // direct form throws ANSI ARITHMETIC_OVERFLOW, mulMod must not — and
+    // the bucket must still equal the number-theoretic value
+    val big = Seq(9000000001L, 9999999999L).toDF("id")
+    val safe = big.select(col("id"),
+      graft.functions.Num.mulMod(col("id"), k, 1000L).as("b")).collect()
+    safe.foreach { r =>
+      val expect = ((r.getLong(0) % 1000L) * (k % 1000L)) % 1000L
+      assert(r.getLong(1) == expect)
+    }
+    intercept[Exception] {
+      big.select(pmod(col("id") * k, lit(1000L))).collect()
+    }
+  }
 }

@@ -16,13 +16,26 @@ def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    con = duckdb.connect()
-    for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    # ORACLE_RECONNECT=1: fresh DuckDB connection per query (large-sf local
+    # sweeps accumulate allocator state and OOM ~3/4 through the alphabet;
+    # the driver's own gate at sf0.01 doesn't need this). ORACLE_MEM caps
+    # the allocator (e.g. "48GB").
+    reconnect = os.environ.get("ORACLE_RECONNECT") == "1"
+    mem = os.environ.get("ORACLE_MEM")
+    def connect():
+        c = duckdb.connect()
+        if mem:
+            c.execute(f"SET memory_limit='{mem}'")
+        for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        return c
+    con = connect()
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        if reconnect:
+            con.close(); con = connect()
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
             print(f"MISSING  {name}: no spark output"); n_bad += 1; continue
