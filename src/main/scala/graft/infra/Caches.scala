@@ -2,18 +2,19 @@ package graft.infra
 
 import org.apache.spark.sql.SparkSession
 
-/** Cache lifecycle for graft's shared-plan persist() sites.
+/** Cache lifecycle for graft's operator-internal persist() sites.
   *
-  * Several operators persist() intermediate plans that multiple downstream
-  * queries share (SparkEntry's post-processed annotations, Cooccurrence's
-  * metrics totals, Dedup's shingle/band sets, Embeddings' IVF cell ranks).
-  * In the driver suites (Verify/Bench) that registration is deliberately
-  * SESSION-LIFETIME: the CacheManager is what lets 150+ back-to-back
-  * queries reuse one materialization of the tokenize→recognize→post-process
-  * chain instead of recomputing it per query, and the session ends with the
-  * JVM. A long-lived service embedding these operators instead calls
-  * [[unpersistAll]] between corpora (or at request boundaries) so storage
-  * doesn't accumulate across workloads.
+  * Since r13/r14 the contract is: every cache is QUERY-SCOPED. Operators
+  * wrap multiply-read intermediates in [[managed]]; the suite drivers
+  * (Verify/Bench) drain them after each query, so no persist's lifetime
+  * outlives the query that created it and no query's latency depends on
+  * what earlier queries pinned (the r9–r13 eviction-wave class). Plans
+  * shared ACROSS queries are staged file artifacts (Staging.stageOnce*),
+  * never caches: the concept-pipeline prefix, the per-level cooccurrence
+  * unit-concept tables, the MinHash signature table, the window-id table,
+  * the near-dup band index. A long-lived service embedding these operators
+  * calls [[unpersistAll]] between corpora (or at request boundaries) for
+  * the same storage hygiene.
   */
 object Caches {
 
