@@ -70,10 +70,18 @@ object AssertionDb {
     * production they read the LOADED database, not a per-table re-run of
     * the NLP pipeline. The integrity query alone references the base from
     * eight join branches (14 s at sf0.1 un-staged; file-backed each branch
-    * is a parquet scan). */
+    * is a parquet scan).
+    *
+    * BUCKETED by doc_id (VERDICT r14 item 2): every digest id except the
+    * assertion digest embeds doc_id in its natural key, so the per-table
+    * distincts and the integrity gate's id joins are DOC-LOCAL — with the
+    * base bucketed on doc_id and doc_id kept in the grouping/join keys,
+    * they plan with zero exchanges on the base side (the same co-location
+    * play as the cooccurrence unit-concept tables; pinned by
+    * BucketingSpec). */
   def stagedBase(docs: DataFrame, annots: DataFrame, sfDir: String): DataFrame =
-    graft.infra.Staging.stageOnce("assertion_db_base", sfDir,
-      evidenceBase(docs, annots), docs.sparkSession)
+    graft.infra.Staging.stageOnceBucketed("assertion_db_base", sfDir,
+      evidenceBase(docs, annots), docs.sparkSession, "doc_id")
 
   /** assertion_id, subject_curie, object_curie, association_curie. */
   def assertions(docs: DataFrame, annots: DataFrame): DataFrame =
@@ -85,46 +93,77 @@ object AssertionDb {
         col("concept_y").as("object_curie"), col("association_curie"))
       .distinct()
 
-  /** The evidence table (text-mined-assertion-db.sql:40-52). */
+  /** The evidence table (text-mined-assertion-db.sql:40-52).
+    *
+    * Every projected column is determined by doc-embedded keys
+    * (evidence_id = sha over doc_id|sent_id|pair|assoc; document_id =
+    * "PMID:"+doc_id), so the dedup groups never cross documents — doc_id
+    * rides in the grouping keys and the distinct becomes a doc-local
+    * aggregate the bucketed base satisfies WITHOUT an exchange. */
   def evidence(docs: DataFrame, annots: DataFrame): DataFrame =
     evidenceFrom(evidenceBase(docs, annots))
 
   def evidenceFrom(base: DataFrame): DataFrame =
-    base
-      .select(col("evidence_id"), col("assertion_id"),
-        concat(lit("PMID:"), col("doc_id")).as("document_id"),
-        col("sent_text").as("sentence"),
-        col("subject_entity_id"), col("object_entity_id"),
-        col("document_zone"), col("document_publication_type"),
-        col("document_year_published"))
-      .distinct()
+    docLocalDistinct(evidenceProjected(base))
+
+  private def evidenceProjected(base: DataFrame): DataFrame =
+    base.select(col("doc_id"), col("evidence_id"), col("assertion_id"),
+      concat(lit("PMID:"), col("doc_id")).as("document_id"),
+      col("sent_text").as("sentence"),
+      col("subject_entity_id"), col("object_entity_id"),
+      col("document_zone"), col("document_publication_type"),
+      col("document_year_published"))
 
   /** entity_id, span ("start|end"), covered_text — subject and object
-    * mentions unioned and deduplicated (:60-65). */
+    * mentions unioned and deduplicated (:60-65). The union is expressed as
+    * an explode of a 2-struct array so ONE scan of the bucketed base feeds
+    * it and the doc_id partitioning survives into the doc-local distinct
+    * (entity_id = sha over doc_id|ord|concept — never cross-doc); a
+    * two-branch Union would reset the output partitioning and force the
+    * dedup to shuffle. */
   def entities(docs: DataFrame, annots: DataFrame): DataFrame =
     entitiesFrom(evidenceBase(docs, annots))
 
-  def entitiesFrom(base: DataFrame): DataFrame = {
-    base.select(col("subject_entity_id").as("entity_id"),
-        concat_ws("|", col("x_start"), col("x_end")).as("span"),
-        col("x_tok").as("covered_text"))
-      .union(base.select(col("object_entity_id"),
-        concat_ws("|", col("y_start"), col("y_end")), col("y_tok")))
-      .distinct()
-  }
+  def entitiesFrom(base: DataFrame): DataFrame =
+    docLocalDistinct(entitiesProjected(base))
+
+  private def entitiesProjected(base: DataFrame): DataFrame =
+    base.select(col("doc_id"), explode(array(
+        struct(col("subject_entity_id").as("entity_id"),
+          concat_ws("|", col("x_start"), col("x_end")).as("span"),
+          col("x_tok").as("covered_text")),
+        struct(col("object_entity_id").as("entity_id"),
+          concat_ws("|", col("y_start"), col("y_end")).as("span"),
+          col("y_tok").as("covered_text")))).as("m"))
+      .select(col("doc_id"), col("m.entity_id"), col("m.span"), col("m.covered_text"))
 
   /** evidence_id, predicate_curie, score — one scored predicate per
     * evidence row (:73-79; PK (evidence_id, predicate_curie) holds because
     * evidence_id already encodes the pair and the pair determines the
-    * predicate). */
+    * predicate). Doc-local like [[evidenceFrom]]. */
   def evidenceScores(docs: DataFrame, annots: DataFrame): DataFrame =
     evidenceScoresFrom(evidenceBase(docs, annots))
 
   def evidenceScoresFrom(base: DataFrame): DataFrame =
-    base
-      .select(col("evidence_id"), col("association_curie").as("predicate_curie"),
-        Num.r6(col("score")).as("score"))
-      .distinct()
+    docLocalDistinct(scoresProjected(base))
+
+  private def scoresProjected(base: DataFrame): DataFrame =
+    base.select(col("doc_id"), col("evidence_id"),
+      col("association_curie").as("predicate_curie"),
+      Num.r6(col("score")).as("score"))
+
+  /** Distinct over `projected` (whose first column is doc_id) with doc_id
+    * IN the grouping keys, then dropped: because every other column is
+    * determined by a doc-embedded digest, the result set is identical to a
+    * global distinct, but the aggregate's required distribution is
+    * satisfied by the base's doc_id bucketing — zero exchanges. */
+  private def docLocalDistinct(projected: DataFrame): DataFrame =
+    withDoc(projected).drop("doc_id")
+
+  /** The doc-local distinct with doc_id still in the row — the shape the
+    * integrity gate's doc-local joins consume. */
+  private def withDoc(projected: DataFrame): DataFrame =
+    projected.distinct()
 
   /** One row of orphan counts — the FK integrity the MySQL schema's
     * foreign keys enforce, asserted relationally: evidence rows without
@@ -133,20 +172,27 @@ object AssertionDb {
   def integrity(docs: DataFrame, annots: DataFrame): DataFrame =
     integrityFrom(evidenceBase(docs, annots))
 
+  /** Every id except the assertion digest embeds doc_id, so the orphan
+    * checks are DOC-LOCAL joins: both sides keep doc_id, the join keys are
+    * (doc_id, id) — semantically identical to joining on the id alone —
+    * and every branch reads the bucketed base with zero exchanges. The one
+    * genuinely global side (the assertion dimension) is tiny → broadcast
+    * anti-join. */
   def integrityFrom(base: DataFrame): DataFrame = {
     val a = assertionsFrom(base)
-    val e = evidenceFrom(base)
-    val s = evidenceScoresFrom(base)
-    val ent = entitiesFrom(base)
-    val evOrphans = e.join(a.select("assertion_id"), Seq("assertion_id"), "left_anti")
+    val e = withDoc(evidenceProjected(base))
+    val s = withDoc(scoresProjected(base))
+    val ent = withDoc(entitiesProjected(base))
+    val evOrphans = e.join(broadcast(a.select("assertion_id")), Seq("assertion_id"), "left_anti")
       .select(count(lit(1)).as("evidence_without_assertion"))
-    val scoreOrphans = s.join(e.select("evidence_id"), Seq("evidence_id"), "left_anti")
+    val scoreOrphans = s.join(e.select("doc_id", "evidence_id"),
+        Seq("doc_id", "evidence_id"), "left_anti")
       .select(count(lit(1)).as("scores_without_evidence"))
-    val subjOrphans = e.select(col("subject_entity_id").as("entity_id"))
-      .union(e.select(col("object_entity_id")))
-      .join(ent.select("entity_id"), Seq("entity_id"), "left_anti")
+    val subjOrphans = e.select(col("doc_id"), explode(array(
+        col("subject_entity_id"), col("object_entity_id"))).as("entity_id"))
+      .join(ent.select("doc_id", "entity_id"), Seq("doc_id", "entity_id"), "left_anti")
       .select(count(lit(1)).as("evidence_without_entity"))
-    val dupPks = e.groupBy("evidence_id").agg(count(lit(1)).as("n"))
+    val dupPks = e.groupBy("doc_id", "evidence_id").agg(count(lit(1)).as("n"))
       .where(col("n") > 1).select(count(lit(1)).as("duplicate_evidence_ids"))
     evOrphans.crossJoin(scoreOrphans).crossJoin(subjOrphans).crossJoin(dupPks)
   }

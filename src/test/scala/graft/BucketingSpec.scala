@@ -271,4 +271,46 @@ class BucketingSpec extends SparkSpec {
         operators.Dedup.lshBandTuning(docs).collect().map(_.toSeq).toSet)
     } finally graft.infra.Caches.unpersistManaged()
   }
+
+  test("assertion-DB star: doc-local distincts plan zero exchanges over the bucketed base") {
+    // VERDICT r14 item 2: every digest id except the assertion digest
+    // embeds doc_id, so with the staged base bucketed on doc_id and doc_id
+    // kept in the grouping keys, the evidence/entities/scores dedups are
+    // doc-local aggregates the bucketing satisfies without a shuffle
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    val sf = "/root/testdata/sf0.001"
+    val docs = sources.Tables.documents(spark, sf)
+    val annots = operators.Concepts.stagedPostProcessed(docs, sf)
+    val base = operators.AssertionDb.stagedBase(docs, annots, sf)
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = p.collect {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case e: ShuffleExchangeExec => Seq(e)
+    }.flatten
+    for (df <- Seq(operators.AssertionDb.entitiesFrom(base),
+                   operators.AssertionDb.evidenceFrom(base),
+                   operators.AssertionDb.evidenceScoresFrom(base))) {
+      val plan = df.queryExecution.executedPlan
+      assert(shuffles(plan).isEmpty,
+        s"expected exchange-free doc-local distinct over the bucketed base:\n$plan")
+    }
+    // ... and the result sets equal the pre-bucketing global-distinct
+    // formulation derived from scratch
+    val fresh = operators.AssertionDb.evidenceBase(docs, annots)
+    assert(operators.AssertionDb.entitiesFrom(base).collect().map(_.toSeq).toSet ==
+      operators.AssertionDb.entities(docs, annots).collect().map(_.toSeq).toSet)
+    assert(operators.AssertionDb.evidenceFrom(base).collect().map(_.toSeq).toSet ==
+      operators.AssertionDb.evidenceFrom(fresh).collect().map(_.toSeq).toSet)
+    // integrity's doc-local orphan joins: with broadcast off, the
+    // (doc_id, id) SMJ sides read the bucketed base with no shuffle
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val integ = operators.AssertionDb.integrityFrom(base)
+      val row = integ.collect().head
+      assert(row.getLong(0) == 0 && row.getLong(1) == 0 &&
+        row.getLong(2) == 0 && row.getLong(3) == 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
 }
