@@ -68,6 +68,30 @@ object Cooccurrence {
     graft.infra.Staging.stageOnceBucketed(s"units_$level", sfDir,
       unitConceptsRaw(annots, unitCols), annots.sparkSession, "doc_id")
 
+  /** The level's pair-count table staged ONCE per (process, corpus) — the
+    * Spark re-expression of the reference's exported cooccurrence COUNT
+    * table (ConceptCooccurrenceCountsPipeline → BigQuery `cooccurrence`
+    * schema): the KG family (pagerank/k-hop/triangles/jaccard/degree/KGX)
+    * consumes the graph as a load artifact, it does not re-run the pair
+    * join per query. `units` must be the canonical staged unit-concept
+    * table for the level (Staging.stageOnce contract). */
+  def stagedPairCounts(units: DataFrame, sfDir: String, level: String,
+                       unitCols: Seq[String]): DataFrame =
+    graft.infra.Staging.stageOnce(s"cooccur_pairs_$level", sfDir,
+      pairCounts(units, unitCols), units.sparkSession)
+
+  /** The level's metrics table staged ONCE per (process, corpus) — the
+    * exported cooccurrence SCORES artifact (the reference publishes NGD/
+    * NPMI per pair; KG edge builds and the distant-supervision KB read the
+    * published table). Same canonical-inputs contract as
+    * [[stagedPairCounts]]. The cooccur_metrics_* queries themselves stay
+    * honest computations from the unit table — only downstream CONSUMERS
+    * of the scores read the staged artifact. */
+  def stagedMetrics(units: DataFrame, sfDir: String, level: String,
+                    unitCols: Seq[String]): DataFrame =
+    graft.infra.Staging.stageOnce(s"cooccur_scores_$level", sfDir,
+      metricsFromUnits(units, unitCols), units.sparkSession)
+
   /** concept1, concept2, pair_count over units. */
   def pairCounts(unitsIn: DataFrame, unitCols: Seq[String]): DataFrame = {
     // scanned twice (both sides of the pair join); managed is idempotent on

@@ -174,8 +174,14 @@ object KnowledgeGraph {
   /** Edge table from document-level cooccurrence metrics: subject, object,
     * predicate, subject_category, object_category, pair_count, ngd, npmi.
     * Two broadcast category joins — one per endpoint. */
-  def edges(annots: DataFrame): DataFrame = {
-    val base = Cooccurrence.metrics(annots, Seq("doc_id"))
+  def edges(annots: DataFrame): DataFrame =
+    edgesFromMetrics(Cooccurrence.metrics(annots, Seq("doc_id")))
+
+  /** [[edges]] from the published cooccurrence-scores table (staged
+    * artifact — the reference's KG build reads the exported scores, it
+    * does not re-run the pair join; trapi_edges' 0.42 → 1.08 s r14 drift
+    * was exactly the honest per-query rebuild of that chain). */
+  def edgesFromMetrics(base: DataFrame): DataFrame = {
     joinCategory(joinCategory(base, "concept1", "subject_category"),
         "concept2", "object_category")
       .select(
@@ -191,9 +197,11 @@ object KnowledgeGraph {
     * degree dwarfs the curve is the node that breaks BFS/PageRank cost
     * models). Two map-side-combinable aggregations over the edge list —
     * degree per node, then nodes per degree (a ≤|V|-key rollup). */
-  def degreeDist(annots: DataFrame): DataFrame = {
-    val pairs = Cooccurrence.pairCounts(
-      Cooccurrence.unitConcepts(annots, Seq("doc_id")), Seq("doc_id"))
+  def degreeDist(annots: DataFrame): DataFrame =
+    degreeDistFromPairs(Cooccurrence.pairCounts(
+      Cooccurrence.unitConcepts(annots, Seq("doc_id")), Seq("doc_id")))
+
+  def degreeDistFromPairs(pairs: DataFrame): DataFrame = {
     pairs.select(col("concept1").as("src"))
       .unionAll(pairs.select(col("concept2").as("src")))
       .groupBy("src").agg(count(lit(1)).as("degree"))
@@ -224,10 +232,12 @@ object KnowledgeGraph {
     * destination key — the Pregel cost model. Degrees are computed once.
     * Rounds are a fixed constant, so total cost is O(iters · |E|) with no
     * driver-side data movement at all. */
-  def pageRank(annots: DataFrame, iterations: Int = PageRankIters): DataFrame = {
-    val pairs = Cooccurrence
-      .pairCounts(Cooccurrence.unitConcepts(annots, Seq("doc_id")), Seq("doc_id"))
-      .select("concept1", "concept2")
+  def pageRank(annots: DataFrame, iterations: Int = PageRankIters): DataFrame =
+    pageRankFromPairs(Cooccurrence.pairCounts(
+      Cooccurrence.unitConcepts(annots, Seq("doc_id")), Seq("doc_id")), iterations)
+
+  def pageRankFromPairs(pairsIn: DataFrame, iterations: Int = PageRankIters): DataFrame = {
+    val pairs = pairsIn.select("concept1", "concept2")
     // concept1 < concept2 by construction, so the two directions are
     // disjoint — plain unionByName, no distinct
     val edges = pairs.select(col("concept1").as("src"), col("concept2").as("dst"))
@@ -270,10 +280,13 @@ object KnowledgeGraph {
     * no driver-side convergence probe exists at all. Distances are exact
     * integers. */
   def kHop(annots: DataFrame, seedPrefix: String = "OP",
-           rounds: Int = KHopRounds): DataFrame = {
-    val pairs = Cooccurrence
-      .pairCounts(Cooccurrence.unitConcepts(annots, Seq("doc_id")), Seq("doc_id"))
-      .select("concept1", "concept2")
+           rounds: Int = KHopRounds): DataFrame =
+    kHopFromPairs(Cooccurrence.pairCounts(
+      Cooccurrence.unitConcepts(annots, Seq("doc_id")), Seq("doc_id")), seedPrefix, rounds)
+
+  def kHopFromPairs(pairsIn: DataFrame, seedPrefix: String = "OP",
+                    rounds: Int = KHopRounds): DataFrame = {
+    val pairs = pairsIn.select("concept1", "concept2")
     val edges = pairs.select(col("concept1").as("src"), col("concept2").as("dst"))
       .unionByName(pairs.select(col("concept2").as("src"), col("concept1").as("dst")))
       .localCheckpoint()
@@ -303,9 +316,12 @@ object KnowledgeGraph {
     * side, and every step is an equi-join (no cartesian anywhere). Counts
     * and degrees are exact integers; the coefficient is one rounded
     * division at the end. */
-  def triangles(annots: DataFrame): DataFrame = {
-    val pairs = Cooccurrence
-      .pairCounts(Cooccurrence.unitConcepts(annots, Seq("doc_id")), Seq("doc_id"))
+  def triangles(annots: DataFrame): DataFrame =
+    trianglesFromPairs(Cooccurrence.pairCounts(
+      Cooccurrence.unitConcepts(annots, Seq("doc_id")), Seq("doc_id")))
+
+  def trianglesFromPairs(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn
       .select(col("concept1").as("a"), col("concept2").as("b"))
       .localCheckpoint()
     val wedges = pairs.as("x")
@@ -339,9 +355,12 @@ object KnowledgeGraph {
     * their own common neighbor — no self-loops exist); the union size is
     * deg(a)+deg(b)−common in exact integers, one rounded division per
     * edge. Bounded exactly like [[triangles]]' wedge join. */
-  def neighborJaccard(annots: DataFrame): DataFrame = {
-    val pairs = Cooccurrence
-      .pairCounts(Cooccurrence.unitConcepts(annots, Seq("doc_id")), Seq("doc_id"))
+  def neighborJaccard(annots: DataFrame): DataFrame =
+    neighborJaccardFromPairs(Cooccurrence.pairCounts(
+      Cooccurrence.unitConcepts(annots, Seq("doc_id")), Seq("doc_id")))
+
+  def neighborJaccardFromPairs(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn
       .select(col("concept1").as("a"), col("concept2").as("b"))
       .localCheckpoint()
     val und = pairs.select(col("a").as("src"), col("b").as("dst"))
@@ -391,7 +410,11 @@ object KnowledgeGraph {
     * pair with evidence (so it equals [[kgxEdgesEvidence]]'s universe),
     * whereas the metric table may drop degenerate pairs. */
   def kgxEdges(annots: DataFrame): DataFrame =
-    Cooccurrence.pairCounts(Cooccurrence.unitConcepts(annots, Seq("doc_id")), Seq("doc_id"))
+    kgxEdgesFromPairs(Cooccurrence.pairCounts(
+      Cooccurrence.unitConcepts(annots, Seq("doc_id")), Seq("doc_id")))
+
+  def kgxEdgesFromPairs(pairs: DataFrame): DataFrame =
+    pairs
       .select(col("concept1").as("subject"), col("concept2").as("object"))
       .select(
         col("subject"), lit(KgxEdgeLabel).as("edge_label"), col("object"),
@@ -404,8 +427,10 @@ object KnowledgeGraph {
     * KgxNlpEvidenceNode.getId's fields collapsed to the per-document
     * identity this engine tracks). Group-bounded: evidence lists are
     * per-pair, the same volume as the pair-count aggregation. */
-  def kgxEdgesEvidence(annots: DataFrame): DataFrame = {
-    val units = Cooccurrence.unitConcepts(annots, Seq("doc_id"))
+  def kgxEdgesEvidence(annots: DataFrame): DataFrame =
+    kgxEdgesEvidenceFromUnits(Cooccurrence.unitConcepts(annots, Seq("doc_id")))
+
+  def kgxEdgesEvidenceFromUnits(units: DataFrame): DataFrame = {
     val ev = units.select(col("doc_id"), col("concept_id").as("subject"))
       .join(units.select(col("doc_id"), col("concept_id").as("object")), Seq("doc_id"))
       .where(col("subject") < col("object"))
@@ -483,8 +508,11 @@ object KnowledgeGraph {
 
   /** subject, object, triple_ord, line — N-Triples for every association:
     * blank assoc node, type/subject/predicate/object, 6dp decimal score. */
-  def trapiEdgeTriples(annots: DataFrame): DataFrame = {
-    val e = edges(annots)
+  def trapiEdgeTriples(annots: DataFrame): DataFrame =
+    trapiEdgeTriplesFromMetrics(Cooccurrence.metrics(annots, Seq("doc_id")))
+
+  def trapiEdgeTriplesFromMetrics(metrics: DataFrame): DataFrame = {
+    val e = edgesFromMetrics(metrics)
     val assoc = concat(lit("<_:"),
       regexp_replace(col("subject"), ":", "_"), lit("__"),
       regexp_replace(col("object"), ":", "_"), lit("_assoc>"))

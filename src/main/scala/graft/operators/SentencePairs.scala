@@ -89,8 +89,16 @@ object SentencePairs {
     * a high-confidence knowledge-base edge — here the top cooccurrence edges
     * by NPMI stand in for the curated KB. Output: labeled training instances.
     * The KB side is small → broadcast; mentions stream through one join. */
-  def distantSupervision(annots: DataFrame, minNpmi: Double = 0.1): DataFrame = {
-    val kb = Cooccurrence.metrics(annots, Seq("doc_id"))
+  def distantSupervision(annots: DataFrame, minNpmi: Double = 0.1): DataFrame =
+    distantSupervisionFromMetrics(annots,
+      Cooccurrence.metrics(annots, Seq("doc_id")), minNpmi)
+
+  /** [[distantSupervision]] with the KB side read from the published
+    * cooccurrence-scores table (staged artifact; the mention side still
+    * reads `annots` — that IS the per-run extraction work). */
+  def distantSupervisionFromMetrics(annots: DataFrame, metrics: DataFrame,
+                                    minNpmi: Double = 0.1): DataFrame = {
+    val kb = metrics
       .where(col("npmi") >= minNpmi)
       .select(col("concept1"), col("concept2"), col("npmi").as("kb_npmi"))
     val mentions = extract(annots)
