@@ -264,6 +264,15 @@ object SparkEntry {
     // xref-channel derivation of the equivalence map B6b consumes
     // (VERDICT r13 missing item 2 — the list goes to zero)
     "mondo_hp_equiv" -> ((s, d) => OgerDict.mondoHpEquiv(Tables.part(s, d))),
+    // the BigQuery multi-table load serialization (BigQueryLoad.scala):
+    // the span-derived annotation digests, the four zone-containment
+    // tables under the layer-ordering rule, and the dependency relations
+    "bigquery_load_annotation" -> ((s, d) =>
+      BigQueryLoad.annotationTable(docs(s, d), pp(s, d))),
+    "bigquery_load_zones" -> ((s, d) =>
+      BigQueryLoad.zoneTables(docs(s, d), pp(s, d))),
+    "bigquery_load_relation" -> ((s, d) =>
+      BigQueryLoad.relationTable(docs(s, d))),
     "pr_gene_rollup" -> ((s, d) => graft.infra.Staging.stageOnce(
       "pr_gene_rollup", d, OgerDict.geneRollup(Tables.part(s, d)), s)),
     "span_validate" -> ((s, d) => Concepts.spanValidate(docs(s, d), pp(s, d))),

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   */
 object Conllu {
 
-  private def uposFor(tokCol: String): org.apache.spark.sql.Column = {
+  private[operators] def uposFor(tokCol: String): org.apache.spark.sql.Column = {
     val dict = ConceptDict.entries.toMap
     ConceptDict.groups.foldLeft(lit("X")) { case (acc, (prefix, toks)) =>
       when(col(tokCol).isin(toks: _*), lit(prefix)).otherwise(acc)

@@ -5033,7 +5033,86 @@ object OracleSql {
         |  (SELECT CAST(count(*) AS BIGINT) FROM (
         |     SELECT evidence_id FROM e2 GROUP BY 1 HAVING count(*) > 1)) AS duplicate_evidence_ids""".stripMargin
 
+  // ---------- BigQuery multi-table load (BigQueryLoadBuilder) ----------
+
+  /** Shared CTE stack for the BigQuery load twins: the five-layer
+    * annotation universe with the span-derived sha256 ids
+    * (BigQueryUtil.getAnnotationIdentifier — same recipe as the
+    * sentence-cooccurrence export twin). */
+  private val bqUniverseCtes: Seq[String] = Seq(
+    s"""sent AS (SELECT doc_id, (ord - 1) // $W AS sent_id,
+       |    string_agg(tok, ' ' ORDER BY ord) AS sent_text,
+       |    min(char_start) AS char_start, max(char_end) AS char_end
+       |  FROM tok GROUP BY 1, 2)""".stripMargin,
+    s"""secx AS (
+       |  SELECT s.doc_id, s.section, s.char_start, s.char_end,
+       |    substr(d.text, CAST(s.char_start + 1 AS INT),
+       |      CAST(s.char_end - s.char_start AS INT)) AS covered_text
+       |  FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN sent_id = 0 THEN 'title' ELSE 'abstract' END AS section,
+       |      min(char_start) AS char_start, max(char_end) AS char_end
+       |    FROM sent WHERE sent_id <= 2 GROUP BY 1, 2) s
+       |  JOIN documents d ON s.doc_id = d.doc_id)""".stripMargin,
+    s"""universe AS (
+       |  SELECT doc_id, 'SECTION' AS layer, 0 AS layer_idx, 'bioc' AS annotator_name,
+       |    upper(section) AS annotation_type, char_start, char_end, covered_text
+       |  FROM secx
+       |  UNION ALL
+       |  SELECT doc_id, 'PARAGRAPH', 1, 'bioc', 'paragraph', char_start, char_end, covered_text
+       |  FROM secx WHERE section = 'abstract'
+       |  UNION ALL
+       |  SELECT doc_id, 'SENTENCE', 2, 'turku', 'sentence', char_start, char_end, sent_text
+       |  FROM sent
+       |  UNION ALL
+       |  SELECT doc_id, 'CONCEPT', 3, 'oger', concept_id, char_start, char_end, tok
+       |  FROM pp
+       |  UNION ALL
+       |  SELECT doc_id, 'TOKEN', 4, 'turku', ${uposCaseSql("tok")}, char_start, char_end, tok
+       |  FROM tok)""".stripMargin,
+    """bq AS (
+      |  SELECT *, sha256(CAST(doc_id AS VARCHAR) || CAST(char_start AS VARCHAR) ||
+      |      regexp_replace(covered_text, '[\n\t]', ' ', 'g') || layer ||
+      |      '[' || lower(annotation_type) || ']') AS annotation_id
+      |  FROM universe)""".stripMargin)
+
+  val bigqueryLoadAnnotation: String =
+    docPipeline(bqUniverseCtes: _*) +
+      """SELECT DISTINCT annotation_id, annotator_name,
+        |  CAST(doc_id AS VARCHAR) AS document_id,
+        |  layer AS annotation_layer, annotation_type,
+        |  char_start AS span_start, char_end AS span_end,
+        |  regexp_replace(covered_text, '[\n\t]', ' ', 'g') AS covered_text
+        |FROM bq WHERE char_start <> char_end""".stripMargin
+
+  val bigqueryLoadZones: String =
+    docPipeline(bqUniverseCtes: _*) +
+      """SELECT DISTINCT 'in_' || lower(z.layer) AS table_key,
+        |  i.annotation_id AS inner_annot_id, z.annotation_id AS outer_annot_id
+        |FROM bq i JOIN bq z ON i.doc_id = z.doc_id
+        |WHERE z.layer_idx <= 3
+        |  AND z.char_start <= i.char_start AND i.char_end <= z.char_end
+        |  AND i.layer_idx >= z.layer_idx
+        |  AND i.annotation_id <> z.annotation_id""".stripMargin
+
+  val bigqueryLoadRelation: String =
+    s"""WITH $tokCte,
+       |tokx AS (
+       |  SELECT doc_id, ord, (ord - 1) % $W + 1 AS tok_id,
+       |    sha256(CAST(doc_id AS VARCHAR) || CAST(char_start AS VARCHAR) ||
+       |      tok || 'TOKEN' || '[' || lower(${uposCaseSql("tok")}) || ']') AS annotation_id
+       |  FROM tok)
+       |SELECT DISTINCT s.annotation_id AS source_annot_id,
+       |  'turku' AS annotator_name,
+       |  list_extract(['amod', 'nmod', 'nsubj', 'obj'], CAST(s.ord % 4 AS INT) + 1) AS type,
+       |  h.annotation_id AS target_annot_id
+       |FROM tokx s JOIN tokx h ON s.doc_id = h.doc_id AND h.ord = s.ord - 1
+       |WHERE s.tok_id > 1""".stripMargin
+
   val all: Map[String, String] = Map(
+    "bigquery_load_annotation" -> bigqueryLoadAnnotation,
+    "bigquery_load_zones" -> bigqueryLoadZones,
+    "bigquery_load_relation" -> bigqueryLoadRelation,
     "pack_efficiency" -> packEfficiency,
     "source_kl" -> sourceKl,
     "split_leakage" -> splitLeakage,
