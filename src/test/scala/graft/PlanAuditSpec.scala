@@ -364,4 +364,54 @@ class PlanAuditSpec extends SparkSpec {
     assert(leftovers.isEmpty,
       s"queries leaving undrained CacheManager entries: $leftovers")
   }
+
+  test("staged-artifact consumers plan a file scan of the stage, not a recompute (mechanism gate)") {
+    // VERDICT r14 item 8: the r13/r14 driver-flag mechanisms were all of
+    // one class — a query that SHOULD read a cross-query staged artifact
+    // quietly rebuilding its derivation per invocation. Gate it
+    // mechanically: invoke each staged-consumer query twice (the first
+    // call stages), then require the second invocation's executed plan to
+    // (a) scan at least one staged artifact — a graft-oracle-stage /
+    // graft-stage temp path or a graft_* bucketed table — and (b) for
+    // queries whose ENTIRE input is staged, scan NO raw corpus parquet.
+    def leaves(name: String): Seq[String] = {
+      val fn = SparkEntry.queries(name)
+      fn(spark, sfDir).count() // ensures the artifact exists
+      fn(spark, sfDir).queryExecution.executedPlan.collectLeaves().map(_.toString)
+    }
+    def isStaged(l: String): Boolean =
+      l.contains("graft-oracle-stage") || l.contains("graft-stage-") ||
+        l.contains("spark_catalog.default.graft_")
+    // staged-only consumers: every scan leaf must be a stage (or a
+    // literal/param relation — no sfDir parquet at all)
+    // (kg_pagerank/khop/triangles/jaccard are staged consumers too, but
+    // they localCheckpoint the edge list at plan-build time, so their
+    // executed-plan leaves are the checkpoint RDD — unobservable here)
+    val stagedOnly = Seq(
+      "assertion_db_assertions", "assertion_db_entities", "assertion_db_integrity",
+      "window_dup", "minhash_est", "lsh_band_tuning",
+      "kg_edges", "trapi_edges", "kgx_edges", "kg_degree_dist",
+      "cooccur_counts_doc", "cooccur_metrics_doc", "concept_idf")
+    // staged+raw consumers: the corpus scan is the query's honest work,
+    // but the shared artifact must come from a stage scan
+    val stagedPlusRaw = Seq(
+      "decontaminate", "decontaminate_bloom", "contamination_report",
+      "decontaminate_fuzzy", "training_pipeline", "distant_supervision",
+      "split_leakage")
+    val offenders =
+      stagedOnly.flatMap { q =>
+        val ls = leaves(q)
+        val bad = ls.filter(l => l.contains(sfDir))
+        if (ls.exists(isStaged) && bad.isEmpty) None
+        else Some(s"$q: expected staged-only scans, raw-corpus leaves: ${bad.size}, " +
+          s"staged leaves: ${ls.count(isStaged)}")
+      } ++
+      stagedPlusRaw.flatMap { q =>
+        val ls = leaves(q)
+        if (ls.exists(isStaged)) None
+        else Some(s"$q: no staged-artifact scan in plan")
+      }
+    graft.infra.Caches.unpersistManaged()
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }
