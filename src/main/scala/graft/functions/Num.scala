@@ -29,9 +29,11 @@ object Num {
     * keys (replica·10⁹ + id: 9·10⁹ × 2654435761 ≈ 2.4·10¹⁹ > Long.Max —
     * the sf1.0 probe's doc_sample/doc_upsert failures), and at a real
     * 100 TB deployment 10-digit document ids are the NORM, not the probe
-    * artifact. The DuckDB oracle twins keep the direct form (the gate runs
-    * at sf0.01 where both forms agree exactly); m² must stay < 2⁶³
-    * (m ≤ ~3·10⁹ — every graft bucket count is ≤ 10⁶). */
+    * artifact. The DuckDB oracle twins use the SAME congruence rewrite,
+    * inlined per modulus (OracleSql.mulModSql — e.g.
+    * ((doc_id % 1000) * 761) % 1000 for m = 1000), so both sides are
+    * scale-generic; m² must stay < 2⁶³ (m ≤ ~3·10⁹ — every graft bucket
+    * count is ≤ 10⁶). */
   def mulMod(c: Column, k: Long, m: Long): Column =
     pmod(pmod(c, lit(m)) * lit(k % m), lit(m))
 }

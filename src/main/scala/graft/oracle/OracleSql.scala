@@ -245,17 +245,17 @@ object OracleSql {
     * hash >= 900, file = doc_id mod UpdateFileMod. */
   val medlineDeletes: String =
     s"""SELECT doc_id % ${XmlIngest.UpdateFileMod} AS file_id, doc_id, 'PMID:' || doc_id AS pmid
-       |FROM documents WHERE ((doc_id % 1000) * 761) % 1000 >= 900""".stripMargin
+       |FROM documents WHERE ${mulModSql("doc_id", 1000)} >= 900""".stripMargin
 
   /** Twin of parseUpdateFilePmids: both PmidToFileExtractor streams. */
   val medlinePmidFiles: String =
     s"""SELECT doc_id % ${XmlIngest.UpdateFileMod} AS file_id, doc_id,
        |  'PMID:' || doc_id AS pmid, 'article' AS channel
-       |FROM documents WHERE ((doc_id % 1000) * 761) % 1000 < 100
+       |FROM documents WHERE ${mulModSql("doc_id", 1000)} < 100
        |UNION ALL
        |SELECT doc_id % ${XmlIngest.UpdateFileMod} AS file_id, doc_id,
        |  'PMID:' || doc_id AS pmid, 'delete' AS channel
-       |FROM documents WHERE ((doc_id % 1000) * 761) % 1000 >= 900""".stripMargin
+       |FROM documents WHERE ${mulModSql("doc_id", 1000)} >= 900""".stripMargin
 
   /** Twin of medlineUpsertWithDeletes / the streaming dual: the served
     * medline corpus after one update cycle — revised rows (hash < 100)
@@ -270,14 +270,14 @@ object OracleSql {
        |SELECT t.doc_id,
        |  'PMID:' || t.doc_id AS pmid,
        |  CASE WHEN t.doc_id % 7 = 0 THEN '${XmlIngest.DefaultPubYear}'
-       |       WHEN ((t.doc_id % 1000) * 761) % 1000 < 100 THEN CAST(t.doc_id % 30 + 1991 AS VARCHAR)
+       |       WHEN ${mulModSql("t.doc_id", 1000)} < 100 THEN CAST(t.doc_id % 30 + 1991 AS VARCHAR)
        |       ELSE CAST(t.doc_id % 30 + 1990 AS VARCHAR) END AS year,
        |  t.title,
        |  coalesce(a.abstract, '') AS abstract,
        |  CASE WHEN a.abstract IS NULL OR a.abstract = '' THEN t.title
        |       ELSE t.title || chr(10) || chr(10) || a.abstract END AS doc_text
        |FROM t LEFT JOIN a USING (doc_id)
-       |WHERE ((t.doc_id % 1000) * 761) % 1000 < 900""".stripMargin
+       |WHERE ${mulModSql("t.doc_id", 1000)} < 900""".stripMargin
 
   /** Twin of medlineSubSupRoundTrip: formatting annotations in document
     * coordinates — title's token 2 in sup (even doc_id) / sub (odd), first
@@ -356,6 +356,14 @@ object OracleSql {
     }.mkString(" ")
     s"(CASE $whens ELSE 'X' END)"
   }
+
+  /** The engine's overflow-free multiplicative hash (Num.mulMod) as SQL:
+    * ((c % m) * (k % m)) % m with the residue DERIVED from the same
+    * multiplier constant, so a change to the multiplier or a modulus can
+    * never silently diverge the twins (ADVICE r14 — the residues used to
+    * be hard-coded per-modulus literals). */
+  private def mulModSql(c: String, m: Long, k: Long = 2654435761L): String =
+    s"(($c % $m) * ${k % m}) % $m"
 
   private def bioCaseSql(c: String): String = {
     val whens = ConceptDict.groups.map { case (p, ts) =>
@@ -1308,7 +1316,7 @@ object OracleSql {
        |      * (CAST(n_distinct AS DOUBLE) / CAST(n_toks AS DOUBLE))) * 1000000 + 0.5) / 1000000
        |      * 1000000 + 0.5) AS BIGINT) AS quality_u
        |  FROM f),
-       |m AS (SELECT ((doc_id % ${TextStats.ShardCount}) * (2654435761 % ${TextStats.ShardCount})) % ${TextStats.ShardCount} AS shard_id,
+       |m AS (SELECT ${mulModSql("doc_id", TextStats.ShardCount)} AS shard_id,
        |    CAST(count(*) AS BIGINT) AS n_docs,
        |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
        |    CAST(sum(n_chars) AS BIGINT) AS n_bytes,
@@ -1523,9 +1531,9 @@ object OracleSql {
   /** Etl.scd2 twin over the docUpsert update batch: versions by batch
     * order, valid_to from lead(). */
   val docHistory: String =
-    """WITH upd AS (
+    s"""WITH upd AS (
       |  SELECT doc_id, 'xx' AS lang, 'updated' AS source
-      |  FROM documents WHERE ((doc_id % 1000) * 761) % 1000 < 100),
+      |  FROM documents WHERE ${mulModSql("doc_id", 1000)} < 100),
       |hist AS (
       |  SELECT doc_id, lang, source, CAST(0 AS BIGINT) AS valid_from FROM documents
       |  UNION ALL
@@ -1555,7 +1563,7 @@ object OracleSql {
     * changed/removed/added populations, full-outer join, null-safe
     * compares. */
   val snapshotDiff: String =
-    """WITH h AS (SELECT *, ((doc_id % 1000) * 761) % 1000 AS hb FROM documents),
+    s"""WITH h AS (SELECT *, ${mulModSql("doc_id", 1000)} AS hb FROM documents),
       |neu AS (
       |  SELECT doc_id, text, 'xx' AS lang, 'updated' AS source, n_chars FROM h WHERE hb < 100
       |  UNION ALL
@@ -1592,9 +1600,9 @@ object OracleSql {
       |FROM t""".stripMargin
 
   val docUpsert: String =
-    """WITH upd AS (
+    s"""WITH upd AS (
       |  SELECT doc_id, text, 'xx' AS lang, 'updated' AS source, n_chars
-      |  FROM documents WHERE ((doc_id % 1000) * 761) % 1000 < 100)
+      |  FROM documents WHERE ${mulModSql("doc_id", 1000)} < 100)
       |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM documents d
       |WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.doc_id = d.doc_id)
       |UNION ALL
@@ -3401,9 +3409,9 @@ object OracleSql {
   /** TextStats.multimodalBatches twin: the flat per-source window over the
     * same seeded permutation order (engine computes it two-level). */
   val multimodalBatches: String =
-    """WITH s AS (SELECT doc_id, source,
+    s"""WITH s AS (SELECT doc_id, source,
       |    CAST(length(text) AS BIGINT) AS byte_len,
-      |    ((doc_id % 1000000) * 435761) % 1000000 AS perm
+      |    ${mulModSql("doc_id", 1000000)} AS perm
       |  FROM documents),
       |c AS (SELECT doc_id, source, byte_len,
       |    sum(byte_len) OVER (PARTITION BY source ORDER BY perm, doc_id) AS cum_bytes
@@ -4006,8 +4014,8 @@ object OracleSql {
        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
   val docSample: String =
-    """SELECT doc_id, lang, source FROM documents
-      |WHERE ((doc_id % 1000) * 761) % 1000 < 100""".stripMargin
+    s"""SELECT doc_id, lang, source FROM documents
+      |WHERE ${mulModSql("doc_id", 1000)} < 100""".stripMargin
 
   val decontaminate: String =
     s"""WITH $tokCte,
@@ -4147,7 +4155,7 @@ object OracleSql {
        |  FROM (SELECT source, min(w) AS sw FROM wtd GROUP BY source) t),
        |cum AS (SELECT doc_id, source, n_tokens, w,
        |    CAST(sum(n_tokens) OVER (PARTITION BY source
-       |      ORDER BY ((doc_id % 1000000) * 435761) % 1000000, doc_id) AS BIGINT) AS cum_tokens
+       |      ORDER BY ${mulModSql("doc_id", 1000000)}, doc_id) AS BIGINT) AS cum_tokens
        |  FROM wtd)
        |SELECT doc_id, source, n_tokens, cum_tokens
        |FROM cum, tw WHERE cum_tokens <= (20000 * w) // w_total""".stripMargin
@@ -4507,9 +4515,9 @@ object OracleSql {
       |FROM pt""".stripMargin
 
   val stratifiedSample: String =
-    """WITH r AS (SELECT doc_id, source,
+    s"""WITH r AS (SELECT doc_id, source,
       |    CAST(row_number() OVER (PARTITION BY source
-      |      ORDER BY ((doc_id % 1000000) * 435761) % 1000000, doc_id) AS BIGINT) AS draw_rank
+      |      ORDER BY ${mulModSql("doc_id", 1000000)}, doc_id) AS BIGINT) AS draw_rank
       |  FROM documents)
       |SELECT doc_id, source, draw_rank FROM r WHERE draw_rank <= 5""".stripMargin
 

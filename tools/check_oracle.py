@@ -34,11 +34,14 @@ def main():
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
-        if reconnect:
-            con.close(); con = connect()
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
             print(f"MISSING  {name}: no spark output"); n_bad += 1; continue
+        # reconnect only for queries that will actually run (ADVICE r14:
+        # reconnecting before the files check paid a full close/connect/
+        # view-registration cycle for queries with no output)
+        if reconnect:
+            con.close(); con = connect()
         try:
             spark_df = con.execute(
                 f"SELECT * FROM read_parquet({files!r})").fetchdf()
@@ -66,6 +69,7 @@ def main():
         except Exception as e:
             print(f"CMPERR   {name}: {e}"); n_bad += 1; continue
         print(f"OK       {name} ({len(s)} rows)"); n_ok += 1
+    con.close()
     print(f"\n{n_ok} ok, {n_bad} bad")
     sys.exit(1 if n_bad else 0)
 

@@ -52,7 +52,18 @@ def main():
     ours = json.load(open(sys.argv[1]))["queries"]
     r13 = {}
     d = json.load(open("BENCH_r13.json"))
-    for _, js in re.findall(r"\[bench-queries (\d+)\] (\{[^}]*\})", d["tail"]):
+    blocks = re.findall(r"\[bench-queries (\d+)\] (\{[^}]*\})", d["tail"])
+    # ADVICE r14: the flat-object regex silently drops readings if the
+    # bench log format ever nests or wraps - surface the recovery rate so
+    # a parser/format mismatch cannot quietly fall back to own-value x1.5
+    expected = max((int(i) for i, _ in blocks), default=0)
+    print(f"[refreeze] recovered {len(blocks)} bench-queries blocks "
+          f"(highest index {expected}) from BENCH_r13.json tail")
+    if blocks and len(blocks) != expected:
+        print(f"[refreeze] WARNING: block indexes not contiguous - "
+              f"{expected - len(blocks)} block(s) unparsed; their queries "
+              f"fall back to own-value x{HEADROOM}")
+    for _, js in blocks:
         r13.update(json.loads(js))
     r13.update(d["parsed"]["queries"])  # slowest-20
     # not healthy observations: the two r13 driver readings adjudicated as
