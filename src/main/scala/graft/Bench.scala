@@ -125,9 +125,14 @@ object Bench {
     // measured at baseline in every isolated run; VERDICT r13 item 3 asks
     // for exactly this recalibration). Advisory — it names suspects for
     // the plan audit, it doesn't fail the bench.
-    val baselineFile = java.nio.file.Paths.get("baselines/bench_per_query_sf0.1.json")
+    // Baseline file keyed by the corpus dir's basename, so the SCALE
+    // LADDER gets the same gate as the driver's sf0.1 run (VERDICT r14
+    // item 5): a probe at /tmp/graft-scale/sf1.0 compares against
+    // baselines/bench_per_query_sf1.0.json when that freeze exists.
+    val sfName = new java.io.File(sfDir).getName
+    val baselineFile = java.nio.file.Paths.get(s"baselines/bench_per_query_$sfName.json")
     val regressions: Seq[(String, Double, Double)] =
-      if (sfDir.endsWith("sf0.1") && java.nio.file.Files.exists(baselineFile)) {
+      if (java.nio.file.Files.exists(baselineFile)) {
         val txt = new String(java.nio.file.Files.readAllBytes(baselineFile), "UTF-8")
         val frozenR1 = "\"warm_total_r1_queries\"\\s*:\\s*([0-9]+\\.?[0-9]*)".r
           .findFirstMatchIn(txt).map(_.group(1).toDouble)

@@ -1,14 +1,12 @@
 #!/usr/bin/env python3
-"""Re-freeze baselines/bench_per_query_sf0.1.json (VERDICT r13 item 6).
+"""Re-freeze baselines/bench_per_query_sf0.1.json (r15 update of the
+VERDICT r13 item 6 protocol).
 
 Policy (documented in BASELINE.md):
-- freeze[q] = max(driver r13 in-suite value where recoverable from
-  BENCH_r13.json's tail+slowest-20 and not itself flagged anomalous,
-  this round's own full-suite driver-protocol value x 1.5).
-  The r12-driver values the r13 freeze carried are dropped entirely:
-  many were eviction-wave readings (PERF_AUDIT_r13 adjudicated 35 of
-  them at 2-4.8x their healthy values, and the mechanism is now removed),
-  so they are neither driver-conditions-healthy nor plan-current.
+- freeze[q] = max(driver r14 in-suite value where recoverable from
+  BENCH_r14.json's tail+slowest-20, not itself adjudicated anomalous,
+  and the plan unchanged since, this round's own full-suite
+  driver-protocol value x 1.5).
   The x1.5 headroom covers driver-vs-this-box variance (median
   driver/our per-query ratio ~1.0, p90 ~1.4); the queries where the
   driver historically ran 2-4x this box are all in the recoverable
@@ -37,28 +35,36 @@ q6_forecast quality_filter quality_score relation_paths repetition_stats
 sentence_pairs sentences text_export text_redact tfidf token_packing
 tokens top_parts_per_brand vocab_stats xml_roundtrip""".split())
 
-# plans rewired in the r13 end-of-round commit (window-id staging) or this
-# round (staged unit-concepts / minhash signatures): driver r13 readings
-# describe a removed plan, so only this round's own values apply
-PLAN_CHANGED = set("""window_dup window_dedup_apply split_leakage
-streaming_split_leakage cooccur_counts_doc cooccur_counts_sent
-cooccur_counts_title cooccur_counts_abstract cooccur_metrics_doc
-cooccur_metrics_sent cooccur_metrics_title cooccur_metrics_abstract
-cooccur_chi2 concept_idf lsh_band_tuning minhash_est""".split())
+# plans rewired in round 15 (staged eval bigrams, bucketed assertion-DB
+# base, staged cooccurrence pair/scores tables + KG FromPairs/FromMetrics
+# rewiring, single-checkpoint streaming upsert-delete): driver r14
+# readings describe a removed plan, so only this round's own values apply
+PLAN_CHANGED = set("""decontaminate decontaminate_bloom
+contamination_report decontaminate_fuzzy training_pipeline
+assertion_db_assertions assertion_db_evidence assertion_db_entities
+assertion_db_scores assertion_db_integrity kg_edges kg_pagerank kg_khop
+kg_triangles kg_jaccard kg_degree_dist kgx_edges kgx_edges_evidence
+trapi_edges distant_supervision streaming_upsert_delete""".split())
+
+# driver r14 readings adjudicated as machine-moment noise this round
+# (PERF_AUDIT_r15: plan unchanged, every isolated + in-suite local
+# replica at or below the frozen denominator) - using them as
+# denominators would mask future regressions
+ADJUDICATED_NOISE = set("crf_overlap corpus_mix".split())
 
 HEADROOM = 1.5
 
 def main():
     ours = json.load(open(sys.argv[1]))["queries"]
     r13 = {}
-    d = json.load(open("BENCH_r13.json"))
+    d = json.load(open("BENCH_r14.json"))
     blocks = re.findall(r"\[bench-queries (\d+)\] (\{[^}]*\})", d["tail"])
     # ADVICE r14: the flat-object regex silently drops readings if the
     # bench log format ever nests or wraps - surface the recovery rate so
     # a parser/format mismatch cannot quietly fall back to own-value x1.5
     expected = max((int(i) for i, _ in blocks), default=0)
     print(f"[refreeze] recovered {len(blocks)} bench-queries blocks "
-          f"(highest index {expected}) from BENCH_r13.json tail")
+          f"(highest index {expected}) from BENCH_r14.json tail")
     if blocks and len(blocks) != expected:
         print(f"[refreeze] WARNING: block indexes not contiguous - "
               f"{expected - len(blocks)} block(s) unparsed; their queries "
@@ -66,27 +72,26 @@ def main():
     for _, js in blocks:
         r13.update(json.loads(js))
     r13.update(d["parsed"]["queries"])  # slowest-20
-    # not healthy observations: the two r13 driver readings adjudicated as
-    # anomalous (PERF_AUDIT_r14 section 1), plus every plan-changed query
-    for q in ("window_dup", "bionlp_source", *PLAN_CHANGED):
+    # not healthy observations: adjudicated-noise readings plus every
+    # plan-changed query
+    for q in (*ADJUDICATED_NOISE, *PLAN_CHANGED):
         r13.pop(q, None)
 
     out = {}
     for q, v in sorted(ours.items()):
         out[q] = round(max(r13.get(q, 0.0), v * HEADROOM), 3)
     r1_total = round(sum(v for q, v in out.items() if q in R1), 3)
-    comment = ("per-query warm (min-of-2) baselines at sf0.1, RE-FROZEN for r14 "
-        "(VERDICT r13 item 6: full 308-query coverage; window_dup's anomalous "
-        "denominator replaced post-staging-fix). Per query = max(driver r13 "
-        "in-suite value where recoverable from BENCH_r13.json and healthy "
-        "(not flagged, plan unchanged since), own full-suite driver-protocol "
-        "run target/bench_detail_r14b.json x1.5 driver-conditions headroom). "
-        "The r12-driver values of the previous freeze are dropped: 35 were "
-        "eviction-wave readings 2-4.8x their healthy values (PERF_AUDIT_r13) "
-        "and the mechanism is removed. warm_total_r1_queries = sum of the new "
-        "values over the r1 set (keeps Bench.scala's machine-state "
+    comment = ("per-query warm (min-of-2) baselines at sf0.1, RE-FROZEN for "
+        "r15 (311-query coverage incl. the BigQuery-load family; the r15 "
+        "plan-changed families' denominators replaced post-staging). Per "
+        "query = max(driver r14 in-suite value where recoverable from "
+        "BENCH_r14.json, healthy (not adjudicated noise - crf_overlap / "
+        "corpus_mix, PERF_AUDIT_r15), and plan-unchanged since, own "
+        "full-suite driver-protocol run target/bench_detail_r15a.json x1.5 "
+        "driver-conditions headroom). warm_total_r1_queries = sum of the "
+        "new values over the r1 set (keeps Bench.scala's machine-state "
         "normalization internally consistent). Prior freeze kept at "
-        "bench_per_query_sf0.1_r13.json.")
+        "bench_per_query_sf0.1_r14.json.")
     blob = {"_comment": comment, "warm_total_r1_queries": r1_total, "queries": out}
     with open("baselines/bench_per_query_sf0.1.json", "w") as f:
         json.dump(blob, f, indent=1)
