@@ -268,9 +268,9 @@ object SparkEntry {
     // the span-derived annotation digests, the four zone-containment
     // tables under the layer-ordering rule, and the dependency relations
     "bigquery_load_annotation" -> ((s, d) =>
-      BigQueryLoad.annotationTable(docs(s, d), pp(s, d))),
+      BigQueryLoad.annotationTableFrom(BigQueryLoad.stagedUniverse(docs(s, d), pp(s, d), d))),
     "bigquery_load_zones" -> ((s, d) =>
-      BigQueryLoad.zoneTables(docs(s, d), pp(s, d))),
+      BigQueryLoad.zoneTablesFrom(BigQueryLoad.stagedUniverse(docs(s, d), pp(s, d), d))),
     "bigquery_load_relation" -> ((s, d) =>
       BigQueryLoad.relationTable(docs(s, d))),
     "pr_gene_rollup" -> ((s, d) => graft.infra.Staging.stageOnce(

@@ -105,13 +105,28 @@ object BigQueryLoad {
         col("covered_text"), col("layer"), col("annotation_type")))
   }
 
+  /** [[annotationUniverse]] staged ONCE per (process, corpus), BUCKETED by
+    * doc_id: the universe is the loaded annotation store (the thing the
+    * serialized tables LOAD INTO) — in production the per-table projections
+    * and the containment join read the store, they do not re-run the
+    * five-layer extraction per table. Bucketing makes the zone join's two
+    * sides co-located scans of one artifact (doc-local SMJ, no exchange) —
+    * without it each join side re-derives the whole union (two full corpus
+    * passes per query). */
+  def stagedUniverse(docs: DataFrame, annots: DataFrame, sfDir: String): DataFrame =
+    graft.infra.Staging.stageOnceBucketed("bigquery_universe", sfDir,
+      annotationUniverse(docs, annots), docs.sparkSession, "doc_id")
+
   /** The `annotation` table (doc/bigquery/schema: annotation-schema.json):
     * annotation_id, annotator_name, document_id, annotation_layer,
     * annotation_type, span_start, span_end, covered_text. Zero-width spans
     * dropped; covered text newline/tab-normalized (the TSV quote-doubling
     * in serializeAnnotation:269 is CSV-load framing, not table content). */
   def annotationTable(docs: DataFrame, annots: DataFrame): DataFrame =
-    annotationUniverse(docs, annots)
+    annotationTableFrom(annotationUniverse(docs, annots))
+
+  def annotationTableFrom(u: DataFrame): DataFrame =
+    u
       .where(col("char_start") =!= col("char_end"))
       .select(col("annotation_id"), col("annotator_name"),
         col("doc_id").cast("string").as("document_id"),
@@ -125,8 +140,10 @@ object BigQueryLoad {
     * unique-map accumulation. Only SECTION..CONCEPT layers ever act as
     * zones; the layer-order predicate admits an inner annotation only at or
     * below its zone's layer. */
-  def zoneTables(docs: DataFrame, annots: DataFrame): DataFrame = {
-    val u = annotationUniverse(docs, annots)
+  def zoneTables(docs: DataFrame, annots: DataFrame): DataFrame =
+    zoneTablesFrom(annotationUniverse(docs, annots))
+
+  def zoneTablesFrom(u: DataFrame): DataFrame = {
     val inner = u.select(col("doc_id"), col("annotation_id").as("inner_annot_id"),
       col("char_start").as("i_start"), col("char_end").as("i_end"),
       col("layer_idx").as("i_idx"))
