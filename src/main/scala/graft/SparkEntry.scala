@@ -280,23 +280,23 @@ object SparkEntry {
     // SemMedDB relay-session results compilation (Relay.scala); every query
     // parses the serialized results/metadata CSV lines first
     "relay_accuracy" -> ((s, d) =>
-      Relay.overallAccuracy(Relay.parseResults(Relay.stagedResults(Tables.orders(s, d), d)))),
+      Relay.overallAccuracy(Relay.stagedParsedResults(Tables.orders(s, d), d))),
     "relay_reasons" -> ((s, d) =>
-      Relay.incorrectReasonDistribution(Relay.parseResults(Relay.stagedResults(Tables.orders(s, d), d)))),
+      Relay.incorrectReasonDistribution(Relay.stagedParsedResults(Tables.orders(s, d), d))),
     "relay_improvements" -> ((s, d) =>
-      Relay.improvementDistribution(Relay.parseResults(Relay.stagedResults(Tables.orders(s, d), d)))),
+      Relay.improvementDistribution(Relay.stagedParsedResults(Tables.orders(s, d), d))),
     "relay_sheet_rows" -> ((s, d) => Relay.sheetRows(
-      Relay.parseMetadata(Relay.stagedMetadata(Tables.orders(s, d), d)))),
+      Relay.stagedParsedMetadata(Tables.orders(s, d), d))),
     "relay_accuracy_by_type" -> ((s, d) =>
       Relay.accuracyBySubjectType(
-        Relay.parseResults(Relay.stagedResults(Tables.orders(s, d), d)),
-        Relay.parseMetadata(Relay.stagedMetadata(Tables.orders(s, d), d)))),
+        Relay.stagedParsedResults(Tables.orders(s, d), d),
+        Relay.stagedParsedMetadata(Tables.orders(s, d), d))),
     "relay_accuracy_by_complexity" -> ((s, d) =>
       Relay.accuracyByComplexity(
-        Relay.parseResults(Relay.stagedResults(Tables.orders(s, d), d)),
-        Relay.parseMetadata(Relay.stagedMetadata(Tables.orders(s, d), d)))),
+        Relay.stagedParsedResults(Tables.orders(s, d), d),
+        Relay.stagedParsedMetadata(Tables.orders(s, d), d))),
     "relay_iaa" -> ((s, d) =>
-      Relay.relayIaa(Relay.parseResults(Relay.stagedResults(Tables.orders(s, d), d)))),
+      Relay.relayIaa(Relay.stagedParsedResults(Tables.orders(s, d), d))),
     // the metadata-retriever enrichment + its BERT-input file
     "relay_metadata_enriched" -> ((s, d) => Relay.enrichedMetadata(
       Relay.parseMetadata(Relay.stagedMetadata(Tables.orders(s, d), d)),

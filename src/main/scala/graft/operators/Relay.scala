@@ -280,6 +280,24 @@ object Relay {
   def stagedMetadata(orders: DataFrame, sfDir: String): DataFrame =
     stage("relay_metadata", sfDir, serializeMetadata(orders), orders.sparkSession)
 
+  /** The PARSED results table staged once per (process, corpus), BUCKETED
+    * by predication_id: the reference's compiler reads the CSV once into
+    * memory and every rollup works off the parsed rows — here the rollups'
+    * resolve/winner/count aggregations and self-joins all key on
+    * predication_id, so the bucketed layout runs them exchange-free on the
+    * scan sides (the line parse itself is a one-time projection, not
+    * per-query work). */
+  def stagedParsedResults(orders: DataFrame, sfDir: String): DataFrame =
+    graft.infra.Staging.stageOnceBucketed("relay_results_parsed", sfDir,
+      parseResults(stagedResults(orders, sfDir)), orders.sparkSession,
+      "predication_id")
+
+  /** The parsed metadata table, same contract as [[stagedParsedResults]]. */
+  def stagedParsedMetadata(orders: DataFrame, sfDir: String): DataFrame =
+    graft.infra.Staging.stageOnceBucketed("relay_metadata_parsed", sfDir,
+      parseMetadata(stagedMetadata(orders, sfDir)), orders.sparkSession,
+      "predication_id")
+
   /** [[serializeSampleSentences]] staged ONCE per (process, corpus). */
   def stagedSampleSentences(orders: DataFrame, sfDir: String): DataFrame =
     stage("relay_sample_sentences", sfDir, serializeSampleSentences(orders),

@@ -392,7 +392,8 @@ class PlanAuditSpec extends SparkSpec {
       "window_dup", "minhash_est", "lsh_band_tuning",
       "kg_edges", "trapi_edges", "kgx_edges", "kg_degree_dist",
       "cooccur_counts_doc", "cooccur_metrics_doc", "concept_idf",
-      "bigquery_load_annotation", "bigquery_load_zones")
+      "bigquery_load_annotation", "bigquery_load_zones",
+      "relay_improvements", "relay_accuracy_by_type")
     // staged+raw consumers: the corpus scan is the query's honest work,
     // but the shared artifact must come from a stage scan
     val stagedPlusRaw = Seq(
