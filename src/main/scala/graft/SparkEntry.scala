@@ -404,7 +404,8 @@ object SparkEntry {
     // perfect-prediction BERT output file; the import must reconstruct the
     // entity spans from tags + token spans alone
     "ner_bert_import" -> ((s, d) => Conllu.bertImport(
-      Conllu.bertMerge(Conllu.bioTags(docs(s, d), pp(s, d)), TextOps.tokens(docs(s, d))))),
+      Conllu.bertMerge(Conllu.stagedBertOutput(docs(s, d), pp(s, d), d),
+        TextOps.tokens(docs(s, d))))),
     "sentence_cooccur_export" -> ((s, d) => Exports.sentenceCooccur(docs(s, d), pp(s, d))),
     // the parse returned by the per-partition kernel child must re-parse to
     // the same token rows the engine serialized (identity child in-sandbox;
