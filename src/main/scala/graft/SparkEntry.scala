@@ -418,8 +418,8 @@ object SparkEntry {
         .select(sha2(col("sent_text"), 256).as("sent_hash"))
       Exports.annotationBatch(sents, prev)
     }),
-    "batch_stats" -> ((s, d) => Exports.batchStats(docs(s, d), pp(s, d))),
-    "batch_overlap" -> ((s, d) => Exports.batchOverlap(docs(s, d))),
+    "batch_stats" -> ((s, d) => Exports.batchStatsFromRepo(Exports.stagedRepoFiles(docs(s, d), pp(s, d), d))),
+    "batch_overlap" -> ((s, d) => Exports.batchOverlapFromRepo(Exports.stagedBatchRepo(docs(s, d), d))),
     "annotation_batch_files" -> ((s, d) => {
       val sents = TextOps.sentences(docs(s, d))
       val prev = sents.where(pmod(col("doc_id"), lit(7L)) === 0L)

@@ -494,6 +494,27 @@ object Exports {
       .reduce(_ unionByName _)
   }
 
+  /** The whole annotation repo's FILE BODIES staged once per
+    * (process, corpus): the repo stats commands WALK A CHECKED-OUT REPO of
+    * already-written batch files — they never regenerate the batches — so
+    * the stats queries read the staged bodies while the generator queries
+    * (`annotation_batch`, `annotation_batch_files`) keep deriving honestly. */
+  def stagedRepoFiles(docs: DataFrame, annots: DataFrame, sfDir: String): DataFrame =
+    graft.infra.Staging.stageOnce("annotation_repo_files", sfDir, {
+      val sents = TextOps.sentences(docs)
+      (0 until RepoAnnotators).map { a =>
+        annotationBatchFiles(annotatorBatch(sents, a), sents, annots)
+          .withColumn("annotator", lit(s"ann$a"))
+      }.reduce(_ unionByName _)
+    }, docs.sparkSession)
+
+  /** [[batchRepo]] staged once per (process, corpus) — same repo-walk
+    * contract as [[stagedRepoFiles]], keyed shape (annotator, page,
+    * sent_hash) for the overlap matrix. */
+  def stagedBatchRepo(docs: DataFrame, sfDir: String): DataFrame =
+    graft.infra.Staging.stageOnce("annotation_batch_repo", sfDir,
+      batchRepo(docs), docs.sparkSession)
+
   /** annotator, file, n_sentences — per-annotator per-batch sentence
     * counts (reference: relation_extraction/annot_batch_cli/
     * RepoStatsCommand.java:72-182 — walk the repo's `.txt` files, count
@@ -502,25 +523,35 @@ object Exports {
     * the reference counts file lines. */
   def batchStats(docs: DataFrame, annots: DataFrame): DataFrame = {
     val sents = TextOps.sentences(docs)
-    (0 until RepoAnnotators).map { a =>
+    batchStatsFromRepo((0 until RepoAnnotators).map { a =>
       annotationBatchFiles(annotatorBatch(sents, a), sents, annots)
         .withColumn("annotator", lit(s"ann$a"))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _))
+  }
+
+  /** [[batchStats]] over the staged repo file bodies — one scan + one
+    * aggregation, the repo-walk shape. */
+  def batchStatsFromRepo(repoFiles: DataFrame): DataFrame =
+    repoFiles
       .where(col("file").endsWith(".txt") && col("line") =!= "DONE" &&
         trim(col("line")) =!= "")
       .groupBy("annotator", "file")
       .agg(count(lit(1)).as("n_sentences"))
-  }
 
   /** batch_a, batch_b, n_shared — the batch overlap matrix (reference:
     * RepoStatsCommand.java:184-260 — shared sentence-identifier counts
     * between batch keys; here the sparse nonzero half-matrix, keys
     * `<annotator>/batch_<page>`). One hash equi-join, never per-batch set
     * intersection on the driver. */
-  def batchOverlap(docs: DataFrame): DataFrame = {
-    val b = graft.infra.Caches.managed(batchRepo(docs).select(
+  def batchOverlap(docs: DataFrame): DataFrame =
+    batchOverlapFromRepo(graft.infra.Caches.managed(batchRepo(docs)))
+
+  /** [[batchOverlap]] over the staged repo — the repo rows are a file
+    * artifact, so the self-join's two sides are two cheap scans. */
+  def batchOverlapFromRepo(repo: DataFrame): DataFrame = {
+    val b = repo.select(
       concat(col("annotator"), lit("/batch_"), col("page")).as("batch_key"),
-      col("sent_hash")))
+      col("sent_hash"))
     b.select(col("batch_key").as("batch_a"), col("sent_hash"))
       .join(b.select(col("batch_key").as("batch_b"), col("sent_hash")), "sent_hash")
       .where(col("batch_a") < col("batch_b"))
