@@ -299,12 +299,12 @@ object SparkEntry {
       Relay.relayIaa(Relay.stagedParsedResults(Tables.orders(s, d), d))),
     // the metadata-retriever enrichment + its BERT-input file
     "relay_metadata_enriched" -> ((s, d) => Relay.enrichedMetadata(
-      Relay.parseMetadata(Relay.stagedMetadata(Tables.orders(s, d), d)),
-      Relay.parseSampleSentences(Relay.stagedSampleSentences(Tables.orders(s, d), d)),
+      Relay.stagedParsedMetadata(Tables.orders(s, d), d),
+      Relay.stagedParsedSampleSentences(Tables.orders(s, d), d),
       Relay.bertOutput(Tables.orders(s, d)),
       Relay.nodeNormIc(Tables.orders(s, d)), Relay.cuiIdf(Tables.orders(s, d)))),
     "relay_bert_input" -> ((s, d) => Relay.relayBertInput(
-      Relay.parseSampleSentences(Relay.stagedSampleSentences(Tables.orders(s, d), d)))),
+      Relay.stagedParsedSampleSentences(Tables.orders(s, d), d))),
     "abbrev" -> ((s, d) => Abbreviations.partAbbreviations(Tables.part(s, d))),
     // C. cooccurrence & corpus stats
     "cooccur_counts_doc" -> ((s, d) =>

@@ -298,6 +298,12 @@ object Relay {
       parseMetadata(stagedMetadata(orders, sfDir)), orders.sparkSession,
       "predication_id")
 
+  /** The parsed sample-sentences table, same contract. */
+  def stagedParsedSampleSentences(orders: DataFrame, sfDir: String): DataFrame =
+    graft.infra.Staging.stageOnceBucketed("relay_samples_parsed", sfDir,
+      parseSampleSentences(stagedSampleSentences(orders, sfDir)),
+      orders.sparkSession, "predication_id")
+
   /** [[serializeSampleSentences]] staged ONCE per (process, corpus). */
   def stagedSampleSentences(orders: DataFrame, sfDir: String): DataFrame =
     stage("relay_sample_sentences", sfDir, serializeSampleSentences(orders),
