@@ -111,7 +111,7 @@ object SparkEntry {
     // B. NLP core
     "concepts" -> ((s, d) => Concepts.recognize(docs(s, d))),
     "concepts_pp" -> ((s, d) => pp(s, d)),
-    "crf_overlap" -> ((s, d) => Concepts.filterViaCrf(pp(s, d), Concepts.crfAnnots(docs(s, d)))),
+    "crf_overlap" -> ((s, d) => Concepts.filterViaCrf(pp(s, d), Concepts.stagedCrfAnnots(docs(s, d), d))),
     "concepts_span_generality" -> ((s, d) => {
       // span-anchor the ancestor expansion, then resolve: specific classes
       // sharing a span with one of their ancestors are dropped

@@ -109,6 +109,16 @@ object Concepts {
       .where(col("tok").rlike("^(customer|part|order|line|spark)"))
       .select(col("doc_id"), col("ord"), col("char_start"), col("char_end"))
 
+  /** [[crfAnnots]] staged ONCE per (process, corpus), doc_id-bucketed: the
+    * reference STORES the CRF service's response as its own document type
+    * (DocumentType.CONCEPT_* in Datastore) and downstream stages read the
+    * stored annotations — they never re-call the service per consumer. With
+    * both sides bucketed on doc_id, the overlap semi-join plans
+    * exchange-free scan sides. */
+  def stagedCrfAnnots(docs: DataFrame, sfDir: String): DataFrame =
+    graft.infra.Staging.stageOnceBucketed("crf_annots", sfDir,
+      crfAnnots(docs), docs.sparkSession, "doc_id")
+
   /** Keep concept annots whose span overlaps some CRF span in the same doc. */
   def filterViaCrf(concepts: DataFrame, crf: DataFrame): DataFrame = {
     val c = crf.select(col("doc_id").as("k_doc_id"), col("char_start").as("k_start"), col("char_end").as("k_end"))

@@ -394,7 +394,7 @@ class PlanAuditSpec extends SparkSpec {
       "cooccur_counts_doc", "cooccur_metrics_doc", "concept_idf",
       "bigquery_load_annotation", "bigquery_load_zones",
       "relay_improvements", "relay_accuracy_by_type",
-      "batch_stats", "batch_overlap")
+      "batch_stats", "batch_overlap", "crf_overlap")
     // staged+raw consumers: the corpus scan is the query's honest work,
     // but the shared artifact must come from a stage scan
     val stagedPlusRaw = Seq(
