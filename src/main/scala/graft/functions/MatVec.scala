@@ -279,6 +279,94 @@ case class PqCodes(left: Expression, right: Expression, m: Int, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** ARRAY<DOUBLE> of per-subspace quantization errors: for each of the m
+  * subspaces, the 6dp-rounded squared distance to the NEAREST of the k
+  * centroids — i.e. the distance [[PqCodes]]'s argmin already computes and
+  * then discards. The distortion diagnostic (`pq_distortion`) previously
+  * re-derived this with a transform/aggregate HOF over the flat-codebook
+  * literal; Spark evaluates lambda HOFs interpreted (no whole-stage
+  * codegen), which made that projection the query's entire cost
+  * (PERF_AUDIT_r15: 1.5 s of 1.8 s in the errs projection at 2 000 rows).
+  * Same loop, same left-to-right summation order and floor(x·1e6+0.5)/1e6
+  * rounding as PqCodes, so the values are bit-identical to the HOF form and
+  * to the DuckDB oracle twin. */
+case class PqErrs(left: Expression, right: Expression, m: Int, k: Int)
+  extends BinaryExpression with MatVecKernel {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_errs"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val v = l.asInstanceOf[ArrayData]
+    val cb = r.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (n == 0 || n % m != 0 || cb.numElements() != k * n) return null
+    val subDim = n / m
+    val errs = new Array[Double](m)
+    var sub = 0
+    while (sub < m) {
+      var bestD = Double.PositiveInfinity
+      var kk = 0
+      while (kk < k) {
+        var d2 = 0.0
+        var d = 0
+        val vBase = sub * subDim
+        val cBase = (sub * k + kk) * subDim
+        while (d < subDim) {
+          val diff = v.getDouble(vBase + d) - cb.getDouble(cBase + d)
+          d2 += diff * diff
+          d += 1
+        }
+        val r6 = math.floor(d2 * 1e6 + 0.5) / 1e6
+        if (r6 < bestD) bestD = r6
+        kk += 1
+      }
+      errs(sub) = bestD
+      sub += 1
+    }
+    new GenericArrayData(errs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cb) => {
+      val n = ctx.freshName("n"); val subDim = ctx.freshName("subDim")
+      val errs = ctx.freshName("errs"); val sub = ctx.freshName("sub")
+      val bestD = ctx.freshName("bestD")
+      val kk = ctx.freshName("kk"); val d2 = ctx.freshName("d2")
+      val d = ctx.freshName("d"); val diff = ctx.freshName("diff")
+      val vBase = ctx.freshName("vBase"); val cBase = ctx.freshName("cBase")
+      val r6 = ctx.freshName("r6")
+      s"""
+         |int $n = $v.numElements();
+         |if ($n == 0 || $n % $m != 0 || $cb.numElements() != $k * $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $subDim = $n / $m;
+         |  double[] $errs = new double[$m];
+         |  for (int $sub = 0; $sub < $m; $sub++) {
+         |    double $bestD = Double.POSITIVE_INFINITY;
+         |    for (int $kk = 0; $kk < $k; $kk++) {
+         |      double $d2 = 0.0;
+         |      int $vBase = $sub * $subDim;
+         |      int $cBase = ($sub * $k + $kk) * $subDim;
+         |      for (int $d = 0; $d < $subDim; $d++) {
+         |        double $diff = $v.getDouble($vBase + $d) - $cb.getDouble($cBase + $d);
+         |        $d2 += $diff * $diff;
+         |      }
+         |      double $r6 = Math.floor($d2 * 1.0E6 + 0.5) / 1.0E6;
+         |      if ($r6 < $bestD) { $bestD = $r6; }
+         |    }
+         |    $errs[$sub] = $bestD;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($errs);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqErrs =
+    copy(left = newLeft, right = newRight)
+}
+
 /** DOUBLE — asymmetric (ADC) squared distance between an exact query vector
   * and a PQ-encoded neighbor: Σ over subspaces of ||q_sub − centroid[code]||².
   * Children: (query vec ARRAY<DOUBLE>, codes ARRAY<INT>, codebook flat).
@@ -377,6 +465,10 @@ object MatVec {
 
   def pqCodes(vec: Column, codebookFlat: Column, m: Int, k: Int): Column =
     ColumnBridge.column(PqCodes(
+      ColumnBridge.expression(vec), ColumnBridge.expression(codebookFlat), m, k))
+
+  def pqErrs(vec: Column, codebookFlat: Column, m: Int, k: Int): Column =
+    ColumnBridge.column(PqErrs(
       ColumnBridge.expression(vec), ColumnBridge.expression(codebookFlat), m, k))
 
   def pqAdcDistance(queryVec: Column, codes: Column, codebookFlat: Column): Column =

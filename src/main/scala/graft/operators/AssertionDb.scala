@@ -180,7 +180,21 @@ object AssertionDb {
     * anti-join. */
   def integrityFrom(base: DataFrame): DataFrame = {
     val a = assertionsFrom(base)
-    val e = withDoc(evidenceProjected(base))
+    // Narrowed evidence distinct: every column evidenceProjected carries
+    // beyond these keys (sentence, zone, document_id, publication type,
+    // year, assertion_id) is DETERMINED by evidence_id's natural key
+    // (doc_id|sent_id|pair|assoc), so distinct over (doc_id, evidence_id,
+    // entity ids) has exactly the full-row distinct's cardinality — the
+    // entity digests are the one non-determined pair (same sentence pair
+    // via different mention ords), which is what duplicate_evidence_ids
+    // counts. Dropping the sentence text from the grouping keys removes
+    // full-text hashing from all four branches (PERF_AUDIT_r15: the e
+    // distinct was the gate's dominant aggregate). All four branches read
+    // e, so the distinct computes once per invocation (query-scoped
+    // managed cache), not four times.
+    val e = graft.infra.Caches.managed(
+      base.select(col("doc_id"), col("evidence_id"), col("assertion_id"),
+        col("subject_entity_id"), col("object_entity_id")).distinct())
     val s = withDoc(scoresProjected(base))
     val ent = withDoc(entitiesProjected(base))
     val evOrphans = e.join(broadcast(a.select("assertion_id")), Seq("assertion_id"), "left_anti")

@@ -437,28 +437,21 @@ object Embeddings {
     * FAISS-style index diagnostic published alongside [[annRecall]]: mean
     * squared reconstruction error of each subquantizer, the number that
     * tells you WHICH subspace's codebook underfits before you ship the
-    * index). Codes come from the same codegen'd kernel as `pq_codes`; the
-    * selected-centroid residual is recomputed per (vector, subspace) with
-    * HOF arithmetic over the flat codebook literal — no 64-way dim
-    * explode, only the bounded ×PqM posexplode of the per-subspace error
-    * array. Each residual rounds to 6dp (exactly the kernel's argmin
+    * index). The per-subspace error is the min distance [[MatVec.pqErrs]]'s
+    * argmin scan computes — one codegen'd kernel pass per vector, no HOF
+    * recompute of the selected residual (Spark evaluates lambda HOFs
+    * interpreted; the previous transform/aggregate formulation WAS the
+    * query's cost — 1.5 s of 1.8 s at 2 000 rows, PERF_AUDIT_r15), and no
+    * 64-way dim explode — only the bounded ×PqM posexplode of the error
+    * array. The kernel rounds each error to 6dp (exactly the argmin
     * rounding) before the cross-engine-stable rounded mean. */
   def pqDistortion(embeddings: DataFrame): DataFrame = {
     val cb = MatVec.matrixLit(pqCodebookFlat)
-    val subDim = EmbDim / PqM
-    val diff =
-      s"""(element_at(ve, s * $subDim + d + 1)
-         |   - element_at(cbf, (s * $PqK + element_at(codes, s + 1)) * $subDim + d + 1))""".stripMargin
     embeddings
-      .select(asDouble(col("embedding")).as("ve"),
-        MatVec.pqCodes(asDouble(col("embedding")), cb, PqM, PqK).as("codes"))
-      .withColumn("cbf", cb)
-      .withColumn("errs", expr(
-        s"""transform(sequence(0, ${PqM - 1}), s ->
-           |  aggregate(sequence(0, ${subDim - 1}), 0D, (acc, d) -> acc + $diff * $diff))""".stripMargin))
-      .select(posexplode(col("errs")).as(Seq("sub", "err")))
+      .select(posexplode(MatVec.pqErrs(asDouble(col("embedding")), cb, PqM, PqK))
+        .as(Seq("sub", "err")))
       .groupBy(col("sub").cast("long").as("sub"))
-      .agg(count(lit(1)).as("n_vecs"), Num.r6(avg(Num.r6(col("err")))).as("mse"))
+      .agg(count(lit(1)).as("n_vecs"), Num.r6(avg(col("err"))).as("mse"))
   }
 
   /** vec_id, mn, scale, code_key — int8 SCALAR quantization (SQ8): each

@@ -207,6 +207,36 @@ class EmbeddingsSpec extends SparkSpec {
     assert(math.abs(adcMean - mseSum) < 1e-4, s"adc mean $adcMean vs mse sum $mseSum")
   }
 
+  test("pq_errs kernel is bit-identical to the HOF transform/aggregate formulation") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = graft.functions.MatVec.matrixLit(Embeddings.pqCodebookFlat)
+    val subDim = Embeddings.EmbDim / Embeddings.PqM
+    // the exact pre-r15 formulation pq_distortion used: recompute the
+    // selected-centroid residual per (vector, subspace) with lambda HOFs,
+    // round to 6dp like the kernel's argmin does
+    val diff =
+      s"""(element_at(ve, s * $subDim + d + 1)
+         |   - element_at(cbf, (s * ${Embeddings.PqK} + element_at(codes, s + 1)) * $subDim + d + 1))""".stripMargin
+    val hof = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"),
+        graft.functions.MatVec.pqCodes(col("embedding").cast("array<double>"), cb,
+          Embeddings.PqM, Embeddings.PqK).as("codes"))
+      .withColumn("cbf", cb)
+      .withColumn("errs", expr(
+        s"""transform(sequence(0, ${Embeddings.PqM - 1}), s ->
+           |  floor(aggregate(sequence(0, ${subDim - 1}), 0D,
+           |    (acc, d) -> acc + $diff * $diff) * 1e6 + 0.5D) / 1e6)""".stripMargin))
+      .select(col("vec_id"), col("errs"))
+    val kernel = emb.select(col("vec_id"),
+      graft.functions.MatVec.pqErrs(col("embedding").cast("array<double>"), cb,
+        Embeddings.PqM, Embeddings.PqK).as("errs"))
+    val h = hof.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val k = kernel.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(h.keySet == k.keySet && h.nonEmpty)
+    for ((id, errs) <- h) assert(errs == k(id), s"vec $id: HOF $errs vs kernel ${k(id)}")
+  }
+
   test("ann recall@k equals the hand-computed truth/ivf intersection per query") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
