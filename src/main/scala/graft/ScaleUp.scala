@@ -33,6 +33,9 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(src, dst, repStr) = args.take(3)
     val reps = repStr.toInt
+    // optional 4th+ args: restrict to the named tables (re-generate one
+    // table after a partial run without rewriting the rest)
+    val only = args.drop(3).toSet
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -45,7 +48,8 @@ object ScaleUp {
     // streaming queries stage `<dir>/events.parquet` with Files.copy, which
     // only works on a plain file (a Spark output DIRECTORY broke the five
     // streaming queries on the first sf0.3 probe)
-    def wr(df: DataFrame, t: String): Unit = {
+    def wr(df: => DataFrame, t: String): Unit = {
+      if (only.nonEmpty && !only(t)) return
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val staging = s"$dst/.stage_$t"
       df.coalesce(1).write.mode("overwrite").parquet(staging)
@@ -82,7 +86,10 @@ object ScaleUp {
     wr(replicate(rd("events"), Seq("event_id", "user_id")), "events")
 
     // documents: replica 0 verbatim; replicas r>0 remix halves with a
-    // shifted partner (both sides scanned from the same file — one join)
+    // shifted partner (both sides scanned from the same file — one join).
+    // The count() is eager, so skip the whole section under a table filter
+    // that excludes documents.
+    if (only.isEmpty || only("documents")) {
     val docs = rd("documents")
     val n = docs.count()
     val remixed = (1 until reps).map { r =>
@@ -105,13 +112,22 @@ object ScaleUp {
     }
     wr(remixed.foldLeft(docs.select("doc_id", "text", "lang", "source", "n_chars"))(_ unionByName _),
       "documents")
+    }
 
-    // embeddings: replica r rotates the vector r positions
+    // embeddings: replica r rotates the vector r positions. The rotation
+    // is r MOD the vector length: the unreduced form's slice bounds go
+    // negative once r >= dim (the first 100-replica probe failed exactly
+    // there — ANSI slice rejects a negative length; 30-replica runs never
+    // reached r = 64). A zero rotation (r a multiple of dim) clones the
+    // base vectors under offset ids — legitimate true near-dups, like the
+    // documents remix's shifted partners.
     val emb = rd("embeddings")
     val embAll = (0 until reps).map { r =>
       if (r == 0) emb
       else emb.select((col("vec_id") + lit(r * Off)).as("vec_id"),
-        expr(s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), slice(embedding, 1, $r))")
+        expr(s"concat(slice(embedding, ($r % size(embedding)) + 1, " +
+            s"size(embedding) - ($r % size(embedding))), " +
+            s"slice(embedding, 1, $r % size(embedding)))")
           .as("embedding"),
         col("label"))
     }.reduce(_ unionByName _)

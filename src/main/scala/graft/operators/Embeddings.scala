@@ -21,11 +21,36 @@ object Embeddings {
   val NumPlanes = 8
   val EmbDim = 64
 
+  /** Hyperplane-count ceiling: 8·2³² vectors before buckets saturate; the
+    * bucket stays one LONG (bit p set iff dot(vec, plane p) > 0). */
+  val MaxPlanes = 32
+
   /** Deterministic pseudo-random hyperplanes, identical in the oracle:
-    * w(plane, dim) = ((plane*73856093 + dim*19349663) mod 2003) / 1001.5 - 1. */
+    * w(plane, dim) = ((plane*73856093 + dim*19349663) mod 2003) / 1001.5 - 1.
+    * Generated to [[MaxPlanes]]; [[planesFor]] picks how many a corpus
+    * actually uses. */
   val hyperplanes: Seq[(Int, Int, Double)] =
-    for (p <- 0 until NumPlanes; d <- 0 until EmbDim)
+    for (p <- 0 until MaxPlanes; d <- 0 until EmbDim)
       yield (p, d, ((p * 73856093L + d * 19349663L) % 2003L).toDouble / 1001.5 - 1.0)
+
+  /** Smallest p in [NumPlanes, MaxPlanes] with 8·2^p ≥ n — the plane count
+    * that keeps EXPECTED bucket occupancy ≤ 8 however big the corpus is.
+    * Integer-exact (shift-compare, no floating log), and the oracle twin
+    * computes the identical minimum over the identical range, so both
+    * engines always bucket with the same planes. A FIXED plane count is the
+    * scale bug this replaces: the sf10 probe (100× bytes, 200 000 vectors)
+    * put ~780 vectors in each of the 2⁸ buckets, the candidate join emitted
+    * ~10⁸ pairs, and `emb_dup_pairs`/`semantic_clusters` died spilling —
+    * sign-LSH selectivity is a function of n/2^planes, so planes must grow
+    * with log(n). Below 8·2⁸ = 2 048 vectors (every verify/bench corpus)
+    * the count stays 8 and outputs are unchanged. Near-exact duplicates
+    * (the operator's targets, angle ≈ 0) collide at ANY plane count; extra
+    * planes only thin the far-pair noise the confirm join would discard. */
+  def planesFor(n: Long): Int = {
+    var p = NumPlanes
+    while (p < MaxPlanes && (8L << p) < n) p += 1
+    p
+  }
 
   /** Codegen'd native expression (graft.functions.CosineSimilarity); the
     * equivalent HOF formulation aggregate(zip_with(a,b,_*_),0.0,_+_)/norms
@@ -71,7 +96,7 @@ object Embeddings {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
-  /** Flattened row-major plane matrix (NumPlanes × EmbDim) for the codegen'd
+  /** Flattened row-major plane matrix (MaxPlanes × EmbDim) for the codegen'd
     * kernel — rides along as a literal, no plane table, no dim join. */
   private val planeMatrix: Seq[Seq[Double]] =
     hyperplanes.grouped(EmbDim).map(_.map(_._3)).toSeq
@@ -79,11 +104,16 @@ object Embeddings {
   /** vec_id, bucket — sign-bit bucket over the hyperplane projections.
     * One codegen'd projection per row (graft.functions.HyperplaneBucket);
     * the round-3 posexplode+dim-join shape (512 intermediate rows/vector
-    * through two aggregations) is gone — see MatVec.scala. */
-  def lshBuckets(embeddings: DataFrame): DataFrame =
+    * through two aggregations) is gone — see MatVec.scala. The plane count
+    * adapts to the corpus ([[planesFor]]; the count() is a parquet
+    * metadata-only job) so bucket occupancy — and with it every
+    * bucket-join's pair volume — stays bounded at any scale. */
+  def lshBuckets(embeddings: DataFrame): DataFrame = {
+    val p = planesFor(embeddings.count())
     embeddings.select(col("vec_id"),
       MatVec.hyperplaneBucket(asDouble(col("embedding")),
-        MatVec.matrixLit(planeMatrix)).as("bucket"))
+        MatVec.matrixLit(planeMatrix.take(p))).as("bucket"))
+  }
 
   val NumCells = 16
   val NumProbes = 4

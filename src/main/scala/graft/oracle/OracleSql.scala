@@ -2907,15 +2907,25 @@ object OracleSql {
     Embeddings.hyperplanes.map { case (p, d, w) => s"($p, $d, $w)" }
       .mkString("(VALUES ", ", ", ") AS hp(plane, dim, w)")
 
+  // Corpus-adaptive plane count, integer-identical to Embeddings.planesFor:
+  // the smallest p in [NumPlanes, MaxPlanes] with 8·2^p >= count — a
+  // shift-compare minimum, no floating log in either engine.
+  private val nPlanesCte =
+    s"""np AS (SELECT MIN(p) AS n_planes
+       |  FROM range(${Embeddings.NumPlanes}, ${Embeddings.MaxPlanes + 1}) t(p)
+       |  WHERE (8::BIGINT << p) >= (SELECT count(*) FROM embeddings))""".stripMargin
+
   private val bucketsCte =
-    s"""ex AS (SELECT vec_id,
+    s"""$nPlanesCte,
+       |ex AS (SELECT vec_id,
        |    CAST(unnest(range(0, len(embedding))) AS BIGINT) AS dim,
        |    unnest(CAST(embedding AS DOUBLE[])) AS e
        |  FROM embeddings),
        |d AS (SELECT vec_id, hp.plane, sum(e * hp.w) AS dotp
-       |  FROM ex JOIN $hyperplanesSql ON ex.dim = hp.dim GROUP BY 1, 2),
+       |  FROM ex JOIN $hyperplanesSql ON ex.dim = hp.dim
+       |  CROSS JOIN np WHERE hp.plane < np.n_planes GROUP BY 1, 2),
        |bk AS (SELECT vec_id,
-       |    CAST(sum(CASE WHEN dotp > 0 THEN 1 << plane ELSE 0 END) AS BIGINT) AS bucket
+       |    CAST(sum(CASE WHEN dotp > 0 THEN (1::BIGINT << plane) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM d GROUP BY 1)""".stripMargin
 
   val embLsh: String =

@@ -33,6 +33,22 @@ class EmbeddingsSpec extends SparkSpec {
     assert(b == b2)
   }
 
+  test("planesFor keeps expected bucket occupancy <= 8 and matches the oracle's shift minimum") {
+    // below 8*2^8 vectors (every verify/bench corpus) the count is the
+    // historical 8 and outputs are unchanged
+    assert(Embeddings.planesFor(0L) == 8)
+    assert(Embeddings.planesFor(2048L) == 8)
+    assert(Embeddings.planesFor(2049L) == 9)
+    assert(Embeddings.planesFor(200000L) == 15)   // the sf10 probe corpus
+    assert(Embeddings.planesFor(Long.MaxValue) == Embeddings.MaxPlanes)
+    // the defining property: smallest p with 8*2^p >= n
+    for (n <- Seq(1L, 100L, 5000L, 123456L, 10000000L)) {
+      val p = Embeddings.planesFor(n)
+      assert((8L << p) >= n || p == Embeddings.MaxPlanes)
+      assert(p == 8 || (8L << (p - 1)) < n)
+    }
+  }
+
   test("dupPairs finds the identical pair via shared bucket") {
     val dim = Embeddings.EmbDim
     val vs = vecs(Seq(unit(dim, 3), unit(dim, 3), unit(dim, 40)))
