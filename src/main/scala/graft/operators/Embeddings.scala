@@ -52,6 +52,18 @@ object Embeddings {
     p
   }
 
+  /** [[planesFor]] of a corpus, memoized per canonicalized input plan: the
+    * vector count is a property of the corpus (at 100 TB it's the table
+    * stats a deployment reads once per corpus version), so the sizing job
+    * runs once per (process, corpus), not once per query invocation — the
+    * same per-process memo discipline as decontaminateBloom's NDV count. */
+  private val planesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
+  private def planesOf(embeddings: DataFrame): Int =
+    planesMemo.computeIfAbsent(
+      embeddings.queryExecution.logical.canonicalized.toString,
+      _ => planesFor(embeddings.count())).intValue
+
   /** Codegen'd native expression (graft.functions.CosineSimilarity); the
     * equivalent HOF formulation aggregate(zip_with(a,b,_*_),0.0,_+_)/norms
     * stays available for reference but is interpreted, not codegen'd. */
@@ -105,11 +117,12 @@ object Embeddings {
     * One codegen'd projection per row (graft.functions.HyperplaneBucket);
     * the round-3 posexplode+dim-join shape (512 intermediate rows/vector
     * through two aggregations) is gone — see MatVec.scala. The plane count
-    * adapts to the corpus ([[planesFor]]; the count() is a parquet
-    * metadata-only job) so bucket occupancy — and with it every
-    * bucket-join's pair volume — stays bounded at any scale. */
+    * adapts to the corpus ([[planesFor]] via the per-process [[planesOf]]
+    * memo — one sizing job per corpus, not per invocation) so bucket
+    * occupancy — and with it every bucket-join's pair volume — stays
+    * bounded at any scale. */
   def lshBuckets(embeddings: DataFrame): DataFrame = {
-    val p = planesFor(embeddings.count())
+    val p = planesOf(embeddings)
     embeddings.select(col("vec_id"),
       MatVec.hyperplaneBucket(asDouble(col("embedding")),
         MatVec.matrixLit(planeMatrix.take(p))).as("bucket"))
