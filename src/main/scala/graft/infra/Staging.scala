@@ -119,7 +119,18 @@ object Staging {
       if (!stagedOnce.contains(key)) {
         spark.sql(s"DROP TABLE IF EXISTS $table")
         val dir = tempDir(s"graft-stage-$name")
-        derive.write.mode("overwrite")
+        // ONE file per bucket: repartition on the bucket column uses the
+        // same Murmur3 HashPartitioning as bucketBy, so each write task
+        // holds exactly one bucket and emits exactly one file. That is the
+        // condition under which the scan REPORTS the sortBy order
+        // (FileSourceScanExec only trusts per-bucket sort with <= 1 file
+        // per bucket) — with it, every doc-keyed sort-merge join over a
+        // staged artifact skips BOTH its sorts; without it, each join
+        // re-sorted the scan per query (at sf10 the zone-containment join
+        // paid ~100M-row external sorts per side, the dominant constant of
+        // its last probe decade).
+        derive.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
+          .write.mode("overwrite")
           .option("path", dir.resolve(table).toString)
           .bucketBy(buckets, bucketCol).sortBy(bucketCol)
           .format("parquet").saveAsTable(table)
