@@ -137,8 +137,12 @@ object Bench {
         val frozenR1 = "\"warm_total_r1_queries\"\\s*:\\s*([0-9]+\\.?[0-9]*)".r
           .findFirstMatchIn(txt).map(_.group(1).toDouble)
         val qSection = txt.substring(txt.indexOf("\"queries\""))
+        // warm_total_r1_queries can sort AFTER "queries" in a
+        // sort_keys-written freeze (the scale tool) — it is a rollup, not a
+        // query; admitting it would plant a phantom base entry (ADVICE r15)
         val base = "\"([a-z0-9_]+)\"\\s*:\\s*([0-9]+\\.[0-9]+)".r
-          .findAllMatchIn(qSection).map(m => m.group(1) -> m.group(2).toDouble).toMap
+          .findAllMatchIn(qSection).map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._1 != "warm_total_r1_queries").toMap
         def ratioExcluding(name: String, warm: Double): Double = {
           val ownFrozen = if (R1Queries(name)) base.getOrElse(name, 0.0) else 0.0
           val ownWarm = if (R1Queries(name)) warm else 0.0
@@ -164,8 +168,12 @@ object Bench {
     val total = results.map(_._2).sum
     val detailPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "target/bench_detail.json"))
+    // r1_query_set rides along so the freeze tools read the R1 membership
+    // from the bench run instead of carrying their own copies (ADVICE r15:
+    // three drifting copies of the set skew the normalization ratio)
+    val r1Json = R1Queries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(results)},"cold_total_sec":${f3(coldTotal)},"n_queries":${results.size},"warm_total_r1_queries":${f3(r1Total)},"failed":$fails,"regressions_vs_baseline":${regJson.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(results)},"cold_total_sec":${f3(coldTotal)},"n_queries":${results.size},"warm_total_r1_queries":${f3(r1Total)},"r1_query_set":$r1Json,"failed":$fails,"regressions_vs_baseline":${regJson.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     if (detailPath.getParent != null) java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.write(detailPath, fullJson.getBytes("UTF-8"))
     results.grouped(15).zipWithIndex.foreach { case (chunk, i) =>

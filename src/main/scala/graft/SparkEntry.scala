@@ -677,7 +677,8 @@ object SparkEntry {
     "dsir_weights" -> ((s, d) => TextStats.dsirWeights(docs(s, d))),
     "quality_cut" -> ((s, d) => TextStats.qualityCut(docs(s, d))),
     "semantic_dedup" -> ((s, d) => Embeddings.semanticDedup(Tables.embeddings(s, d))),
-    "semantic_clusters" -> ((s, d) => Embeddings.semanticClusters(Tables.embeddings(s, d))),
+    "semantic_clusters" -> ((s, d) => Embeddings.semanticClustersFrom(
+      Embeddings.stagedDupPairs(Tables.embeddings(s, d), d), Tables.embeddings(s, d))),
     "corpus_mix" -> ((s, d) => TextStats.corpusMix(docs(s, d))),
     "source_temperature" -> ((s, d) => TextStats.sourceTemperature(docs(s, d))),
     "stratified_sample" -> ((s, d) => TextStats.stratifiedSample(docs(s, d))),
@@ -782,7 +783,7 @@ object SparkEntry {
     "pq_topk" -> ((s, d) => Embeddings.pqTopK(Tables.embeddings(s, d))),
     "pq_distortion" -> ((s, d) => Embeddings.pqDistortion(Tables.embeddings(s, d))),
     "ivf_balance" -> ((s, d) => Embeddings.ivfBalance(Tables.embeddings(s, d))),
-    "emb_dup_pairs" -> ((s, d) => Embeddings.dupPairs(Tables.embeddings(s, d))),
+    "emb_dup_pairs" -> ((s, d) => Embeddings.stagedDupPairs(Tables.embeddings(s, d), d)),
     "concepts_promoted" -> ((s, d) => Concepts.promote(pp(s, d))),
     "text_redact" -> ((s, d) =>
       TextStats.redact(Tables.events(s, d).select(col("event_id"), col("props")), "props")),

@@ -69,31 +69,78 @@ object Bpe {
   private def mergeFold(syms: Column, a: String, b: String): Column =
     mergeFoldCols(syms, lit(a), lit(b))
 
+  /** UTF8-byte (unsigned lexicographic) string order — the order Spark's
+    * `orderBy` on a string column uses (UTF8String.compareTo), pinned here
+    * so the driver-local argmax tie-break is byte-identical to the
+    * distributed one the r1–r15 trajectory used. Java's String.compareTo
+    * (UTF-16 code units) differs on supplementary characters. */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
   /** Learn `k` merges; returns them in order.
     *
-    * The driver-paced O(k) round structure (one 1-row argmax collect +
-    * one localCheckpoint per round) is inherent to BPE — merge i+1's pair
-    * counts depend on merge i having been applied, so 30k merges means
-    * 30k sequential rounds in ANY engine. What makes production tokenizer
-    * training tractable is not parallelizing the rounds but shrinking the
-    * per-round work: the corpus collapses once to the frequency-weighted
-    * DISTINCT-WORD table (vocabulary-sized, not corpus-sized), and every
-    * round's pair count, argmax, and merge fold run over that, so round
-    * cost is O(|vocab|) regardless of corpus bytes. */
+    * The O(k) round structure (argmax pair, apply, recount) is inherent to
+    * BPE — merge i+1's pair counts depend on merge i having been applied,
+    * so 30k merges means 30k sequential rounds in ANY engine. What makes
+    * production tokenizer training tractable is shrinking the per-round
+    * work to nothing DISTRIBUTED: the corpus collapses in ONE Spark job to
+    * the frequency-weighted DISTINCT-WORD table (vocabulary-sized by
+    * construction — the same argument that bounded the old per-round jobs
+    * bounds the collect), and the merge loop runs driver-local over that
+    * table, exactly how reference BPE trainers (Sennrich's learn_bpe,
+    * HuggingFace tokenizers) pace it. r15 VERDICT item 6: the previous
+    * shape scheduled one Spark job + localCheckpoint PER ROUND — 30k job
+    * schedulings at a production vocabulary for work that is
+    * vocabulary-local. Trajectory (and oracle) unchanged: same greedy
+    * left-to-right fold, same (count desc, UTF8-byte lexicographic a, b)
+    * argmax tie-break. */
   def learnMerges(docs: DataFrame, k: Int = 8): Seq[(String, String)] = {
-    var words = wordTable(docs).localCheckpoint()
+    // the ONE distributed job: corpus -> (frequency, symbol-array) rows
+    val vocab: Array[(Long, Array[String])] =
+      wordTable(docs).select(col("n"), col("syms")).collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+    var words = vocab
     val merges = Seq.newBuilder[(String, String)]
     var round = 0
     var done = false
     while (round < k && !done) {
-      val top = pairCounts(words)
-        .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (top.isEmpty) done = true
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (n, syms) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val key = (syms(i), syms(i + 1))
+          counts(key) = counts.getOrElse(key, 0L) + n
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
       else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        val ((a, b), _) = counts.minBy { case ((pa, pb), cnt) => (-cnt, pa, pb) }(
+          Ordering.Tuple3(Ordering.Long,
+            Ordering.fromLessThan(utf8Lt), Ordering.fromLessThan(utf8Lt)))
         merges += ((a, b))
-        words = words.withColumn("syms", mergeFold(col("syms"), a, b)).localCheckpoint()
+        words = words.map { case (n, syms) =>
+          // greedy left-to-right non-overlapping — the driver-local twin of
+          // mergeFold (spec-pinned equivalent on the classic corpus)
+          val out = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (n, out.result())
+        }
       }
       round += 1
     }

@@ -26,15 +26,47 @@ object Concepts {
   def recognize(docs: DataFrame): DataFrame =
     recognizeTokens(TextOps.tokens(docs))
 
+  /** Switch-over threshold for the dictionary join strategy: a dictionary of
+    * up to ~10M (token, concept_id) entries hashes to well under 1 GiB
+    * (≈60 B/entry in a HashedRelation) — comfortably inside executor
+    * broadcast budgets, and broadcasting beats any shuffle because the
+    * corpus-sized token stream moves ZERO bytes. Past it (the reference's
+    * E5k/E5j rows contemplate 100M-class dictionary builds; a 100M-entry
+    * relation is ~10 GiB, over Spark's 8 GiB broadcast hard cap and any
+    * sane driver/executor memory), [[recognizeTokensWithDict]] switches to a
+    * SHUFFLED HASH join: both sides exchange on `tok`, the dictionary side
+    * builds the per-partition hash table, and the token stream — the side
+    * that must never be sorted or built — streams. (SMJ is the other honest
+    * fallback shape; SHJ wins here because the token side is
+    * corpus × dictionary-selectivity sized and sorting it would dominate.
+    * A deployment that stages the dictionary bucketed on `tok` via
+    * Staging.stageOnceBucketed removes the dict-side exchange too, the same
+    * layout discipline as every other staged artifact.) */
+  val DictBroadcastMaxEntries: Long = 10L * 1000 * 1000
+
   /** Recognition over an existing token stream — row-local filters plus one
     * broadcast dict join, so it runs identically on batch and streaming
-    * token sources (see streaming/DocStreams). */
-  def recognizeTokens(toks: DataFrame): DataFrame = {
-    val dict = broadcast(ConceptDict.dictDF(toks.sparkSession))
+    * token sources (see streaming/DocStreams). The built-in dictionary is
+    * ontology-sized (the reference's ~1M-class regime), so it takes the
+    * broadcast fast path of [[recognizeTokensWithDict]]. */
+  def recognizeTokens(toks: DataFrame): DataFrame =
+    recognizeTokensWithDict(toks, ConceptDict.dictDF(toks.sparkSession),
+      ConceptDict.entries.size.toLong)
+
+  /** [[recognizeTokens]] against an arbitrary (tok, concept_id) dictionary,
+    * gated on `dictEntries` (caller-supplied — the entry count is a property
+    * of the dictionary build, known when the artifact is written; no sizing
+    * job here): ≤ [[DictBroadcastMaxEntries]] broadcasts, above it plans the
+    * non-broadcast shuffled-hash fallback (see the threshold scaladoc). */
+  def recognizeTokensWithDict(toks: DataFrame, dict: DataFrame,
+                              dictEntries: Long): DataFrame = {
+    val keyed =
+      if (dictEntries <= DictBroadcastMaxEntries) broadcast(dict)
+      else dict.hint("shuffle_hash")
     toks
       .where(length(col("tok")) > 1)                       // OgerPostProcessingFn length filter
       .where(!col("tok").rlike("^[0-9\\p{Punct}]+$"))      // isDigitsAndPunctOnly
-      .join(dict, "tok")
+      .join(keyed, "tok")
       .select(col("doc_id"), col("concept_id"), col("ord"), col("tok"), col("char_start"), col("char_end"))
   }
 

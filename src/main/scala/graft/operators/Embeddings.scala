@@ -56,13 +56,29 @@ object Embeddings {
     * vector count is a property of the corpus (at 100 TB it's the table
     * stats a deployment reads once per corpus version), so the sizing job
     * runs once per (process, corpus), not once per query invocation — the
-    * same per-process memo discipline as decontaminateBloom's NDV count. */
+    * same per-process memo discipline as decontaminateBloom's NDV count.
+    *
+    * INVALIDATION HAZARD (ADVICE r15, same caveat as the Bloom NDV memo):
+    * the key is the canonicalized READ PLAN, so regenerating the parquet at
+    * the same path in one process (ScaleUp --only refresh followed by
+    * queries in the same JVM) silently keeps the stale count — and a stale
+    * plane count diverges buckets from an oracle computing count(*) live.
+    * Cross-process runs (the driver's verify/bench protocol, every round
+    * artifact) never hit this; an in-process regenerator must call
+    * [[clearPlanesMemo]] after rewriting the table. Note the memo also
+    * makes the FIRST bucket-building call per corpus trigger the one eager
+    * count() job at DataFrame-construction time — deliberate: it is the
+    * sizing read a deployment does once per corpus version. */
   private val planesMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
   private def planesOf(embeddings: DataFrame): Int =
     planesMemo.computeIfAbsent(
       embeddings.queryExecution.logical.canonicalized.toString,
       _ => planesFor(embeddings.count())).intValue
+
+  /** Drop memoized plane counts — for tests and in-process table
+    * regeneration (see the invalidation note on [[planesOf]]). */
+  def clearPlanesMemo(): Unit = planesMemo.clear()
 
   /** Codegen'd native expression (graft.functions.CosineSimilarity); the
     * equivalent HOF formulation aggregate(zip_with(a,b,_*_),0.0,_+_)/norms
@@ -645,6 +661,38 @@ object Embeddings {
       .where(col("cosine") >= threshold)
   }
 
+  // per-process staging of the confirmed near-dup pair graph (see
+  // stagedDupPairs; same pattern as Dedup.stagedClusters)
+  private val dupPairsStaged = scala.collection.mutable.Set[String]()
+
+  /** [[dupPairs]] through a table STAGED once per (process, corpus,
+    * threshold): the confirmed pair graph is the expensive stage of the
+    * embedding near-dup path (LSH bucket self-join + cosine confirm over
+    * every candidate), and both its consumers — the pair report itself and
+    * the connected-components clustering — were re-deriving it from the raw
+    * vectors per query (VERDICT r15: `semantic_clusters` was the slowest
+    * non-streaming suite query and the sf10 probe ceiling, with the pair
+    * graph the one heavy input not yet a staged artifact). A production
+    * pipeline materializes the confirmed-duplicate edge list as a versioned
+    * table — the text-side twin ([[Dedup.stagedClusters]]) already stages
+    * its labels — so the pairs are written to parquet once per (process,
+    * corpus, threshold) and every consumer reads the artifact. Output (and
+    * oracle) identical to [[dupPairs]]: the r6-rounded cosine round-trips
+    * parquet exactly. */
+  def stagedDupPairs(embeddings: DataFrame, sfDir: String,
+                     threshold: Double = 0.35): DataFrame = {
+    val path = graft.infra.Staging.oracleStagePath(
+      f"emb_dup_pairs_t${math.round(threshold * 100)}", sfDir)
+    dupPairsStaged.synchronized {
+      if (!dupPairsStaged.contains(path)) {
+        // corpus-pair-sized artifact: natural write parallelism, no coalesce
+        dupPairs(embeddings, threshold).write.mode("overwrite").parquet(path)
+        dupPairsStaged.add(path)
+      }
+    }
+    embeddings.sparkSession.read.parquet(path)
+  }
+
   /** vec_id, cluster_id for EVERY vector — embedding near-dup groups as
     * canonical clusters: LSH-candidate cosine pairs → ALTERNATING
     * LARGE-STAR/SMALL-STAR connected components (Dedup.connectedComponentsStar,
@@ -652,10 +700,14 @@ object Embeddings {
     * vectors in no pair are their own singleton cluster. The embedding-side
     * twin of Dedup.clusters, and the driver-query surface for the star
     * variant (the text-side clusters query pins min-label propagation). */
-  def semanticClusters(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {
-    val pairs = dupPairs(embeddings, threshold)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    val comp = Dedup.connectedComponentsStar(pairs)
+  def semanticClusters(embeddings: DataFrame, threshold: Double = 0.35): DataFrame =
+    semanticClustersFrom(dupPairs(embeddings, threshold), embeddings)
+
+  /** [[semanticClusters]] over an existing confirmed-pair table (e.g. the
+    * [[stagedDupPairs]] artifact). */
+  def semanticClustersFrom(pairs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val edges = pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val comp = Dedup.connectedComponentsStar(edges)
       .withColumnRenamed("id", "vec_id")
     embeddings.select(col("vec_id"))
       .join(comp, Seq("vec_id"), "left")

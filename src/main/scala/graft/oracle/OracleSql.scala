@@ -2910,8 +2910,11 @@ object OracleSql {
   // Corpus-adaptive plane count, integer-identical to Embeddings.planesFor:
   // the smallest p in [NumPlanes, MaxPlanes] with 8·2^p >= count — a
   // shift-compare minimum, no floating log in either engine.
+  // COALESCE clamps like planesFor does: past 8·2^MaxPlanes vectors no p
+  // satisfies the predicate and MIN(p) is NULL — the engine clamps to
+  // MaxPlanes, so the oracle must too (ADVICE r15)
   private val nPlanesCte =
-    s"""np AS (SELECT MIN(p) AS n_planes
+    s"""np AS (SELECT COALESCE(MIN(p), ${Embeddings.MaxPlanes}) AS n_planes
        |  FROM range(${Embeddings.NumPlanes}, ${Embeddings.MaxPlanes + 1}) t(p)
        |  WHERE (8::BIGINT << p) >= (SELECT count(*) FROM embeddings))""".stripMargin
 

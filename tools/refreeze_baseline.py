@@ -20,20 +20,16 @@ Usage: python3 tools/refreeze_baseline.py <our_full_suite_detail.json>
 """
 import json, re, sys
 
-R1 = set("""abbrev bionlp_export chunk_content classified_sentences
-collection_assign concept_count_dist concept_idf concepts concepts_pp
-concepts_promoted conll03_export conllu_tokens cooccur_counts_abstract
-cooccur_counts_doc cooccur_counts_sent cooccur_counts_title
-cooccur_metrics_doc crf_overlap decontaminate dedup_exact dedup_minhash
-dedup_norm dedup_simhash dict_export distant_supervision doc_augment
-doc_filter doc_fingerprint doc_sample doc_upsert emb_dup_pairs emb_lsh
-emb_topk emb_topk_native es_docs events_hourly events_props
-events_quantiles events_sessions export_flat kg_edges kg_nodes lang_id
-multimodal_meta ngram_counts ngram_jaccard ontology_closure
-pubannotation_export q1_pricing q3_top_orders q5_region_revenue
-q6_forecast quality_filter quality_score relation_paths repetition_stats
-sentence_pairs sentences text_export text_redact tfidf token_packing
-tokens top_parts_per_brand vocab_stats xml_roundtrip""".split())
+def r1_query_set(detail):
+    """The R1 set from the bench detail JSON (Bench.scala emits it as
+    r1_query_set since r16 — single source, ADVICE r15: three drifting
+    copies skew the normalization ratio); falls back to parsing the
+    R1Queries literal out of Bench.scala for pre-r16 detail files."""
+    if "r1_query_set" in detail:
+        return set(detail["r1_query_set"])
+    src = open("src/main/scala/graft/Bench.scala").read()
+    body = re.search(r"R1Queries: Set\[String\] = Set\((.*?)\)", src, re.S).group(1)
+    return set(re.findall(r'"([a-z0-9_]+)"', body))
 
 # plans rewired in round 15 (staged eval bigrams, bucketed assertion-DB
 # base, staged cooccurrence pair/scores tables + KG FromPairs/FromMetrics
@@ -55,7 +51,9 @@ ADJUDICATED_NOISE = set("crf_overlap corpus_mix".split())
 HEADROOM = 1.5
 
 def main():
-    ours = json.load(open(sys.argv[1]))["queries"]
+    detail = json.load(open(sys.argv[1]))
+    ours = detail["queries"]
+    R1 = r1_query_set(detail)
     r13 = {}
     d = json.load(open("BENCH_r14.json"))
     blocks = re.findall(r"\[bench-queries (\d+)\] (\{[^}]*\})", d["tail"])
