@@ -677,8 +677,8 @@ object SparkEntry {
     "dsir_weights" -> ((s, d) => TextStats.dsirWeights(docs(s, d))),
     "quality_cut" -> ((s, d) => TextStats.qualityCut(docs(s, d))),
     "semantic_dedup" -> ((s, d) => Embeddings.semanticDedup(Tables.embeddings(s, d))),
-    "semantic_clusters" -> ((s, d) => Embeddings.semanticClustersFrom(
-      Embeddings.stagedDupPairs(Tables.embeddings(s, d), d), Tables.embeddings(s, d))),
+    "semantic_clusters" -> ((s, d) =>
+      Embeddings.stagedSemanticClusters(Tables.embeddings(s, d), d)),
     "corpus_mix" -> ((s, d) => TextStats.corpusMix(docs(s, d))),
     "source_temperature" -> ((s, d) => TextStats.sourceTemperature(docs(s, d))),
     "stratified_sample" -> ((s, d) => TextStats.stratifiedSample(docs(s, d))),

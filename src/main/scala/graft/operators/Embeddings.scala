@@ -703,6 +703,35 @@ object Embeddings {
   def semanticClusters(embeddings: DataFrame, threshold: Double = 0.35): DataFrame =
     semanticClustersFrom(dupPairs(embeddings, threshold), embeddings)
 
+  // per-process staging of the semantic cluster-label table (see
+  // stagedSemanticClusters; twin of Dedup.stagedClusters)
+  private val semClustersStaged = scala.collection.mutable.Set[String]()
+
+  /** [[semanticClusters]] through a label table STAGED once per (process,
+    * corpus, threshold) — the embedding-side twin of
+    * [[Dedup.stagedClusters]]: the CC fixpoint is the expensive stage
+    * (iterative joins; localCheckpoint truncates lineage but breaks
+    * CacheManager plan-matching, so nothing shares across queries), and a
+    * production pipeline materializes cluster assignments as a versioned
+    * table rather than re-deriving them per downstream job. Pairs come from
+    * the [[stagedDupPairs]] artifact, labels land in their own artifact;
+    * output (and oracle) identical — alternating-star CC with smallest-
+    * member labels is deterministic. */
+  def stagedSemanticClusters(embeddings: DataFrame, sfDir: String,
+                             threshold: Double = 0.35): DataFrame = {
+    val path = graft.infra.Staging.oracleStagePath(
+      f"semantic_clusters_t${math.round(threshold * 100)}", sfDir)
+    semClustersStaged.synchronized {
+      if (!semClustersStaged.contains(path)) {
+        // corpus-row-sized label table: natural write parallelism
+        semanticClustersFrom(stagedDupPairs(embeddings, sfDir, threshold), embeddings)
+          .write.mode("overwrite").parquet(path)
+        semClustersStaged.add(path)
+      }
+    }
+    embeddings.sparkSession.read.parquet(path)
+  }
+
   /** [[semanticClusters]] over an existing confirmed-pair table (e.g. the
     * [[stagedDupPairs]] artifact). */
   def semanticClustersFrom(pairs: DataFrame, embeddings: DataFrame): DataFrame = {

@@ -423,10 +423,9 @@ class PlanAuditSpec extends SparkSpec {
       "bigquery_load_annotation", "bigquery_load_zones",
       "relay_improvements", "relay_accuracy_by_type",
       "batch_stats", "batch_overlap", "crf_overlap",
-      // r16: the confirmed near-dup pair graph stages per corpus
-      // (semantic_clusters consumes it too, but through CC's
-      // localCheckpoint — unobservable here, like kg_pagerank)
-      "emb_dup_pairs")
+      // r16: the confirmed near-dup pair graph and the semantic cluster
+      // labels stage per corpus (Dedup.stagedClusters discipline)
+      "emb_dup_pairs", "semantic_clusters")
     // staged+raw consumers: the corpus scan is the query's honest work,
     // but the shared artifact must come from a stage scan
     val stagedPlusRaw = Seq(
