@@ -128,12 +128,20 @@ object BigQueryLoad {
   def annotationTableFrom(u: DataFrame): DataFrame =
     u
       .where(col("char_start") =!= col("char_end"))
-      .select(col("annotation_id"), col("annotator_name"),
-        col("doc_id").cast("string").as("document_id"),
+      // distinct BEFORE the doc_id→string cast, with the raw doc_id in the
+      // keys: long→string is injective so the result set is identical, but
+      // grouping on the BUCKET column (not its cast) lets the aggregation
+      // ride the staged universe's doc_id bucketing with zero exchanges
+      // (the same doc-id-in-the-keys discipline as the assertion-DB star)
+      .select(col("annotation_id"), col("annotator_name"), col("doc_id"),
         col("layer").as("annotation_layer"), col("annotation_type"),
         col("char_start").as("span_start"), col("char_end").as("span_end"),
         regexp_replace(col("covered_text"), "[\\n\\t]", " ").as("covered_text"))
       .distinct()
+      .select(col("annotation_id"), col("annotator_name"),
+        col("doc_id").cast("string").as("document_id"),
+        col("annotation_layer"), col("annotation_type"),
+        col("span_start"), col("span_end"), col("covered_text"))
 
   /** The four zone tables as one result: table_key ("in_section" ...),
     * inner_annot_id, outer_annot_id — distinct, per the reference's
@@ -155,6 +163,15 @@ object BigQueryLoad {
       .where(col("z_start") <= col("i_start") && col("i_end") <= col("z_end") &&
         col("i_idx") >= col("z_idx") &&
         col("inner_annot_id") =!= col("outer_annot_id"))
+      // the distinct MUST stay on the 3 output columns: annotation digests
+      // can collide ACROSS documents (the reference's concat-based digest is
+      // ambiguous at field boundaries — sha256(docId||start||...) — and the
+      // serializer accumulates unique pairs globally), so a doc_id-extended
+      // key would keep cross-doc duplicate pairs the reference drops
+      // (measured: 28 extras at sf0.01). The exchange this plans is
+      // partial-agg-bounded — map-side aggregation collapses intra-partition
+      // duplicates before the shuffle, so it moves ~|unique pairs|, not the
+      // raw join output.
       .select(concat(lit("in_"), lower(col("z_layer"))).as("table_key"),
         col("inner_annot_id"), col("outer_annot_id"))
       .distinct()

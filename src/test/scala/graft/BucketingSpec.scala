@@ -195,6 +195,40 @@ class BucketingSpec extends SparkSpec {
       s"distinct over the bucketed artifact must not shuffle:\n$distinctPlan")
   }
 
+  test("BigQuery zone-containment join over the staged universe plans zero exchanges AND zero sorts") {
+    // VERDICT r15 item 2 (+ the end-of-r15 Staging sortBy fix): the
+    // containment join's two sides are co-located scans of the doc_id-
+    // bucketed, per-bucket-SORTED universe artifact — the SMJ must read
+    // BOTH its distribution and its order from the scan (at sf10 each
+    // re-sort cost ~100M-row external sorts; the partition-count knob a
+    // cluster scales, but the sorts were pure waste)
+    // (at spec scale the optimizer broadcasts the join side — also shuffle-
+    // free; the SMJ-over-sorted-buckets shape is the at-scale variant and
+    // the scan's reported sort order is pinned by the band-index tests)
+    val sfDir = "/root/testdata/sf0.001"
+    def planOf(key: String): String = {
+      val q = SparkEntry.queries(key)
+      q(spark, sfDir).count() // first call stages the universe
+      q(spark, sfDir).queryExecution.executedPlan.toString
+    }
+    // annotation: distinct keys carry the raw doc_id (bucket column), so the
+    // whole table projection is exchange-free over the staged universe
+    val ann = planOf("bigquery_load_annotation")
+    assert(!ann.contains("Exchange hashpartitioning"),
+      s"annotation must ride the universe's doc_id buckets, not shuffle:\n$ann")
+    // zones: the containment JOIN is bucket-co-located (no exchange below
+    // it, no re-sort of the scans); the one admissible exchange is the
+    // final unique-PAIR distinct, whose keys legitimately drop doc_id
+    // (digests can collide across docs) and whose input is partial-agg
+    // bounded
+    val zones = planOf("bigquery_load_zones")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(zones).size
+    assert(exchanges <= 1, s"zones may shuffle only the final pair distinct:\n$zones")
+    assert(!zones.contains("Sort "),
+      s"zones must read the per-bucket sort from the scan, not re-sort:\n$zones")
+    graft.infra.Caches.unpersistManaged()
+  }
+
   test("bucketed table round-trips data intact") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "v")
     Sinks.bucketedTable(df, "graft_bucket_rt", "doc_id", buckets = 4)
