@@ -67,8 +67,10 @@ object ScaleUp {
       require(single != null, s"no .parquet part file under $staging for table $t")
       Files.createDirectories(Paths.get(dst))
       Files.move(single, Paths.get(s"$dst/$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
-      Files.walk(Paths.get(staging)).sorted(java.util.Comparator.reverseOrder())
+      val w = Files.walk(Paths.get(staging))
+      try w.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.deleteIfExists(p))
+      finally w.close()
     }
 
     def replicate(df: DataFrame, keyCols: Seq[String]): DataFrame =

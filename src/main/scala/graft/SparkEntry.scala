@@ -162,21 +162,29 @@ object SparkEntry {
         Conllu.build(docs(s, d).where(pmod(col("doc_id"), lit(20L)) === 0L))
           .repartition(col("doc_id"))
           .write.partitionBy("doc_id").mode("overwrite").text(out)
+        // every Files.list/walk stream holds a directory fd until CLOSED
+        // (ScaleUp's ADVICE-r13 lesson): at sf10 this loop visits ~25k
+        // partition dirs, and the unclosed streams blew the process fd
+        // limit mid-staging and poisoned every later query in the suite —
+        // the r16 full-suite probe's first find
         val root = java.nio.file.Paths.get(out)
-        val dirs = java.nio.file.Files.list(root).iterator()
-        while (dirs.hasNext) {
-          val p = dirs.next()
+        def listAll(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+          val s = java.nio.file.Files.list(p)
+          try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toVector }
+          finally s.close()
+        }
+        listAll(root).foreach { p =>
           val name = p.getFileName.toString
           if (name.startsWith("doc_id=")) {
             val id = name.stripPrefix("doc_id=")
-            val parts = java.nio.file.Files.list(p).iterator()
-            while (parts.hasNext) {
-              val f = parts.next()
+            listAll(p).foreach { f =>
               if (f.getFileName.toString.startsWith("part-"))
                 java.nio.file.Files.move(f, root.resolve(s"$id.conllu"))
             }
-            java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            val w = java.nio.file.Files.walk(p)
+            try w.sorted(java.util.Comparator.reverseOrder())
               .forEach(q => java.nio.file.Files.deleteIfExists(q))
+            finally w.close()
           }
         }
         out
