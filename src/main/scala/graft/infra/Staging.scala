@@ -46,6 +46,15 @@ object Staging {
     * stage — the second would silently reuse the first's staged
     * thresholds and the oracle compare would mask it, both engines
     * reading the same stale file). */
+  /** Filesystem-safe EXACT key for a double threshold in a staged-artifact
+    * path. The previous idiom (`math.round(threshold * 100)`) collapsed
+    * thresholds within 0.005 of each other onto one artifact, silently
+    * serving the first caller's pairs to the second (ADVICE r16).
+    * `Double.toString` is the shortest round-trip representation — unique
+    * per double value — with '.'/'-' mapped to path-safe letters. */
+  def thresholdKey(t: Double): String =
+    t.toString.replace('.', 'p').replace('-', 'm')
+
   def oracleStagePath(kind: String, sfDir: String): String = {
     val f = new java.io.File(sfDir)
     val canon = try f.getCanonicalPath catch { case _: java.io.IOException => f.getAbsolutePath }

@@ -87,6 +87,17 @@ object Bpe {
     a.length < b.length
   }
 
+  /** Distinct-word ceiling for the driver-local merge loop. On a curated
+    * corpus the distinct-word table is vocabulary-sized, but on a noisy
+    * web-scale corpus (typos, IDs, hex hashes) distinct tokens are
+    * effectively unbounded — collecting them could OOM the driver. Above
+    * this NDV the trainer falls back to the distributed per-round shape
+    * (one bounded argmax row per round reaches the driver), mirroring the
+    * [[Concepts.DictBroadcastMaxEntries]] gate pattern (ADVICE r16).
+    * 5M rows × ~200 B/row (word chars + per-char symbol array) ≈ 1 GB —
+    * comfortable under a multi-GB driver heap. */
+  val DriverCollectMaxWords: Long = 5L * 1000 * 1000
+
   /** Learn `k` merges; returns them in order.
     *
     * The O(k) round structure (argmax pair, apply, recount) is inherent to
@@ -103,12 +114,26 @@ object Bpe {
     * schedulings at a production vocabulary for work that is
     * vocabulary-local. Trajectory (and oracle) unchanged: same greedy
     * left-to-right fold, same (count desc, UTF8-byte lexicographic a, b)
-    * argmax tie-break. */
-  def learnMerges(docs: DataFrame, k: Int = 8): Seq[(String, String)] = {
-    // the ONE distributed job: corpus -> (frequency, symbol-array) rows
+    * argmax tie-break.
+    *
+    * The collect is gated on the word-table NDV (ADVICE r16): above
+    * `maxDriverWords` the trainer keeps the distributed per-round shape —
+    * pair counts recomputed per round over the checkpointed word table,
+    * one argmax row collected per round — trading k small jobs for driver
+    * safety on unbounded-vocabulary corpora. Both paths share the fold and
+    * the tie-break (Spark string `orderBy` IS UTF8-byte order), so the
+    * learned trajectory is identical; spec-pinned on the classic corpus. */
+  def learnMerges(docs: DataFrame, k: Int = 8,
+                  maxDriverWords: Long = DriverCollectMaxWords): Seq[(String, String)] = {
+    // one distributed pass: corpus -> (frequency, symbol-array) rows,
+    // materialized lazily so the NDV gate's count pays the compute and the
+    // winning path (collect or per-round loop) reads cached partitions
+    val table = wordTable(docs).select(col("n"), col("syms"))
+      .localCheckpoint(eager = false)
+    val ndv = table.count()
+    if (ndv > maxDriverWords) return learnMergesDistributed(table, k)
     val vocab: Array[(Long, Array[String])] =
-      wordTable(docs).select(col("n"), col("syms")).collect()
-        .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+      table.collect().map(r => (r.getLong(0), r.getSeq[String](1).toArray))
     var words = vocab
     val merges = Seq.newBuilder[(String, String)]
     var round = 0
@@ -141,6 +166,33 @@ object Bpe {
           }
           (n, out.result())
         }
+      }
+      round += 1
+    }
+    merges.result()
+  }
+
+  /** The pre-r16 distributed per-round trainer, kept as the
+    * unbounded-vocabulary fallback behind the [[DriverCollectMaxWords]]
+    * gate: per round one bounded argmax collect (a single row) and a
+    * checkpointed merge application — no vocabulary-sized driver state
+    * ever. Same greedy fold ([[mergeFold]]) and (count desc, UTF8-byte
+    * a, b) tie-break as the driver-local loop. */
+  private def learnMergesDistributed(table: DataFrame, k: Int): Seq[(String, String)] = {
+    var words = table
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var done = false
+    while (round < k && !done) {
+      val top = pairCounts(words)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        words = words.withColumn("syms", mergeFold(col("syms"), a, b))
+          .localCheckpoint()
       }
       round += 1
     }

@@ -752,7 +752,7 @@ object Dedup {
     * deterministic. */
   def stagedClusters(docs: DataFrame, sfDir: String, threshold: Double = 0.6): DataFrame = {
     val path = graft.infra.Staging.oracleStagePath(
-      f"dedup_clusters_t${math.round(threshold * 100)}", sfDir)
+      s"dedup_clusters_t${graft.infra.Staging.thresholdKey(threshold)}", sfDir)
     clustersStaged.synchronized {
       if (!clustersStaged.contains(path)) {
         // natural write parallelism — the label table is corpus-row-sized,

@@ -682,7 +682,7 @@ object Embeddings {
   def stagedDupPairs(embeddings: DataFrame, sfDir: String,
                      threshold: Double = 0.35): DataFrame = {
     val path = graft.infra.Staging.oracleStagePath(
-      f"emb_dup_pairs_t${math.round(threshold * 100)}", sfDir)
+      s"emb_dup_pairs_t${graft.infra.Staging.thresholdKey(threshold)}", sfDir)
     dupPairsStaged.synchronized {
       if (!dupPairsStaged.contains(path)) {
         // corpus-pair-sized artifact: natural write parallelism, no coalesce
@@ -720,7 +720,7 @@ object Embeddings {
   def stagedSemanticClusters(embeddings: DataFrame, sfDir: String,
                              threshold: Double = 0.35): DataFrame = {
     val path = graft.infra.Staging.oracleStagePath(
-      f"semantic_clusters_t${math.round(threshold * 100)}", sfDir)
+      s"semantic_clusters_t${graft.infra.Staging.thresholdKey(threshold)}", sfDir)
     semClustersStaged.synchronized {
       if (!semClustersStaged.contains(path)) {
         // corpus-row-sized label table: natural write parallelism

@@ -37,12 +37,13 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.encodeCounts(words, learned).collect().head.getLong(1) == 4L)
   }
 
-  test("merge training schedules ONE distributed job (the word-table collect), not k") {
+  test("merge training schedules O(1) distributed jobs (NDV gate + word-table collect), not k") {
     // VERDICT r15 item 6: the old shape ran one Spark job + localCheckpoint
     // PER MERGE ROUND — 30k job schedulings at a production vocabulary for
-    // vocabulary-local work. The production shape collects the
-    // frequency-weighted distinct-word table once and paces the merge loop
-    // driver-local; only that single collect may reach the scheduler.
+    // vocabulary-local work. The production shape materializes the
+    // frequency-weighted distinct-word table once (the ADVICE r16 NDV gate
+    // counts it, the collect reuses the cached partitions) and paces the
+    // merge loop driver-local; only those two jobs may reach the scheduler.
     var jobs = 0
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
@@ -53,10 +54,20 @@ class BpeSpec extends SparkSpec {
       val merges = Bpe.learnMerges(corpus, k = 8)
       org.apache.spark.graftbridge.ListenerBusBridge.waitUntilEmpty(spark.sparkContext)
       assert(merges.nonEmpty)
-      // one job for the collect (AQE may split the exchange-free plan into
-      // at most one extra); the k merge rounds must add NONE
-      assert(jobs <= 2, s"expected the single word-table collect, saw $jobs jobs")
+      // the NDV-gate count + the collect (AQE may split each into one
+      // extra job); the k merge rounds must add NONE — with k = 8 a
+      // per-round regression would read >= 10
+      assert(jobs <= 4, s"expected NDV count + word-table collect, saw $jobs jobs")
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("distributed fallback above the NDV ceiling learns the identical trajectory") {
+    // ADVICE r16: above DriverCollectMaxWords the trainer must not collect
+    // the word table; force the fallback with a ceiling of zero and pin
+    // that both paths learn the same merges on the classic corpus.
+    val driverLocal = Bpe.learnMerges(corpus, k = 5)
+    val distributed = Bpe.learnMerges(corpus, k = 5, maxDriverWords = 0L)
+    assert(distributed == driverLocal)
   }
 
   test("merges DataFrame carries the ordered artifact") {

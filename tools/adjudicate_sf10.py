@@ -34,6 +34,13 @@ def main():
             rows[q]["r15_sf10"] = prior[q]
     over = {q: r for q, r in rows.items()
             if r["ratio"] is not None and r["ratio"] > BYTES_RATIO}
+    # ADVICE r16: compute the ratio list once; if the two detail files
+    # share no queries (wrong pairing) emit None instead of an IndexError.
+    ratios = sorted(r["ratio"] for r in rows.values() if r["ratio"] is not None)
+    if not ratios:
+        print("[adjudicate] WARNING: no query appears in both detail files "
+              "with a nonzero sf0.1 base — check the file pairing",
+              file=sys.stderr)
     summary = {
         "n_queries": len(rows),
         "failed": sf10.get("failed", []),
@@ -41,9 +48,7 @@ def main():
         "warm_total_sf10": round(sum(q10.values()), 3),
         "suite_ratio": round(sum(q10.values()) /
                              max(sum(q01.get(q, 0.0) for q in q10), 1e-9), 2),
-        "median_query_ratio": sorted(
-            r["ratio"] for r in rows.values() if r["ratio"] is not None
-        )[len([r for r in rows.values() if r["ratio"] is not None]) // 2],
+        "median_query_ratio": ratios[len(ratios) // 2] if ratios else None,
         "n_over_bytes_ratio": len(over),
         "over_bytes_ratio": dict(sorted(
             over.items(), key=lambda kv: -kv[1]["ratio"])),

@@ -60,7 +60,18 @@ def arg(flag, default):
 
 def main():
     detail = json.load(open(sys.argv[1]))
-    ours = detail["queries"]
+    ours = dict(detail["queries"])
+    # ADVICE r16: a failed query's recorded "warm" value is its
+    # time-to-exception (often ~0 s) — freezing it would set a near-zero
+    # baseline that cries wolf on every later healthy run. Drop failed
+    # queries from the freeze and say so; they must be re-measured and
+    # merged (tools/merge_bench_detail.py) before they get a baseline.
+    failed = [q for q in detail.get("failed", []) if q in ours]
+    if failed:
+        print(f"[freeze-scale] EXCLUDING {len(failed)} failed queries "
+              f"(time-to-exception is not a baseline): {' '.join(sorted(failed))}")
+        for q in failed:
+            ours.pop(q)
     R1 = r1_query_set(detail)
     sf_name = arg("--sf-name", "sf1.0")
     prior_file = arg("--prior", "BENCH_r14_scale.json")

@@ -49,7 +49,15 @@ HEADROOM = 1.5
 
 def main():
     detail = json.load(open(sys.argv[1]))
-    ours = detail["queries"]
+    ours = dict(detail["queries"])
+    # ADVICE r16: a failed query's recorded "warm" value is its
+    # time-to-exception (often ~0 s) — never freeze it as a baseline.
+    failed = [q for q in detail.get("failed", []) if q in ours]
+    if failed:
+        print(f"[refreeze] EXCLUDING {len(failed)} failed queries "
+              f"(time-to-exception is not a baseline): {' '.join(sorted(failed))}")
+        for q in failed:
+            ours.pop(q)
     R1 = r1_query_set(detail)
     prior = {}
     d = json.load(open("BENCH_r15.json"))

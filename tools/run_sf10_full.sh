@@ -7,6 +7,9 @@
 # adjudicates per-query drift at this ladder point too.
 # Usage: tools/run_sf10_full.sh <outDetailJson>
 set -u
+# both r16 probe deaths were environmental (fd cap, stale-spill ENOSPC) —
+# gate the launch (VERDICT r16 item 7)
+bash "$(dirname "$0")/probe_env_gate.sh" || exit 1
 OUT=${1:-target/bench_detail_sf10_r16.json}
 ADD_OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 SPARK_GRAFT_SF_DIR=/tmp/graft-scale/sf10 SPARK_GRAFT_CPUS=32 \
