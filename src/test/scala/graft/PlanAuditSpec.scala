@@ -425,13 +425,24 @@ class PlanAuditSpec extends SparkSpec {
       "batch_stats", "batch_overlap", "crf_overlap",
       // r16: the confirmed near-dup pair graph and the semantic cluster
       // labels stage per corpus (Dedup.stagedClusters discipline)
-      "emb_dup_pairs", "semantic_clusters")
+      "emb_dup_pairs", "semantic_clusters",
+      // r17 (VERDICT r16 item 9): the remaining staged-file families, so
+      // every stageOnce* artifact has a consumer under this gate —
+      // StagedGateAuditSpec enumerates the call sites and points here
+      "sheets_batch", "sheets_batch_carryforward", "sheets_to_bert",
+      "sheets_batch_iaa", "sheets_batch_idf",
+      "bicluster_paths", "bicluster_sentences", "bicluster_bert",
+      "concept_pairs_pos", "concept_pairs_neg", "oger_dict_build")
     // staged+raw consumers: the corpus scan is the query's honest work,
     // but the shared artifact must come from a stage scan
     val stagedPlusRaw = Seq(
       "decontaminate", "decontaminate_bloom", "contamination_report",
       "decontaminate_fuzzy", "training_pipeline", "distant_supervision",
-      "split_leakage")
+      "split_leakage",
+      // r17: artifact + raw-corpus consumers (the corpus scan is the
+      // query's honest work; the shared artifact must come from a stage)
+      "ner_bert_import", "bpe_encode_artifact", "concept_pair_sentences",
+      "compression_quality", "pr_promote_pairs")
     val offenders =
       stagedOnly.flatMap { q =>
         val ls = leaves(q)
