@@ -1,10 +1,10 @@
 #!/usr/bin/env python3
-"""Re-freeze baselines/bench_per_query_sf0.1.json (r16 update of the
+"""Re-freeze baselines/bench_per_query_sf0.1.json (r17 update of the
 VERDICT r13 item 6 protocol).
 
 Policy (documented in BASELINE.md):
-- freeze[q] = max(driver r15 in-suite value where recoverable from
-  BENCH_r15.json's tail+slowest-20, not itself adjudicated anomalous,
+- freeze[q] = max(driver r16 in-suite value where recoverable from
+  BENCH_r16.json's tail+slowest-20, not itself adjudicated anomalous,
   and the plan unchanged since, this round's own full-suite
   driver-protocol value x 1.5).
   The x1.5 headroom covers driver-vs-this-box variance (median
@@ -31,19 +31,17 @@ def r1_query_set(detail):
     body = re.search(r"R1Queries: Set\[String\] = Set\((.*?)\)", src, re.S).group(1)
     return set(re.findall(r'"([a-z0-9_]+)"', body))
 
-# plans rewired in round 16 (staged near-dup pair graph + semantic
-# cluster labels, driver-local BPE merge loop, sorted-bucket staged
-# artifacts incl. the BigQuery universe - its r15 freeze predates the
-# sortBy fix): driver r15 readings describe a removed plan, so only this
-# round's own values apply
-PLAN_CHANGED = set("""emb_dup_pairs semantic_clusters bpe_merges
-bpe_encode bpe_encode_artifact bpe_fertility bigquery_load_annotation
-bigquery_load_zones bigquery_load_relation""".split())
+# plans rewired in round 17 (the BPE trainer's NDV-gated collect adds a
+# count job ahead of the word-table collect): driver r16 readings
+# describe the ungated plan, so only this round's own values apply
+PLAN_CHANGED = set("""bpe_merges bpe_encode bpe_encode_artifact
+bpe_fertility""".split())
 
-# driver r15 readings adjudicated as machine-moment noise this round
-# (none: BENCH_r15 ran zero flags and PERF_AUDIT_r16 reproduced nothing
-# anomalous)
-ADJUDICATED_NOISE = set()
+# driver r16 readings adjudicated as machine-moment noise
+# (PERF_AUDIT_r17 par.1: the three BENCH_r16 flags measured at baseline in
+# both the post-change r16a full-suite run and this round's isolated
+# re-runs, with their code paths untouched in r16)
+ADJUDICATED_NOISE = {"bm25_topk", "concept_pairs_neg", "split_leakage"}
 
 HEADROOM = 1.5
 
@@ -60,14 +58,14 @@ def main():
             ours.pop(q)
     R1 = r1_query_set(detail)
     prior = {}
-    d = json.load(open("BENCH_r15.json"))
+    d = json.load(open("BENCH_r16.json"))
     blocks = re.findall(r"\[bench-queries (\d+)\] (\{[^}]*\})", d["tail"])
     # ADVICE r14: the flat-object regex silently drops readings if the
     # bench log format ever nests or wraps - surface the recovery rate so
     # a parser/format mismatch cannot quietly fall back to own-value x1.5
     expected = max((int(i) for i, _ in blocks), default=0)
     print(f"[refreeze] recovered {len(blocks)} bench-queries blocks "
-          f"(highest index {expected}) from BENCH_r15.json tail")
+          f"(highest index {expected}) from BENCH_r16.json tail")
     if blocks and len(blocks) != expected:
         print(f"[refreeze] WARNING: block indexes not contiguous - "
               f"{expected - len(blocks)} block(s) unparsed; their queries "
@@ -85,11 +83,12 @@ def main():
         out[q] = round(max(prior.get(q, 0.0), v * HEADROOM), 3)
     r1_total = round(sum(v for q, v in out.items() if q in R1), 3)
     comment = ("per-query warm (min-of-2) baselines at sf0.1, RE-FROZEN for "
-        "r16 (the r16 plan-changed families' denominators replaced "
-        "post-staging). Per "
-        "query = max(driver r15 in-suite value where recoverable from "
-        "BENCH_r15.json, healthy, and plan-unchanged since, own full-suite "
-        "driver-protocol run target/bench_detail_r16 x1.5 "
+        "r17 (the r16 round ended before its re-freeze, so this freeze "
+        "replaces r15's; the three adjudicated-noise r16 driver readings "
+        "and the r17 BPE plan family use own values). Per "
+        "query = max(driver r16 in-suite value where recoverable from "
+        "BENCH_r16.json, healthy, and plan-unchanged since, own full-suite "
+        "driver-protocol run x1.5 "
         "driver-conditions headroom). warm_total_r1_queries = sum of the "
         "new values over the r1 set (keeps Bench.scala's machine-state "
         "normalization internally consistent). Prior freeze kept at "
@@ -99,7 +98,7 @@ def main():
         json.dump(blob, f, indent=1)
     n_drv = sum(1 for q in out if prior.get(q, 0.0) >= out[q])
     print(f"froze {len(out)} queries (r1 total {r1_total}); "
-          f"{n_drv} denominators from driver r15 readings, "
+          f"{n_drv} denominators from driver r16 readings, "
           f"{len(out) - n_drv} from own-value x{HEADROOM}")
 
 if __name__ == "__main__":
