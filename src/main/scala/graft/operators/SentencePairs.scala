@@ -123,7 +123,18 @@ object SentencePairs {
     * retries/partitions, the classic training-data-provenance bug).
     * Output: doc_id, sent_id, concept_x, concept_y, y∈{0,1}. */
   def dsTrainSplit(annots: DataFrame, minNpmi: Double = 0.1, negMod: Long = 4L): DataFrame =
-    distantSupervision(annots, minNpmi)
+    dsTrainSplitFromMetrics(annots, Cooccurrence.metrics(annots, Seq("doc_id")),
+      minNpmi, negMod)
+
+  /** [[dsTrainSplit]] with the KB side read from the published
+    * cooccurrence-scores table — the same staged-artifact contract as
+    * [[distantSupervisionFromMetrics]] (the query wiring passes the staged
+    * document-level scores; re-deriving the full metrics chain per
+    * invocation was 2.1 s isolated at sf0.1 vs 0.8 s for the sibling
+    * distant_supervision that already read the artifact). */
+  def dsTrainSplitFromMetrics(annots: DataFrame, metrics: DataFrame,
+                              minNpmi: Double = 0.1, negMod: Long = 4L): DataFrame =
+    distantSupervisionFromMetrics(annots, metrics, minNpmi)
       .where(col("silver_positive") ||
         pmod(col("doc_id") * 31 + col("sent_id"), lit(negMod)) === 0)
       .select(col("doc_id"), col("sent_id"), col("concept_x"), col("concept_y"),

@@ -107,6 +107,23 @@ object Sheets {
     if (includeInverse) side(false).unionByName(side(true)) else side(false)
   }
 
+  /** Batch 1 (the first annotator's batch over an empty previous-ids file)
+    * staged ONCE per (process, corpus): the reference CREATES the
+    * spreadsheet once and appends its hashes to the previous-ids FILE
+    * (createNewSpreadsheet:326-336) — every later step (the carry-forward
+    * batch, the IAA overlap batch, the BERT back-conversion) reads the
+    * EXISTING sheet/ids file, it does not re-create batch 1. The
+    * sheets_batch query itself stays the honest computation of exactly
+    * this derivation. Canonical-inputs contract per Staging.stageOnce:
+    * `rows` must be [[stagedCandidateRows]] for `sfDir` and the batch the
+    * family default. */
+  def stagedFirstBatch(rows: DataFrame, sfDir: String): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    graft.infra.Staging.stageOnce("sheets_batch1", sfDir,
+      batchFrom(rows, Seq.empty[String].toDF("hash")), spark)
+  }
+
   /** A second annotator's batch with a deliberate IAA overlap share
     * (reference: relation_extraction/annot_batch_cli/BatchCreateCommand
     * .java:135-174 + its --overlap-sentence-percentage option: when a

@@ -319,7 +319,10 @@ object TextStats {
     * integers. At 100 TB the exact table is the verification twin — the
     * sketch alone is the streaming-budget path. */
   def heavyHittersCms(docs: DataFrame, k: Int = 20): DataFrame = {
-    val toks = TextOps.tokens(docs).select("tok")
+    // read twice (the sketch fan-out AND the exact count table are both
+    // full passes over the token stream) — one managed materialization of
+    // the single projected column instead of two tokenize passes
+    val toks = graft.infra.Caches.managed(TextOps.tokens(docs).select("tok"))
     def bucket(row: Int): org.apache.spark.sql.Column =
       pmod(graft.functions.Hash60.id(
         concat(lit(row.toString), lit("|"), col("tok"))), lit(CmsWidth))

@@ -181,13 +181,15 @@ class PlanAuditSpec extends SparkSpec {
     val sm = SparkEntry.queries("shard_manifest")(spark, sfDir).queryExecution
     assert(sm.optimizedPlan.collect { case w: Window => w }.isEmpty,
       s"shard_manifest plans a Window:\n${sm.optimizedPlan}")
-    // bm25_mrr's candidate pool is bm25TopK's bounded-heap aggregate — the
-    // eval must not reintroduce the df-wide ranking window it sits on top of
+    // bm25_mrr's candidate pool is the STAGED bm25TopK artifact (r17) —
+    // the heap-vs-window invariant lives where the pool is built (the
+    // bm25_topk pin above); the eval must scan the staged pool and must
+    // not reintroduce a df-wide ranking window of its own
     val mrr = SparkEntry.queries("bm25_mrr")(spark, sfDir).queryExecution
     assert(mrr.optimizedPlan.collect { case w: Window => w }.isEmpty,
       s"bm25_mrr plans a Window:\n${mrr.optimizedPlan}")
-    assert(mrr.executedPlan.toString.contains("partial_top_k_agg"),
-      mrr.executedPlan.toString.take(2000))
+    assert(mrr.executedPlan.toString.contains("graft-oracle-stage"),
+      s"bm25_mrr must read the staged retrieval pool:\n${mrr.executedPlan.toString.take(2000)}")
   }
 
   test("r11 shapes: pair-sentence hygiene stays in-row; bicluster/bert and overlap plan no windows") {
@@ -222,11 +224,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(kg.executedPlan.toString.contains("partial_top_k_agg"),
       kg.executedPlan.toString.take(2000))
     // hybrid_rrf: its two windows are legal ONLY because they partition the
-    // ≤k-row retrieved pool; the pool must come from the TopKAgg phase, and
-    // every window must carry a non-empty partitionSpec.
+    // ≤k-row retrieved pool; the pool comes from the STAGED bm25TopK
+    // artifact (r17 — the heap invariant is pinned at the bm25_topk
+    // producer), and every window must carry a non-empty partitionSpec.
     val hr = SparkEntry.queries("hybrid_rrf")(spark, sfDir).queryExecution
-    assert(hr.executedPlan.toString.contains("partial_top_k_agg"),
-      hr.executedPlan.toString.take(2000))
+    assert(hr.executedPlan.toString.contains("graft-oracle-stage"),
+      s"hybrid_rrf must read the staged retrieval pool:\n${hr.executedPlan.toString.take(2000)}")
     assert(hr.optimizedPlan.collect {
       case w: Window if w.partitionSpec.isEmpty => w }.isEmpty,
       s"hybrid_rrf plans an unpartitioned window:\n${hr.optimizedPlan}")
@@ -442,7 +445,12 @@ class PlanAuditSpec extends SparkSpec {
       // r17: artifact + raw-corpus consumers (the corpus scan is the
       // query's honest work; the shared artifact must come from a stage)
       "ner_bert_import", "bpe_encode_artifact", "concept_pair_sentences",
-      "compression_quality", "pr_promote_pairs")
+      "compression_quality", "pr_promote_pairs",
+      // r17 optimization round: new staged-artifact consumers — the
+      // ds KB side (staged scores), the BM25 retrieval pool (bm25_mrr /
+      // hybrid_rrf), the concept-IDF file (tfidf), and tfidf_doc_sim's
+      // staged signature-banded candidates + IDF
+      "ds_train_split", "bm25_mrr", "hybrid_rrf", "tfidf", "tfidf_doc_sim")
     val offenders =
       stagedOnly.flatMap { q =>
         val ls = leaves(q)

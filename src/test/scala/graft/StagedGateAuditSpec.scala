@@ -120,6 +120,11 @@ class StagedGateAuditSpec extends AnyFunSuite {
     ("relay_metadata", "PlanAuditSpec.scala", "relay_accuracy_by_type"),
     ("relay_sample_sentences", "PlanAuditSpec.scala", "relay_iaa"),
     ("sheets_rows", "PlanAuditSpec.scala", "sheets_batch"),
+    // r17 optimization round: batch 1 staged for its consumers
+    // (carry-forward / IAA / BERT back-conversion read the existing sheet)
+    ("sheets_batch1", "PlanAuditSpec.scala", "sheets_batch_iaa"),
+    // r17: the BM25 retrieval pool staged for the eval card + RRF fusion
+    ("bm25_topk_pool", "PlanAuditSpec.scala", "bm25_mrr"),
     ("winsor", "GraphRetrievalSpec.scala", "qualityWinsorize"),
     ("compression_ratio", "PlanAuditSpec.scala", "compression_quality"),
     ("quantile_sketch", "SketchSpec.scala", "quantile"),
