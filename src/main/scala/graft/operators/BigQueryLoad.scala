@@ -188,14 +188,19 @@ object BigQueryLoad {
       .withColumn("tok_id", ((col("ord") - 1) % TextOps.SentWindow + 1).cast("long"))
       .withColumn("annotation_id", annotId(col("doc_id"), col("char_start"),
         col("tok"), lit("TOKEN"), Conllu.uposFor("tok")))
-    val heads = toks.select(col("doc_id"), col("ord").as("head_ord"),
-      col("annotation_id").as("target_annot_id"))
-    toks.where(col("tok_id") > 1)
-      .select(col("doc_id"), col("ord"),
-        col("annotation_id").as("source_annot_id"))
-      .withColumn("head_ord", col("ord") - 1)
-      .join(heads, Seq("doc_id", "head_ord"))
-      .select(col("source_annot_id"),
+    // the head token IS the previous token in the same document (ord is
+    // dense per doc and head_ord = ord - 1), so the head's digest is a
+    // lag(1) over the (doc_id, ord) window the token derivation already
+    // sorted by — same rows as the former (doc_id, head_ord) self-join,
+    // without a second tokenize pass and without broadcasting the full
+    // token table (the join's build side was the whole corpus token
+    // stream — a plan that cannot broadcast at scale)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("ord")
+    toks
+      .withColumn("target_annot_id", lag(col("annotation_id"), 1).over(w))
+      .where(col("tok_id") > 1)
+      .select(col("annotation_id").as("source_annot_id"),
         lit("turku").as("annotator_name"),
         element_at(
           array(DepRelations.map(lit): _*),

@@ -589,10 +589,13 @@ object Dedup {
     * ~n/2^15 expected docs per band bucket. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val fp = simhash(docs)
-    val banded = fp.select(col("doc_id"), col("simhash"),
+    // both sides of the band self-join read the banded fingerprints — one
+    // managed materialization instead of two full tokenize+60-bit-sum
+    // fingerprint derivations (the minhashCandidatesFrom discipline)
+    val banded = graft.infra.Caches.managed(fp.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), expr(s"(simhash >> ${15 * b}) & 32767").as("band_val"))): _*)).as("bv"))
-      .select(col("doc_id"), col("simhash"), col("bv.band"), col("bv.band_val"))
+      .select(col("doc_id"), col("simhash"), col("bv.band"), col("bv.band_val")))
     val l = banded.select(col("band"), col("band_val"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val r = banded.select(col("band"), col("band_val"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
     l.join(r, Seq("band", "band_val"))

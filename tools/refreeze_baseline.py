@@ -31,11 +31,16 @@ def r1_query_set(detail):
     body = re.search(r"R1Queries: Set\[String\] = Set\((.*?)\)", src, re.S).group(1)
     return set(re.findall(r'"([a-z0-9_]+)"', body))
 
-# plans rewired in round 17 (the BPE trainer's NDV-gated collect adds a
-# count job ahead of the word-table collect): driver r16 readings
-# describe the ungated plan, so only this round's own values apply
+# plans rewired in round 17: the BPE trainer's NDV-gated collect adds a
+# count job ahead of the word-table collect, and the optimization round
+# rewired the query paths below (staged artifacts / shared caches /
+# lag-window rewrite — OPTIMIZATION_r17.md). Driver r16 readings describe
+# the old plans, so only this round's own values apply.
 PLAN_CHANGED = set("""bpe_merges bpe_encode bpe_encode_artifact
-bpe_fertility""".split())
+bpe_fertility ds_train_split bm25_mrr hybrid_rrf tfidf tfidf_doc_sim
+sheets_batch_carryforward sheets_batch_iaa sheets_to_bert
+heavy_hitters_cms ngram_jaccard annotation_batch annotation_batch_files
+bigquery_load_relation simhash_pairs dedup_source_matrix""".split())
 
 # driver r16 readings adjudicated as machine-moment noise
 # (PERF_AUDIT_r17 par.1: the three BENCH_r16 flags measured at baseline in
