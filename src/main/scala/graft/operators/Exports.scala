@@ -38,19 +38,22 @@ object Exports {
     * README_brat_to_bert.md): per document an `<doc_id>.ann` file with one
     * text-bound `T{n}\t{TYPE} {start} {end}\t{text}` line per annotation
     * plus a normalization `N{n}\tReference T{n} {id}\t{text}` line binding
-    * it to its ontology id. */
+    * it to its ontology id.
+    *
+    * Both line kinds come off ONE pass over the ranked annotation table —
+    * each row explodes into its T and N line (guide §2.4: the pre-r17
+    * `tLines.unionAll(nLines)` shape computed the row_number window, and
+    * everything upstream of it, twice — once per union branch). */
   def brat(annots: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy(col("char_start"), col("concept_id"))
-    val t = annots.withColumn("t_num", row_number().over(w).cast("long"))
-    val tLines = t.select(col("doc_id"),
-      concat(lit("T"), col("t_num"), lit("\t"),
-        substring_index(col("concept_id"), ":", 1), lit(" "),
-        col("char_start"), lit(" "), col("char_end"),
-        lit("\t"), col("tok")).as("line"))
-    val nLines = t.select(col("doc_id"),
-      concat(lit("N"), col("t_num"), lit("\tReference T"), col("t_num"),
-        lit(" "), col("concept_id"), lit("\t"), col("tok")).as("line"))
-    tLines.unionAll(nLines)
+    annots.withColumn("t_num", row_number().over(w).cast("long"))
+      .select(col("doc_id"), explode(array(
+        concat(lit("T"), col("t_num"), lit("\t"),
+          substring_index(col("concept_id"), ":", 1), lit(" "),
+          col("char_start"), lit(" "), col("char_end"),
+          lit("\t"), col("tok")),
+        concat(lit("N"), col("t_num"), lit("\tReference T"), col("t_num"),
+          lit(" "), col("concept_id"), lit("\t"), col("tok")))).as("line"))
       .select(col("doc_id"), concat(col("doc_id"), lit(".ann")).as("ann_file"), col("line"))
   }
 

@@ -348,10 +348,44 @@ object TextStats {
     * corpus-scale groups must be order-independent — the repo's integer-sum
     * discipline), so per-cell sums are exact and the mean is one rounded
     * division. Cost shape: the per-source LM tables are vocabulary-sized;
-    * the cross-scoring fans the token stream out by #sources (a small
-    * fixed dimension — the documented price of the FULL matrix; a sampled
-    * stream drops it) and joins on the (source, token) key once. */
+    * because the micro-unit term depends only on (tok, lm_source), the
+    * cross-scoring aggregates the token stream to per-(source, token)
+    * COUNTS first and fans out that vocabulary-sized table by #sources
+    * (n_tokens = Σm, sum_u = Σ m·term_u — exact integer regrouping), so
+    * the per-LM fan-out join never carries the raw token stream (guide
+    * §2.3 aggregate-before-shuffle; the corpus is read once). */
   def sourceLmMatrix(docs: DataFrame): DataFrame = {
+    // one tokenize pass → per-(source, token) occurrence counts; read three
+    // times below (the LM table, its totals, the scored fan-out)
+    val occAgg = graft.infra.Caches.managed(
+      TextOps.tokens(docs).select("doc_id", "tok")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy(col("source").as("doc_source"), col("tok"))
+        .agg(count(lit(1)).as("m")))
+    val c = occAgg.select(col("doc_source").as("lm_source"), col("tok"),
+      col("m").as("cnt"))
+    val t = c.groupBy("lm_source").agg(sum("cnt").as("tot"))
+    val v = occAgg.select("tok").distinct().agg(count(lit(1)).as("vsz"))
+    occAgg.crossJoin(broadcast(t))
+      .join(c.select(col("lm_source").as("ls2"), col("tok").as("tk2"), col("cnt")),
+        col("lm_source") === col("ls2") && col("tok") === col("tk2"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_source"), col("lm_source"), col("m"),
+        floor(log((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
+          (col("tot") + col("vsz")).cast("double")) * lit(1000000.0)).cast("long")
+          .as("term_u"))
+      .groupBy("doc_source", "lm_source")
+      .agg(sum("m").as("n_tokens"), sum(col("m") * col("term_u")).as("sum_u"))
+      .select(col("lm_source"), col("doc_source"), col("n_tokens"),
+        Num.r6(col("sum_u").cast("double") / lit(1000000.0) / col("n_tokens").cast("double"))
+          .as("avg_logprob"))
+  }
+
+  /** The pre-r17 per-occurrence formulation of [[sourceLmMatrix]] (the
+    * fan-out join carried the raw token stream × #sources) — kept as the
+    * parity reference: Round17OpsSpec pins the aggregated rewrite to these
+    * exact rows. */
+  private[graft] def sourceLmMatrixPerToken(docs: DataFrame): DataFrame = {
     val occ = TextOps.tokens(docs).select("doc_id", "tok")
       .join(docs.select("doc_id", "source"), "doc_id")
       .select(col("source").as("doc_source"), col("tok"))
@@ -381,7 +415,10 @@ object TextStats {
     * 1-row aggregate (no driver action); the score join is equi on the
     * token — vocabulary ≪ corpus, so this shuffles the token stream once. */
   def unigramLogprob(docs: DataFrame): DataFrame = {
-    val toks = TextOps.tokens(docs).select("doc_id", "tok")
+    // one tokenize pass: the stream feeds both the LM aggregation and the
+    // score join (managed per-query cache, drained by the suite driver)
+    val toks = graft.infra.Caches.managed(
+      TextOps.tokens(docs).select("doc_id", "tok"))
     val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum("cnt").as("total"))
     toks.join(counts, "tok")
@@ -402,11 +439,15 @@ object TextStats {
     * plan as 1.0−λ computed IN-PLAN (not a pre-rounded literal), so both
     * engines evaluate the identical double. */
   def bigramLogprob(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
-    val toks = TextOps.tokens(docs).select("doc_id", "ord", "tok")
-    val bg = toks
+    // one tokenize pass feeds the bigram window AND the unigram LM; one
+    // window pass feeds the bigram LM AND the score join (both managed
+    // per-query caches — the tokenize+lead chain ran three times before)
+    val toks = graft.infra.Caches.managed(
+      TextOps.tokens(docs).select("doc_id", "ord", "tok"))
+    val bg = graft.infra.Caches.managed(toks
       .withColumn("w2", lead("tok", 1).over(Window.partitionBy("doc_id").orderBy("ord")))
       .where(col("w2").isNotNull)
-      .select(col("doc_id"), col("tok").as("w1"), col("w2"))
+      .select(col("doc_id"), col("tok").as("w1"), col("w2")))
     val bgCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("bcnt"))
     val leftCounts = bgCounts.groupBy("w1").agg(sum("bcnt").as("lcnt"))
     val uniCounts = toks.groupBy("tok").agg(count(lit(1)).as("ucnt"))

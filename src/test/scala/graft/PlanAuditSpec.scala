@@ -450,7 +450,11 @@ class PlanAuditSpec extends SparkSpec {
       // ds KB side (staged scores), the BM25 retrieval pool (bm25_mrr /
       // hybrid_rrf), the concept-IDF file (tfidf), and tfidf_doc_sim's
       // staged signature-banded candidates + IDF
-      "ds_train_split", "bm25_mrr", "hybrid_rrf", "tfidf", "tfidf_doc_sim")
+      "ds_train_split", "bm25_mrr", "hybrid_rrf", "tfidf", "tfidf_doc_sim",
+      // r17 optimization round: the ANN eval family reads the staged
+      // brute-force truth set (the corpus scan is each query's own IVF/PQ/
+      // SQ branch — honest work; the ground truth comes from the stage)
+      "ann_recall", "ann_ndcg", "ivf_probe_sweep", "index_recall_matrix")
     val offenders =
       stagedOnly.flatMap { q =>
         val ls = leaves(q)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Cooccurrence, Dedup, SentencePairs, Sheets, TextStats}
+import graft.operators.{Cooccurrence, Dedup, Embeddings, Exports, SentencePairs, Sheets, TextStats}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -86,6 +86,66 @@ class Round17OpsSpec extends SparkSpec {
     assert(cached >= 2, s"expected both passes to read the cached token table, got $cached cache scans:\n$plan")
     // CMS guarantee survives the rewire: est >= exact on every row
     assert(hh.where(col("est_cnt") < col("exact_cnt")).count() == 0L)
+    graft.infra.Caches.unpersistManaged()
+  }
+
+  test("ANN eval FromTruth forms over a prebuilt truth equal the inline evals") {
+    def unit(at: Int): Array[Float] = {
+      val a = Array.fill(Embeddings.EmbDim)(0.01f); a(at) = 1.0f; a
+    }
+    val vs = (0 until 24).map(i => (i.toLong, unit(i % 11), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    val truth = Embeddings.cosineTopK(vs)
+    assertSameRows(Embeddings.annRecall(vs),
+      Embeddings.annRecallFromTruth(vs, truth))
+    assertSameRows(Embeddings.annNdcg(vs),
+      Embeddings.annNdcgFromTruth(vs, truth))
+    assertSameRows(Embeddings.ivfProbeSweep(vs),
+      Embeddings.ivfProbeSweepFromTruth(vs, truth))
+    assertSameRows(Embeddings.indexRecallMatrix(vs),
+      Embeddings.indexRecallMatrixFromTruth(vs, truth))
+    graft.infra.Caches.unpersistManaged()
+  }
+
+  test("sourceLmMatrix aggregated rewrite equals the per-token formulation") {
+    assertSameRows(TextStats.sourceLmMatrix(docs),
+      TextStats.sourceLmMatrixPerToken(docs))
+    graft.infra.Caches.unpersistManaged()
+  }
+
+  test("brat emits both line kinds from one ranked pass (rows equal the two-branch form)") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy(col("char_start"), col("concept_id"))
+    val t = annots.withColumn("t_num", row_number().over(w).cast("long"))
+    val tLines = t.select(col("doc_id"),
+      concat(lit("T"), col("t_num"), lit("\t"),
+        substring_index(col("concept_id"), ":", 1), lit(" "),
+        col("char_start"), lit(" "), col("char_end"),
+        lit("\t"), col("tok")).as("line"))
+    val nLines = t.select(col("doc_id"),
+      concat(lit("N"), col("t_num"), lit("\tReference T"), col("t_num"),
+        lit(" "), col("concept_id"), lit("\t"), col("tok")).as("line"))
+    val twoBranch = tLines.unionAll(nLines)
+      .select(col("doc_id"), concat(col("doc_id"), lit(".ann")).as("ann_file"), col("line"))
+    assertSameRows(Exports.brat(annots), twoBranch)
+    // and the single-pass plan computes exactly one window
+    val nWindows = "Window".r
+      .findAllIn(Exports.brat(annots).queryExecution.executedPlan.toString).length
+    assert(nWindows == 1, s"expected one Window operator, got $nWindows")
+  }
+
+  test("LM scorers tokenize once: unigram/bigram streams come from managed caches") {
+    val uni = TextStats.unigramLogprob(docs)
+    uni.count()
+    val uniPlan = uni.queryExecution.executedPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(uniPlan).length >= 2,
+      s"unigramLogprob should read the cached token table on both sides:\n$uniPlan")
+    graft.infra.Caches.unpersistManaged()
+    val bi = TextStats.bigramLogprob(docs)
+    bi.count()
+    val biPlan = bi.queryExecution.executedPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(biPlan).length >= 3,
+      s"bigramLogprob should read the cached token+bigram tables:\n$biPlan")
     graft.infra.Caches.unpersistManaged()
   }
 

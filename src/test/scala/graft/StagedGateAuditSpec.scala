@@ -125,6 +125,8 @@ class StagedGateAuditSpec extends AnyFunSuite {
     ("sheets_batch1", "PlanAuditSpec.scala", "sheets_batch_iaa"),
     // r17: the BM25 retrieval pool staged for the eval card + RRF fusion
     ("bm25_topk_pool", "PlanAuditSpec.scala", "bm25_mrr"),
+    // r17: the brute-force ANN truth set staged for the four eval queries
+    ("ann_truth", "PlanAuditSpec.scala", "ann_recall"),
     ("winsor", "GraphRetrievalSpec.scala", "qualityWinsorize"),
     ("compression_ratio", "PlanAuditSpec.scala", "compression_quality"),
     ("quantile_sketch", "SketchSpec.scala", "quantile"),

@@ -40,7 +40,10 @@ PLAN_CHANGED = set("""bpe_merges bpe_encode bpe_encode_artifact
 bpe_fertility ds_train_split bm25_mrr hybrid_rrf tfidf tfidf_doc_sim
 sheets_batch_carryforward sheets_batch_iaa sheets_to_bert
 heavy_hitters_cms ngram_jaccard annotation_batch annotation_batch_files
-bigquery_load_relation simhash_pairs dedup_source_matrix""".split())
+bigquery_load_relation simhash_pairs dedup_source_matrix
+ann_recall ann_ndcg ivf_probe_sweep index_recall_matrix
+source_lm_matrix unigram_logprob bigram_logprob
+brat_export brat_import brat_to_bert""".split())
 
 # driver r16 readings adjudicated as machine-moment noise
 # (PERF_AUDIT_r17 par.1: the three BENCH_r16 flags measured at baseline in
