@@ -657,7 +657,10 @@ object SparkEntry {
     "label_overlap" -> ((s, _) => LabelQa.labelOverlap(s)),
     "label_english_word" -> ((s, d) => LabelQa.labelEnglishWords(docs(s, d))),
     "label_filter_embedding" -> ((s, d) => LabelQa.labelFilterByEmbedding(Tables.embeddings(s, d))),
-    "ontology_closure" -> ((s, _) => KnowledgeGraph.ontologyClosure(s)),
+    // the closure is an ontology constant — the fixpoint runs once per
+    // process (the reference's ancestor-map file contract); same staged-
+    // result discipline as dedup_clusters/semantic_clusters
+    "ontology_closure" -> ((s, _) => KnowledgeGraph.stagedOntologyClosure(s)),
     "kg_edges" -> ((s, d) => KnowledgeGraph.edgesFromMetrics(metricsAt(s, d))),
     "kg_pagerank" -> ((s, d) => KnowledgeGraph.pageRankFromPairs(pairsAt(s, d))),
     "kg_khop" -> ((s, d) => KnowledgeGraph.kHopFromPairs(pairsAt(s, d))),

@@ -246,7 +246,7 @@ object Concepts {
                       individuals: Seq[String]): DataFrame = {
     val spark = annots.sparkSession
     import spark.implicits._
-    val descendants = KnowledgeGraph.ontologyClosure(spark)
+    val descendants = KnowledgeGraph.stagedOntologyClosure(spark)
       .where(col("parent").isin(roots: _*))
       .select(col("child").as("concept_id"))
     val listed = (roots ++ individuals).toDF("concept_id")

@@ -165,6 +165,26 @@ object KnowledgeGraph {
     transitiveClosure(graft.functions.ConceptDict.directEdges.toDF("child", "parent"))
   }
 
+  /** [[ontologyClosure]] computed ONCE per (process, session state) and
+    * served from a localCheckpoint — the closure is a pure ONTOLOGY
+    * constant (no corpus input), and the reference builds its ancestor-map
+    * artifact once per ontology release
+    * (util/OntologyClassAncestorMapFactory writes the map file the
+    * deployment reads), so the fixpoint's O(depth) job chain runs once per
+    * process instead of once per consumer invocation (ancestor_table /
+    * ontology_closure / concepts_exclude_subtree each re-ran the loop).
+    * Keyed by SharedState identity so a second SparkContext in one JVM
+    * (test suites) re-derives instead of reading another context's blocks.
+    * Ontology-sized (hundreds of rows) — the checkpoint blocks are
+    * negligible and live for the process, the same lifetime as the staged
+    * file artifacts. */
+  private val closureMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  def stagedOntologyClosure(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    closureMemo.computeIfAbsent(
+      System.identityHashCode(spark.sharedState).toString,
+      _ => ontologyClosure(spark).localCheckpoint())
+
   /** Node table: concept_id, name, category (category via the broadcast
     * mapping table, name from the dictionary data itself). */
   def nodes(spark: org.apache.spark.sql.SparkSession): DataFrame =
@@ -458,7 +478,7 @@ object KnowledgeGraph {
   def ancestorTable(spark: org.apache.spark.sql.SparkSession,
                     prefix: String = "OP"): DataFrame = {
     import spark.implicits._
-    val closure = ontologyClosure(spark)
+    val closure = stagedOntologyClosure(spark)
     val classes = graft.functions.ConceptDict.labelEntries.map(_._1).toDF("concept_id")
       .where(substring_index(col("concept_id"), ":", 1) === prefix)
     val selfRows = classes.select(col("concept_id"), col("concept_id").as("ancestor_id"))

@@ -319,17 +319,22 @@ object TextStats {
     * integers. At 100 TB the exact table is the verification twin — the
     * sketch alone is the streaming-budget path. */
   def heavyHittersCms(docs: DataFrame, k: Int = 20): DataFrame = {
-    // read twice (the sketch fan-out AND the exact count table are both
-    // full passes over the token stream) — one managed materialization of
-    // the single projected column instead of two tokenize passes
-    val toks = graft.infra.Caches.managed(TextOps.tokens(docs).select("tok"))
+    // ONE corpus pass: the per-token exact counts. Each CMS cell's count is
+    // the number of token OCCURRENCES hashing to it = Σ exact_cnt over the
+    // tokens in the cell (exact integer regrouping), so the depth× sketch
+    // fan-out explodes the vocabulary-sized count table, never the raw
+    // token stream (guide §2.3 aggregate-before-shuffle) — and the managed
+    // cache holds vocabulary rows instead of the full token column.
+    val exact = graft.infra.Caches.managed(
+      TextOps.tokens(docs).select("tok")
+        .groupBy("tok").agg(count(lit(1)).as("exact_cnt")))
     def bucket(row: Int): org.apache.spark.sql.Column =
       pmod(graft.functions.Hash60.id(
         concat(lit(row.toString), lit("|"), col("tok"))), lit(CmsWidth))
-    val sketch = toks
-      .select(posexplode(array((0 until CmsDepth).map(bucket): _*)).as(Seq("r", "bucket")))
-      .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
-    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+    val sketch = exact
+      .select(col("exact_cnt"),
+        posexplode(array((0 until CmsDepth).map(bucket): _*)).as(Seq("r", "bucket")))
+      .groupBy("r", "bucket").agg(sum("exact_cnt").as("c"))
     val cand = exact.orderBy(col("exact_cnt").desc, col("tok")).limit(k)
     cand
       .select(col("tok"), col("exact_cnt"),

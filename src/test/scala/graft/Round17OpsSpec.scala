@@ -149,6 +149,36 @@ class Round17OpsSpec extends SparkSpec {
     graft.infra.Caches.unpersistManaged()
   }
 
+  test("heavyHittersCms aggregated sketch equals the per-occurrence CMS formulation") {
+    import graft.operators.{TextOps, TextStats}
+    // the pre-r17 shape: the sketch counts token OCCURRENCES cell by cell
+    val toks = TextOps.tokens(docs).select("tok")
+    def bucket(row: Int) =
+      pmod(graft.functions.Hash60.id(
+        concat(lit(row.toString), lit("|"), col("tok"))), lit(TextStats.CmsWidth))
+    val sketch = toks
+      .select(posexplode(array((0 until TextStats.CmsDepth).map(bucket): _*)).as(Seq("r", "bucket")))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+    val cand = exact.orderBy(col("exact_cnt").desc, col("tok")).limit(3)
+    val perOccurrence = cand
+      .select(col("tok"), col("exact_cnt"),
+        posexplode(array((0 until TextStats.CmsDepth).map(bucket): _*)).as(Seq("r", "bucket")))
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy("tok", "exact_cnt")
+      .agg(min("c").as("est_cnt"))
+    assertSameRows(TextStats.heavyHittersCms(docs, k = 3), perOccurrence)
+    graft.infra.Caches.unpersistManaged()
+  }
+
+  test("stagedOntologyClosure serves the fixpoint's exact rows and memoizes per process") {
+    import graft.operators.KnowledgeGraph
+    val staged = KnowledgeGraph.stagedOntologyClosure(spark)
+    assertSameRows(staged, KnowledgeGraph.ontologyClosure(spark))
+    // second call returns the memoized checkpoint, not a fresh fixpoint
+    assert(KnowledgeGraph.stagedOntologyClosure(spark) eq staged)
+  }
+
   test("ngramJaccard candidates come from the managed shingle table (single shingle derivation)") {
     val nj = Dedup.ngramJaccard(docs, threshold = 0.0)
     nj.count()
