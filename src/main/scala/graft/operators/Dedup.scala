@@ -1044,7 +1044,10 @@ object Dedup {
     val keepWids = wins.groupBy("wid").agg(count(lit(1)).as("df"))
       .where(col("df") >= 2 && col("df") <= maxDf)
       .select("wid")
-    val kept = wins.join(keepWids, "wid")
+    // both sides of the pair self-join read the df-capped window set — one
+    // managed materialization instead of re-running the cap aggregation and
+    // its join per side (the r17 shared-scan discipline)
+    val kept = graft.infra.Caches.managed(wins.join(keepWids, "wid"))
     kept.select(col("wid"), col("doc_id").as("doc_a"))
       .join(kept.select(col("wid"), col("doc_id").as("doc_b")), "wid")
       .where(col("doc_a") < col("doc_b"))

@@ -43,7 +43,9 @@ heavy_hitters_cms ngram_jaccard annotation_batch annotation_batch_files
 bigquery_load_relation simhash_pairs dedup_source_matrix
 ann_recall ann_ndcg ivf_probe_sweep index_recall_matrix
 source_lm_matrix unigram_logprob bigram_logprob
-brat_export brat_import brat_to_bert""".split())
+brat_export brat_import brat_to_bert
+heavy_hitters_cms ancestor_table ontology_closure
+concepts_exclude_subtree window_dup""".split())
 
 # driver r16 readings adjudicated as machine-moment noise
 # (PERF_AUDIT_r17 par.1: the three BENCH_r16 flags measured at baseline in
