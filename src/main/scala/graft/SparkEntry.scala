@@ -858,7 +858,14 @@ object SparkEntry {
       // oracle nests the same standalone SQL)
       val base = docs(s, d)
       base.select("doc_id", "source", "n_chars")
-        .join(TextStats.qualityFilter(base).where(col("keep")).select("doc_id"), "doc_id")
+        // managed cache on the repetition features = pushdown barrier:
+        // filtering on `keep` would otherwise substitute the whole
+        // row-local trigram transform into the pushed predicate, once per
+        // reference (see TextStats.qualityFilterFrom)
+        .join(TextStats.qualityFilterFrom(
+            graft.infra.Caches.managed(TextStats.repetitionStats(base)),
+            TextStats.quality(base).select("doc_id", "stop_ratio"))
+          .where(col("keep")).select("doc_id"), "doc_id")
         .join(Dedup.exact(base).where(!col("is_dup")).select("doc_id"), "doc_id")
         .join(TextStats.decontaminateFromBigrams(
             TextStats.docBigrams(base), stagedEvalBigrams(s, d))

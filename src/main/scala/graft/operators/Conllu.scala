@@ -27,8 +27,13 @@ object Conllu {
 
   /** doc_id, conllu — one CoNLL-U block per document; sentences follow the
     * fixed-window segmentation, token ids restart per sentence. */
-  def build(docs: DataFrame): DataFrame =
-    TextOps.tokens(docs)
+  def build(docs: DataFrame): DataFrame = buildFrom(TextOps.tokens(docs))
+
+  /** [[build]] over a prebuilt token table — callers that also join the
+    * token stream (e.g. [[dpSentences]]) pass one managed cache so the
+    * corpus tokenizes once per invocation instead of once per side. */
+  def buildFrom(toks: DataFrame): DataFrame =
+    toks
       .withColumn("sent_id", expr(s"(ord - 1) div ${TextOps.SentWindow}"))
       .withColumn("tok_id", ((col("ord") - 1) % TextOps.SentWindow + 1).cast("long"))
       .withColumn("line", concat_ws("\t",
@@ -68,10 +73,14 @@ object Conllu {
     * `T{n}\tsentence {start} {end}\t{covered}`. */
   def dpSentences(docs: DataFrame): DataFrame = {
     val w = TextOps.SentWindow
-    val parsed = parse(build(docs))
+    // one managed token table feeds BOTH the serialize side (build) and the
+    // span-recovery join side — the corpus tokenized twice per invocation
+    // before (guide §2.4: share the scan)
+    val toks = graft.infra.Caches.managed(TextOps.tokens(docs))
+    val parsed = parse(buildFrom(toks))
       .select(col("doc_id"), col("sent_id"),
         (col("sent_id") * w + col("tok_id")).as("ord"))
-    parsed.join(TextOps.tokens(docs), Seq("doc_id", "ord"))
+    parsed.join(toks, Seq("doc_id", "ord"))
       .groupBy("doc_id", "sent_id")
       .agg(min("char_start").as("s"), max("char_end").as("e"),
         Agg.orderedStringAgg(col("ord"), col("tok"), " ").as("covered"))

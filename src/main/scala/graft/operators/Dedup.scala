@@ -35,7 +35,10 @@ object Dedup {
 
   /** doc_id, canonical_id, is_dup — exact text dedup via content hash. */
   def exact(docs: DataFrame): DataFrame = {
-    val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    // managed: the canonical-min aggregation and the label join both read
+    // the hashed table — md5 over the full text ran once per side before
+    val hashed = graft.infra.Caches.managed(
+      docs.select(col("doc_id"), md5(col("text")).as("h")))
     val canon = hashed.groupBy("h").agg(min("doc_id").as("canonical_id"))
     hashed.join(canon, "h")
       .select(col("doc_id"), col("canonical_id"), (col("doc_id") =!= col("canonical_id")).as("is_dup"))
@@ -51,8 +54,10 @@ object Dedup {
     * packed-integer min: packing doc_id*C+sent_id silently breaks once a
     * document exceeds C sentence windows and can overflow long.) */
   def spanDedup(docs: DataFrame): DataFrame = {
-    val spans = TextOps.sentences(docs)
-      .select(col("doc_id"), col("sent_id"), md5(col("sent_text")).as("h"))
+    // managed: the group table and the label join both read the hashed
+    // span table — one sentence pass instead of two (guide §2.4)
+    val spans = graft.infra.Caches.managed(TextOps.sentences(docs)
+      .select(col("doc_id"), col("sent_id"), md5(col("sent_text")).as("h")))
     val groups = spans.groupBy("h")
       .agg(min(struct(col("doc_id"), col("sent_id"))).as("mn"),
         count(lit(1)).as("group_size"))
@@ -75,7 +80,10 @@ object Dedup {
     * already fit in one row upstream), and the ordering is an in-row
     * array_sort, never a corpus-global sort. */
   def spanDedupApply(docs: DataFrame): DataFrame = {
-    val sents = TextOps.sentences(docs).select("doc_id", "sent_id", "sent_text")
+    // managed: the dup-group aggregation and the keep join both read the
+    // sentence table — one sentence pass instead of two (guide §2.4)
+    val sents = graft.infra.Caches.managed(
+      TextOps.sentences(docs).select("doc_id", "sent_id", "sent_text"))
     val g = sents.groupBy("sent_text")
       .agg(min(struct(col("doc_id"), col("sent_id"))).as("mn"), count(lit(1)).as("n"))
       .where(col("n") > 1)
@@ -105,18 +113,26 @@ object Dedup {
     * a sorted-struct fold; reassembly is the same bounded array_sort as
     * the sibling apply operators. */
   def intraDocDedup(docs: DataFrame): DataFrame = {
-    val sents = TextOps.sentences(docs).select("doc_id", "sent_id", "sent_text")
-    val w = Window.partitionBy("doc_id", "sent_text")
-    sents
-      .withColumn("first_sid", min("sent_id").over(w))
-      .withColumn("keep", col("sent_id") === col("first_sid"))
-      .groupBy("doc_id")
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(when(col("keep"), struct(col("sent_id"), col("sent_text"))))),
-          s => s("sent_text")), " ").as("clean_text"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
+    // fully row-local (scan → project, NO shuffle): the keep decision —
+    // "first occurrence of this window's text within its own document" —
+    // only reads the document's own window array, so the dedup, the
+    // reassembly and the counters all derive inside the row. The old form
+    // paid a window Exchange + a per-doc aggregation exchange over the
+    // sentence stream for per-row-computable values (guide §2.4). keep(i)
+    // ⇔ array_position(ws, ws[i]) == i (first index of the text is mine) —
+    // exactly min(sent_id).over(doc_id, sent_text) == sent_id.
+    val sw = TextOps.SentWindow
+    docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), expr(s"CAST((size(tk) - 1) DIV $sw AS INT)")), s =>
+          array_join(slice(col("tk"), s * sw + 1, lit(sw)), " ")).as("ws"))
+      .select(col("doc_id"),
+        filter(col("ws"), (x, i) => array_position(col("ws"), x) === (i + 1).cast("long")).as("kept"),
+        size(col("ws")).as("n_windows"))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (col("n_windows") - size(col("kept"))).cast("long").as("n_removed"))
   }
 
   /** doc_id, clean_text, n_kept, n_removed — corpus-frequency boilerplate
@@ -130,7 +146,10 @@ object Dedup {
     * the corpus, AQE broadcasts it), and survivors re-stitch with a per-doc
     * aggregation bounded by document length — no corpus-global sort. */
   def boilerplateStrip(docs: DataFrame, minDocs: Int = 3): DataFrame = {
-    val sents = TextOps.sentences(docs).select("doc_id", "sent_id", "sent_text")
+    // managed: the document-frequency aggregation and the strip join both
+    // read the sentence table — one sentence pass instead of two
+    val sents = graft.infra.Caches.managed(
+      TextOps.sentences(docs).select("doc_id", "sent_id", "sent_text"))
     val bp = sents.groupBy("sent_text")
       .agg(countDistinct("doc_id").as("df"))
       .where(col("df") >= minDocs)
@@ -149,8 +168,11 @@ object Dedup {
   /** Normalized-form dedup: sorted token multiset with the near-dup marker
     * token removed; emits members of groups with >1 doc. */
   def normalized(docs: DataFrame): DataFrame = {
-    val keyed = docs.select(col("doc_id"),
-      array_join(array_sort(filter(split(col("text"), " "), t => t =!= "dup")), " ").as("norm_key"))
+    // managed: the group aggregation and the label join both read the
+    // normalized-key table — the split+filter+sort normalization ran once
+    // per side before (guide §2.4)
+    val keyed = graft.infra.Caches.managed(docs.select(col("doc_id"),
+      array_join(array_sort(filter(split(col("text"), " "), t => t =!= "dup")), " ").as("norm_key")))
     val groups = keyed.groupBy("norm_key")
       .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("group_size"))
       .where(col("group_size") > 1)
@@ -158,15 +180,14 @@ object Dedup {
       .select(col("doc_id"), col("canonical_id"), col("group_size"))
   }
 
-  /** doc_id, shingle — 3-token shingles (order-preserving). */
-  def shingles(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("ord")
-    TextOps.tokens(docs)
-      .withColumn("t2", lead("tok", 1).over(w))
-      .withColumn("t3", lead("tok", 2).over(w))
-      .where(col("t3").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("shingle"))
-  }
+  /** doc_id, shingle — 3-token shingles (order-preserving). Row-local
+    * (TextOps.ngramArr): the lead()-window form cost an Exchange + Sort of
+    * the full token stream per derivation; the in-row array emits the
+    * identical shingle strings from a scan-shaped plan (guide §2.4). */
+  def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        explode(TextOps.ngramArr(col("toks"), 3)).as("shingle"))
 
   /** doc_id, sid — distinct shingle-id set per document. Ids are md5-derived
     * (Hash60 mod P): per-row, no vocabulary join, no global sort. */
@@ -836,18 +857,24 @@ object Dedup {
     * Token id = Hash60 mod RollP, so the widest intermediate product
     * (RollP·131^4) stays under 2^63. */
   def rollingFingerprint(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("ord")
-    TextOps.tokens(docs)
-      .select(col("doc_id"), col("ord"), (Hash60.id(col("tok")) % RollP).as("tid"))
-      .withColumn("t2", lead("tid", 1).over(w))
-      .withColumn("t3", lead("tid", 2).over(w))
-      .withColumn("t4", lead("tid", 3).over(w))
-      .withColumn("t5", lead("tid", 4).over(w))
-      .where(col("t5").isNotNull)
-      .withColumn("wh",
-        ((((col("tid") * RollB + col("t2")) * RollB + col("t3")) * RollB + col("t4")) * RollB + col("t5")) % RollP)
-      .groupBy("doc_id")
-      .agg(min("wh").as("fingerprint"))
+    // fully row-local (TextOps.ngramArr discipline): token-id array, 5-gram
+    // polynomial hashes via transform over window starts, min via
+    // array_min — the lead()-window + groupBy form paid an Exchange + Sort
+    // of the token stream plus an aggregation exchange for arithmetic the
+    // row already holds; plan is now scan-shaped at any scale (guide §2.4)
+    def tid(c: org.apache.spark.sql.Column) = Hash60.id(c) % RollP
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 5)
+      .select(col("doc_id"),
+        transform(col("toks"), t => tid(t)).as("tids"))
+      .select(col("doc_id"),
+        array_min(transform(sequence(lit(0), size(col("tids")) - lit(5)), i =>
+          ((((element_at(col("tids"), i + lit(1)) * RollB
+            + element_at(col("tids"), i + lit(2))) * RollB
+            + element_at(col("tids"), i + lit(3))) * RollB
+            + element_at(col("tids"), i + lit(4))) * RollB
+            + element_at(col("tids"), i + lit(5))) % RollP))
+          .as("fingerprint"))
   }
 
   /** doc_id, eval_id, containment — FUZZY eval-set decontamination: exact
@@ -890,19 +917,12 @@ object Dedup {
   /** distinct (doc_id, wid) over `windowTokens`-token windows — the
     * shared shingle-id table of [[splitLeakage]] and its staged train-side
     * probe index ([[stageTrainShingles]]). */
-  private[graft] def windowIds(docs: DataFrame, windowTokens: Int): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("ord")
-    val base = TextOps.tokens(docs)
-    val withLeads = (1 until windowTokens).foldLeft(base) { (df, i) =>
-      df.withColumn(s"t$i", lead("tok", i).over(w))
-    }
-    val windowStr = concat_ws(" ",
-      col("tok") +: (1 until windowTokens).map(i => col(s"t$i")): _*)
-    withLeads
-      .where(col(s"t${windowTokens - 1}").isNotNull)
-      .select(col("doc_id"), (Hash60.id(windowStr) % MinhashP).as("wid"))
+  private[graft] def windowIds(docs: DataFrame, windowTokens: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        explode(TextOps.ngramArr(col("toks"), windowTokens)).as("win"))
+      .select(col("doc_id"), (Hash60.id(col("win")) % MinhashP).as("wid"))
       .distinct()
-  }
 
   /** [[windowIds]] staged ONCE per (process, corpus) as a wid-bucketed
     * parquet artifact — the shared shingle table of [[windowDupPairs]],
@@ -999,17 +1019,19 @@ object Dedup {
     * bounded ×windowTokens explode of the deleted occurrences, one
     * anti-join, one per-doc reassembly. */
   def windowDedupApply(docs: DataFrame, windowTokens: Int = 8, maxDf: Int = 20): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("ord")
-    val base = TextOps.tokens(docs).select("doc_id", "ord", "tok")
-    val withLeads = (1 until windowTokens).foldLeft(base) { (df, i) =>
-      df.withColumn(s"t$i", lead("tok", i).over(w))
-    }
-    val windowStr = concat_ws(" ",
-      col("tok") +: (1 until windowTokens).map(i => col(s"t$i")): _*)
-    val wins = withLeads
-      .where(col(s"t${windowTokens - 1}").isNotNull)
-      .select(col("doc_id"), col("ord").as("start_ord"),
-        (Hash60.id(windowStr) % MinhashP).as("wid"))
+    // both the token stream and the window-id stream derive row-locally
+    // from the split array (TextOps.ngramArr discipline): posexplode's
+    // 0-based position IS the window's start ordinal − 1, so neither side
+    // pays the lead()-window Exchange + Sort of the old form (guide §2.4)
+    val toksArr = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val base = toksArr
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("ord"), col("tok"))
+    val wins = toksArr
+      .select(col("doc_id"),
+        posexplode(TextOps.ngramArr(col("toks"), windowTokens)).as(Seq("pos", "win")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("start_ord"),
+        (Hash60.id(col("win")) % MinhashP).as("wid"))
     // the group table and the deletion join both read it
     graft.infra.Caches.managed(wins)
     val groups = wins.groupBy("wid")

@@ -66,11 +66,21 @@ object SentencePairs {
     * array transform — not a per-pair ordered aggregation over a pairs×tokens
     * join (which shuffles |pairs|·SentWindow rows; sentences with many X×Y
     * mentions each re-shuffle every token once per pair). */
-  private def sentenceTokenArrays(docs: DataFrame): DataFrame =
-    TextOps.tokens(docs)
-      .withColumn("sent_id", expr(s"(ord - 1) div ${TextOps.SentWindow}"))
-      .groupBy("doc_id", "sent_id")
-      .agg(array_sort(collect_list(struct(col("ord").as("o"), col("tok").as("v")))).as("toks"))
+  private def sentenceTokenArrays(docs: DataFrame): DataFrame = {
+    // row-local (TextOps.ngramArr discipline): each sentence window's
+    // (ord, tok) struct array slices straight out of the in-row split
+    // array, already in ord order — the exploded-token groupBy +
+    // array_sort(collect_list) form paid an Exchange + Sort of the full
+    // token stream per derivation (guide §2.4)
+    val w = TextOps.SentWindow
+    docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), expr(s"CAST((size(tk) - 1) DIV $w AS INT)")), s =>
+          transform(sequence(s * w + 1, least(size(col("tk")), (s + 1) * w)), i =>
+            struct(i.cast("long").as("o"), element_at(col("tk"), i).as("v")))))
+          .as(Seq("sent_id", "toks")))
+      .select(col("doc_id"), col("sent_id").cast("long").as("sent_id"), col("toks"))
+  }
 
   /** extract() + blinded sentence text (placeholders at the mention ords). */
   def extractWithBlinded(docs: DataFrame, annots: DataFrame,

@@ -42,17 +42,64 @@ object TextOps {
       .select(col("doc_id"), col("ord"), col("tok"), col("char_start").cast("long"), col("char_end"))
   }
 
+  /** Row-local consecutive-token n-grams over the ordered array that
+    * split(text) already provides: element i (0-based window start) is
+    * toks[i..i+n-1] joined by ' ' — the exact strings of a lead()-window
+    * derivation, without the Exchange + Sort of the full token stream the
+    * window costs (guide §2.4: remove shuffles outright; the in-row array
+    * position already encodes token order). `toks` MUST be a bound column
+    * projected by the caller (e.g. `.select(split(col("text"), " ")
+    * .as("toks"))` then `col("toks")`), never an inline expression: lambda
+    * bodies re-evaluate outer EXPRESSIONS once per element (the
+    * DocStreams.letBound trap), while a bound attribute is a per-row field
+    * read. Docs with fewer than n tokens yield an empty array (the
+    * lead-window form's `tN IS NOT NULL` filter). */
+  def ngramArr(toks: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    require(n >= 1, s"ngramArr needs n >= 1, got $n")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j + 1))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** [[ngramArr]] for n=2 as (w1, w2) struct pairs — for consumers that
+    * need the bigram's sides as separate columns without re-splitting. */
+  def bigramPairArr(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - lit(2)),
+        i => struct(element_at(toks, i + lit(1)).as("w1"),
+          element_at(toks, i + lit(2)).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
   /** Fixed-window segmentation: sentence = SentWindow consecutive tokens.
     * doc_id, sent_id (0-based), sent_text, n_tokens, char_start, char_end. */
-  def sentences(docs: DataFrame): DataFrame =
-    tokens(docs)
-      .withColumn("sent_id", expr(s"(ord - 1) div $SentWindow"))
-      .groupBy("doc_id", "sent_id")
-      .agg(
-        Agg.orderedStringAgg(col("ord"), col("tok"), " ").as("sent_text"),
-        count(lit(1)).as("n_tokens"),
-        min("char_start").as("char_start"),
-        max("char_end").as("char_end"))
+  def sentences(docs: DataFrame): DataFrame = {
+    // Fully row-local (scan → explode → project): a window's char span is a
+    // prefix length of the single-space-separated text — char_end of token
+    // m is length(substring_index(text, ' ', m)) and the next token starts
+    // one past it — and its covered text is the substring between the two
+    // boundaries, so every output column derives inside the document's own
+    // row. The explode-tokens → groupBy(doc_id, sent_id) form paid an
+    // Exchange + Sort + ordered-aggregation over the FULL TOKEN STREAM per
+    // derivation (guide §2.4: remove shuffles outright); exact same rows:
+    // min(char_start) is the first window token's start, max(char_end) the
+    // last's end, and the ordered string agg is the text between them.
+    val w = SentWindow
+    docs
+      .select(col("doc_id"), col("text"), size(split(col("text"), " ")).as("n"))
+      .select(col("doc_id"), col("text"), col("n"),
+        explode(sequence(lit(0L), expr(s"CAST((n - 1) DIV $w AS BIGINT)"))).as("sent_id"))
+      .withColumn("m_end", least(col("n").cast("long"), (col("sent_id") + 1) * w))
+      .withColumn("char_end",
+        expr("CAST(length(substring_index(text, ' ', CAST(m_end AS INT))) AS BIGINT)"))
+      .withColumn("char_start", when(col("sent_id") === 0, lit(0L))
+        .otherwise(expr(
+          s"CAST(length(substring_index(text, ' ', CAST(sent_id * $w AS INT))) AS BIGINT) + 1")))
+      .select(col("doc_id"), col("sent_id"),
+        expr("substring(text, char_start + 1, char_end - char_start)").as("sent_text"),
+        (col("m_end") - col("sent_id") * w).cast("long").as("n_tokens"),
+        col("char_start"), col("char_end"))
+  }
 
   /** Derive a deterministic punctuated text column (doc_id, punct_text):
     * sentence windows joined with cycling terminators ('. ', '! ', '? ',

@@ -160,13 +160,15 @@ object TextStats {
     * doc-partitioned `lead` (bounded by document length); scoring is one
     * map-side-combinable groupBy — a scan-shaped plan at 100 TB. */
   def qualityClassifier(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("ord")
-    val toks = TextOps.tokens(docs).select("doc_id", "ord", "tok")
-    val bigrams = toks
-      .withColumn("nxt", lead(col("tok"), 1).over(w))
-      .where(col("nxt").isNotNull)
-      .select(col("doc_id"), concat(col("tok"), lit(" "), col("nxt")).as("feat"))
-    val feats = toks.select(col("doc_id"), col("tok").as("feat")).unionByName(bigrams)
+    // unigram and bigram features both explode row-locally from the split
+    // array (TextOps.ngramArr): the old bigram side paid a lead()-window
+    // Exchange + Sort of the token stream for order the array already
+    // encodes (guide §2.4)
+    val toksArr = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val bigrams = toksArr
+      .select(col("doc_id"), explode(TextOps.ngramArr(col("toks"), 2)).as("feat"))
+    val feats = toksArr.select(col("doc_id"), explode(col("toks")).as("feat"))
+      .unionByName(bigrams)
     feats
       .select(col("doc_id"),
         pmod(graft.functions.Hash60.id(col("feat")), lit(ClfBuckets)).as("bucket"))
@@ -444,15 +446,16 @@ object TextStats {
     * plan as 1.0−λ computed IN-PLAN (not a pre-rounded literal), so both
     * engines evaluate the identical double. */
   def bigramLogprob(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
-    // one tokenize pass feeds the bigram window AND the unigram LM; one
-    // window pass feeds the bigram LM AND the score join (both managed
-    // per-query caches — the tokenize+lead chain ran three times before)
-    val toks = graft.infra.Caches.managed(
-      TextOps.tokens(docs).select("doc_id", "ord", "tok"))
-    val bg = graft.infra.Caches.managed(toks
-      .withColumn("w2", lead("tok", 1).over(Window.partitionBy("doc_id").orderBy("ord")))
-      .where(col("w2").isNotNull)
-      .select(col("doc_id"), col("tok").as("w1"), col("w2")))
+    // ONE managed split-array table feeds both the unigram LM and the
+    // bigram stream; bigram pairs derive row-locally from the array
+    // (TextOps.bigramPairArr) — the old shape paid a lead()-window
+    // Exchange + Sort of the cached token stream (guide §2.4)
+    val toksArr = graft.infra.Caches.managed(
+      docs.select(col("doc_id"), split(col("text"), " ").as("toks")))
+    val toks = toksArr.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val bg = graft.infra.Caches.managed(toksArr
+      .select(col("doc_id"), explode(TextOps.bigramPairArr(col("toks"))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2")))
     val bgCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("bcnt"))
     val leftCounts = bgCounts.groupBy("w1").agg(sum("bcnt").as("lcnt"))
     val uniCounts = toks.groupBy("tok").agg(count(lit(1)).as("ucnt"))
@@ -514,16 +517,14 @@ object TextStats {
   }
 
   /** Top-k bigram counts (language-model n-gram table shape). */
-  def ngramCounts(docs: DataFrame, k: Int = 20): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("ord")
-    TextOps.tokens(docs)
-      .withColumn("t2", lead("tok", 1).over(w))
-      .where(col("t2").isNotNull)
-      .select(concat(col("tok"), lit(" "), col("t2")).as("bigram"))
+  def ngramCounts(docs: DataFrame, k: Int = 20): DataFrame =
+    // row-local bigrams (TextOps.ngramArr): scan → explode → one partial-
+    // aggregated groupBy; no lead()-window Exchange + Sort (guide §2.4)
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(explode(TextOps.ngramArr(col("toks"), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(k)
-  }
 
   /** Quality-ranked per-source capping — the domain-balancing step of a
     * corpus mix: no source may contribute more than `cap` documents, and
@@ -851,25 +852,34 @@ object TextStats {
 
   /** Repetition statistics (the Gopher/RefinedWeb-style quality signals):
     * duplicate-token and duplicate-trigram ratios per document. */
-  def repetitionStats(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("ord")
-    TextOps.tokens(docs)
-      .withColumn("t2", lead("tok", 1).over(w))
-      .withColumn("t3", lead("tok", 2).over(w))
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        countDistinct("tok").as("n_distinct_tokens"),
-        sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("n_trigrams"),
-        countDistinct(when(col("t3").isNotNull,
-          concat_ws(" ", col("tok"), col("t2"), col("t3")))).as("n_distinct_trigrams"))
-      .where(col("n_trigrams") > 0) // guard degenerate <3-token docs
+  def repetitionStats(docs: DataFrame): DataFrame =
+    // fully row-local: every statistic is a function of the doc's own
+    // token array (counts and distinct counts via size/array_distinct), so
+    // the plan is scan → project — the old form paid a lead()-window
+    // Exchange + Sort PLUS a per-doc aggregation exchange for arithmetic
+    // each row already holds (guide §2.4). Identical values: count(*) over
+    // the exploded stream = size(toks); countDistinct = size(array_distinct);
+    // trigram rows with t3 IS NOT NULL = the ngramArr(3) elements.
+    // The <3-token guard is expressed on the SOURCE column (split size),
+    // never on the derived trigram array: filter pushdown substitutes a
+    // derived column's defining expression into the predicate (guide §4.4's
+    // duplication mechanism — it applies to any expensive expression, not
+    // just UDFs), re-running the whole ngram transform once per reference —
+    // measured 6× on this query. Each expensive array is likewise aliased
+    // in its own projection and referenced once per derived value.
+    docs.where(size(split(col("text"), " ")) >= 3) // pushdown-safe source-column guard
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), TextOps.ngramArr(col("toks"), 3).as("tris"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("ndt"),
+        size(col("tris")).cast("long").as("n_trigrams"),
+        size(array_distinct(col("tris"))).cast("long").as("ndtr"))
       .select(col("doc_id"), col("n_tokens"), col("n_trigrams"),
-        Num.r6(lit(1.0) - col("n_distinct_tokens").cast("double") / col("n_tokens").cast("double"))
+        Num.r6(lit(1.0) - col("ndt").cast("double") / col("n_tokens").cast("double"))
           .as("dup_token_ratio"),
-        Num.r6(lit(1.0) - col("n_distinct_trigrams").cast("double") / col("n_trigrams").cast("double"))
+        Num.r6(lit(1.0) - col("ndtr").cast("double") / col("n_trigrams").cast("double"))
           .as("dup_trigram_ratio"))
-  }
 
   /** Rule-based quality filter (Gopher-rule shape): keep/drop decision plus
     * the firing reasons, so filtering is auditable. */
@@ -934,15 +944,27 @@ object TextStats {
   def qualityFilter(docs: DataFrame,
                     minTokens: Long = 20, maxDupTrigram: Double = 0.55,
                     maxStopRatio: Double = 0.12): DataFrame = {
-    val rep = repetitionStats(docs)
-    val q = quality(docs).select("doc_id", "stop_ratio")
+    qualityFilterFrom(repetitionStats(docs), quality(docs).select("doc_id", "stop_ratio"),
+      minTokens, maxDupTrigram, maxStopRatio)
+  }
+
+  /** [[qualityFilter]] over a prebuilt repetition-stats table — callers that
+    * FILTER on `keep` (training_pipeline's gate join) pass a managed cache
+    * of [[repetitionStats]] here, because the filter pushdown would
+    * otherwise substitute keep → too_repetitive → dup_trigram_ratio → the
+    * whole row-local trigram transform into the pushed predicate and re-run
+    * it once per reference (guide §4.4's duplication mechanism; the pre-r17
+    * Window form was an accidental pushdown barrier — measured 6× on
+    * training_pipeline). */
+  def qualityFilterFrom(rep: DataFrame, q: DataFrame,
+                        minTokens: Long = 20, maxDupTrigram: Double = 0.55,
+                        maxStopRatio: Double = 0.12): DataFrame =
     rep.join(q, "doc_id")
       .withColumn("too_short", col("n_tokens") < minTokens)
       .withColumn("too_repetitive", col("dup_trigram_ratio") > maxDupTrigram)
       .withColumn("too_stoppy", col("stop_ratio") > maxStopRatio)
       .select(col("doc_id"), col("too_short"), col("too_repetitive"), col("too_stoppy"),
         (!col("too_short") && !col("too_repetitive") && !col("too_stoppy")).as("keep"))
-  }
 
   /** Training-data decontamination: flag documents whose bigrams overlap an
     * eval set's bigrams (the standard n-gram–overlap contamination check).
@@ -1058,14 +1080,13 @@ object TextStats {
   /** The corpus side of the contamination check: distinct (doc_id, bigram).
     * Scanned fresh per decontamination run — at 100 TB this IS the pass
     * over the training corpus; it is never a reusable artifact. */
-  def docBigrams(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("ord")
-    TextOps.tokens(docs)
-      .withColumn("t2", lead("tok", 1).over(w))
-      .where(col("t2").isNotNull)
-      .select(col("doc_id"), concat(col("tok"), lit(" "), col("t2")).as("bigram"))
+  def docBigrams(docs: DataFrame): DataFrame =
+    // row-local bigrams (TextOps.ngramArr): the corpus pass is now
+    // scan → explode → distinct, with no lead()-window Exchange + Sort of
+    // the token stream in front of it (guide §2.4)
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(TextOps.ngramArr(col("toks"), 2)).as("bigram"))
       .distinct()
-  }
 
   /** The eval side: the distinct bigram set of the held-out suite. In any
     * real deployment the eval suite is a VERSIONED ARTIFACT (it changes
@@ -1073,15 +1094,12 @@ object TextStats {
     * one should stage it once and pass it to the `*FromBigrams` variants —
     * re-deriving it per query was the r14 driver-flag mechanism on the
     * decontaminate family (VERDICT r14 item 3). */
-  def evalBigrams(evalTexts: DataFrame, evalIdCol: String, evalTextCol: String): DataFrame = {
-    val we = org.apache.spark.sql.expressions.Window.partitionBy(evalIdCol).orderBy("pos")
+  def evalBigrams(evalTexts: DataFrame, evalIdCol: String, evalTextCol: String): DataFrame =
+    // same row-local derivation as [[docBigrams]] (TextOps.ngramArr)
     evalTexts
-      .select(col(evalIdCol), posexplode(split(col(evalTextCol), " ")).as(Seq("pos", "tok")))
-      .withColumn("t2", lead("tok", 1).over(we))
-      .where(col("t2").isNotNull)
-      .select(concat(col("tok"), lit(" "), col("t2")).as("bigram"))
+      .select(split(col(evalTextCol), " ").as("toks"))
+      .select(explode(TextOps.ngramArr(col("toks"), 2)).as("bigram"))
       .distinct()
-  }
 
   /** Multimodal metadata: payload as binary + typed metadata + stubbed decode.
     * doc_id, byte_len, head_hex, fake_width, fake_height, fake_n_frames. */

@@ -284,11 +284,20 @@ object XmlIngest {
     * [[parseMedline]] (doc_id from the PMID — in an update file the id
     * exists only inside the XML). One from_xml + one posexplode per file
     * row; no shuffle. */
-  def parseUpdateFileArticles(files: DataFrame): DataFrame = {
+  /** Update files with the from_xml struct attached — the shared parse of
+    * the articles/deletes/pmid extractors, so callers needing more than one
+    * channel can managed-cache ONE parsed table instead of re-running
+    * decodeEntities + from_xml per channel (guide §2.4: share the scan). */
+  private[operators] def parsedUpdateFiles(files: DataFrame): DataFrame =
+    files.withColumn("parsed", from_xml(decodeEntities(col("xml")), medlineSetSchema))
+
+  def parseUpdateFileArticles(files: DataFrame): DataFrame =
+    articlesFromParsed(parsedUpdateFiles(files))
+
+  private[operators] def articlesFromParsed(parsedFiles: DataFrame): DataFrame = {
     val cit = col("a").getField("MedlineCitation")
     val art = cit.getField("Article")
-    files
-      .withColumn("parsed", from_xml(decodeEntities(col("xml")), medlineSetSchema))
+    parsedFiles
       .select(col("file_id"), explode(col("parsed").getField("PubmedArticle")).as("a"))
       .withColumn("abstract0",
         array_join(transform(art.getField("Abstract").getField("AbstractText"), x => x.getField("_VALUE")), "\n"))
@@ -308,8 +317,10 @@ object XmlIngest {
     * MedlineUiMetadataExtractor.java:58-59 / the deleted-pmid stream of
     * PmidToFileExtractor.java:74-80). */
   def parseUpdateFileDeletes(files: DataFrame): DataFrame =
-    files
-      .withColumn("parsed", from_xml(decodeEntities(col("xml")), medlineSetSchema))
+    deletesFromParsed(parsedUpdateFiles(files))
+
+  private[operators] def deletesFromParsed(parsedFiles: DataFrame): DataFrame =
+    parsedFiles
       .select(col("file_id"),
         explode(col("parsed").getField("DeleteCitation").getField("PMID")).as("doc_id"))
       .select(col("file_id"), col("doc_id"), concat(lit("PMID:"), col("doc_id")).as("pmid"))
@@ -320,8 +331,9 @@ object XmlIngest {
     * retracted pmid→file stream from its DeleteCitation block. One
     * from_xml per file row, two explodes, a union — per-row, no shuffle. */
   def parseUpdateFilePmids(files: DataFrame): DataFrame = {
-    val parsed = files.withColumn("parsed",
-      from_xml(decodeEntities(col("xml")), medlineSetSchema))
+    // both channels (articles + deletes) explode the same parsed struct —
+    // managed so decodeEntities + from_xml run once, not once per branch
+    val parsed = graft.infra.Caches.managed(parsedUpdateFiles(files))
     val arts = parsed
       .select(col("file_id"), explode(col("parsed").getField("PubmedArticle")).as("a"))
       .select(col("file_id"),
@@ -342,10 +354,14 @@ object XmlIngest {
     * retracted citations forever (VERDICT r9 missing #1). */
   def medlineUpsertWithDeletes(docs: DataFrame): DataFrame = {
     val base = medlineRoundTrip(docs)
-    val files = serializeMedlineUpdateFiles(docs)
-    val updates = parseUpdateFileArticles(files).select(base.columns.map(col): _*)
+    // ONE managed serialize+from_xml pass serves both update channels — the
+    // articles and deletes branches each re-ran the whole update-file
+    // serialization and XML parse before (guide §2.4: share the scan)
+    val parsed = graft.infra.Caches.managed(
+      parsedUpdateFiles(serializeMedlineUpdateFiles(docs)))
+    val updates = articlesFromParsed(parsed).select(base.columns.map(col): _*)
     graft.infra.Etl.upsertWithDeletes(
-      base, updates, parseUpdateFileDeletes(files).select("doc_id"), "doc_id")
+      base, updates, deletesFromParsed(parsed).select("doc_id"), "doc_id")
   }
 
   // ---------- sub/superscript formatting annotations ----------

@@ -45,7 +45,23 @@ ann_recall ann_ndcg ivf_probe_sweep index_recall_matrix
 source_lm_matrix unigram_logprob bigram_logprob
 brat_export brat_import brat_to_bert
 heavy_hitters_cms ancestor_table ontology_closure
-concepts_exclude_subtree window_dup""".split())
+concepts_exclude_subtree window_dup
+window_dedup_apply quality_classifier doc_fingerprint ngram_counts
+decontaminate contamination_report decontaminate_bloom repetition_stats
+training_pipeline quality_filter dedup_minhash minhash_precision
+minhash_est lsh_band_tuning dedup_incremental dedup_incremental_staged
+dedup_minhash_hashed dedup_clusters dedup_cluster_stats dedup_keep_best
+dedup_soft_weights decontaminate_fuzzy split_leakage
+sentences sentences_punct sentences_kernel chunk_stride
+span_dedup span_dedup_apply intra_doc_dedup boilerplate_strip
+dedup_exact dedup_norm sentence_pairs sentence_pairs_kw relation_paths
+dp_input_export dp_sentences semmed_eval_rows concept_pair_sentences
+cooccur_counts_title_annot bigquery_load_zones bicluster_sentences
+bicluster_bert medline_ingest medline_entities medline_metadata
+medline_subsup medline_deletes medline_pmid_files doc_upsert
+doc_upsert_delete pmid_html_flag pmid_to_year webanno_export
+inception_export sentence_cooccur_export text_export es_docs es_bulk
+export_flat bionlp_export batch_stats batch_overlap""".split())
 
 # driver r16 readings adjudicated as machine-moment noise
 # (PERF_AUDIT_r17 par.1: the three BENCH_r16 flags measured at baseline in
